@@ -1,0 +1,37 @@
+"""pycamset_tpu — a TPU-native multi-camera calibration framework.
+
+A from-scratch JAX/XLA rebuild of the capabilities of pyCamSet
+(github.com/rlav440/pyCamSet): multi-camera calibration from ChArUco /
+Ccube targets, with a TPU-resident Levenberg–Marquardt bundle adjustment,
+sharded residual evaluation over device meshes, triangulation, reconstruction
+helpers and MVSNet export.
+
+Public API mirrors the reference's top level (pyCamSet/__init__.py:1-5):
+CameraSet, Camera, load_CameraSet, calibrate_cameras, ChArUco, Ccube.
+Imports are lazy so `import pycamset_tpu.ops` stays lightweight.
+"""
+from pycamset_tpu import config  # noqa: F401  (must be first: enables x64)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
+    "ChArUco", "Ccube",
+]
+
+_LAZY = {
+    "Camera": ("pycamset_tpu.models.camera", "Camera"),
+    "CameraSet": ("pycamset_tpu.models.camera_set", "CameraSet"),
+    "load_CameraSet": ("pycamset_tpu.utils.saving", "load_CameraSet"),
+    "calibrate_cameras": ("pycamset_tpu.calibration.camera_calibrator", "calibrate_cameras"),
+    "ChArUco": ("pycamset_tpu.models.charuco", "ChArUco"),
+    "Ccube": ("pycamset_tpu.models.ccube", "Ccube"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'pycamset_tpu' has no attribute {name!r}")

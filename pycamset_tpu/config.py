@@ -1,0 +1,35 @@
+"""Global numeric configuration for pycamset_tpu.
+
+The reference library (pyCamSet) computes everything in float64 on CPU. On TPU,
+float64 is either unsupported or emulated, so the policy here is:
+
+- x64 is enabled globally so that host-side / CPU-backend computation (tests,
+  parity checks, the final solve of small reduced systems) runs in float64,
+  matching the reference numerics.
+- Device-resident hot paths take an explicit ``dtype`` and default to the
+  backend's preferred precision: float64 on CPU, float32 on TPU. The LM solver
+  is precision-parameterised end to end.
+
+This module must be imported before any other pycamset_tpu module touches jax.
+"""
+from __future__ import annotations
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def default_device_dtype() -> jnp.dtype:
+    """Preferred dtype for device compute: f64 on CPU, f32 on accelerators."""
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return jnp.float64
+    return jnp.float32
+
+
+def solve_dtype() -> np.dtype:
+    """Dtype for the (small) linear solves of the reduced camera system."""
+    return np.float64

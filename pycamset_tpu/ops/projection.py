@@ -1,0 +1,65 @@
+"""The camera projection chain as pure JAX.
+
+This is the hot kernel of the whole framework: every bundle-adjustment residual
+is one evaluation of this chain. It reproduces (behaviourally) the reference's
+``projection`` function block (pyCamSet/optimisation/
+function_block_implementations.py:21-47): pinhole + full Brown–Conrady with the
+per-camera 9-vector parameterisation ordered
+
+    intr9 = [fx, px, fy, py, k1, k2, p1, p2, k3]
+
+(the reference names the distortion entries k0,k1,p0,p1,k2; in OpenCV terms
+they are k1,k2,p1,p2,k3). Derivatives come from jax.jacfwd of this chain
+instead of the reference's sympy-generated closed forms
+(function_block_implementations.py:50-140); parity is unit-tested.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pycamset_tpu.ops.distortion import distort_normalized
+from pycamset_tpu.ops.transforms import pose_apply
+
+
+def intr9_from_k_dist(kmat, dist) -> jnp.ndarray:
+    """(3,3) intrinsic + (5,) distortion -> packed intr9 vector."""
+    kmat = jnp.asarray(kmat)
+    dist = jnp.reshape(jnp.asarray(dist), (-1,))[:5]
+    return jnp.concatenate([
+        jnp.stack([kmat[0, 0], kmat[0, 2], kmat[1, 1], kmat[1, 2]]), dist])
+
+
+def k_dist_from_intr9(intr9) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed intr9 vector -> ((3,3) intrinsic, (5,) distortion)."""
+    fx, px, fy, py = intr9[0], intr9[1], intr9[2], intr9[3]
+    one = jnp.ones((), dtype=intr9.dtype)
+    zero = jnp.zeros((), dtype=intr9.dtype)
+    kmat = jnp.array([[fx, zero, px], [zero, fy, py], [zero, zero, one]])
+    return kmat, intr9[4:9]
+
+
+def project_cam_points(intr9: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
+    """Project camera-frame points (...,3) to distorted pixels (...,2)."""
+    fx, px, fy, py = intr9[0], intr9[1], intr9[2], intr9[3]
+    inv_z = 1.0 / xc[..., 2]
+    xy = xc[..., :2] * inv_z[..., None]
+    xy_d = distort_normalized(xy, intr9[4:9])
+    u = xy_d[..., 0] * fx + px
+    v = xy_d[..., 1] * fy + py
+    return jnp.stack([u, v], axis=-1)
+
+
+def project_world_points(intr9: jnp.ndarray, extr6: jnp.ndarray,
+                         pts_w: jnp.ndarray) -> jnp.ndarray:
+    """World points (...,3) -> pixels: extrinsic then projection."""
+    return project_cam_points(intr9, pose_apply(extr6, pts_w))
+
+
+def project_target_points(intr9: jnp.ndarray, extr6: jnp.ndarray,
+                          pose6: jnp.ndarray, pts_t: jnp.ndarray) -> jnp.ndarray:
+    """Target-frame points -> pixels: the full template-BA chain.
+
+    Matches the reference block chain projection + extrinsic3D + template_points
+    (template_handler.py:152), evaluated right-to-left.
+    """
+    return project_cam_points(intr9, pose_apply(extr6, pose_apply(pose6, pts_t)))

@@ -1,0 +1,66 @@
+"""Batched n-view DLT triangulation as pure JAX.
+
+Capability parity targets (reference, behaviour only):
+- ``nb_triangulate_st`` / ``nb_triangulate_full`` / ``nb_triangulate_nviews``
+  (compiled_helpers.py:582-663): per-observation iterative undistortion, then a
+  DLT solve, prange-parallel over points with ragged per-point view counts.
+
+TPU-first design: views are padded to a static ``max_views`` with a validity
+mask (zero rows contribute nothing to the normal matrix, so padding is exact),
+and the DLT solve is the smallest eigenvector of the 4x4 normal matrix MtM —
+a tiny ``eigh`` that batches cleanly under ``vmap`` instead of a ragged SVD.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pycamset_tpu.ops.distortion import undistort_pixels
+
+
+def triangulate_nviews(proj: jnp.ndarray, uv: jnp.ndarray,
+                       mask: jnp.ndarray) -> jnp.ndarray:
+    """Triangulate one point from up-to-V views by DLT.
+
+    :param proj: (V,3,4) projection matrices (K @ E[:3,:4]), distortion-free.
+    :param uv: (V,2) ideal (undistorted) pixel observations.
+    :param mask: (V,) 1.0 for valid views, 0.0 for padding.
+    :return: (3,) the triangulated point.
+    """
+    # rows: u * P3 - P1, v * P3 - P2 for each view
+    r1 = uv[:, 0:1] * proj[:, 2, :] - proj[:, 0, :]  # (V,4)
+    r2 = uv[:, 1:2] * proj[:, 2, :] - proj[:, 1, :]
+    m = jnp.concatenate([r1, r2], axis=0)  # (2V,4)
+    mvalid = jnp.concatenate([mask, mask], axis=0)[:, None]
+    # row normalisation improves f32 conditioning; guard padded zero rows.
+    norms = jnp.linalg.norm(m, axis=1, keepdims=True)
+    m = m / jnp.maximum(norms, 1e-12) * mvalid
+    mtm = m.T @ m
+    _, vecs = jnp.linalg.eigh(mtm)
+    x_h = vecs[:, 0]  # smallest eigenvalue eigenvector
+    return x_h[:3] / x_h[3]
+
+
+triangulate_nviews_batch = jax.vmap(triangulate_nviews)
+
+
+def triangulate_observations(proj_all: jnp.ndarray, kmats: jnp.ndarray,
+                             dists: jnp.ndarray, cam_idx: jnp.ndarray,
+                             uv: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Triangulate a batch of points from padded per-point observation tables.
+
+    :param proj_all: (C,3,4) per-camera projection matrices.
+    :param kmats: (C,3,3) per-camera intrinsics (for undistortion).
+    :param dists: (C,5) per-camera distortion coefficients.
+    :param cam_idx: (N,V) int camera index per observation slot.
+    :param uv: (N,V,2) raw (distorted) pixel observations.
+    :param mask: (N,V) validity mask.
+    :return: (N,3) triangulated points.
+    """
+    def one(ci, uvi, mi):
+        k = kmats[ci]
+        d = dists[ci]
+        uvu = jax.vmap(undistort_pixels)(uvi, k, d)
+        return triangulate_nviews(proj_all[ci], uvu, mi)
+
+    return jax.vmap(one)(cam_idx, uv, mask)

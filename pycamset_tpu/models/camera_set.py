@@ -1,0 +1,427 @@
+"""CameraSet: an ordered collection of Cameras with calibration utilities.
+
+Capability parity target (reference, behaviour only):
+pyCamSet/cameras/camera_set.py:61-782 — dict/list/slice/name indexing,
+subsetting, iteration, merge, equality, project_points_to_all_cams,
+multi_cam_triangulate, MVSNet scene export, scene plotting, save,
+set_resolutions_from_file, transform/set_reference_cam, calibration history,
+visualise_calibration, get_calibration_points, get_similar_angles.
+
+Triangulation runs through the batched vmapped DLT kernel
+(pycamset_tpu.ops.triangulation) instead of a prange loop: observation groups
+are padded to the max view count and solved in one device call.
+"""
+from __future__ import annotations
+
+import numbers
+from copy import deepcopy
+from pathlib import Path
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.models.camera import Camera
+from pycamset_tpu.ops.triangulation import triangulate_observations
+from pycamset_tpu.utils.general_utils import (
+    get_close_square_tuple, get_subfolder_names, glob_ims_local, h_tform,
+    make_4x4h_tform)
+from pycamset_tpu.utils.saving import save_camset
+
+_triangulate_j = jax.jit(triangulate_observations)
+
+
+def make_cam_dict(camera_names, extrinsic_matrices, intrinsic_matrices,
+                  dist_coefs=None, res=None) -> dict:
+    """Build a name->Camera dict from parameter lists, filling defaults."""
+    if res is None:
+        res = [[768, 1024]] * len(camera_names)
+    if dist_coefs is None:
+        dist_coefs = [np.zeros(5)] * len(camera_names)
+    return {
+        name: Camera(extrinsic=ext, intrinsic=intr, res=r,
+                     distortion_coefs=dist, name=name)
+        for name, ext, intr, dist, r in zip(
+            camera_names, extrinsic_matrices, intrinsic_matrices, dist_coefs, res)
+    }
+
+
+class CameraSet:
+    """A set of fixed cameras (a multi-camera rig)."""
+
+    def __init__(self, camera_names=None, extrinsic_matrices=None,
+                 intrinsic_matrices=None, distortion_coefs=None, res=None,
+                 camera_dict: dict | None = None):
+        self.calibration_result = None
+        self.calibration_handler = None
+        self.calibration_jac = None
+        self.calibration_params = None
+        self._cam_list: list | None = None
+        self._cam_dict: dict | None = None
+        self.n_cams = None
+        self.ind = 0
+
+        args = [camera_names, extrinsic_matrices, res, intrinsic_matrices,
+                distortion_coefs]
+        if camera_dict is None and all(v is None for v in args):
+            return
+        if camera_dict is None:
+            if any(v is None for v in args):
+                raise ValueError(
+                    "Initialising a CameraSet requires names, extrinsic, "
+                    "intrinsic, distortion coefficients and resolutions")
+            camera_dict = make_cam_dict(
+                camera_names, extrinsic_matrices, intrinsic_matrices,
+                dist_coefs=distortion_coefs, res=res)
+        self._cam_dict = camera_dict
+        self.__update()
+
+    def __update(self):
+        self._cam_list = list(self._cam_dict.values())
+        self.n_cams = len(self._cam_list)
+
+    # ----------------------------------------------------------- collections
+
+    def get_n_cams(self) -> int:
+        return len(self._cam_list)
+
+    def __len__(self):
+        return self.get_n_cams()
+
+    def get_names(self) -> list:
+        return list(self._cam_dict.keys())
+
+    def get_cam_dict(self) -> dict:
+        return self._cam_dict
+
+    def get_cam_list(self) -> list:
+        return self._cam_list
+
+    def make_subset(self, inp, cam_key=None) -> "CameraSet":
+        """A new CameraSet containing a subset of this one's cameras."""
+        new_camset = CameraSet()
+        if cam_key is None:
+            names = self.get_names()
+            if isinstance(inp, np.ndarray):
+                if not np.issubdtype(inp.dtype, np.integer):
+                    raise ValueError("Camera indexing is only supported with int arrays")
+                inp = inp.tolist()
+            if isinstance(inp, slice):
+                picked = names[inp]
+            elif isinstance(inp, list):
+                picked = [names[idx] for idx in inp]
+            else:
+                raise ValueError(f"{inp} is not a valid subset identifier")
+        else:
+            matching = [k for k in self._cam_dict if cam_key in str(k)]
+            if not matching:
+                raise ValueError(f"{cam_key} found no matching camera names")
+            if isinstance(inp, slice):
+                picked = matching[inp]
+            elif isinstance(inp, list):
+                picked = [matching[idx] for idx in inp]
+            else:
+                raise ValueError(f"{inp} is not a valid subset identifier")
+        new_camset._cam_dict = {k: self._cam_dict[k] for k in picked}
+        new_camset._CameraSet__update()
+        return new_camset
+
+    def __getitem__(self, inp):
+        if isinstance(inp, (list, slice, np.ndarray)):
+            return self.make_subset(inp)
+        if isinstance(inp, numbers.Number):
+            if inp in self._cam_dict:  # a numeric key that exists wins
+                return self._cam_dict[inp]
+            return self._cam_list[inp]
+        return self._cam_dict[inp]
+
+    def __setitem__(self, key, value: Camera):
+        self._cam_dict[key] = value
+        self.__update()
+
+    def __iter__(self):
+        return iter(self._cam_list)
+
+    def __eq__(self, other):
+        if not isinstance(other, CameraSet):
+            return False
+        if set(self.get_names()) != set(other.get_names()):
+            return False
+        return all(self[c] == other[c] for c in self.get_names())
+
+    def __add__(self, other: "CameraSet") -> "CameraSet":
+        if not isinstance(other, CameraSet):
+            raise ValueError("Can only add together camera sets")
+        if self._cam_dict.keys() & other._cam_dict.keys():
+            raise ValueError("Camera sets share camera names so cannot be added")
+        self._cam_dict = {**self._cam_dict, **other._cam_dict}
+        self.__update()
+        return self
+
+    # ------------------------------------------------------------ projection
+
+    def project_points_to_all_cams(self, points, distort=True):
+        """Project world points (n,3) to every camera.
+
+        :return: a list (one per point) of {cam_name: uv} dicts, or a single
+            dict for a single input point.
+        """
+        single_flag = False
+        points = np.asarray(points, dtype=float)
+        if points.ndim == 1:
+            points = points[None, ...]
+            single_flag = True
+        all_proj = [cam.project_points(points, distort=distort)
+                    for cam in self._cam_list]
+        out = [{} for _ in range(points.shape[0])]
+        for cam_proj, cam_name in zip(all_proj, self._cam_dict.keys()):
+            for d, uv in zip(out, cam_proj):
+                d[cam_name] = uv
+        return out[0] if single_flag else out
+
+    def multi_cam_triangulate(self, to_reconstruct, return_used=False,
+                              distort=True):
+        """Least-squares triangulation of shared-visibility observations.
+
+        :param to_reconstruct: {cam_name: uv} dict, list of dicts, or a raw
+            detection data table [cam, im, key..., u, v].
+        :return: (n,3) world points (plus bookkeeping if return_used).
+        """
+        names = self.get_names()
+        if isinstance(to_reconstruct, dict):
+            to_reconstruct = [to_reconstruct]
+        if isinstance(to_reconstruct, list):
+            data = []
+            for idx, group in enumerate(to_reconstruct):
+                for cam_name, datum in group.items():
+                    data.append([names.index(cam_name), 0, idx,
+                                 datum[0], datum[1]])
+            data = np.array(data, dtype=float)
+        else:
+            data = np.asarray(to_reconstruct, dtype=float)
+
+        # keep only groups (unique im+key) observed by >= 2 cameras
+        _, inv, count = np.unique(data[:, 1:-2], axis=0,
+                                  return_inverse=True, return_counts=True)
+        viable_mask = count > 1
+        recon = data[viable_mask[inv.squeeze()]]
+
+        uniq, grp_inv, grp_counts = np.unique(
+            recon[:, 1:-2], axis=0, return_inverse=True, return_counts=True)
+        grp_inv = grp_inv.squeeze()
+        n_groups = uniq.shape[0]
+        vmax = int(grp_counts.max())
+
+        # build padded (n_groups, vmax) observation tables
+        order = np.argsort(grp_inv, kind="stable")
+        slot = np.zeros(recon.shape[0], dtype=int)
+        sorted_ginv = grp_inv[order]
+        slot_sorted = np.arange(recon.shape[0]) - np.concatenate(
+            [[0], np.cumsum(grp_counts)[:-1]])[sorted_ginv]
+        slot[order] = slot_sorted
+
+        cam_idx = np.zeros((n_groups, vmax), dtype=np.int32)
+        uv = np.zeros((n_groups, vmax, 2))
+        mask = np.zeros((n_groups, vmax))
+        cam_idx[grp_inv, slot] = recon[:, 0].astype(np.int32)
+        uv[grp_inv, slot] = recon[:, -2:]
+        mask[grp_inv, slot] = 1.0
+
+        proj = np.array([cam.proj for cam in self])
+        dists = np.array([np.reshape(cam.distortion_coefs, -1) for cam in self])
+        if not distort:
+            dists = np.zeros_like(dists)
+        intr = np.array([cam.intrinsic for cam in self])
+
+        reconstructed = np.array(_triangulate_j(
+            jnp.asarray(proj), jnp.asarray(intr), jnp.asarray(dists),
+            jnp.asarray(cam_idx), jnp.asarray(uv), jnp.asarray(mask)))
+
+        if return_used:
+            where_mask = np.where(viable_mask[inv.squeeze()])[0]
+            working_array = [where_mask[grp_inv == g] for g in range(n_groups)]
+            return reconstructed, recon, working_array, uniq
+        return reconstructed
+
+    # ----------------------------------------------------------------- state
+
+    def save(self, floc: Path | str = "saved_cameras.camset"):
+        """Save to the .camset JSON checkpoint format."""
+        save_camset(self, Path(floc))
+
+    def set_resolutions_from_file(self, floc: Path):
+        """Read per-camera resolutions from the first image in each subfolder."""
+        file_names = get_subfolder_names(f_loc=floc)
+        cam_names = self.get_names()
+        if set(file_names) != set(cam_names):
+            raise ValueError(f"Subfolders of the file {floc} do not match the "
+                             "current camera names")
+        for cam_name in cam_names:
+            im_locs = glob_ims_local(Path(floc) / cam_name)
+            temp_im = cv2.imread(str(im_locs[0]))
+            self[cam_name].res = np.array((temp_im.shape[1], temp_im.shape[0]))
+
+    def scale_set_2n(self, d_factor):
+        for cam in self._cam_list:
+            cam.scale_self_2n(d_factor)
+
+    def transform(self, transformation_matrix, in_place=True):
+        """Transform all cameras by a 4x4 homogeneous matrix."""
+        if not in_place:
+            temp = deepcopy(self)
+            temp.transform(transformation_matrix)
+            return temp
+        for cam in self._cam_list:
+            cam.transform(transformation_matrix)
+        return None
+
+    def set_reference_cam(self, cam_id):
+        """Re-centre world coordinates on a reference camera."""
+        ref_tform = np.linalg.inv(self[cam_id].extrinsic)
+        self.transform(ref_tform)
+
+    def set_calibration_history(self, optimisation_results, param_handler):
+        """Attach the optimisation outputs so the set can be re-derived."""
+        self.calibration_params = optimisation_results["x"]
+        self.calibration_result = optimisation_results["fun"]
+        self.calibration_jac = optimisation_results.get("jac")
+        self.calibration_handler = param_handler
+
+    # ------------------------------------------------------------ diagnostics
+
+    def visualise_calibration(self):
+        """Display the calibration diagnostics plots."""
+        if self.calibration_params is None:
+            raise ValueError("The camera set has no calibration data saved")
+        from pycamset_tpu.utils.visualisation import visualise_calibration
+        visualise_calibration(
+            {"x": self.calibration_params, "err": self.calibration_result},
+            self.calibration_handler)
+
+    def get_calibration_points(self):
+        """Triangulate the calibration features, masking target-space outliers."""
+        if self.calibration_handler is None:
+            raise ValueError("No calibration history was found")
+        detection = self.calibration_handler.get_detection()
+        to_reconstruct = detection.sort(["key", "im_num"]).get_data()
+        _, poses = self.calibration_handler.get_camset(
+            self.calibration_params, return_pose=True)
+
+        reconstructed, recon_subset, _, _ = self.multi_cam_triangulate(
+            to_reconstruct, return_used=True)
+
+        inv = np.sort(np.unique(recon_subset[:, 1:-2], axis=0, return_index=True)[1])
+        im_nums = recon_subset[inv, 1]
+        mean_dist = np.mean(np.linalg.norm(
+            self.calibration_handler.target.point_data, axis=-1))
+        mask = []
+        for point, im in zip(reconstructed, im_nums):
+            pose = poses[int(im)].reshape(3, 4)
+            obj_point = pose[:, :3].T @ (point - pose[:, 3])
+            mask.append(np.linalg.norm(obj_point) < 3 * mean_dist)
+        return reconstructed[np.array(mask)]
+
+    def get_similar_angles(self, test_cam_num, n):
+        """Indices of the n cameras with the closest view direction."""
+        c_vec = np.array([cam.extrinsic[:3, :3] @ [0, 0, 1] for cam in self])
+        c_vec /= np.linalg.norm(c_vec, axis=1, keepdims=True)
+        ang = np.arccos(np.clip(np.sum(c_vec[test_cam_num] * c_vec, axis=-1), -1, 1))
+        ang[test_cam_num] = np.inf
+        return np.argsort(ang)[:n]
+
+    def draw_camera_distortions(self):
+        """Quiver plots of each camera's distortion field."""
+        from matplotlib import pyplot as plt
+        to_draw = get_close_square_tuple(self.n_cams)
+        fig, axes = plt.subplots(*to_draw)
+        for ax, cam in zip(np.atleast_1d(axes).flatten(), self):
+            cam.view_sensor_distortion(ax)
+        plt.show()
+
+    # --------------------------------------------------------------- plotting
+
+    def get_camera_meshes(self, viewcone=None, scale=None):
+        """Camera glyph meshes (and optionally viewcones) for every camera."""
+        if scale is None:
+            scale = np.max([np.linalg.norm(cam.position) for cam in self]) * 0.1
+        cam_meshes = [cam.get_mesh(scale) for cam in self]
+        if viewcone is None:
+            return cam_meshes
+        return cam_meshes, [cam.get_viewcone(view_len=viewcone) for cam in self]
+
+    def get_scene(self, scale_factor=0.3 / 8, view_cones=None, scene=None,
+                  labels=True):
+        """A pyvista scene of the rig (requires pyvista)."""
+        import pyvista as pv
+        cam_meshes, v_cones = self.get_camera_meshes(viewcone=0.15, scale=scale_factor)
+        positions = np.array([cam.position for cam in self])
+        pv.set_plot_theme("Document")
+        if scene is None:
+            scene = pv.Plotter()
+        for mesh in cam_meshes:
+            scene.add_mesh(mesh, style="wireframe", reset_camera=True, color="k")
+        if view_cones is not None:
+            for v_con in v_cones:
+                scene.add_mesh(v_con, opacity=0.05, color="g")
+        if labels:
+            scene.add_point_labels(positions, self.get_names())
+        self._add_origin_axes(scene, pv)
+        return scene
+
+    @staticmethod
+    def _add_origin_axes(scene, pv):
+        p0 = np.zeros(3)
+        for axis, col in zip(np.eye(3) * 0.05, ["red", "green", "blue"]):
+            line = pv.PolyData(np.vstack((p0, axis)))
+            line.lines = np.hstack(([2, 0, 1],))
+            scene.add_mesh(line, color=col)
+
+    def plot(self, additional_mesh=None, scale_factor=None, view_cones=False):
+        """3D plot of the rig plus optional extra meshes (requires pyvista)."""
+        import pyvista as pv
+        scene = self.get_scene(scale_factor=scale_factor or 0.3 / 8,
+                               view_cones=0.15 if view_cones else None)
+        if additional_mesh is not None:
+            if not isinstance(additional_mesh, list):
+                additional_mesh = [additional_mesh]
+            for mesh in additional_mesh:
+                if isinstance(mesh, np.ndarray):
+                    mesh = pv.PolyData(mesh)
+                scene.add_mesh(mesh, opacity=0.3)
+        scene.show()
+
+    def plot_np_array(self, points):
+        if not isinstance(points, list):
+            points = [points]
+        self.plot(additional_mesh=[np.asarray(p) for p in points])
+
+    # ----------------------------------------------------------------- export
+
+    def write_to_txt(self, loc: Path, r, ims=None, mode="MVSnet", crop=None,
+                     use_closest_cams=True):
+        """Write the rig in MVSNet format: per-cam txts, images and pair.txt."""
+        from pycamset_tpu.reconstruction.acmmp_utils import calc_pairs, write_pair_file
+        if mode != "MVSnet":
+            raise NotImplementedError
+        if crop is None:
+            crop = {}
+        for cam_n, cam in enumerate(self):
+            cam.to_MVSnet_txt(loc / f"{cam_n:08}_cam.txt",
+                              (r.mindist, r.maxdist), r.steps,
+                              crop.get(cam.name, None))
+        if ims is not None:
+            im_loc = loc.parent / "images"
+            im_loc.mkdir(exist_ok=True)
+            for idx, im in enumerate(ims):
+                local_crop = crop.get(self[idx].name, None)
+                im_temp = self[idx].undistort(im)
+                if local_crop is not None:
+                    im_temp = im_temp[local_crop[0, 0]:local_crop[0, 1],
+                                      local_crop[1, 0]:local_crop[1, 1]]
+                cv2.imwrite(str(im_loc / f"{idx:08}.jpg"), im_temp,
+                            [cv2.IMWRITE_JPEG_QUALITY, 100])
+        cvwc = np.array([cam.view for cam in self])
+        pairs = calc_pairs(cvwc, r, pick_closest=use_closest_cams)
+        with open(loc.parent / "pair.txt", "w") as f:
+            write_pair_file(f, pairs)

@@ -1,0 +1,331 @@
+"""Host-side general utilities (numpy / file discovery / diagnostics).
+
+Capability parity targets (reference, behaviour only):
+pyCamSet/utils/general_utils.py — h_tform, make_4x4h_tform, ext_4x4_to_rod,
+plane_fit, average_tforms, mad_outlier_detection, benchmark, glob_ims,
+get_subfolder_names, split_aruco_dictionary, sensor_map and friends.
+
+These run on the host around the device compute path, so they are plain numpy.
+natsort is not available in this environment, so a minimal natural-sort key is
+implemented locally.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import re
+import time
+from itertools import chain
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+IM_SUFFIXES = {".png", ".bmp", ".tiff", ".jpg", ".jpeg"}
+
+
+def natsort_key(s):
+    """Natural-sort key: splits digit runs so 'im2' < 'im10'."""
+    return [int(t) if t.isdigit() else t.lower()
+            for t in re.split(r"(\d+)", str(s))]
+
+
+def natsorted(seq):
+    return sorted(seq, key=natsort_key)
+
+
+def glob_ims(loc: Path) -> list[Path]:
+    """All images at any depth below the input path."""
+    return [p.resolve() for p in Path(loc).glob("**/*") if p.suffix.lower() in IM_SUFFIXES]
+
+
+def glob_ims_local(loc: Path) -> list[Path]:
+    """All images directly in this folder."""
+    return [p.resolve() for p in Path(loc).glob("*") if p.suffix.lower() in IM_SUFFIXES]
+
+
+def get_subfolder_names(f_loc: Path, return_full_path: bool = False):
+    """Natural-sorted subfolders of a directory (usually the camera names)."""
+    subs = natsorted([p for p in Path(f_loc).glob("*/") if p.is_dir()])
+    if return_full_path:
+        return subs
+    return [p.parts[-1] for p in subs]
+
+
+def list_dict_to_np_array(d):
+    """Recursively convert lists in a nested dict to numpy arrays (in place)."""
+    if isinstance(d, dict):
+        for key, val in d.items():
+            if isinstance(val, dict):
+                list_dict_to_np_array(val)
+            elif isinstance(val, list):
+                d[key] = np.array(val)
+    return d
+
+
+def numpy_dict_to_list(d):
+    """Recursively convert numpy arrays in a nested dict to lists (in place)."""
+    if not isinstance(d, dict):
+        return d
+    for key, value in d.items():
+        if isinstance(value, dict):
+            numpy_dict_to_list(value)
+        elif isinstance(value, np.ndarray):
+            d[key] = value.tolist()
+    return d
+
+
+# ---------------------------------------------------------------- geometry
+
+def h_tform(points: np.ndarray, transform: np.ndarray, fill: float = 1) -> np.ndarray:
+    """Homogeneous transform of an (n,3) point array.
+
+    With fill=1, the result is dehomogenised by its last component and that
+    component is dropped: a (4,4) rigid transform returns (n,3) points, a
+    (3,4) projective matrix returns (n,2) pixels. fill=0 transforms direction
+    vectors (no translation, no divide).
+    """
+    points = np.asarray(points, dtype=float)
+    squeeze = points.ndim == 1
+    if squeeze:
+        points = points[None, ...]
+    res = points @ transform[:, :3].T + fill * transform[:, 3]
+    if fill == 1:
+        res = res[:, :-1] / res[:, -1:]
+    else:
+        res = res[:, :-1] if transform.shape[0] == 4 else res
+    return res.squeeze() if squeeze else res
+
+
+def make_4x4h_tform(rvec, trans, mode: str = "opencv") -> np.ndarray:
+    """Rodrigues rotation (or 3x3 matrix) + translation -> 4x4 transform.
+
+    mode='opencv' gives [R|t]; mode='mvg' gives [R|-R t].
+    """
+    rvec = np.asarray(rvec, dtype=float).squeeze()
+    trans = np.asarray(trans, dtype=float).squeeze()
+    if rvec.ndim < 2:
+        rot, _ = cv2.Rodrigues(rvec)
+    else:
+        rot = rvec
+    if mode == "mvg":
+        t = -(rot @ trans)
+    elif mode == "opencv":
+        t = trans
+    else:
+        raise ValueError(f"{mode} is an invalid 4x4 type")
+    out = np.eye(4)
+    out[:3, :3] = rot
+    out[:3, 3] = t
+    return out
+
+
+def ext_4x4_to_rod(h4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """4x4 (or 3x4) transform -> (rvec, tvec)."""
+    rot, _ = cv2.Rodrigues(np.asarray(h4, dtype=float)[:3, :3])
+    return rot.squeeze(), np.asarray(h4)[:3, 3]
+
+
+def flatten_pose_list(pose_list) -> np.ndarray:
+    """Flatten a list of 4x4 poses to a single [rvec,t,rvec,t,...] vector."""
+    params = [ext_4x4_to_rod(t) for t in pose_list]
+    return np.concatenate(list(chain(*params)), axis=0)
+
+
+def plane_fit(points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Fit a plane to (d, n) points; returns (centroid, unit normal)."""
+    points = np.reshape(points, (np.shape(points)[0], -1))
+    ctr = points.mean(axis=1)
+    x = points - ctr[:, None]
+    return ctr, np.linalg.svd(x @ x.T)[0][:, -1]
+
+
+def approx_average_quaternion(quats) -> np.ndarray:
+    """Eigenvector-based average of unit quaternions (Markley's method)."""
+    q = np.array([qq for qq in quats if not np.any(np.isnan(qq))])
+    w = np.ones(len(q)) / len(q)
+    return np.linalg.eigh(np.einsum("ij,ik,i->jk", q, q, w))[1][:, -1]
+
+
+def average_tforms(tforms: list[np.ndarray]) -> np.ndarray:
+    """Average a list of 4x4 rigid transforms (quaternion mean + mean trans)."""
+    from scipy.spatial.transform import Rotation as R
+    tforms = [t for t in tforms if not np.any(np.isnan(t))]
+    if len(tforms) == 0:
+        return np.ones((4, 4)) * np.nan
+    if len(tforms) == 1:
+        return tforms[0]
+    avg_t = np.mean([t[:3, -1] for t in tforms], axis=0)
+    quats = [R.from_matrix(t[:3, :3]).as_quat(canonical=True) for t in tforms]
+    avg_r = R.from_quat(approx_average_quaternion(quats)).as_matrix()
+    out = np.eye(4)
+    out[:3, :3] = avg_r
+    out[:3, 3] = avg_t
+    return out
+
+
+def get_close_square_tuple(n) -> tuple[int, int]:
+    x = math.ceil(math.sqrt(n))
+    return (x, math.ceil(n / x))
+
+
+# ------------------------------------------------------------- diagnostics
+
+def mad_outlier_detection(data, out_thresh: float = 3, draw: bool = True):
+    """Median-absolute-deviation outlier detection.
+
+    Returns the outlier indices (as from np.nonzero) or None if there are none.
+    """
+    data = np.asarray(data, dtype=float)
+    n_mdn = np.median(data)
+    n_mad = np.median(np.absolute(data - n_mdn))
+    if n_mad == 0:
+        return None
+    outliers = np.abs(data - n_mdn) / n_mad > out_thresh
+    if np.any(outliers):
+        w_out = np.nonzero(outliers)
+        listout = functools.reduce(lambda x, y: x + y, [f" {w}" for w in w_out])
+        logging.critical(f"found outliers in indicies:{listout}")
+        logging.critical("These may prevent calibration conversion")
+        if draw:
+            from matplotlib import pyplot as plt
+            fig, ax = plt.subplots(1, 1)
+            ax.plot(np.abs(data - n_mdn) / n_mad, ".")
+            ax.set_title("Found outliers: displaying mad outlier threshold as red line")
+            ax.axhline(out_thresh, color="r")
+            plt.show()
+        return w_out
+    return None
+
+
+def benchmark(func, repeats: int = 100, mode: str = "ms",
+              timer=time.perf_counter_ns, max_runtime: float = 100):
+    """Time a callable; prints mean/median/stdev and a terminal histogram."""
+    ranges = {"us": 1e-3, "ms": 1e-6, "s": 1e-9}
+    times = []
+    loop_start = timer()
+    for _ in range(repeats):
+        start = timer()
+        func()
+        end = timer()
+        times.append(end - start)
+        if (end - loop_start) * ranges["s"] > max_runtime:
+            print(f"Exceeded given max_runtime of {max_runtime} seconds.")
+            break
+    times = np.array(times, dtype=float) * ranges[mode]
+    mean, stdev, median = np.mean(times), np.std(times), np.median(times)
+    print(f"Mean: {mean:.2f} {mode}, median: {median:.2f} {mode}, stdev: {stdev:.2f} {mode}")
+    # terminal histogram (uniplot is unavailable; ascii fallback)
+    lo = max(mean - 3 * stdev, times.min())
+    hi = min(mean + 5 * stdev, times.max()) or 1.0
+    if hi > lo:
+        hist, edges = np.histogram(times, bins=20, range=(lo, hi))
+        top = hist.max() or 1
+        for h, e in zip(hist, edges):
+            print(f"{e:10.3f} {mode} | {'#' * int(40 * h / top)}")
+    return {"mean": mean, "median": median, "stdev": stdev, "unit": mode,
+            "times": times}
+
+
+# ----------------------------------------------------------- detection utils
+
+def split_aruco_dictionary(split_size: int, a_dict=None):
+    """Split one aruco dictionary into disjoint sub-dictionaries of split_size."""
+    from cv2 import aruco
+    if a_dict is None:
+        a_dict = aruco.DICT_6X6_250
+    base = aruco.getPredefinedDictionary(a_dict) if isinstance(a_dict, int) else a_dict
+    markers = base.bytesList
+    n_markers = markers.shape[0]
+    n_out = n_markers // split_size
+    out = []
+    for i in range(n_out):
+        sub = aruco.Dictionary(0, base.markerSize)
+        sub.bytesList = np.array(markers[i * split_size:(i + 1) * split_size])
+        out.append(sub)
+    return out
+
+
+def downsample_valid(inp: np.ndarray, d_factor: int, invalid=None) -> np.ndarray:
+    """Averaging downsample by an integer factor (crops the remainder)."""
+    if d_factor == 1:
+        return inp
+    shape = np.array(inp.shape)
+    up_to = shape - shape % d_factor
+    im = inp[: up_to[0], : up_to[1]]
+    return np.mean(
+        im.reshape(im.shape[0] // d_factor, d_factor,
+                   im.shape[1] // d_factor, d_factor), axis=(1, 3))
+
+
+# --------------------------------------------------------------- sensor maps
+
+def distort_points(pts: np.ndarray, intrinsics: np.ndarray,
+                   dist_coef: np.ndarray) -> np.ndarray:
+    """Distort pixel points with Brown–Conrady (host-side numpy version)."""
+    centre = intrinsics[:2, -1]
+    focal = np.diag(intrinsics)[:2]
+    x, y = (np.asarray(pts, dtype=float) - centre) / focal
+    r2 = x ** 2 + y ** 2
+    k1, k2, p1, p2, k3 = np.reshape(dist_coef, (-1,))[:5]
+    radial = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x ** 2)
+    yd = y * radial + p1 * (r2 + 2 * y ** 2) + 2 * p2 * x * y
+    return np.array([xd, yd]) * focal + centre
+
+
+def px_array(res=(32, 32), startZero: bool = False):
+    """Index grid helper for sensor-map construction."""
+    if startZero:
+        x = range(res[0])
+        y = range(res[1])
+    else:
+        x = range(res[0] // 2, -res[0] // 2, -1)
+        y = range(-res[1] // 2, res[1] // 2)
+    y, x = np.meshgrid(y, x)
+    return x, y, np.ones(tuple(res))
+
+
+def vector_cam_points(map_type, pts, intrinsics, cam_to_world):
+    """Back-project pixel points to world-frame ray directions."""
+    if map_type not in ("normalised", "linear"):
+        raise ValueError("Invalid sensor map type")
+    c_int = np.linalg.inv(intrinsics)
+    cords = np.concatenate(
+        [pts, np.ones_like(np.asarray(pts, dtype=float)[:, :1])], axis=-1).T
+    s_map = (c_int @ cords).T
+    if map_type == "normalised":
+        s_map /= np.linalg.norm(s_map, axis=-1, keepdims=True)
+    return h_tform(s_map, cam_to_world, fill=0)
+
+
+def sensor_map(map_type, intrinsics, res=(1600, 1200), dist_coefs=None):
+    """Per-pixel ray directions for a camera (precomputed ray cast)."""
+    if map_type not in ("normalised", "linear"):
+        raise ValueError("Invalid sensor map type")
+    c_int = np.linalg.inv(intrinsics)
+    u, v, h = px_array(res=res, startZero=True)
+    c = np.stack((u.flatten(), v.flatten())).astype(float)
+    if dist_coefs is not None:
+        c = cv2.undistortImagePoints(
+            c.T, np.asarray(intrinsics, dtype=float),
+            np.asarray(dist_coefs, dtype=float)).squeeze().T
+    cords = np.stack((c[0], c[1], h.flatten()))
+    s_map = (c_int @ cords).T.reshape(res[0], res[1], 3)
+    if map_type == "normalised":
+        s_map /= np.linalg.norm(s_map, axis=-1, keepdims=True)
+    return s_map
+
+
+def write_colour_ply(f_name, verts, cols):
+    """Write an ascii colour point cloud."""
+    with open(f_name, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for vert, col in zip(verts, cols):
+            f.write(f"{vert[0]:.8f} {vert[1]:.8f} {vert[2]:.8f} "
+                    f"{col[0]} {col[1]} {col[2]} \n")

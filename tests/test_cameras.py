@@ -1,0 +1,110 @@
+"""Camera / CameraSet tests.
+
+Mirrors the reference's tests/coordinate_system_test.py round trips plus
+save/load round trips of the .camset format.
+"""
+import numpy as np
+import pytest
+
+from pycamset_tpu.models.camera import Camera
+from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+from pycamset_tpu.utils.general_utils import make_4x4h_tform
+from pycamset_tpu.utils.saving import load_CameraSet
+
+RNG = np.random.default_rng(11)
+
+
+def make_two_cam_set(dist=False):
+    k = np.array([[1000.0, 0, 500], [0, 1000.0, 500], [0, 0, 1]])
+    e0 = np.eye(4)
+    e1 = make_4x4h_tform(np.array([0.0, 0.3, 0.0]), np.array([-0.5, 0.0, 0.2]))
+    d = np.array([-0.1, 0.02, 1e-3, -1e-3, 0.0]) if dist else np.zeros(5)
+    cam_dict = make_cam_dict(
+        ["a", "b"], [e0, e1], [k, k], dist_coefs=[d, d],
+        res=[[1000, 1000], [1000, 1000]])
+    return CameraSet(camera_dict=cam_dict)
+
+
+class TestCamera:
+    def test_sensor_map_corners(self):
+        # sensor-map corners reproject to pixel corners
+        # (ref: coordinate_system_test.py:5-36)
+        for ppoint in [[500.0, 500.0], [440.0, 560.0]]:
+            k = np.array([[1000.0, 0, ppoint[0]], [0, 1000.0, ppoint[1]], [0, 0, 1]])
+            cam = Camera(intrinsic=k, res=[1000, 1000], minimal=False)
+            corners = np.array([[0, 0], [0, 999], [999, 0], [999, 999]])
+            rays = cam.world_sensor_map[corners[:, 0], corners[:, 1]]
+            pts = cam.position + rays * 2.0
+            uv = cam.project_points(pts)
+            np.testing.assert_allclose(uv, corners, atol=1e-6)
+
+    def test_ray_projection_round_trip(self):
+        # im_to_world_ray -> project_points identity on random extrinsics
+        # (ref: coordinate_system_test.py:39-70)
+        ext = make_4x4h_tform(RNG.normal(size=3) * 0.3, RNG.normal(size=3) * 0.1)
+        cam = Camera(extrinsic=ext, res=[100, 100],
+                     intrinsic=np.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]]))
+        cords = RNG.integers(0, 100, size=(20, 2))
+        rays = cam.im_to_world_ray(cords)
+        uv = cam.project_points(rays)
+        np.testing.assert_allclose(uv, cords, atol=1e-6)
+
+    def test_project_with_distortion_round_trip(self):
+        cam = Camera(distortion_coefs=np.array([-0.2, 0.05, 1e-3, -2e-3, 0.01]))
+        pts = RNG.normal(size=(10, 3)) * 0.2 + [0, 0, 2]
+        uv = cam.project_points(pts)
+        ideal = cam.project_points(pts, distort=False)
+        back = cam.undistort_points(uv, iters=20)
+        np.testing.assert_allclose(back, ideal, atol=1e-8)
+
+    def test_equality(self):
+        a = Camera(name="x")
+        b = Camera(name="y")
+        assert a == b
+        b.set_distortion_coefs(np.array([0.1, 0, 0, 0, 0]))
+        assert a != b
+
+
+class TestCameraSet:
+    def test_triangulation_round_trip(self):
+        # project 7 world points to 2 cams -> multi_cam_triangulate recovers
+        # (ref: coordinate_system_test.py:73-115)
+        cams = make_two_cam_set(dist=True)
+        pts = RNG.normal(size=(7, 3)) * 0.2 + [0, 0, 2.0]
+        dicts = cams.project_points_to_all_cams(pts)
+        recon = cams.multi_cam_triangulate(dicts)
+        np.testing.assert_allclose(recon, pts, atol=1e-6)
+
+    def test_indexing(self):
+        cams = make_two_cam_set()
+        assert cams["a"] is cams[0]
+        assert cams["b"] is cams[1]
+        sub = cams[[1]]
+        assert sub.get_names() == ["b"]
+        assert len(cams) == 2
+        assert [c.name for c in cams] == ["a", "b"]
+
+    def test_add_and_eq(self):
+        a = make_two_cam_set()
+        with pytest.raises(ValueError):
+            a + make_two_cam_set()
+        assert a == make_two_cam_set()
+
+    def test_transform_reference(self):
+        cams = make_two_cam_set()
+        cams.set_reference_cam(1)
+        np.testing.assert_allclose(cams[1].extrinsic @ np.linalg.inv(cams[1].extrinsic),
+                                   np.eye(4), atol=1e-12)
+        np.testing.assert_allclose(cams[1].position, np.zeros(3), atol=1e-12)
+
+    def test_save_load_round_trip(self, tmp_path):
+        cams = make_two_cam_set(dist=True)
+        floc = tmp_path / "test.camset"
+        cams.save(floc)
+        loaded = load_CameraSet(floc)
+        assert loaded == cams
+        assert loaded.get_names() == cams.get_names()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

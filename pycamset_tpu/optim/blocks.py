@@ -1,0 +1,155 @@
+"""Composable function blocks: the cost-model description system.
+
+Capability parity target (reference, behaviour only):
+pyCamSet/optimisation/abstract_function_blocks.py — the Ceres-style block
+system (key_type, param_type, abstract_function_block, optimisation_function)
+that the reference turns into generated numba source. Here a block is a pure
+JAX function and a chain is plain function composition traced under jit;
+``jax.jacfwd`` of the composed chain replaces the reference's
+inspect/splice/matflow Jacobian generator (abstract_function_blocks.py:290-652,
+matmul_map.py:147-263). No source generation, no kernel cache: XLA is the
+compiler.
+
+Block evaluation order matches the reference: right-to-left, the LAST block in
+the chain feeds the one before it (abstract_function_blocks.py:111-131).
+Identical (link, n) param groups are deduplicated across blocks, mirroring the
+hashable param_type dedup (abstract_function_blocks.py:50-70).
+
+Concrete blocks (function_block_implementations.py:21-240):
+Projection (PER_CAM 9), RigidTform3d (PER_IMG 6), Extrinsic3D (PER_CAM 6),
+TemplatePoints (PER_IMG 6, template input), FreePoint (PER_KEY 3).
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.ops.projection import project_cam_points
+from pycamset_tpu.ops.transforms import pose_apply
+
+
+class key_type(enum.IntEnum):
+    """Binds a parameter group to a detection table column."""
+    PER_CAM = 0
+    PER_IMG = 1
+    PER_KEY = 2
+    SINGLE = 3
+
+
+@dataclass(frozen=True)
+class ParamSpec:
+    """A (link type, parameter count) descriptor; hashable so identical
+    groups are deduplicated across blocks."""
+    link: key_type
+    n: int
+
+
+class FunctionBlock:
+    """A chunk of the cost model: consumes ``num_inp`` values from the block
+    to its right, reads ``params.n`` parameters, produces ``num_out`` values.
+    """
+    num_inp: int = 0
+    num_out: int = 0
+    params: ParamSpec
+    template: bool = False  # reads its input from the target template table
+
+    def compute(self, params: jnp.ndarray, inp: jnp.ndarray | None) -> jnp.ndarray:
+        """Pure JAX evaluation of the block (per detection)."""
+        raise NotImplementedError
+
+    def __add__(self, other):
+        from pycamset_tpu.optim.chain import OptimFunction
+        if isinstance(other, FunctionBlock):
+            return OptimFunction([self, other])
+        if isinstance(other, OptimFunction):
+            return OptimFunction([self] + other.blocks)
+        return NotImplemented
+
+    def __radd__(self, other):
+        from pycamset_tpu.optim.chain import OptimFunction
+        if isinstance(other, OptimFunction):
+            return OptimFunction(other.blocks + [self])
+        return NotImplemented
+
+    # ------------------------------------------------------------ self test
+
+    def test_self(self, rng=None, tol: float = 1e-4) -> bool:
+        """Check jacfwd of compute against central finite differences.
+
+        Mirrors the analytic-vs-numeric per-block verifier
+        (abstract_function_blocks.py:750-775).
+        """
+        rng = rng or np.random.default_rng(0)
+        p = jnp.array(rng.normal(size=self.params.n))
+        x = jnp.array(rng.normal(size=max(self.num_inp, 1)) + 2.0)
+
+        def f(pv, xv):
+            return self.compute(pv, xv if self.num_inp or self.template else None)
+
+        jac = np.array(jax.jacfwd(f, argnums=0)(p, x))
+        eps = 1e-7
+        for j in range(self.params.n):
+            dp = np.zeros(self.params.n)
+            dp[j] = eps
+            num = (np.array(f(p + dp, x)) - np.array(f(p - dp, x))) / (2 * eps)
+            if not np.allclose(jac[:, j], num, atol=tol, rtol=tol):
+                return False
+        return True
+
+
+class Projection(FunctionBlock):
+    """Pinhole + Brown–Conrady projection; 9 PER_CAM params
+    [fx, px, fy, py, k1, k2, p1, p2, k3]."""
+    num_inp = 3
+    num_out = 2
+    params = ParamSpec(key_type.PER_CAM, 9)
+
+    def compute(self, params, inp):
+        return project_cam_points(params, inp)
+
+
+class RigidTform3d(FunctionBlock):
+    """SE(3) transform of a 3-input point; 6 PER_IMG params [rvec, t]."""
+    num_inp = 3
+    num_out = 3
+    params = ParamSpec(key_type.PER_IMG, 6)
+
+    def compute(self, params, inp):
+        return pose_apply(params, inp)
+
+
+class Extrinsic3D(RigidTform3d):
+    """RigidTform3d bound per camera (the camera extrinsic)."""
+    params = ParamSpec(key_type.PER_CAM, 6)
+
+
+class TemplatePoints(RigidTform3d):
+    """SE(3) pose of the target; the input point comes from the constant
+    template lookup table rather than a previous block."""
+    template = True
+    num_inp = 0
+    num_out = 3
+    params = ParamSpec(key_type.PER_IMG, 6)
+
+
+class FreePoint(FunctionBlock):
+    """A 3D point parameterised by its coordinates; 3 PER_KEY params."""
+    num_inp = 0
+    num_out = 3
+    params = ParamSpec(key_type.PER_KEY, 3)
+
+    def compute(self, params, inp):
+        return params
+
+
+# reference-style lowercase aliases (template_handler.py:152 spells the chain
+# fb.projection() + fb.extrinsic3D() + fb.template_points())
+projection = Projection
+rigidTform3d = RigidTform3d
+extrinsic3D = Extrinsic3D
+template_points = TemplatePoints
+free_point = FreePoint

@@ -1,0 +1,124 @@
+"""OptimFunction: a chain of function blocks and its parameter layout.
+
+Capability parity target (reference, behaviour only):
+pyCamSet/optimisation/abstract_function_blocks.py:111-686 (optimisation_
+function: right-to-left evaluation, memory plans, parameter slices, per-point
+param index tables) and make_param_struct (:777-820). The reference generates
+numba source for the fused loss/jacobian; here the chain is composed into one
+pure per-detection function, vmapped and jitted, with gather index tables
+playing the role of the reference's compressed per-point param tables
+(:192-233).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.optim.blocks import FunctionBlock, ParamSpec, key_type
+
+
+@dataclass
+class ParamStruct:
+    """Global parameter layout for a block chain on a given problem size.
+
+    The full parameter vector is the concatenation of each unique param
+    group's (count, n) table, in order of first appearance in the chain —
+    e.g. [intr 9/cam | extr 6/cam | pose 6/im | points 3/key], matching the
+    reference layout (template_handler.py:52-60).
+    """
+    groups: list[ParamSpec]
+    counts: list[int]
+    starts: np.ndarray = field(init=False)
+    total: int = field(init=False)
+
+    def __post_init__(self):
+        sizes = [g.n * c for g, c in zip(self.groups, self.counts)]
+        self.starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        self.total = int(np.sum(sizes))
+
+    def group_slice(self, gi: int) -> slice:
+        return slice(int(self.starts[gi]),
+                     int(self.starts[gi]) + self.groups[gi].n * self.counts[gi])
+
+    def build_cols(self, cam_idx: np.ndarray, im_idx: np.ndarray,
+                   key_idx: np.ndarray) -> np.ndarray:
+        """Per-detection gather indices into the full parameter vector.
+
+        :return: (N, L) int32 where L = sum of unique-group param counts.
+        """
+        link_cols = {key_type.PER_CAM: cam_idx, key_type.PER_IMG: im_idx,
+                     key_type.PER_KEY: key_idx}
+        parts = []
+        for g, start in zip(self.groups, self.starts):
+            if g.link == key_type.SINGLE:
+                idx = np.zeros_like(cam_idx)
+            else:
+                idx = link_cols[g.link]
+            parts.append(start + idx[:, None] * g.n + np.arange(g.n)[None, :])
+        return np.concatenate(parts, axis=1).astype(np.int32)
+
+
+class OptimFunction:
+    """A chain of function blocks, evaluated right-to-left."""
+
+    def __init__(self, blocks: list[FunctionBlock]):
+        self.blocks = list(blocks)
+        # dedupe param groups by spec, order of first appearance
+        self.groups: list[ParamSpec] = []
+        self.block_group: list[int] = []
+        for b in self.blocks:
+            if b.params in self.groups:
+                self.block_group.append(self.groups.index(b.params))
+            else:
+                self.block_group.append(len(self.groups))
+                self.groups.append(b.params)
+        # local (per-detection) parameter slices, one per unique group
+        offs = np.concatenate([[0], np.cumsum([g.n for g in self.groups])])
+        self.local_slices = [slice(int(a), int(b))
+                             for a, b in zip(offs[:-1], offs[1:])]
+        self.local_len = int(offs[-1])
+        self.templated = any(b.template for b in self.blocks)
+
+    def __add__(self, other):
+        if isinstance(other, FunctionBlock):
+            return OptimFunction(self.blocks + [other])
+        if isinstance(other, OptimFunction):
+            return OptimFunction(self.blocks + other.blocks)
+        return NotImplemented
+
+    def can_make_jac(self) -> bool:
+        return True  # jacfwd always exists for a traced chain
+
+    # ------------------------------------------------------------- evaluation
+
+    def make_point_fn(self):
+        """The fused per-detection prediction function.
+
+        :return: fn(local_params (L,), template_pt (3,)) -> (num_out,) —
+            typically the predicted pixel (2,).
+        """
+        blocks = self.blocks
+        slices = [self.local_slices[gi] for gi in self.block_group]
+
+        def point_fn(local_params, template_pt):
+            inp = None
+            for b, sl in zip(reversed(blocks), reversed(slices)):
+                p = local_params[sl]
+                if b.template:
+                    inp = b.compute(p, template_pt)
+                elif b.num_inp == 0:
+                    inp = b.compute(p, None)
+                else:
+                    inp = b.compute(p, inp)
+            return inp
+
+        return point_fn
+
+    def param_struct(self, n_cams: int, n_ims: int, n_keys: int) -> ParamStruct:
+        """Instantiate the global parameter layout for a problem size."""
+        count_of = {key_type.PER_CAM: n_cams, key_type.PER_IMG: n_ims,
+                    key_type.PER_KEY: n_keys, key_type.SINGLE: 1}
+        return ParamStruct(self.groups, [count_of[g.link] for g in self.groups])

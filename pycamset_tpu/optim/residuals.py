@@ -1,0 +1,143 @@
+"""Residual evaluation and normal-equation assembly for bundle adjustment.
+
+This replaces the reference's generated full_loss / full_jac kernels
+(abstract_function_blocks.py:290-652): the per-detection chain is vmapped over
+the (padded, statically shaped) detection table; per-detection local Jacobians
+come from jacfwd over the small local parameter slice (2 x L, L ~ 21-24); the
+global damped normal equations are assembled by scatter-add of the local
+JtJ / Jtr outer products — the TPU-native analogue of the reference's CSR
+construction + scipy's sparse products.
+
+The detection axis is embarrassingly parallel: all functions here are pure in
+(params, detection arrays), so the parallel layer can shard the N axis with
+shard_map and psum the (P,P)/(P,) reductions over ICI.
+
+Padding convention: pad rows must REPLICATE a real detection row with
+mask = 0, so that every lane computes a finite value (no z=0 projections) and
+contributes exactly zero after masking.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.optim.chain import OptimFunction, ParamStruct
+
+
+@dataclass
+class DetectionArrays:
+    """Statically-shaped device-ready detection table.
+
+    cols: (N, L) int32 gather indices into the full parameter vector.
+    template: (N, 3) per-detection template point (zeros if untemplated).
+    uv: (N, 2) measured pixels. mask: (N,) 1.0 real / 0.0 padding.
+    n_real: number of unpadded rows.
+    """
+    cols: np.ndarray
+    template: np.ndarray
+    uv: np.ndarray
+    mask: np.ndarray
+    n_real: int
+
+    def as_device(self, dtype):
+        return (jnp.asarray(self.cols),
+                jnp.asarray(self.template, dtype=dtype),
+                jnp.asarray(self.uv, dtype=dtype),
+                jnp.asarray(self.mask, dtype=dtype))
+
+
+def pad_to_bucket(n: int, multiple: int = 512) -> int:
+    """Round a detection count up to a bucket size to stabilise jit shapes."""
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+def build_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
+                           dd: np.ndarray, template_table: np.ndarray | None,
+                           pad_multiple: int = 512) -> DetectionArrays:
+    """Pack a flattened detection table [cam, im, key, u, v] into padded,
+    statically-shaped arrays ready for the device residual.
+    """
+    cam_idx = dd[:, 0].astype(np.int64)
+    im_idx = dd[:, 1].astype(np.int64)
+    key_idx = dd[:, 2].astype(np.int64)
+    uv = dd[:, 3:5].astype(np.float64)
+    n = dd.shape[0]
+
+    cols = struct.build_cols(cam_idx, im_idx, key_idx)
+    if template_table is not None and op_fun.templated:
+        tpl = template_table.reshape(-1, 3)[key_idx]
+    else:
+        tpl = np.zeros((n, 3))
+
+    n_pad = pad_to_bucket(n, pad_multiple)
+    mask = np.zeros(n_pad)
+    mask[:n] = 1.0
+
+    def pad(a):
+        reps = np.repeat(a[:1], n_pad - n, axis=0)
+        return np.concatenate([a, reps], axis=0)
+
+    return DetectionArrays(cols=pad(cols), template=pad(tpl), uv=pad(uv),
+                           mask=mask, n_real=n)
+
+
+def make_residual_fn(op_fun: OptimFunction):
+    """residual(params_full, cols, tpl, uv, mask) -> (N,2) masked residuals."""
+    point_fn = op_fun.make_point_fn()
+
+    def residual(params_full, cols, tpl, uv, mask):
+        local = params_full[cols]
+        pred = jax.vmap(point_fn)(local, tpl)
+        return (pred - uv) * mask[:, None]
+
+    return residual
+
+
+def make_cost_fn(op_fun: OptimFunction):
+    """cost(params_full, ...) -> sum of squared masked residuals."""
+    residual = make_residual_fn(op_fun)
+
+    def cost(params_full, cols, tpl, uv, mask):
+        r = residual(params_full, cols, tpl, uv, mask)
+        return jnp.sum(r * r)
+
+    return cost
+
+
+def make_neq_fn(op_fun: OptimFunction):
+    """Normal-equation builder.
+
+    neq(params_full, cols, tpl, uv, mask) ->
+        (JtJ (P,P), grad (P,) = J^T r, cost scalar)
+
+    assembled by scatter-add of per-detection (L,L)/(L,) contributions.
+    """
+    point_fn = op_fun.make_point_fn()
+
+    def neq(params_full, cols, tpl, uv, mask):
+        p_total = params_full.shape[0]
+        local = params_full[cols]
+
+        def res_one(lp, t, u):
+            return point_fn(lp, t) - u
+
+        def rj(lp, t, u):
+            return res_one(lp, t, u), jax.jacfwd(res_one)(lp, t, u)
+
+        r, jac = jax.vmap(rj)(local, tpl, uv)          # (N,2), (N,2,L)
+        r = r * mask[:, None]
+        jac = jac * mask[:, None, None]
+
+        gram = jnp.einsum("nki,nkj->nij", jac, jac)    # (N,L,L)
+        jtr = jnp.einsum("nki,nk->ni", jac, r)         # (N,L)
+
+        jtj = jnp.zeros((p_total, p_total), dtype=r.dtype).at[
+            cols[:, :, None], cols[:, None, :]].add(gram)
+        grad = jnp.zeros((p_total,), dtype=r.dtype).at[cols].add(jtr)
+        cost = jnp.sum(r * r)
+        return jtj, grad, cost
+
+    return neq

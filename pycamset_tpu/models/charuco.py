@@ -73,6 +73,10 @@ class ChArUco(AbstractTarget):
         if c_corners is None:
             return ImageDetection()
 
+        # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
+        c_corners = np.asarray(c_corners).reshape(-1, 2)
+        c_ids = np.asarray(c_ids).reshape(-1)
+
         if draw:
             display_im = image.copy()
             target_size = [480, 640]
@@ -81,11 +85,11 @@ class ChArUco(AbstractTarget):
             if display_im.ndim == 2:
                 display_im = np.tile(display_im[..., None], (1, 1, 3))
             aruco.drawDetectedCornersCharuco(
-                display_im, np.array(c_corners) / d_f, c_ids)
+                display_im, c_corners[:, None, :] / d_f, c_ids[:, None])
             cv2.imshow("detections", display_im)
             cv2.waitKey(wait_len)
 
-        return ImageDetection(c_ids[:, 0], c_corners[:, 0])
+        return ImageDetection(c_ids, c_corners)
 
     def plot(self, imres=(1000, 1000)):
         """Draw the board as a matplotlib image."""

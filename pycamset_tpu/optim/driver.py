@@ -1,0 +1,171 @@
+"""The optimisation driver: handler -> device problem -> LM -> CameraSet.
+
+Capability parity target (reference, behaviour only):
+pyCamSet/optimisation/optimisation_handling.py:24-117 —
+make_optimisation_function compiles the loss/jac and seeds parameters;
+run_bundle_adjustment logs initial error, warns above 150 px, runs the solver
+with max_nfev and x_scale='jac' semantics, logs the final error and attaches
+the results to the CameraSet.
+
+Instead of scipy's host-side TRF over numba kernels, the whole solve is one
+jitted device computation (normal equations + damped solves inside a
+lax.while_loop). dtype policy: float64 on CPU, float32 on TPU.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.config import default_device_dtype
+from pycamset_tpu.optim.handlers import TemplateBundleHandler
+from pycamset_tpu.optim.lm import LMResult, lm_solve
+from pycamset_tpu.optim.residuals import make_neq_fn, make_residual_fn
+
+
+class OptimizeResult(dict):
+    """A scipy-style result bag with attribute access."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    __setattr__ = dict.__setitem__
+
+
+def build_solver(param_handler: TemplateBundleHandler, dtype=None,
+                 pad_multiple: int = 512):
+    """Compile the device problem for a handler.
+
+    :return: (solve_fn(x0_free) -> LMResult,
+              residual_fn(x_free) -> (n_real, 2) unpadded residuals,
+              x0_free initial parameters)
+    """
+    dtype = dtype or default_device_dtype()
+    op_fun = param_handler.op_fun
+
+    x0 = np.asarray(param_handler.get_initial_params(), dtype=np.float64)
+    # build_problem must run after get_initial_params: missing poses are only
+    # known once the pose seeding has run.
+    struct, det = param_handler.build_problem(pad_multiple=pad_multiple)
+    cols, tpl, uv, mask = det.as_device(dtype)
+
+    base_full = param_handler.bundlePrimitive.base_full()
+    unfixed = param_handler.bundlePrimitive.unfixed_full()
+    base_full[unfixed] = x0
+    free_idx = jnp.asarray(np.where(unfixed)[0], dtype=jnp.int32)
+    base_dev = jnp.asarray(base_full, dtype=dtype)
+
+    neq = make_neq_fn(op_fun)
+    residual = make_residual_fn(op_fun)
+    max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
+
+    def neq_free(x_free, base, c, t, u, m):
+        full = base.at[free_idx].set(x_free)
+        jtj, grad, cost = neq(full, c, t, u, m)
+        return jtj[free_idx][:, free_idx], grad[free_idx], cost
+
+    @jax.jit
+    def solve_impl(x0_free, base, c, t, u, m):
+        return lm_solve(lambda x: neq_free(x, base, c, t, u, m),
+                        x0_free, max_nfev=max_nfev)
+
+    @jax.jit
+    def residual_impl(x_free, base, c, t, u, m):
+        full = base.at[free_idx].set(x_free)
+        return residual(full, c, t, u, m)
+
+    def solve_fn(x_free: np.ndarray) -> LMResult:
+        return solve_impl(jnp.asarray(x_free, dtype=dtype),
+                          base_dev, cols, tpl, uv, mask)
+
+    def residual_fn(x_free: np.ndarray) -> np.ndarray:
+        r = residual_impl(jnp.asarray(x_free, dtype=dtype),
+                          base_dev, cols, tpl, uv, mask)
+        return np.array(r)[: det.n_real]
+
+    return solve_fn, residual_fn, x0
+
+
+def make_optimisation_function(param_handler: TemplateBundleHandler,
+                               threads: int = 1
+                               ) -> tuple[Callable, Callable | None, np.ndarray]:
+    """A (loss_fn, jac_fn, init_params) triple over the free parameters.
+
+    loss_fn returns the flattened residual vector; jac_fn returns the dense
+    residual Jacobian (computed by jacfwd of the whole residual — present for
+    API parity and small problems; the LM path never materialises it).
+    """
+    logging.info("getting initial params")
+    _, residual_fn, init_params = build_solver(param_handler)
+
+    def loss_fn(x):
+        return residual_fn(x).reshape(-1)
+
+    jac_fn = None
+    if param_handler.can_make_jac():
+        def jac_fn(x):
+            f = lambda xx: jnp.asarray(residual_fn(np.asarray(xx))).reshape(-1)
+            eps = 1e-7
+            cols = []
+            for j in range(len(x)):
+                dx = np.zeros_like(x)
+                dx[j] = eps
+                cols.append((loss_fn(x + dx) - loss_fn(x - dx)) / (2 * eps))
+            return np.stack(cols, axis=1)
+
+    return loss_fn, jac_fn, init_params
+
+
+def run_bundle_adjustment(param_handler: TemplateBundleHandler,
+                          threads: int = 1, dtype=None
+                          ) -> tuple[OptimizeResult, object]:
+    """Solve the bundle adjustment a handler describes.
+
+    :return: (OptimizeResult with x/fun/cost/nfev/status/history,
+              the argmin CameraSet)
+    """
+    logging.info("Making optimisation problem")
+    solve_fn, residual_fn, init_params = build_solver(param_handler, dtype=dtype)
+
+    init_err = residual_fn(init_params)
+    init_euclid = float(np.mean(np.linalg.norm(init_err, axis=1)))
+    logging.info(f"found {len(init_params):.2e} parameters")
+    logging.info(f"found {init_err.size:.2e} control points")
+    logging.info(f"Initial Euclidean error: {init_euclid:.2f} px")
+    if init_euclid > 150 or np.isnan(init_euclid):
+        logging.critical(
+            "Found worryingly high/NaN initial error: check that the initial "
+            "parametisation is sensible")
+        logging.info(
+            "This can often indicate failure to place a camera or target "
+            "correctly, giving nonsensical errors.")
+
+    start = time.time()
+    res = solve_fn(init_params)
+    x_final = np.asarray(res.x, dtype=np.float64)
+    end = time.time()
+
+    final_res = residual_fn(x_final)
+    final_euclid = float(np.mean(np.linalg.norm(final_res, axis=1)))
+    logging.info(f"Final Euclidean error: {final_euclid:.2f} px")
+    logging.info(f"Optimisation took {end - start: .2f} seconds.")
+    if final_euclid > 5:
+        logging.critical(
+            "Remaining error is very large: please check the output results")
+
+    optimisation = OptimizeResult(
+        x=x_final, fun=final_res.reshape(-1), jac=None,
+        cost=float(res.cost) * 0.5, nfev=int(res.nfev), nit=int(res.nit),
+        status=int(res.status),
+        history=np.asarray(res.history)[np.asarray(res.history) >= 0])
+
+    camset = param_handler.get_camset(x_final)
+    camset.set_calibration_history(optimisation, param_handler)
+    return optimisation, camset

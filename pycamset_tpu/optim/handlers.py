@@ -1,0 +1,850 @@
+"""Parameter handlers: problem formulation for the bundle adjustments.
+
+Capability parity targets (reference, behaviour only):
+- TemplateBundleHandler / TemplateBundlePrimitive
+  (pyCamSet/optimisation/template_handler.py:24-424): the standard
+  target-pose BA with [intr 9/cam | extr 6/cam | pose 6/im] layout, fixed
+  parameter masks, PnP-seeded initial parameters via
+  estimate_camera_relative_poses (:468-601), MAD outlier exclusion (:242-279),
+  misalignment diagnostics (:427-466).
+- SelfBundleHandler / StandardBundlePrimitive
+  (standard_bundle_handler.py:30-410): adds per-point target geometry params,
+  7-coordinate gauge fixing on 3 non-colinear points, unseen-feature freezing,
+  warm start from a template solve, post-hoc gauge (similarity) transform.
+- FreePointBundleHandler / FreePointPrimitive (free_point_handler.py:30-271):
+  pose-free structure-from-motion variant.
+
+Handlers are host-side problem builders; they produce statically-shaped
+device arrays + parameter layouts consumed by the jitted LM solver.
+The extension hooks (add_extra_params / parse_extra_params_and_setup
+documented in docs/source/extension/param_handler.rst) are preserved.
+"""
+from __future__ import annotations
+
+import logging
+from copy import deepcopy
+from itertools import combinations
+
+import numpy as np
+
+import pycamset_tpu.utils.general_utils as gu
+from pycamset_tpu.models.abstract_target import AbstractTarget
+from pycamset_tpu.models.camera_set import CameraSet
+from pycamset_tpu.models.detections import TargetDetection
+from pycamset_tpu.optim.blocks import (
+    Extrinsic3D, FreePoint, Projection, RigidTform3d, TemplatePoints)
+from pycamset_tpu.optim.chain import OptimFunction
+from pycamset_tpu.optim.residuals import build_detection_arrays
+from pycamset_tpu.ops import rigid_fit
+
+DEFAULT_OPTIONS = {
+    "verbosity": 2,
+    "fixed_pose": 0,
+    "ref_cam": 0,
+    "ref_pose": 0,
+    "outliers": "ask",
+    "max_nfev": 100,
+}
+
+
+# ----------------------------------------------------------------- primitives
+
+class TemplateBundlePrimitive:
+    """Base arrays (poses, extr, intr) + per-row unfixed masks for the
+    template BA; provides the flat parameter vector <-> array mapping."""
+
+    def __init__(self, poses, extr, intr, poses_unfixed=None,
+                 extr_unfixed=None, intr_unfixed=None):
+        self.poses = poses
+        self.extr = extr
+        self.intr = intr
+        self.poses_unfixed = (poses_unfixed if poses_unfixed is not None
+                              else np.ones(poses.shape[0], dtype=bool))
+        self.extr_unfixed = (extr_unfixed if extr_unfixed is not None
+                             else np.ones(extr.shape[0], dtype=bool))
+        self.intr_unfixed = (intr_unfixed if intr_unfixed is not None
+                             else np.ones(intr.shape[0], dtype=bool))
+        self.calc_free_poses()
+
+    def calc_free_poses(self):
+        self.free_poses = int(np.sum(self.poses_unfixed))
+        self.free_extr = int(np.sum(self.extr_unfixed))
+        self.free_intr = int(np.sum(self.intr_unfixed))
+        self.intr_end = 9 * self.free_intr
+        self.extr_end = 6 * self.free_extr + self.intr_end
+        self.pose_end = 6 * self.free_poses + self.extr_end
+
+    # full-vector view used by the device solver
+    def base_full(self) -> np.ndarray:
+        return np.concatenate(
+            [self.intr.ravel(), self.extr.ravel(), self.poses.ravel()])
+
+    def unfixed_full(self) -> np.ndarray:
+        return np.concatenate([
+            np.repeat(self.intr_unfixed, 9),
+            np.repeat(self.extr_unfixed, 6),
+            np.repeat(self.poses_unfixed, 6)])
+
+    def return_bundle_primitives(self, params):
+        """Scatter a free parameter vector into the full arrays."""
+        full = self.base_full()
+        full[self.unfixed_full()] = params
+        n_c = self.intr.shape[0]
+        n_p = self.poses.shape[0]
+        self.intr[:] = full[: 9 * n_c].reshape(n_c, 9)
+        self.extr[:] = full[9 * n_c: 15 * n_c].reshape(n_c, 6)
+        self.poses[:] = full[15 * n_c:].reshape(n_p, 6)
+        return self.intr, self.extr, self.poses
+
+
+class StandardBundlePrimitive(TemplateBundlePrimitive):
+    """Template primitive + per-coordinate-fixable target feature points."""
+
+    def __init__(self, poses, bundle_points, extr, intr, poses_unfixed=None,
+                 bundle_points_unfixed=None, extr_unfixed=None,
+                 intr_unfixed=None):
+        self.bundle_pts = bundle_points  # flat (3*n_points,)
+        self.bdpt_unfixed = (bundle_points_unfixed
+                             if bundle_points_unfixed is not None
+                             else np.ones(bundle_points.shape[0], dtype=bool))
+        super().__init__(poses, extr, intr, poses_unfixed, extr_unfixed,
+                         intr_unfixed)
+
+    def calc_free_poses(self):
+        super().calc_free_poses()
+        self.free_bdpt = int(np.sum(self.bdpt_unfixed))
+        self.bdpt_end = self.free_bdpt + self.pose_end
+
+    def base_full(self) -> np.ndarray:
+        return np.concatenate([super().base_full(), self.bundle_pts.ravel()])
+
+    def unfixed_full(self) -> np.ndarray:
+        return np.concatenate([super().unfixed_full(), self.bdpt_unfixed])
+
+    def return_bundle_primitives(self, params):
+        full = self.base_full()
+        full[self.unfixed_full()] = params
+        n_c = self.intr.shape[0]
+        n_p = self.poses.shape[0]
+        self.intr[:] = full[: 9 * n_c].reshape(n_c, 9)
+        self.extr[:] = full[9 * n_c: 15 * n_c].reshape(n_c, 6)
+        self.poses[:] = full[15 * n_c: 15 * n_c + 6 * n_p].reshape(n_p, 6)
+        self.bundle_pts[:] = full[15 * n_c + 6 * n_p:]
+        return self.intr, self.extr, self.poses, self.bundle_pts.reshape(-1, 3)
+
+
+class FreePointPrimitive(TemplateBundlePrimitive):
+    """Intr + extr + free 3D points (no poses): pose-free SfM variant."""
+
+    def __init__(self, bundle_points, extr, intr, bundle_points_unfixed=None,
+                 extr_unfixed=None, intr_unfixed=None):
+        self.bundle_pts = bundle_points
+        self.bdpt_unfixed = (bundle_points_unfixed
+                             if bundle_points_unfixed is not None
+                             else np.ones(bundle_points.shape[0], dtype=bool))
+        super().__init__(np.zeros((0, 6)), extr, intr,
+                         poses_unfixed=np.zeros(0, dtype=bool),
+                         extr_unfixed=extr_unfixed, intr_unfixed=intr_unfixed)
+
+    def calc_free_poses(self):
+        super().calc_free_poses()
+        self.free_bdpt = int(np.sum(self.bdpt_unfixed))
+        self.bdpt_end = self.free_bdpt + self.pose_end
+
+    def base_full(self) -> np.ndarray:
+        return np.concatenate(
+            [self.intr.ravel(), self.extr.ravel(), self.bundle_pts.ravel()])
+
+    def unfixed_full(self) -> np.ndarray:
+        return np.concatenate([
+            np.repeat(self.intr_unfixed, 9),
+            np.repeat(self.extr_unfixed, 6),
+            self.bdpt_unfixed])
+
+    def return_bundle_primitives(self, params):
+        full = self.base_full()
+        full[self.unfixed_full()] = params
+        n_c = self.intr.shape[0]
+        self.intr[:] = full[: 9 * n_c].reshape(n_c, 9)
+        self.extr[:] = full[9 * n_c: 15 * n_c].reshape(n_c, 6)
+        self.bundle_pts[:] = full[15 * n_c:]
+        return self.intr, self.extr, self.bundle_pts.reshape(-1, 3)
+
+
+# ------------------------------------------------------------------ handlers
+
+class TemplateBundleHandler:
+    """The standard target-pose bundle adjustment.
+
+    Takes a CameraSet, a target and its TargetDetection and formulates the
+    optimisation: parameter layout, fixed-parameter masks, initial estimates,
+    and the statically-shaped device arrays for the LM solver.
+
+    Extension hooks: override ``add_extra_params`` to append extra initial
+    parameters, and ``parse_extra_params_and_setup`` to consume them (e.g.
+    derive per-camera extrinsics from a higher-level structure and write them
+    into the primitive's base arrays with the corresponding rows fixed).
+    """
+
+    def __init__(self, camset: CameraSet, target: AbstractTarget,
+                 detection: TargetDetection, fixed_params: dict | None = None,
+                 options: dict | None = None, missing_poses=None):
+        self.problem_opts = dict(DEFAULT_OPTIONS)
+        if options is not None:
+            self.problem_opts.update(options)
+
+        self.fixed_params = gu.list_dict_to_np_array(fixed_params) or {}
+        self.camset = camset
+        self.cam_names = camset.get_names()
+        self.detection = deepcopy(detection)
+        self.target = target
+        self.point_data = deepcopy(target.point_data)
+        self.target_point_shape = np.array(target.point_data.shape)
+        self.initial_params = None
+
+        n_poses = detection.max_ims
+        n_cams = camset.get_n_cams()
+
+        intr = np.zeros((n_cams, 9))
+        extr = np.zeros((n_cams, 6))
+        poses = np.zeros((n_poses, 6))
+
+        extr_unfixed = np.array(
+            ["ext" not in self.fixed_params.get(c, {}) for c in self.cam_names])
+        intr_unfixed = np.array(
+            ["int" not in self.fixed_params.get(c, {}) for c in self.cam_names])
+        pose_unfixed = np.ones(n_poses, dtype=bool)
+        if "fixed_pose" in self.problem_opts:
+            fixed_pose = self.problem_opts["fixed_pose"]
+            pose_unfixed[fixed_pose] = False
+            poses[fixed_pose, :] = 0.0
+
+        self.bundlePrimitive = TemplateBundlePrimitive(
+            poses, extr, intr, extr_unfixed=extr_unfixed,
+            intr_unfixed=intr_unfixed, poses_unfixed=pose_unfixed)
+
+        self.populate_self_from_fixed_params()
+
+        self.param_len = None
+        self.jac_mask = None
+        self.missing_poses = missing_poses
+        self.op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), TemplatePoints()])
+
+    # ------------------------------------------------------------- plumbing
+
+    def can_make_jac(self) -> bool:
+        return self.op_fun.can_make_jac()
+
+    def populate_self_from_fixed_params(self):
+        """Copy any fixed extrinsic/intrinsic values into the base arrays."""
+        for idx, cam_name in enumerate(self.cam_names):
+            fixed = self.fixed_params.get(cam_name, {})
+            if "ext" in fixed:
+                ext = np.asarray(fixed["ext"], dtype=float)
+                if ext.shape == (4, 4):
+                    rvec, tvec = gu.ext_4x4_to_rod(ext)
+                    ext = np.concatenate([rvec, tvec])
+                self.bundlePrimitive.extr[idx] = ext
+            if "int" in fixed:
+                intr = np.asarray(fixed["int"], dtype=float)
+                if intr.shape == (3, 3):
+                    # stored as the packed 9-vector; distortion stays zero
+                    # unless 'dst' is also fixed
+                    dst = np.asarray(
+                        self.fixed_params[cam_name].get("dst", np.zeros(5)),
+                        dtype=float).reshape(-1)
+                    intr = np.concatenate(
+                        [intr[[0, 0, 1, 1], [0, 2, 1, 2]], dst])
+                self.bundlePrimitive.intr[idx] = intr
+
+    def n_keys(self) -> int:
+        return int(np.prod(self.target_point_shape[:-1]))
+
+    def template_table(self):
+        """The constant target-geometry lookup table, or None if the chain
+        optimises the geometry instead."""
+        return self.point_data.reshape(-1, 3)
+
+    def build_problem(self, pad_multiple: int = 512):
+        """Build (ParamStruct, DetectionArrays) for the device solver."""
+        struct = self.op_fun.param_struct(
+            len(self.cam_names), self.bundlePrimitive.poses.shape[0],
+            self.n_keys())
+        dd = self.get_detection_data(flatten=True)
+        det = build_detection_arrays(self.op_fun, struct, dd,
+                                     self.template_table(),
+                                     pad_multiple=pad_multiple)
+        return struct, det
+
+    # ------------------------------------------------- initial parametrisation
+
+    def add_extra_params(self, param_array: np.ndarray) -> np.ndarray:
+        """Extension hook: append extra initial parameter estimates."""
+        return param_array
+
+    def parse_extra_params_and_setup(self, param_array: np.ndarray) -> np.ndarray:
+        """Extension hook: consume extra parameters, mutate handler state."""
+        return param_array
+
+    def set_initial_params(self, x: np.ndarray):
+        self.initial_params = x
+
+    def get_initial_params(self) -> np.ndarray:
+        if self.initial_params is not None:
+            return self.initial_params
+        return self.calc_initial_params()
+
+    def calc_initial_params(self) -> np.ndarray:
+        """Seed the optimisation: per-camera intrinsics from the CameraSet,
+        extrinsics + target poses from PnP-based relative pose estimation."""
+        cams = self.camset
+        cam_poses, target_poses, per_im_error = estimate_camera_relative_poses(
+            detection=self.detection, cams=self.camset,
+            calibration_target=self.target,
+            ref_cam=self.problem_opts.get("ref_cam", 0),
+            ref_pose=self.problem_opts.get("ref_pose", 0))
+
+        self.missing_poses = np.array([np.isnan(t[0, 0]) for t in target_poses])
+        self.find_and_exclude_transform_outliers(per_im_error)
+
+        prim = self.bundlePrimitive
+        for idc in range(len(self.cam_names)):
+            if prim.intr_unfixed[idc]:
+                prim.intr[idc] = np.concatenate([
+                    cams[idc].intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]],
+                    np.reshape(cams[idc].distortion_coefs, -1)[:5]])
+            if prim.extr_unfixed[idc]:
+                rvec, tvec = gu.ext_4x4_to_rod(cam_poses[idc])
+                prim.extr[idc] = np.concatenate([rvec, tvec])
+        for idp in range(prim.poses.shape[0]):
+            if prim.poses_unfixed[idp]:
+                pose = target_poses[idp]
+                if np.any(np.isnan(pose)):
+                    pose = np.eye(4)
+                rvec, tvec = gu.ext_4x4_to_rod(pose)
+                prim.poses[idp] = np.concatenate([rvec, tvec])
+
+        params = prim.base_full()[prim.unfixed_full()]
+        return self.add_extra_params(params)
+
+    # ------------------------------------------------------------- outliers
+
+    def find_and_exclude_transform_outliers(self, per_im_error):
+        """MAD-outlier poses are marked missing (interactive in 'ask' mode)."""
+        if self.missing_poses is None:
+            raise ValueError(
+                "missing poses should be initialised before calling this function")
+        self.missing_poses = np.asarray(self.missing_poses, dtype=bool)
+        num_loops = 0
+        logging.info("Beginning outlier detection")
+        user_in = self.problem_opts["outliers"]
+        while num_loops < 10:
+            not_missing = np.where(~self.missing_poses)[0]
+            condensed = gu.mad_outlier_detection(
+                per_im_error[not_missing], out_thresh=20,
+                draw=not user_in == "n")
+            if condensed is None:
+                logging.info(f"No outliers detected in iteration {num_loops}.")
+                break
+            outlier_inds = not_missing[condensed]
+            while user_in not in ("y", "n"):
+                print(f"Outliers detected in iteration {num_loops}.")
+                user_in = input("Do you wish to remove these outlier poses: \n y/n: ")
+            if user_in == "y":
+                self.missing_poses[outlier_inds] = True
+            else:
+                break
+            num_loops += 1
+
+    # ------------------------------------------------------------ extraction
+
+    def get_bundle_adjustment_inputs(self, x, make_points: bool = False):
+        """Free params -> (intr, extr, poses) arrays, or the per-image
+        world-space target points when make_points=True."""
+        proj, extr, poses = self.bundlePrimitive.return_bundle_primitives(x)
+        if make_points:
+            im_points = np.empty((len(poses), *self.point_data.shape))
+            for idx, pose in enumerate(poses):
+                t = gu.make_4x4h_tform(pose[:3], pose[3:])
+                im_points[idx] = gu.h_tform(
+                    self.point_data.reshape(-1, 3), t).reshape(self.point_data.shape)
+            return np.reshape(im_points, (len(poses), -1, 3))
+        return proj, extr, poses
+
+    def get_camset(self, x, return_pose: bool = False):
+        """Free parameter vector -> calibrated CameraSet (+ target poses)."""
+        new_cams = _clone_camset(self.camset)
+        proj, extr, poses = self.bundlePrimitive.return_bundle_primitives(x)
+        _write_cams(new_cams, self.cam_names, proj, extr)
+        if not return_pose:
+            return new_cams
+        ps = np.array([np.concatenate([
+            gu.make_4x4h_tform(p[:3], p[3:])[:3, :3].reshape(-1), p[3:]])
+            for p in poses])
+        # flat-12 (R | t) per pose, matching the reference convention
+        ps = np.array([gu.make_4x4h_tform(p[:3], p[3:])[:3, :4].reshape(-1)
+                       for p in poses])
+        return new_cams, ps
+
+    def get_detection(self) -> TargetDetection:
+        return TargetDetection(cam_names=self.cam_names,
+                               data=self.get_detection_data())
+
+    def get_detection_data(self, flatten: bool = False) -> np.ndarray:
+        """The detection table used by the optimisation (missing-pose rows
+        removed; optionally with flattened keys)."""
+        dims = self.target_point_shape[:-1]
+        detection = self.detection
+        if self.missing_poses is not None and np.any(self.missing_poses):
+            logging.info(
+                "Missing poses required removing detected data from the optimisation")
+            missing = np.where(np.asarray(self.missing_poses))[0]
+            detection = self.detection.delete_row(im_num=missing)
+        if flatten:
+            return detection.return_flattened_keys(dims).get_data()
+        return detection.get_data()
+
+    def check_params(self, params):
+        """Visualise the problem as sent to the BA cost."""
+        obj_points = self.get_bundle_adjustment_inputs(params, make_points=True)
+        self.get_camset(params).plot_np_array(obj_points.reshape((-1, 3)))
+
+    def gauge_fixes(self):
+        """Lagrange-multiplier gauge conditions; None when fixed params
+        already pin the gauge."""
+        return None
+
+    def special_plots(self, params):
+        """Hook for target-specific diagnostic plots."""
+        return
+
+
+def _clone_camset(camset: CameraSet) -> CameraSet:
+    """A fresh CameraSet with deep-copied Camera objects (the calibration
+    history can hold unpicklable cv2 handles, so it is not copied)."""
+    return CameraSet(camera_dict={
+        name: deepcopy(camset[name]) for name in camset.get_names()})
+
+
+def _write_cams(new_cams, cam_names, proj, extr):
+    for idc, cam_name in enumerate(cam_names):
+        intr = np.eye(3)
+        intr[0, 0] = proj[idc][0]
+        intr[0, 2] = proj[idc][1]
+        intr[1, 1] = proj[idc][2]
+        intr[1, 2] = proj[idc][3]
+        cam = new_cams[cam_name]
+        cam.extrinsic = gu.make_4x4h_tform(extr[idc][:3], extr[idc][3:])
+        cam.intrinsic = intr
+        cam.distortion_coefs = np.array(proj[idc][4:])
+        cam._update_state()
+
+
+# -------------------------------------------------------- initial estimation
+
+def check_for_target_misalignment(tforms: np.ndarray, ref_cam: int = 0):
+    """Warn when relative cam-to-reference transforms vary across images —
+    a signature of misordered/temporally misaligned captures."""
+    inv_ref = [np.linalg.inv(p) for p in tforms[ref_cam]]
+    rel = np.array([[t_c @ r_t for r_t, t_c in zip(inv_ref, cam_t)]
+                    for cam_t in tforms])
+    for ic, rel_c in enumerate(rel):
+        if ic == ref_cam:
+            continue
+        angs = np.array([np.arccos(np.clip((np.trace(t[:3, :3]) - 1) / 2, -1, 1))
+                         for t in rel_c])
+        mags = [np.linalg.norm(t[:3, -1]) for t in rel_c]
+        std_ang, std_mag = np.nanstd(angs), np.nanstd(mags)
+        if std_mag > 0.050:
+            logging.critical(
+                f"Found inconsistent relative translation positions "
+                f"(stdev = {std_mag:.2f} m) for camera index {ic}")
+            logging.warning(
+                "This may indicate misordered images, temporal misalignment, "
+                "or very bad detections, and is likely to cause calibration "
+                "difficulties.")
+        if std_ang > 5 / 180 * np.pi:
+            logging.critical(
+                f"Found inconsistent relative angle magnitudes "
+                f"(stdev = {std_ang / np.pi * 180:.2f} degrees) for camera "
+                f"index {ic}")
+
+
+def check_feasiblity_and_update_refpose(mat_ac: np.ndarray, ref_pose: int) -> int:
+    """Pick a reference image in which every camera found a pose."""
+    visibility = np.isnan(mat_ac[:, :, 0, 0])
+    visible_pose = ~np.any(visibility, axis=0)
+    if not visible_pose[ref_pose]:
+        f_index = int(np.argmax(visible_pose))
+        if not visible_pose[f_index]:
+            raise ValueError("Couldn't find an initial pose for all cameras.")
+        ref_pose = f_index
+    return ref_pose
+
+
+def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
+                       ints: np.ndarray, dists: np.ndarray) -> np.ndarray:
+    """Vectorised per-detection reprojection residuals (host numpy).
+
+    Behaviour parity: compiled_helpers.py:517-549 (bundle_adjustment_costfn) —
+    P·X, divide, distort, subtract measured uv.
+
+    :param dd: flattened detection table [cam, im, key, u, v].
+    :param imlocs: (n_ims, n_keys, 3) world-space target points per image.
+    :param proj: (C,3,4) projection matrices. :param ints: (C,3,3).
+    :param dists: (C,5) distortion coefficients.
+    :return: (N,2) residuals.
+    """
+    cam = dd[:, 0].astype(int)
+    im = dd[:, 1].astype(int)
+    key = dd[:, 2].astype(int)
+    pts = imlocs[im, key]                                      # (N,3)
+    p = proj[cam]                                              # (N,3,4)
+    xyw = np.einsum("nij,nj->ni", p[:, :, :3], pts) + p[:, :, 3]
+    uv = xyw[:, :2] / xyw[:, 2:3]
+    f = np.stack([ints[cam, 0, 0], ints[cam, 1, 1]], axis=1)
+    c = np.stack([ints[cam, 0, 2], ints[cam, 1, 2]], axis=1)
+    xy = (uv - c) / f
+    x, y = xy[:, 0], xy[:, 1]
+    k1, k2, p1, p2, k3 = (dists[cam, i] for i in range(5))
+    r2 = x * x + y * y
+    radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    pred = np.stack([xd, yd], axis=1) * f + c
+    return pred - dd[:, 3:5]
+
+
+def estimate_camera_relative_poses(
+        calibration_target: AbstractTarget, detection: TargetDetection,
+        cams: CameraSet, ref_cam: int = 0, ref_pose: int = 0):
+    """Single-reference-camera pose initialisation (not a pose graph).
+
+    Per-camera PnP target poses per image; the reference image (visible to
+    every camera) anchors the world frame; each image's pose is chosen from
+    the per-camera candidates by total reprojection cost.
+
+    :return cam_poses: (C,4,4) camera extrinsic estimates (world->cam).
+    :return target_poses: (I,4,4) target pose estimates (target->world).
+    :return per_im_error: (I,) total reprojection cost of the chosen poses.
+    """
+    img_detections = detection.get_image_list()
+    mat_ac = np.array([
+        [calibration_target.target_pose_in_cam_image(im_det, cam, mode="nan")
+         for im_det in img_detections]
+        for cam in cams])                                       # (C,I,4,4)
+
+    ref_pose = check_feasiblity_and_update_refpose(mat_ac, ref_pose)
+
+    mrt_ac = mat_ac[:, ref_pose]                                # (C,4,4)
+    mac_rt = np.array([np.linalg.inv(m) for m in mrt_ac])
+    mat_rt_ac = mac_rt[:, None] @ mat_ac                        # (C,I,4,4)
+
+    dists = np.array([np.reshape(c.distortion_coefs, -1)[:5] for c in cams])
+    ints = np.array([c.intrinsic for c in cams])
+    proj = ints @ mrt_ac[:, :3, :]
+
+    ps = calibration_target.point_data.reshape((-1, 3))
+    target_shape = calibration_target.point_data.shape
+    dd = detection.return_flattened_keys(target_shape[:-1]).get_data()
+    im_col = dd[:, 1].astype(int)
+    n_ims = int(detection.max_ims)
+
+    # score every camera's candidate pose set
+    errors = np.full((len(mat_rt_ac), n_ims), np.nan)
+    for idc, mat_rt_c in enumerate(mat_rt_ac):
+        nanform = np.isnan(mat_rt_c[:, 0, 0])
+        for idn, wasnan in enumerate(nanform):
+            if wasnan:
+                if idn == 0:
+                    raise ValueError("No pose in first image")
+                mat_rt_c[idn] = mat_rt_c[idn - 1]  # forward-fill missing poses
+        imlocs = np.array([gu.h_tform(ps, m) for m in mat_rt_c])
+        costs = reprojection_costs(dd, imlocs, proj, ints, dists)
+        costs = np.linalg.norm(costs, axis=1)
+        errors[idc] = np.bincount(im_col, weights=costs, minlength=n_ims)
+
+    estimate_locs = np.argmin(errors, axis=0)                  # best cam per im
+    mat_rt = np.array([mat_rt_ac[e, i] for i, e in enumerate(estimate_locs)])
+
+    imlocs = np.array([gu.h_tform(ps, m) for m in mat_rt])
+    costs = np.linalg.norm(
+        reprojection_costs(dd, imlocs, proj, ints, dists), axis=1)
+    per_im_error = np.bincount(im_col, weights=costs, minlength=n_ims)
+
+    mat_rt[ref_pose] = np.eye(4)
+    return mrt_ac, mat_rt, per_im_error
+
+
+# ------------------------------------------------------------------ self-cal
+
+def find_not_colinear_pts(points: np.ndarray):
+    """Indices of 3 non-colinear points (for gauge fixing)."""
+    ind0 = 0
+    for ind1, ind2 in combinations(np.arange(1, points.shape[0]), 2):
+        ab = points[ind0] - points[ind1]
+        ac = points[ind0] - points[ind2]
+        if np.linalg.norm(np.cross(ab, ac)) > 1e-8:
+            return ind0, ind1, ind2
+    raise ValueError(
+        "No set of values that were not colinear were found in the provided data.")
+
+
+class SelfBundleHandler(TemplateBundleHandler):
+    """Target self-calibration: the template BA plus per-point target
+    geometry parameters, with a 7-coordinate gauge fix and unseen-feature
+    freezing; results are similarity-aligned back onto the reference model."""
+
+    def __init__(self, camset, target, detection, fixed_params=None,
+                 options=None, missing_poses=None):
+        super().__init__(camset, target, detection, fixed_params, options,
+                         missing_poses)
+        self.flat_point_data = np.copy(self.point_data.reshape(-1))
+
+        # gauge: fix 3 (of 3) + 3 + 1 coordinates of 3 non-colinear points
+        self.fixed_inds = find_not_colinear_pts(self.flat_point_data.reshape(-1, 3))
+        i0, i1, i2 = self.fixed_inds
+        self.feat_unfixed = np.ones(self.flat_point_data.shape[0], dtype=bool)
+        self.feat_unfixed[3 * i0: 3 * i0 + 3] = False
+        self.feat_unfixed[3 * i1: 3 * i1 + 3] = False
+        self.feat_unfixed[3 * i2] = False
+
+        # freeze features never observed
+        n_points = self.n_keys()
+        dd = self.detection.return_flattened_keys(
+            self.target.point_data.shape[:-1]).get_data()[:, 2]
+        self.visible_feature_mask = np.isin(np.arange(n_points), dd)
+        for idf, vis in enumerate(self.visible_feature_mask):
+            if not vis:
+                self.feat_unfixed[3 * idf: 3 * idf + 3] = False
+
+        sup = self.bundlePrimitive
+        self.bundlePrimitive = StandardBundlePrimitive(
+            sup.poses, self.flat_point_data, sup.extr, sup.intr,
+            extr_unfixed=sup.extr_unfixed, intr_unfixed=sup.intr_unfixed,
+            poses_unfixed=sup.poses_unfixed,
+            bundle_points_unfixed=self.feat_unfixed)
+
+        self.missing_poses = missing_poses
+        self.op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+
+    def template_table(self):
+        return None  # geometry is optimised, not a constant table
+
+    def get_initial_params(self) -> np.ndarray:
+        if self.initial_params is not None:
+            return self.initial_params
+        start_params = self.calc_initial_params()
+        self.initial_params = np.concatenate([
+            start_params,
+            self.target.point_data.copy().flatten()[self.feat_unfixed]])
+        return self.initial_params
+
+    def set_from_templated_camset(self, prev_cams: CameraSet):
+        """Warm start from a completed template calibration."""
+        if not isinstance(prev_cams.calibration_handler, TemplateBundleHandler):
+            raise ValueError("Previous camera set was not a templated adjustment")
+        self.missing_poses = prev_cams.calibration_handler.missing_poses
+        self.initial_params = np.concatenate([
+            np.asarray(prev_cams.calibration_params, dtype=float).copy(),
+            prev_cams.calibration_handler.target.point_data
+            .copy().flatten()[self.feat_unfixed]])
+
+    def get_bundle_adjustment_inputs(self, x, make_points: bool = False):
+        proj, extr, poses, bundle_points = (
+            self.bundlePrimitive.return_bundle_primitives(x))
+        if make_points:
+            im_points = np.empty((len(poses), *self.point_data.shape))
+            for idx, pose in enumerate(poses):
+                t = gu.make_4x4h_tform(pose[:3], pose[3:])
+                im_points[idx] = gu.h_tform(
+                    bundle_points, t).reshape(self.point_data.shape)
+            return np.reshape(im_points, (len(poses), -1, 3))
+        return proj, extr, poses, bundle_points
+
+    def get_updated_target(self, x):
+        """The recovered (gauge-aligned) target geometry."""
+        model = self.bundlePrimitive.return_bundle_primitives(x)
+        _, _, _, ps = self.apply_gauge_transform(*model)
+        return ps
+
+    def get_camset(self, x, return_pose: bool = False):
+        new_cams = _clone_camset(self.camset)
+        model = self.bundlePrimitive.return_bundle_primitives(x)
+        proj, extr, poses, ps = self.apply_gauge_transform(*model)
+        _write_cams(new_cams, self.cam_names, proj, extr)
+        if not return_pose:
+            return new_cams
+        flat = np.array([gu.make_4x4h_tform(p[:3], p[3:])[:3, :4].reshape(-1)
+                         for p in poses])
+        return new_cams, flat
+
+    def apply_gauge_transform(self, proj, extr, poses, point_estimate):
+        """Similarity-align the recovered model onto the reference target.
+
+        Rescales by the mean valid pairwise-distance ratio, then rigid-fits
+        the recovered points onto the reference model, propagating scale and
+        transform into poses and extrinsics (the calibration is preserved).
+        Parity: standard_bundle_handler.py:339-410.
+        """
+        from scipy.spatial.distance import cdist
+        ref_points = self.target.point_data.reshape((-1, 3))
+        valid_map = self.target.valid_map
+        vm = self.visible_feature_mask
+
+        if isinstance(valid_map, (bool, np.bool_)):
+            if not valid_map:
+                raise ValueError(
+                    "Target has given a valid map of False, which indicates "
+                    "no distance comparisons are valid.")
+            inds = np.triu_indices(int(np.sum(vm)), k=1)
+            new_map = cdist(point_estimate[vm], point_estimate[vm])[inds]
+            ref_map = cdist(ref_points[vm], ref_points[vm])[inds]
+            # compare only adjacent-square distances (robust scale anchor)
+            dt = getattr(self.target, "square_size", None)
+            if dt is not None:
+                sel = np.isclose(ref_map, dt)
+                new_map, ref_map = new_map[sel], ref_map[sel]
+        elif isinstance(valid_map, np.ndarray):
+            pairs = valid_map[:, :2].astype(int)
+            new_map = np.linalg.norm(
+                point_estimate[pairs[:, 0]] - point_estimate[pairs[:, 1]], axis=1)
+            ref_map = np.linalg.norm(
+                ref_points[pairs[:, 0]] - ref_points[pairs[:, 1]], axis=1)
+        else:
+            raise ValueError(
+                "The target.valid_map property either needs to be true, for "
+                "all comparisons being valid, or a nx2 list of index pairs.")
+
+        s = np.mean(ref_map / new_map)
+        new_points = s * point_estimate
+
+        try:
+            import jax.numpy as jnp
+            rmat, tvec = rigid_fit(jnp.asarray(new_points[vm]),
+                                   jnp.asarray(ref_points[vm]))
+            update_tform = np.eye(4)
+            update_tform[:3, :3] = np.array(rmat)
+            update_tform[:3, 3] = np.array(tvec)
+        except Exception as e:
+            logging.critical(
+                "Failed to find an acceptable gauge transform, returning the identity")
+            logging.critical(f"Gave error: {e}")
+            update_tform = np.eye(4)
+
+        inv_update = np.linalg.inv(update_tform)
+        new_points = gu.h_tform(new_points, update_tform)
+
+        for i in range(len(poses)):
+            poses[i][3:] = poses[i][3:] * s
+            pose = gu.make_4x4h_tform(poses[i][:3], poses[i][3:])
+            new_pose = update_tform @ pose @ inv_update
+            rvec, tvec = gu.ext_4x4_to_rod(new_pose)
+            poses[i][:3], poses[i][3:] = rvec, tvec
+        for i in range(len(extr)):
+            extr[i][3:] = extr[i][3:] * s
+            og = gu.make_4x4h_tform(extr[i][:3], extr[i][3:])
+            new_t = og @ inv_update
+            rvec, tvec = gu.ext_4x4_to_rod(new_t)
+            extr[i][:3], extr[i][3:] = rvec, tvec
+        return proj, extr, poses, new_points
+
+    def special_plots(self, x):
+        """Visualise the recovered target-shape change (matplotlib)."""
+        from matplotlib import pyplot as plt
+        og = self.target.point_data.reshape(-1, 3)
+        final = self.get_updated_target(x)
+        diff = np.linalg.norm(final - og, axis=1) * 1000
+        vm = self.visible_feature_mask
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+        sc = ax.scatter(og[vm, 0], og[vm, 1], og[vm, 2], c=diff[vm])
+        fig.colorbar(sc, label="Euclidean displacement from initial model (mm)")
+        ax.set_title("Target self-calibration results")
+        plt.show()
+        logging.info(f"found a mean difference of {np.mean(diff[vm]):.3f} mm")
+
+
+# ------------------------------------------------------------------ free-point
+
+class FreePointTarget(AbstractTarget):
+    """A bare container target defined only by its point cloud."""
+
+    def __init__(self, point_data):
+        super().__init__(inputs=locals())
+        self.point_data = np.asarray(point_data, dtype=float)
+        self._process_data()
+
+    def find_in_image(self, image, draw=False, camera=None, wait_len=1):
+        raise NotImplementedError
+
+
+class FreePointBundleHandler(TemplateBundleHandler):
+    """Pose-free bundle adjustment: optimises camera parameters and the 3D
+    positions of independently-observed points (structure from motion)."""
+
+    def __init__(self, camset, target, detection, fixed_params=None,
+                 options=None, missing_poses=None):
+        super().__init__(camset, target, detection, fixed_params, options,
+                         missing_poses)
+        self.flat_point_data = np.copy(self.point_data.reshape(-1))
+        self.feat_unfixed = np.ones(self.flat_point_data.shape[0], dtype=bool)
+        self.super_primitive = self.bundlePrimitive
+        self.bundlePrimitive = FreePointPrimitive(
+            self.flat_point_data, self.super_primitive.extr,
+            self.super_primitive.intr,
+            extr_unfixed=self.super_primitive.extr_unfixed,
+            intr_unfixed=self.super_primitive.intr_unfixed,
+            bundle_points_unfixed=self.feat_unfixed)
+        self.missing_poses = missing_poses
+        self.op_fun = OptimFunction([Projection(), Extrinsic3D(), FreePoint()])
+
+    def template_table(self):
+        return None
+
+    def build_problem(self, pad_multiple: int = 512):
+        struct = self.op_fun.param_struct(
+            len(self.cam_names), 0, self.n_keys())
+        dd = self.get_detection_data(flatten=True)
+        det = build_detection_arrays(self.op_fun, struct, dd, None,
+                                     pad_multiple=pad_multiple)
+        return struct, det
+
+    def get_initial_params(self) -> np.ndarray:
+        if self.initial_params is not None:
+            return self.initial_params
+        prim = self.bundlePrimitive
+        for idc in range(len(self.cam_names)):
+            if prim.intr_unfixed[idc]:
+                prim.intr[idc] = np.concatenate([
+                    self.camset[idc].intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]],
+                    np.reshape(self.camset[idc].distortion_coefs, -1)[:5]])
+            if prim.extr_unfixed[idc]:
+                rvec, tvec = gu.ext_4x4_to_rod(self.camset[idc].extrinsic)
+                prim.extr[idc] = np.concatenate([rvec, tvec])
+        prim.bundle_pts[:] = self.point_data.reshape(-1)
+        self.initial_params = prim.base_full()[prim.unfixed_full()]
+        return self.initial_params
+
+    def set_from_camset(self, prev_cams: CameraSet, init_points: np.ndarray):
+        """Warm start the cameras from a previous solve + initial points."""
+        self.initial_params = np.concatenate([
+            np.asarray(prev_cams.calibration_params, dtype=float).copy(),
+            np.asarray(init_points, dtype=float).flatten()])
+
+    def get_bundle_adjustment_inputs(self, x, make_points: bool = False):
+        return self.bundlePrimitive.return_bundle_primitives(x)
+
+    def get_camset(self, x, return_pose: bool = False):
+        new_cams = _clone_camset(self.camset)
+        proj, extr, ps = self.bundlePrimitive.return_bundle_primitives(x)
+        _write_cams(new_cams, self.cam_names, proj, extr)
+        if return_pose:
+            return new_cams, ps
+        return new_cams
+
+    def get_updated_points(self, x):
+        _, _, ps = self.bundlePrimitive.return_bundle_primitives(x)
+        return ps

@@ -81,9 +81,10 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
         full = base.at[free_idx].set(x_free)
         return residual(full, c, t, u, m)
 
-    def solve_fn(x_free: np.ndarray) -> LMResult:
-        return solve_impl(jnp.asarray(x_free, dtype=dtype),
-                          base_dev, cols, tpl, uv, mask)
+    def solve_fn(x_free: np.ndarray):
+        res = solve_impl(jnp.asarray(x_free, dtype=dtype),
+                         base_dev, cols, tpl, uv, mask)
+        return np.asarray(res.x, dtype=np.float64), res
 
     def residual_fn(x_free: np.ndarray) -> np.ndarray:
         r = residual_impl(jnp.asarray(x_free, dtype=dtype),
@@ -124,7 +125,7 @@ def make_optimisation_function(param_handler: TemplateBundleHandler,
 
 
 def run_bundle_adjustment(param_handler: TemplateBundleHandler,
-                          threads: int = 1, dtype=None
+                          threads: int = 1, dtype=None, backend: str = "auto"
                           ) -> tuple[OptimizeResult, object]:
     """Solve the bundle adjustment a handler describes.
 
@@ -132,7 +133,24 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
               the argmin CameraSet)
     """
     logging.info("Making optimisation problem")
-    solve_fn, residual_fn, init_params = build_solver(param_handler, dtype=dtype)
+    dtype = dtype or default_device_dtype()
+    if backend in ("auto", "structured"):
+        try:
+            from pycamset_tpu.optim.structured_driver import (
+                build_structured_problem)
+            solve_fn, residual_fn, init_params = build_structured_problem(
+                param_handler, dtype=dtype)
+            logging.info("Using the structured (Schur) backend")
+        except ValueError as e:
+            if backend == "structured":
+                raise
+            logging.info(f"Structured backend unavailable ({e}); "
+                         "falling back to the generic backend")
+            solve_fn, residual_fn, init_params = build_solver(
+                param_handler, dtype=dtype)
+    else:
+        solve_fn, residual_fn, init_params = build_solver(
+            param_handler, dtype=dtype)
 
     init_err = residual_fn(init_params)
     init_euclid = float(np.mean(np.linalg.norm(init_err, axis=1)))
@@ -148,8 +166,7 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
             "correctly, giving nonsensical errors.")
 
     start = time.time()
-    res = solve_fn(init_params)
-    x_final = np.asarray(res.x, dtype=np.float64)
+    x_final, res = solve_fn(init_params)
     end = time.time()
 
     final_res = residual_fn(x_final)

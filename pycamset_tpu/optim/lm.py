@@ -74,6 +74,11 @@ def lm_solve(neq_fn: Callable, x0: jnp.ndarray, *, max_nfev: int = 100,
     """
     dtype = x0.dtype
     hist_len = max_nfev + 2
+    # scipy's 1e-8 defaults assume float64; clamp to the dtype's resolution
+    eps = float(jnp.finfo(dtype).eps)
+    ftol = max(ftol, 50 * eps)
+    xtol = max(xtol, 50 * eps)
+    gtol = max(gtol, 50 * eps)
 
     jtj0, grad0, cost0 = neq_fn(x0)
     scale20 = jnp.maximum(jnp.diag(jtj0), scale_floor)
@@ -127,6 +132,8 @@ def lm_solve(neq_fn: Callable, x0: jnp.ndarray, *, max_nfev: int = 100,
         status = jnp.where(g_small, 3, status)
         status = jnp.where(ok & step_small, 2, status)
         status = jnp.where(step_small & ~ok & (s.nu > 64), 2, status)
+        # stall: many consecutive rejections = at the dtype's noise floor
+        status = jnp.where(~ok & (s.nu > 1024), 2, status)
         status = jnp.where(cost_small, 1, status)
         status = status.astype(jnp.int32)
 

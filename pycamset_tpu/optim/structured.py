@@ -1,0 +1,389 @@
+"""Structured (block) normal equations + Schur-complement LM — the TPU fast path.
+
+The generic path (optim/residuals.py) assembles JtJ by scatter-add, which is
+correct everywhere but slow on TPU (~2 s/iteration at 500k detections: TPU
+scatters serialise). This module is the speed-of-light path:
+
+Layout: detections are arranged on a dense (B, K) grid where B = n_cams *
+n_ims blocks (one per camera-image pair, row-major) and K = padded feature
+count. Every slot in a block shares the SAME camera and pose parameters, so
+the residual needs no per-detection parameter gathers at all, and the
+Jacobian splits by parameter link into Jc (cam columns), Ji (image columns),
+Jk (key columns). All normal-equation blocks then assemble as batched
+matmuls and one-hot contractions — MXU work, zero scatters:
+
+    Hcc (C,a,a)   = onehot_cam  @ sum_k Jc^T Jc        (block-diag per cam)
+    Hii (I,b,b)   = onehot_im   @ sum_k Ji^T Ji        (block-diag per image)
+    Hkk (K,3,3)   = sum_B       Jk^T Jk                (block-diag per point)
+    Wci (C,I,a,b) = per-block   Jc^T Ji  (a block IS one (c,i) pair)
+    Wck (C,K,a,3) = onehot_cam  @ Jc^T Jk
+    Wik (I,K,b,3) = onehot_im   @ Ji^T Jk
+
+The damped system is solved by Schur elimination of the big diagonal groups
+(points first, then poses), leaving a small dense camera system — the
+standard reduced-camera-system BA solve, but fully batched and jit-resident.
+
+Fixed parameters (gauge fixes, user-fixed intr/extr, frozen points) are
+handled by zeroing the corresponding Jacobian COLUMNS (the TPU analogue of
+the reference's CSR column masking, abstract_function_blocks.py:465-489);
+a damping floor keeps the eliminated blocks invertible and yields exact
+zero steps for fixed coordinates.
+
+This path covers the three shipped chains (template / self-cal / free-point);
+anything else falls back to the generic scatter path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.optim.chain import OptimFunction
+from pycamset_tpu.optim.blocks import key_type
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class GroupWidths:
+    """Per-link local Jacobian column widths for a chain."""
+    a: int  # cam-linked params per camera (e.g. 9 intr + 6 extr = 15)
+    b: int  # image-linked params per image (6, or 0 for free-point)
+    c: int  # key-linked params per point (3, or 0 for template)
+
+    @property
+    def local(self):
+        return self.a + self.b + self.c
+
+
+def chain_widths(op_fun: OptimFunction) -> GroupWidths:
+    """Column widths by link; requires groups ordered cam*, im*, key*."""
+    a = b = c = 0
+    seen = []
+    for g in op_fun.groups:
+        seen.append(g.link)
+        if g.link == key_type.PER_CAM:
+            a += g.n
+        elif g.link == key_type.PER_IMG:
+            b += g.n
+        elif g.link == key_type.PER_KEY:
+            c += g.n
+        else:
+            raise ValueError("SINGLE groups unsupported on the structured path")
+    # the structured path assumes cam groups come first, then img, then key —
+    # true for all shipped chains (the local slice must split contiguously)
+    order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY]
+    if seen != sorted(seen, key=order.index):
+        raise ValueError("chain group order not cam*,im*,key* — use generic path")
+    return GroupWidths(a, b, c)
+
+
+@dataclass
+class BlockArrays:
+    """Dense (B, K) observation grid. B = n_cams * n_ims row-major blocks."""
+    uv: np.ndarray        # (B, K, 2)
+    mask: np.ndarray      # (B, K)
+    n_cams: int
+    n_ims: int
+    n_keys: int           # true key count (K may be padded)
+    n_real: int           # real observation count
+
+    def as_device(self, dtype):
+        return jnp.asarray(self.uv, dtype=dtype), jnp.asarray(self.mask, dtype=dtype)
+
+
+def build_block_arrays(dd: np.ndarray, n_cams: int, n_ims: int,
+                       n_keys: int, k_pad_multiple: int = 128) -> BlockArrays:
+    """Pack a flat detection table [cam, im, key, u, v] onto the block grid."""
+    k_pad = _round_up(max(n_keys, 1), k_pad_multiple)
+    b = n_cams * n_ims
+    uv = np.zeros((b, k_pad, 2))
+    mask = np.zeros((b, k_pad))
+    cam = dd[:, 0].astype(int)
+    im = dd[:, 1].astype(int)
+    key = dd[:, 2].astype(int)
+    blk = cam * n_ims + im
+    uv[blk, key] = dd[:, 3:5]
+    mask[blk, key] = 1.0
+    return BlockArrays(uv=uv, mask=mask, n_cams=n_cams, n_ims=n_ims,
+                       n_keys=n_keys, n_real=dd.shape[0])
+
+
+class ParamPieces(NamedTuple):
+    """Parameters grouped by link. Absent groups are zero-width arrays."""
+    cam: jnp.ndarray   # (C, a)
+    im: jnp.ndarray    # (I, b)
+    key: jnp.ndarray   # (K, c)
+
+
+class NormalEq(NamedTuple):
+    """Structured damped-Newton system pieces (see module docstring)."""
+    hcc: jnp.ndarray   # (C, a, a)
+    hii: jnp.ndarray   # (I, b, b)
+    hkk: jnp.ndarray   # (K, c, c)
+    wci: jnp.ndarray   # (C, I, a, b)
+    wck: jnp.ndarray   # (C, K, a, c)
+    wik: jnp.ndarray   # (I, K, b, c)
+    gc: jnp.ndarray    # (C, a)
+    gi: jnp.ndarray    # (I, b)
+    gk: jnp.ndarray    # (K, c)
+    cost: jnp.ndarray  # scalar
+
+
+def split_full_params(full: jnp.ndarray, op_fun: OptimFunction,
+                      struct, n_cams: int, n_ims: int, n_keys: int,
+                      widths: GroupWidths) -> ParamPieces:
+    """Full [group-major] parameter vector -> per-link (count, width) pieces."""
+    cam_parts, im_parts, key_parts = [], [], []
+    for gi_, g in enumerate(op_fun.groups):
+        sl = struct.group_slice(gi_)
+        chunk = full[sl.start:sl.stop]
+        if g.link == key_type.PER_CAM:
+            cam_parts.append(chunk.reshape(n_cams, g.n))
+        elif g.link == key_type.PER_IMG:
+            im_parts.append(chunk.reshape(n_ims, g.n))
+        elif g.link == key_type.PER_KEY:
+            key_parts.append(chunk.reshape(n_keys, g.n))
+    z = full[:0]
+    cam = (jnp.concatenate(cam_parts, axis=1) if cam_parts
+           else z.reshape(n_cams, 0))
+    im = (jnp.concatenate(im_parts, axis=1) if im_parts
+          else z.reshape(max(n_ims, 1), 0)[:n_ims])
+    key = (jnp.concatenate(key_parts, axis=1) if key_parts
+           else z.reshape(max(n_keys, 1), 0)[:n_keys])
+    return ParamPieces(cam, im, key)
+
+
+def merge_pieces_to_full(pieces: ParamPieces, op_fun: OptimFunction, struct,
+                         n_cams: int, n_ims: int, n_keys: int) -> jnp.ndarray:
+    """Inverse of split_full_params."""
+    chunks = []
+    cam_off = im_off = key_off = 0
+    for g in op_fun.groups:
+        if g.link == key_type.PER_CAM:
+            chunks.append(pieces.cam[:, cam_off:cam_off + g.n].reshape(-1))
+            cam_off += g.n
+        elif g.link == key_type.PER_IMG:
+            chunks.append(pieces.im[:, im_off:im_off + g.n].reshape(-1))
+            im_off += g.n
+        elif g.link == key_type.PER_KEY:
+            chunks.append(pieces.key[:, key_off:key_off + g.n].reshape(-1))
+            key_off += g.n
+    return jnp.concatenate(chunks)
+
+
+def make_block_point_fn(op_fun: OptimFunction, widths: GroupWidths):
+    """fn(local (a+b+c,), template_pt (3,)) -> predicted uv (2,).
+
+    The local vector is ordered [cam cols | im cols | key cols], matching the
+    chain's group order (validated in chain_widths).
+    """
+    return op_fun.make_point_fn()
+
+
+def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
+                        n_cams: int, n_ims: int):
+    """Structured normal-equation builder over the (B, K) grid.
+
+    :return: neq(pieces, uv, mask, tpl, colmask) -> NormalEq, where
+        tpl is the (K,3) template table (zeros when the chain has key params)
+        and colmask is a ParamPieces of 0/1 unfixed masks.
+    """
+    point_fn = op_fun.make_point_fn()
+    a, b, c = widths.a, widths.b, widths.c
+
+    # one-hot block -> cam / block -> im matrices are tiny constants
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    onehot_cam_np = np.zeros((n_cams, n_cams * n_ims), dtype=np.float32)
+    onehot_cam_np[blk_cam, np.arange(n_cams * n_ims)] = 1.0
+    onehot_im_np = np.zeros((n_ims, n_cams * n_ims), dtype=np.float32)
+    onehot_im_np[blk_im, np.arange(n_cams * n_ims)] = 1.0
+    blk_cam_j = jnp.asarray(blk_cam)
+    blk_im_j = jnp.asarray(blk_im)
+
+    def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
+        dtype = uv.dtype
+        onehot_cam = jnp.asarray(onehot_cam_np, dtype=dtype)
+        onehot_im = jnp.asarray(onehot_im_np, dtype=dtype)
+
+        cam_b = pieces.cam[blk_cam_j]              # (B, a)
+        im_b = pieces.im[blk_im_j]                 # (B, b)
+        cmask_b = colmask.cam[blk_cam_j]           # (B, a)
+        imask_b = colmask.im[blk_im_j]             # (B, b)
+
+        def slot_fn(cam_p, im_p, key_p, t, u):
+            local = jnp.concatenate([cam_p, im_p, key_p])
+            return point_fn(local, t) - u
+
+        def slot_rj(cam_p, im_p, key_p, t, u):
+            f = lambda cp, ip, kp: slot_fn(cp, ip, kp, t, u)
+            r = f(cam_p, im_p, key_p)
+            jc, ji, jk = jax.jacfwd(f, argnums=(0, 1, 2))(cam_p, im_p, key_p)
+            return r, jc, ji, jk
+
+        # vmap over keys (inner) then blocks (outer)
+        per_key = jax.vmap(slot_rj, in_axes=(None, None, 0, 0, 0))
+        per_block = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
+        r, jc, ji, jk = per_block(cam_b, im_b, pieces.key, tpl, uv)
+        # r (B,K,2); jc (B,K,2,a); ji (B,K,2,b); jk (B,K,2,c)
+
+        m = mask[..., None]
+        r = r * m
+        jc = jc * m[..., None] * cmask_b[:, None, None, :]
+        ji = ji * m[..., None] * imask_b[:, None, None, :]
+        jk = jk * m[..., None] * colmask.key[None, :, None, :]
+
+        cost = jnp.sum(r * r)
+
+        # per-block grams (batched matmuls)
+        gcc_b = jnp.einsum("bkti,bktj->bij", jc, jc)          # (B,a,a)
+        gii_b = jnp.einsum("bkti,bktj->bij", ji, ji)          # (B,b,b)
+        wci = jnp.einsum("bkti,bktj->bij", jc, ji)            # (B,a,b)
+        hkk = jnp.einsum("bkti,bktj->kij", jk, jk)            # (K,c,c)
+        wck_b = jnp.einsum("bkti,bktj->bkij", jc, jk)         # (B,K,a,c)
+        wik_b = jnp.einsum("bkti,bktj->bkij", ji, jk)         # (B,K,b,c)
+
+        gc_b = jnp.einsum("bkti,bkt->bi", jc, r)              # (B,a)
+        gi_b = jnp.einsum("bkti,bkt->bi", ji, r)              # (B,b)
+        gk = jnp.einsum("bkti,bkt->ki", jk, r)                # (K,c)
+
+        # one-hot contractions: block axis -> cam / im axes (MXU matmuls)
+        bb = gcc_b.shape[0]
+        hcc = (onehot_cam @ gcc_b.reshape(bb, -1)).reshape(n_cams, a, a)
+        hii = (onehot_im @ gii_b.reshape(bb, -1)).reshape(n_ims, b, b)
+        gc = onehot_cam @ gc_b
+        gi = onehot_im @ gi_b
+        k_pad = jk.shape[1]
+        wck = (onehot_cam @ wck_b.reshape(bb, -1)).reshape(n_cams, k_pad, a, c)
+        wik = (onehot_im @ wik_b.reshape(bb, -1)).reshape(n_ims, k_pad, b, c)
+        wci = wci.reshape(n_cams, n_ims, a, b)  # a block IS one (c,i) pair
+
+        return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
+
+    return neq
+
+
+def neq_diag(neq: NormalEq) -> ParamPieces:
+    """Diagonals of the H blocks (for Jacobi scaling / damping)."""
+    return ParamPieces(
+        jnp.diagonal(neq.hcc, axis1=1, axis2=2),
+        jnp.diagonal(neq.hii, axis1=1, axis2=2),
+        jnp.diagonal(neq.hkk, axis1=1, axis2=2))
+
+
+def neq_matvec(neq: NormalEq, dx: ParamPieces) -> ParamPieces:
+    """H @ dx in structured form (for the LM model-reduction term)."""
+    oc = jnp.einsum("cij,cj->ci", neq.hcc, dx.cam)
+    oc = oc + jnp.einsum("ciab,ib->ca", neq.wci, dx.im)
+    oc = oc + jnp.einsum("ckap,kp->ca", neq.wck, dx.key)
+    oi = jnp.einsum("iab,ib->ia", neq.hii, dx.im)
+    oi = oi + jnp.einsum("ciab,ca->ib", neq.wci, dx.cam)
+    oi = oi + jnp.einsum("ikbp,kp->ib", neq.wik, dx.key)
+    ok = jnp.einsum("kpq,kq->kp", neq.hkk, dx.key)
+    ok = ok + jnp.einsum("ckap,ca->kp", neq.wck, dx.cam)
+    ok = ok + jnp.einsum("ikbp,ib->kp", neq.wik, dx.im)
+    return ParamPieces(oc, oi, ok)
+
+
+def schur_solve(neq: NormalEq, damp: ParamPieces) -> ParamPieces:
+    """Solve (H + diag(damp)) dx = -g by Schur elimination.
+
+    Eliminates the per-point blocks first (classic reduced camera system),
+    then solves the dense (cam+pose) system, then back-substitutes. When a
+    group is absent (zero width) its elimination is a no-op.
+    """
+    c_, i_, k_ = neq.hcc.shape[0], neq.hii.shape[0], neq.hkk.shape[0]
+    a, b, c = neq.hcc.shape[2], neq.hii.shape[2], neq.hkk.shape[2]
+    dtype = neq.gc.dtype
+
+    hcc = neq.hcc + jax.vmap(jnp.diag)(damp.cam)
+    hii = (neq.hii + jax.vmap(jnp.diag)(damp.im)) if b else neq.hii
+    hkk = (neq.hkk + jax.vmap(jnp.diag)(damp.key)) if c else neq.hkk
+
+    # --- eliminate points -------------------------------------------------
+    if c:
+        kinv = _normalized_inv(hkk)                               # (K,c,c)
+        uck = jnp.einsum("ckap,kpq->ckaq", neq.wck, kinv)         # (C,K,a,c)
+        uik = jnp.einsum("ikbp,kpq->ikbq", neq.wik, kinv)         # (I,K,b,c)
+        scc = -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck)        # (C,C,a,a)
+        sci = -jnp.einsum("ckap,ikbp->ciab", uck, neq.wik)        # (C,I,a,b)
+        sii = -jnp.einsum("ikap,jkbp->ijab", uik, neq.wik)        # (I,I,b,b)
+        gc = neq.gc - jnp.einsum("ckaq,kq->ca", uck, neq.gk)
+        gi = neq.gi - jnp.einsum("ikbq,kq->ib", uik, neq.gk) if b else neq.gi
+    else:
+        scc = jnp.zeros((c_, c_, a, a), dtype)
+        sci = jnp.zeros((c_, i_, a, b), dtype)
+        sii = jnp.zeros((i_, i_, b, b), dtype)
+        gc, gi = neq.gc, neq.gi
+
+    scc = _block_diag_add(scc, hcc)
+
+    if b:
+        sci = sci + neq.wci
+        sii = _block_diag_add(sii, hii)
+        # assemble the dense reduced (cam+pose) system
+        top = jnp.concatenate([
+            scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a),
+            sci.transpose(0, 2, 1, 3).reshape(c_ * a, i_ * b)], axis=1)
+        bot = jnp.concatenate([
+            sci.transpose(1, 3, 0, 2).reshape(i_ * b, c_ * a),
+            sii.transpose(0, 2, 1, 3).reshape(i_ * b, i_ * b)], axis=1)
+        amat = jnp.concatenate([top, bot], axis=0)
+        rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
+        sol = _psd_solve(amat, rhs)
+        dxc = sol[: c_ * a].reshape(c_, a)
+        dxi = sol[c_ * a:].reshape(i_, b)
+    else:
+        amat = scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a)
+        sol = _psd_solve(amat, -gc.reshape(-1))
+        dxc = sol.reshape(c_, a)
+        dxi = jnp.zeros((i_, b), dtype)
+
+    # --- back-substitute points -------------------------------------------
+    if c:
+        rk = -neq.gk - jnp.einsum("ckap,ca->kp", neq.wck, dxc)
+        if b:
+            rk = rk - jnp.einsum("ikbp,ib->kp", neq.wik, dxi)
+        dxk = jnp.einsum("kpq,kq->kp", kinv, rk)
+    else:
+        dxk = jnp.zeros((k_, c), dtype)
+
+    return ParamPieces(dxc, dxi, dxk)
+
+
+def _block_diag_add(full: jnp.ndarray, diag_blocks: jnp.ndarray) -> jnp.ndarray:
+    """full (N,N,a,a) += diag_blocks (N,a,a) on its block diagonal."""
+    n = diag_blocks.shape[0]
+    eye = jnp.eye(n, dtype=diag_blocks.dtype)
+    return full + eye[:, :, None, None] * diag_blocks[:, None, :, :]
+
+
+def _psd_solve(amat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Jacobi-normalized Cholesky solve.
+
+    Symmetric diagonal scaling maps the system to unit diagonal, removing the
+    fx^2-vs-rotation scale disparity that makes the raw system cond ~1e10 —
+    essential for the float32 TPU path. The ridge is relative to the unit
+    diagonal and scaled to the dtype's precision.
+    """
+    n = amat.shape[0]
+    d = jnp.sqrt(jnp.clip(jnp.diag(amat), 1e-30, None))
+    a_n = amat / d[:, None] / d[None, :]
+    ridge = jnp.asarray(10.0, amat.dtype) * jnp.finfo(amat.dtype).eps
+    a_n = a_n + ridge * jnp.eye(n, dtype=amat.dtype)
+    chol, lower = jax.scipy.linalg.cho_factor(a_n)
+    return jax.scipy.linalg.cho_solve((chol, lower), rhs / d) / d
+
+
+def _normalized_inv(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of small SPD blocks with Jacobi normalization."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(blocks, axis1=-2, axis2=-1), 1e-30, None))
+    b_n = blocks / d[..., :, None] / d[..., None, :]
+    inv_n = jnp.linalg.inv(b_n)
+    return inv_n / d[..., :, None] / d[..., None, :]

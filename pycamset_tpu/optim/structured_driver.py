@@ -1,0 +1,117 @@
+"""Builder gluing handlers to the structured Schur LM backend."""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pycamset_tpu.optim.chain import OptimFunction
+from pycamset_tpu.optim.structured import (
+    BlockArrays, ParamPieces, build_block_arrays, chain_widths,
+    make_structured_neq, merge_pieces_to_full, split_full_params)
+from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
+
+
+def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
+    """Compile a handler's problem onto the structured backend.
+
+    :return: (solve_fn(x0_free)->(x_free, SLMResult), residual_fn(x_free),
+              x0_free) — same contract as optim.driver.build_solver.
+    Raises ValueError when the chain does not fit the structured layout.
+    """
+    op_fun: OptimFunction = param_handler.op_fun
+    widths = chain_widths(op_fun)
+
+    x0 = np.asarray(param_handler.get_initial_params(), dtype=np.float64)
+    n_cams = len(param_handler.cam_names)
+    n_ims = int(param_handler.bundlePrimitive.poses.shape[0])
+    n_keys = param_handler.n_keys()
+    # the free-point chain has no image parameters, but every (cam, im) pair
+    # in the table still indexes a block on the grid
+    n_ims_grid = n_ims if widths.b else int(param_handler.detection.max_ims)
+
+    dd = param_handler.get_detection_data(flatten=True)
+    blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
+                                k_pad_multiple=k_pad_multiple)
+    k_pad = blocks.uv.shape[1]
+
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    base_full = param_handler.bundlePrimitive.base_full()
+    unfixed = param_handler.bundlePrimitive.unfixed_full()
+    base_full[unfixed] = x0
+    free_idx = np.where(unfixed)[0]
+
+    # template table padded to the key grid (zeros when keys are parameters)
+    tpl_tab = param_handler.template_table()
+    tpl_pad = np.zeros((k_pad, 3))
+    if tpl_tab is not None and op_fun.templated:
+        tpl_pad[:n_keys] = tpl_tab.reshape(-1, 3)
+
+    def to_pieces(full_np: np.ndarray) -> ParamPieces:
+        p = split_full_params(jnp.asarray(full_np, dtype=dtype), op_fun,
+                              struct, n_cams, n_ims, n_keys, widths)
+        # pad the key piece to the slot grid
+        key = jnp.zeros((k_pad, widths.c), dtype=dtype).at[:n_keys].set(p.key)
+        im = p.im if widths.b else jnp.zeros((n_ims_grid, 0), dtype=dtype)
+        return ParamPieces(p.cam, im, key)
+
+    colmask_np = np.zeros_like(base_full)
+    colmask_np[unfixed] = 1.0
+    colmask = to_pieces(colmask_np)
+
+    neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims_grid)
+    uv_d, mask_d = blocks.as_device(dtype)
+    tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
+    max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
+
+    @jax.jit
+    def solve_impl(x_pieces, uv, mask, tpl):
+        def neq_fn(p):
+            return neq_raw(p, uv, mask, tpl, colmask)
+        return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev)
+
+    from pycamset_tpu.optim.residuals import make_residual_fn  # noqa: F401
+    point_fn = op_fun.make_point_fn()
+    blk_cam = jnp.asarray(np.repeat(np.arange(n_cams), n_ims_grid))
+    blk_im = jnp.asarray(np.tile(np.arange(n_ims_grid), n_cams))
+
+    @jax.jit
+    def block_residual_impl(x_pieces, uv, mask, tpl):
+        cam_b = x_pieces.cam[blk_cam]
+        im_b = x_pieces.im[blk_im]
+
+        def slot(cp, ip, kp, t, u):
+            return point_fn(jnp.concatenate([cp, ip, kp]), t) - u
+
+        per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
+        per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
+        return per_blk(cam_b, im_b, x_pieces.key, tpl, uv) * mask[..., None]
+
+    # unpadded residual extraction in detection-table row order
+    cam_i = dd[:, 0].astype(int)
+    im_i = dd[:, 1].astype(int)
+    key_i = dd[:, 2].astype(int)
+    blk_i = cam_i * n_ims_grid + im_i
+
+    def apply_free(x_free: np.ndarray) -> ParamPieces:
+        full = base_full.copy()
+        full[free_idx] = np.asarray(x_free, dtype=np.float64)
+        return to_pieces(full)
+
+    def solve_fn(x_free: np.ndarray):
+        res: SLMResult = solve_impl(apply_free(x_free), uv_d, mask_d, tpl_d)
+        x_pieces = jax.tree_util.tree_map(np.asarray, res.x)
+        full = np.asarray(merge_pieces_to_full(
+            ParamPieces(jnp.asarray(x_pieces.cam, dtype=jnp.float64),
+                        (jnp.asarray(x_pieces.im, dtype=jnp.float64)
+                         if widths.b else jnp.zeros((n_ims, 0))),
+                        jnp.asarray(x_pieces.key[:n_keys], dtype=jnp.float64)),
+            op_fun, struct, n_cams, n_ims, n_keys))
+        return full[free_idx], res
+
+    def residual_fn(x_free: np.ndarray) -> np.ndarray:
+        r = np.asarray(block_residual_impl(apply_free(x_free), uv_d, mask_d, tpl_d))
+        return r[blk_i, key_i]
+
+    return solve_fn, residual_fn, x0

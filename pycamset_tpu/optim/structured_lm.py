@@ -1,0 +1,145 @@
+"""Levenberg–Marquardt over the structured (Schur) normal equations.
+
+Same algorithm as optim/lm.py (running-max Jacobi scaling, Nielsen damping,
+scipy-style termination) but the linear algebra runs on the block-structured
+system from optim/structured.py: no dense (P,P) matrix is ever formed for the
+eliminated groups, and there are no scatters anywhere in the iteration.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pycamset_tpu.optim.structured import (
+    NormalEq, ParamPieces, neq_diag, neq_matvec, schur_solve)
+
+
+class SLMState(NamedTuple):
+    x: ParamPieces
+    neq: NormalEq
+    scale2: ParamPieces
+    lam: jnp.ndarray
+    nu: jnp.ndarray
+    nfev: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+    history: jnp.ndarray
+
+
+class SLMResult(NamedTuple):
+    x: ParamPieces
+    cost: jnp.ndarray
+    nfev: jnp.ndarray
+    nit: jnp.ndarray
+    status: jnp.ndarray
+    history: jnp.ndarray
+
+
+def _pdot(p1: ParamPieces, p2: ParamPieces) -> jnp.ndarray:
+    return (jnp.sum(p1.cam * p2.cam) + jnp.sum(p1.im * p2.im)
+            + jnp.sum(p1.key * p2.key))
+
+
+def _pnorm(p: ParamPieces) -> jnp.ndarray:
+    return jnp.sqrt(_pdot(p, p))
+
+
+def _padd(p1: ParamPieces, p2: ParamPieces) -> ParamPieces:
+    return ParamPieces(p1.cam + p2.cam, p1.im + p2.im, p1.key + p2.key)
+
+
+def _pwhere(ok, p1: ParamPieces, p2: ParamPieces) -> ParamPieces:
+    return ParamPieces(jnp.where(ok, p1.cam, p2.cam),
+                       jnp.where(ok, p1.im, p2.im),
+                       jnp.where(ok, p1.key, p2.key))
+
+
+def _nwhere(ok, n1: NormalEq, n2: NormalEq) -> NormalEq:
+    return NormalEq(*[jnp.where(ok, f1, f2) for f1, f2 in zip(n1, n2)])
+
+
+def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
+                        x0: ParamPieces, *, max_nfev: int = 100,
+                        ftol: float = 1e-8, xtol: float = 1e-8,
+                        gtol: float = 1e-8, lam0: float = 1e-4,
+                        scale_floor: float = 1e-8) -> SLMResult:
+    """Minimise the structured BA cost; fully traceable (use under jit)."""
+    dtype = x0.cam.dtype
+    hist_len = max_nfev + 2
+    # scipy's 1e-8 defaults assume float64; clamp to the dtype's resolution
+    eps = float(jnp.finfo(dtype).eps)
+    ftol = max(ftol, 50 * eps)
+    xtol = max(xtol, 50 * eps)
+    gtol = max(gtol, 50 * eps)
+
+    neq0 = neq_fn(x0)
+    floor = jnp.asarray(scale_floor, dtype)
+    sc0 = ParamPieces(*[jnp.maximum(d, floor) for d in neq_diag(neq0)])
+    history0 = jnp.full((hist_len,), -1.0, dtype=dtype).at[0].set(neq0.cost)
+
+    init = SLMState(
+        x=x0, neq=neq0, scale2=sc0,
+        lam=jnp.asarray(lam0, dtype), nu=jnp.asarray(2.0, dtype),
+        nfev=jnp.asarray(1, jnp.int32), it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(0, jnp.int32), history=history0)
+
+    def grad_of(neq: NormalEq) -> ParamPieces:
+        return ParamPieces(neq.gc, neq.gi, neq.gk)
+
+    def cond(s: SLMState):
+        return s.status == 0
+
+    def body(s: SLMState):
+        damp = ParamPieces(s.lam * s.scale2.cam, s.lam * s.scale2.im,
+                           s.lam * s.scale2.key)
+        dx = schur_solve(s.neq, damp)
+        x_new = _padd(s.x, dx)
+
+        neq_new = neq_fn(x_new)
+        nfev = s.nfev + 1
+
+        g = grad_of(s.neq)
+        pred_red = -(_pdot(dx, g) + 0.5 * _pdot(dx, neq_matvec(s.neq, dx)))
+        act_red = s.neq.cost - neq_new.cost
+        rho = act_red / jnp.maximum(pred_red, jnp.finfo(dtype).tiny)
+        ok = jnp.isfinite(neq_new.cost) & (act_red > 0)
+
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(ok, jnp.maximum(s.lam * shrink, 1e-12), s.lam * s.nu)
+        nu = jnp.where(ok, jnp.asarray(2.0, dtype), s.nu * 2.0)
+
+        x = _pwhere(ok, x_new, s.x)
+        neq = _nwhere(ok, neq_new, s.neq)
+        d_new = neq_diag(neq_new)
+        scale2 = _pwhere(ok, ParamPieces(
+            jnp.maximum(s.scale2.cam, d_new.cam),
+            jnp.maximum(s.scale2.im, d_new.im),
+            jnp.maximum(s.scale2.key, d_new.key)), s.scale2)
+
+        it = s.it + 1
+        history = s.history.at[jnp.minimum(it, hist_len - 1)].set(neq.cost)
+
+        g_now = grad_of(neq)
+        scaled_g = jnp.maximum(
+            jnp.max(jnp.abs(g_now.cam) / jnp.sqrt(scale2.cam), initial=0.0),
+            jnp.maximum(
+                jnp.max(jnp.abs(g_now.im) / jnp.sqrt(scale2.im), initial=0.0),
+                jnp.max(jnp.abs(g_now.key) / jnp.sqrt(scale2.key), initial=0.0)))
+        step_small = _pnorm(dx) < xtol * (xtol + _pnorm(s.x))
+        cost_small = ok & (act_red < ftol * s.neq.cost)
+        status = jnp.where(nfev >= max_nfev, 4, 0)
+        status = jnp.where(scaled_g < gtol, 3, status)
+        status = jnp.where(ok & step_small, 2, status)
+        status = jnp.where(step_small & ~ok & (s.nu > 64), 2, status)
+        # stall: many consecutive rejections = at the dtype's noise floor
+        status = jnp.where(~ok & (s.nu > 1024), 2, status)
+        status = jnp.where(cost_small, 1, status)
+
+        return SLMState(x, neq, scale2, lam, nu, nfev, it,
+                        status.astype(jnp.int32), history)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return SLMResult(x=final.x, cost=final.neq.cost, nfev=final.nfev,
+                     nit=final.it, status=final.status, history=final.history)

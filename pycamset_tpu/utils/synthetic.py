@@ -1,0 +1,101 @@
+"""Synthetic rig generation for benchmarks, sharding dry-runs and tests.
+
+Builds a ground-truth multi-camera rig observing a planar grid target across
+many poses, with optional visibility dropout and pixel noise. The observation
+table matches the TargetDetection layout [cam, im, key, u, v].
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from pycamset_tpu.utils.general_utils import make_4x4h_tform, ext_4x4_to_rod
+
+
+def look_at_extrinsic(position: np.ndarray, to: np.ndarray) -> np.ndarray:
+    """A world->camera 4x4 whose +z axis looks from position to target."""
+    z = to - position
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z)) > 0.95:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    rot = np.stack([x, y, z])  # world->cam rows
+    ext = np.eye(4)
+    ext[:3, :3] = rot
+    ext[:3, 3] = -rot @ position
+    return ext
+
+
+def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
+                       visibility: float = 0.85, noise_px: float = 0.3,
+                       seed: int = 0, res=(1600, 1200)):
+    """Generate a rig + observations.
+
+    Cameras sit on a ring of radius ~1 m looking at the origin; the target
+    (grid x grid corners, 20 mm pitch) moves through random poses near the
+    origin. Observations outside the image or dropped by the visibility
+    fraction are removed.
+
+    :return: dict with intr (C,9), extr (C,6), poses (I,6), template (K,3),
+        dd (N,5) observation table, and metadata.
+    """
+    rng = np.random.default_rng(seed)
+    k = grid * grid
+    tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
+    tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
+
+    intr = np.zeros((n_cams, 9))
+    extr = np.zeros((n_cams, 6))
+    for c in range(n_cams):
+        f = rng.uniform(1400, 1600)
+        intr[c] = [f, res[0] / 2 + rng.normal() * 5,
+                   f * rng.uniform(0.99, 1.01), res[1] / 2 + rng.normal() * 5,
+                   rng.uniform(-0.25, -0.05), rng.uniform(0.0, 0.08),
+                   rng.normal() * 5e-4, rng.normal() * 5e-4,
+                   rng.uniform(-0.01, 0.01)]
+        ang = 2 * np.pi * c / n_cams
+        pos = np.array([np.cos(ang), np.sin(ang),
+                        rng.uniform(0.3, 0.8)]) * rng.uniform(0.9, 1.1)
+        rvec, tvec = ext_4x4_to_rod(look_at_extrinsic(pos, np.zeros(3)))
+        extr[c] = np.concatenate([rvec, tvec])
+
+    poses = np.zeros((n_ims, 6))
+    poses[:, :3] = rng.normal(size=(n_ims, 3)) * 0.4
+    poses[:, 3:] = rng.normal(size=(n_ims, 3)) * 0.15
+    poses[0] = 0.0  # gauge reference
+
+    # project everything (host numpy; mirrors the device projection model)
+    def project(c, pts):
+        fx, px, fy, py = intr[c, :4]
+        k1, k2, p1, p2, k3 = intr[c, 4:]
+        t = make_4x4h_tform(extr[c, :3], extr[c, 3:])
+        xc = pts @ t[:3, :3].T + t[:3, 3]
+        x = xc[:, 0] / xc[:, 2]
+        y = xc[:, 1] / xc[:, 2]
+        r2 = x * x + y * y
+        radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return np.stack([xd * fx + px, yd * fy + py], 1), xc[:, 2]
+
+    rows = []
+    for i in range(n_ims):
+        t = make_4x4h_tform(poses[i, :3], poses[i, 3:])
+        world = tpl @ t[:3, :3].T + t[:3, 3]
+        for c in range(n_cams):
+            uv, z = project(c, world)
+            ok = ((z > 0.1) & (uv[:, 0] > 0) & (uv[:, 0] < res[0])
+                  & (uv[:, 1] > 0) & (uv[:, 1] < res[1])
+                  & (rng.uniform(size=k) < visibility))
+            kk = np.where(ok)[0]
+            obs = uv[kk] + rng.normal(size=(len(kk), 2)) * noise_px
+            rows.append(np.column_stack([
+                np.full(len(kk), c), np.full(len(kk), i), kk, obs]))
+    dd = np.concatenate(rows, axis=0)
+    return {
+        "intr": intr, "extr": extr, "poses": poses, "template": tpl,
+        "dd": dd, "n_cams": n_cams, "n_ims": n_ims, "n_keys": k,
+        "noise_px": noise_px,
+    }

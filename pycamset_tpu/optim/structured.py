@@ -186,37 +186,19 @@ def make_block_point_fn(op_fun: OptimFunction, widths: GroupWidths):
     return op_fun.make_point_fn()
 
 
-def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
-                        n_cams: int, n_ims: int):
-    """Structured normal-equation builder over the (B, K) grid.
+def make_block_grams(op_fun: OptimFunction, widths: GroupWidths):
+    """Per-block gram builder — the shardable inner kernel.
 
-    :return: neq(pieces, uv, mask, tpl, colmask) -> NormalEq, where
-        tpl is the (K,3) template table (zeros when the chain has key params)
-        and colmask is a ParamPieces of 0/1 unfixed masks.
+    :return: grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask)
+        over a (possibly local shard of the) block axis, returning
+        (r-derived) per-block tensors plus key-axis partial sums:
+        gcc_b (B,a,a), gii_b (B,b,b), wci_b (B,a,b), hkk (K,c,c),
+        wck_b (B,K,a,c), wik_b (B,K,b,c), gc_b (B,a), gi_b (B,b),
+        gk (K,c), cost.
     """
     point_fn = op_fun.make_point_fn()
-    a, b, c = widths.a, widths.b, widths.c
 
-    # one-hot block -> cam / block -> im matrices are tiny constants
-    blk_cam = np.repeat(np.arange(n_cams), n_ims)
-    blk_im = np.tile(np.arange(n_ims), n_cams)
-    onehot_cam_np = np.zeros((n_cams, n_cams * n_ims), dtype=np.float32)
-    onehot_cam_np[blk_cam, np.arange(n_cams * n_ims)] = 1.0
-    onehot_im_np = np.zeros((n_ims, n_cams * n_ims), dtype=np.float32)
-    onehot_im_np[blk_im, np.arange(n_cams * n_ims)] = 1.0
-    blk_cam_j = jnp.asarray(blk_cam)
-    blk_im_j = jnp.asarray(blk_im)
-
-    def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
-        dtype = uv.dtype
-        onehot_cam = jnp.asarray(onehot_cam_np, dtype=dtype)
-        onehot_im = jnp.asarray(onehot_im_np, dtype=dtype)
-
-        cam_b = pieces.cam[blk_cam_j]              # (B, a)
-        im_b = pieces.im[blk_im_j]                 # (B, b)
-        cmask_b = colmask.cam[blk_cam_j]           # (B, a)
-        imask_b = colmask.im[blk_im_j]             # (B, b)
-
+    def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         def slot_fn(cam_p, im_p, key_p, t, u):
             local = jnp.concatenate([cam_p, im_p, key_p])
             return point_fn(local, t) - u
@@ -230,39 +212,78 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         # vmap over keys (inner) then blocks (outer)
         per_key = jax.vmap(slot_rj, in_axes=(None, None, 0, 0, 0))
         per_block = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
-        r, jc, ji, jk = per_block(cam_b, im_b, pieces.key, tpl, uv)
+        r, jc, ji, jk = per_block(cam_b, im_b, keyp, tpl, uv)
         # r (B,K,2); jc (B,K,2,a); ji (B,K,2,b); jk (B,K,2,c)
 
         m = mask[..., None]
         r = r * m
         jc = jc * m[..., None] * cmask_b[:, None, None, :]
         ji = ji * m[..., None] * imask_b[:, None, None, :]
-        jk = jk * m[..., None] * colmask.key[None, :, None, :]
+        jk = jk * m[..., None] * kmask[None, :, None, :]
 
         cost = jnp.sum(r * r)
 
-        # per-block grams (batched matmuls)
-        gcc_b = jnp.einsum("bkti,bktj->bij", jc, jc)          # (B,a,a)
-        gii_b = jnp.einsum("bkti,bktj->bij", ji, ji)          # (B,b,b)
-        wci = jnp.einsum("bkti,bktj->bij", jc, ji)            # (B,a,b)
-        hkk = jnp.einsum("bkti,bktj->kij", jk, jk)            # (K,c,c)
-        wck_b = jnp.einsum("bkti,bktj->bkij", jc, jk)         # (B,K,a,c)
-        wik_b = jnp.einsum("bkti,bktj->bkij", ji, jk)         # (B,K,b,c)
+        # per-block grams (batched matmuls on the MXU)
+        gcc_b = jnp.einsum("bkti,bktj->bij", jc, jc)
+        gii_b = jnp.einsum("bkti,bktj->bij", ji, ji)
+        wci_b = jnp.einsum("bkti,bktj->bij", jc, ji)
+        hkk = jnp.einsum("bkti,bktj->kij", jk, jk)
+        wck_b = jnp.einsum("bkti,bktj->bkij", jc, jk)
+        wik_b = jnp.einsum("bkti,bktj->bkij", ji, jk)
+        gc_b = jnp.einsum("bkti,bkt->bi", jc, r)
+        gi_b = jnp.einsum("bkti,bkt->bi", ji, r)
+        gk = jnp.einsum("bkti,bkt->ki", jk, r)
 
-        gc_b = jnp.einsum("bkti,bkt->bi", jc, r)              # (B,a)
-        gi_b = jnp.einsum("bkti,bkt->bi", ji, r)              # (B,b)
-        gk = jnp.einsum("bkti,bkt->ki", jk, r)                # (K,c)
+        return gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost
+
+    return grams
+
+
+def block_onehots(n_cams: int, n_ims: int):
+    """(C,B) and (I,B) one-hot block->cam / block->im matrices (row-major)."""
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    onehot_cam = np.zeros((n_cams, n_cams * n_ims), dtype=np.float32)
+    onehot_cam[blk_cam, np.arange(n_cams * n_ims)] = 1.0
+    onehot_im = np.zeros((n_ims, n_cams * n_ims), dtype=np.float32)
+    onehot_im[blk_im, np.arange(n_cams * n_ims)] = 1.0
+    return blk_cam, blk_im, onehot_cam, onehot_im
+
+
+def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
+                        n_cams: int, n_ims: int):
+    """Structured normal-equation builder over the (B, K) grid.
+
+    :return: neq(pieces, uv, mask, tpl, colmask) -> NormalEq, where
+        tpl is the (K,3) template table (zeros when the chain has key params)
+        and colmask is a ParamPieces of 0/1 unfixed masks.
+    """
+    a, b, c = widths.a, widths.b, widths.c
+    grams = make_block_grams(op_fun, widths)
+    blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
+    blk_cam_j = jnp.asarray(blk_cam)
+    blk_im_j = jnp.asarray(blk_im)
+
+    def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
+        dtype = uv.dtype
+        onehot_cam = jnp.asarray(onehot_cam_np, dtype=dtype)
+        onehot_im = jnp.asarray(onehot_im_np, dtype=dtype)
+
+        (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
+         cost) = grams(pieces.cam[blk_cam_j], pieces.im[blk_im_j], pieces.key,
+                       tpl, uv, mask, colmask.cam[blk_cam_j],
+                       colmask.im[blk_im_j], colmask.key)
 
         # one-hot contractions: block axis -> cam / im axes (MXU matmuls)
         bb = gcc_b.shape[0]
+        k_pad = wck_b.shape[1]
         hcc = (onehot_cam @ gcc_b.reshape(bb, -1)).reshape(n_cams, a, a)
         hii = (onehot_im @ gii_b.reshape(bb, -1)).reshape(n_ims, b, b)
         gc = onehot_cam @ gc_b
         gi = onehot_im @ gi_b
-        k_pad = jk.shape[1]
         wck = (onehot_cam @ wck_b.reshape(bb, -1)).reshape(n_cams, k_pad, a, c)
         wik = (onehot_im @ wik_b.reshape(bb, -1)).reshape(n_ims, k_pad, b, c)
-        wci = wci.reshape(n_cams, n_ims, a, b)  # a block IS one (c,i) pair
+        wci = wci_b.reshape(n_cams, n_ims, a, b)  # a block IS one (c,i) pair
 
         return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
 

@@ -1,0 +1,83 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pycamset_tpu.optim.blocks import Extrinsic3D, Projection, TemplatePoints
+from pycamset_tpu.optim.chain import OptimFunction
+from pycamset_tpu.optim.structured import (
+    ParamPieces, build_block_arrays, chain_widths, make_structured_neq,
+    split_full_params)
+from pycamset_tpu.parallel.mesh import detection_mesh
+from pycamset_tpu.parallel.sharded_structured import (
+    make_sharded_structured_neq, make_sharded_structured_solver,
+    shard_block_arrays)
+from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def setup():
+    rig = make_synthetic_rig(n_cams=4, n_ims=8, grid=4, visibility=0.85,
+                             noise_px=0.4, seed=7)
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl = jnp.asarray(tpl_pad)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    pieces = ParamPieces(pieces.cam, pieces.im, jnp.zeros((k_pad, 0)))
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a)),
+                          jnp.ones((n_ims, widths.b)).at[0].set(0.0),
+                          jnp.ones((k_pad, 0)))
+    return op_fun, widths, struct, pieces, colmask, uv, mask, tpl, n_cams, n_ims, blocks
+
+
+def test_sharded_neq_matches_single_device():
+    (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims, blocks) = setup()
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask)
+
+    neq_single = jax.jit(make_structured_neq(op_fun, widths, n_cams, n_ims))
+    neq_sharded = jax.jit(
+        make_sharded_structured_neq(op_fun, widths, n_cams, n_ims, mesh))
+
+    ref = neq_single(pieces, uv, mask, tpl, colmask)
+    got = neq_sharded(pieces, uv_s, mask_s, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10,
+                                   atol=1e-10, err_msg=name)
+
+
+def test_sharded_lm_step_runs_and_converges():
+    (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims, blocks) = setup()
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask)
+
+    # perturb then solve on the mesh
+    pert = ParamPieces(
+        pieces.cam + np.random.default_rng(0).normal(
+            size=pieces.cam.shape) * 1e-4,
+        pieces.im, pieces.key)
+    solve = make_sharded_structured_solver(
+        op_fun, widths, n_cams, n_ims, mesh, colmask, max_nfev=30)
+    res = solve(pert, uv_s, mask_s, tpl)
+    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    assert rms < 0.45  # at the injected 0.4 px noise floor
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -18,6 +18,12 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# TPU MXU matmuls default to bfloat16 input precision, which poisons the
+# Jacobian/gram products of the bundle adjustment (LM degrades from ~6 to
+# ~95 iterations). Geometry demands full f32 multiply-accumulate; the 2x MXU
+# cost is irrelevant next to the 19x iteration saving.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -399,7 +399,14 @@ def _psd_solve(amat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     ridge = jnp.asarray(10.0, amat.dtype) * jnp.finfo(amat.dtype).eps
     a_n = a_n + ridge * jnp.eye(n, dtype=amat.dtype)
     chol, lower = jax.scipy.linalg.cho_factor(a_n)
-    return jax.scipy.linalg.cho_solve((chol, lower), rhs / d) / d
+    rhs_n = rhs / d
+    sol = jax.scipy.linalg.cho_solve((chol, lower), rhs_n)
+    # two steps of iterative refinement: recovers step accuracy lost to the
+    # finite-precision factorisation (matters for the f32 TPU path)
+    for _ in range(2):
+        resid = rhs_n - a_n @ sol
+        sol = sol + jax.scipy.linalg.cho_solve((chol, lower), resid)
+    return sol / d
 
 
 def _normalized_inv(blocks: jnp.ndarray) -> jnp.ndarray:

@@ -237,9 +237,12 @@ class AbstractTarget(ABC):
     # ------------------------------------------------------- pose utilities
 
     def pose_in_detections(self, detections: TargetDetection, camset,
-                           ref_cam=0) -> tuple[list[np.ndarray], np.ndarray]:
+                           ref_cam=0, outliers: str = "ask"
+                           ) -> tuple[list[np.ndarray], np.ndarray]:
         """World-frame target poses per image, with MAD outlier filtering.
 
+        :param outliers: 'ask' prompts interactively, 'y' removes outliers,
+            'n' keeps them.
         :return poses: list of found 4x4 poses.
         :return p_detected: boolean array — was a pose found in each image.
         """
@@ -274,7 +277,7 @@ class AbstractTarget(ABC):
             if ans is None:
                 logging.info(f"No outliers detected in iteration {num_loops}.")
                 break
-            user_in = "g"
+            user_in = outliers
             while user_in not in ("y", "n"):
                 print(f"Outliers detected in iteration {num_loops}.")
                 user_in = input("Do you wish to remove these outliers?: \n y/n: ")

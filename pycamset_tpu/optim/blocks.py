@@ -33,11 +33,17 @@ from pycamset_tpu.ops.transforms import pose_apply
 
 
 class key_type(enum.IntEnum):
-    """Binds a parameter group to a detection table column."""
+    """Binds a parameter group to a detection table column.
+
+    PER_GROUP binds to a handler-supplied per-detection group index (e.g.
+    which of several rigidly-coupled targets a feature belongs to) — the
+    mechanism behind multi-target extensions.
+    """
     PER_CAM = 0
     PER_IMG = 1
     PER_KEY = 2
     SINGLE = 3
+    PER_GROUP = 4
 
 
 @dataclass(frozen=True)
@@ -144,6 +150,12 @@ class FreePoint(FunctionBlock):
 
     def compute(self, params, inp):
         return params
+
+
+class GroupRigidTform3d(RigidTform3d):
+    """SE(3) transform bound per feature group — e.g. the relative pose of
+    each of several rigidly-coupled calibration targets."""
+    params = ParamSpec(key_type.PER_GROUP, 6)
 
 
 # reference-style lowercase aliases (template_handler.py:152 spells the chain

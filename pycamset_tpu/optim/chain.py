@@ -44,19 +44,24 @@ class ParamStruct:
                      int(self.starts[gi]) + self.groups[gi].n * self.counts[gi])
 
     def build_cols(self, cam_idx: np.ndarray, im_idx: np.ndarray,
-                   key_idx: np.ndarray) -> np.ndarray:
+                   key_idx: np.ndarray,
+                   group_idx: np.ndarray | None = None) -> np.ndarray:
         """Per-detection gather indices into the full parameter vector.
 
+        :param group_idx: per-detection PER_GROUP index (required iff the
+            chain has PER_GROUP parameters).
         :return: (N, L) int32 where L = sum of unique-group param counts.
         """
         link_cols = {key_type.PER_CAM: cam_idx, key_type.PER_IMG: im_idx,
-                     key_type.PER_KEY: key_idx}
+                     key_type.PER_KEY: key_idx, key_type.PER_GROUP: group_idx}
         parts = []
         for g, start in zip(self.groups, self.starts):
             if g.link == key_type.SINGLE:
                 idx = np.zeros_like(cam_idx)
             else:
                 idx = link_cols[g.link]
+                if idx is None:
+                    raise ValueError(f"chain needs a {g.link.name} index column")
             parts.append(start + idx[:, None] * g.n + np.arange(g.n)[None, :])
         return np.concatenate(parts, axis=1).astype(np.int32)
 
@@ -117,8 +122,10 @@ class OptimFunction:
 
         return point_fn
 
-    def param_struct(self, n_cams: int, n_ims: int, n_keys: int) -> ParamStruct:
+    def param_struct(self, n_cams: int, n_ims: int, n_keys: int,
+                     n_groups: int = 0) -> ParamStruct:
         """Instantiate the global parameter layout for a problem size."""
         count_of = {key_type.PER_CAM: n_cams, key_type.PER_IMG: n_ims,
-                    key_type.PER_KEY: n_keys, key_type.SINGLE: 1}
+                    key_type.PER_KEY: n_keys, key_type.SINGLE: 1,
+                    key_type.PER_GROUP: n_groups}
         return ParamStruct(self.groups, [count_of[g.link] for g in self.groups])

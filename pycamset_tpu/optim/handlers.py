@@ -266,15 +266,24 @@ class TemplateBundleHandler:
         optimises the geometry instead."""
         return self.point_data.reshape(-1, 3)
 
+    def n_groups(self) -> int:
+        """Count of PER_GROUP parameter blocks (multi-target extensions)."""
+        return 0
+
+    def group_of_key(self):
+        """key -> PER_GROUP index mapping, or None when the chain has none."""
+        return None
+
     def build_problem(self, pad_multiple: int = 512):
         """Build (ParamStruct, DetectionArrays) for the device solver."""
         struct = self.op_fun.param_struct(
             len(self.cam_names), self.bundlePrimitive.poses.shape[0],
-            self.n_keys())
+            self.n_keys(), n_groups=self.n_groups())
         dd = self.get_detection_data(flatten=True)
         det = build_detection_arrays(self.op_fun, struct, dd,
                                      self.template_table(),
-                                     pad_multiple=pad_multiple)
+                                     pad_multiple=pad_multiple,
+                                     group_of_key=self.group_of_key())
         return struct, det
 
     # ------------------------------------------------- initial parametrisation

@@ -56,9 +56,14 @@ def pad_to_bucket(n: int, multiple: int = 512) -> int:
 
 def build_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
                            dd: np.ndarray, template_table: np.ndarray | None,
-                           pad_multiple: int = 512) -> DetectionArrays:
+                           pad_multiple: int = 512,
+                           group_of_key: np.ndarray | None = None
+                           ) -> DetectionArrays:
     """Pack a flattened detection table [cam, im, key, u, v] into padded,
     statically-shaped arrays ready for the device residual.
+
+    :param group_of_key: optional key -> PER_GROUP index mapping for chains
+        with group-linked parameters (e.g. multi-target rigs).
     """
     cam_idx = dd[:, 0].astype(np.int64)
     im_idx = dd[:, 1].astype(np.int64)
@@ -66,7 +71,10 @@ def build_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
     uv = dd[:, 3:5].astype(np.float64)
     n = dd.shape[0]
 
-    cols = struct.build_cols(cam_idx, im_idx, key_idx)
+    group_idx = None
+    if group_of_key is not None:
+        group_idx = np.asarray(group_of_key, dtype=np.int64)[key_idx]
+    cols = struct.build_cols(cam_idx, im_idx, key_idx, group_idx)
     if template_table is not None and op_fun.templated:
         tpl = template_table.reshape(-1, 3)[key_idx]
     else:

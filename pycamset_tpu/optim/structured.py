@@ -74,7 +74,8 @@ def chain_widths(op_fun: OptimFunction) -> GroupWidths:
         elif g.link == key_type.PER_KEY:
             c += g.n
         else:
-            raise ValueError("SINGLE groups unsupported on the structured path")
+            raise ValueError(
+                f"{g.link.name} groups unsupported on the structured path")
     # the structured path assumes cam groups come first, then img, then key —
     # true for all shipped chains (the local slice must split contiguously)
     order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY]

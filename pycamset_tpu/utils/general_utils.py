@@ -318,6 +318,34 @@ def sensor_map(map_type, intrinsics, res=(1600, 1200), dist_coefs=None):
     return s_map
 
 
+def adaptive_decimated_charuco_detection_stereo(
+        frame, charuco_board, aruco_dict=None,
+        rescale_corners_to_original: bool = True, max_decimation: int = 12):
+    """Sweep decimation factors and keep the one detecting the most corners.
+
+    Useful for very high resolution images where full-res detection fails.
+    (Implemented with the CharucoDetector API; the legacy detectMarkers /
+    interpolateCornersCharuco functions were removed in OpenCV 5.)
+
+    :return: (corners (n,2) or None, ids (n,) or None, optimal_decimation)
+    """
+    from cv2 import aruco
+    detector = aruco.CharucoDetector(charuco_board)
+    best = (None, None, 1)
+    max_corners = 0
+    for d in range(1, max_decimation):
+        dec = frame[::d, ::d]
+        c_corners, c_ids, _, _ = detector.detectBoard(np.ascontiguousarray(dec))
+        if c_corners is not None and len(c_corners) > max_corners:
+            max_corners = len(c_corners)
+            best = (np.asarray(c_corners).reshape(-1, 2),
+                    np.asarray(c_ids).reshape(-1), d)
+    corners, ids, d = best
+    if corners is not None and rescale_corners_to_original:
+        corners = corners * d
+    return corners, ids, d
+
+
 def write_colour_ply(f_name, verts, cols):
     """Write an ascii colour point cloud."""
     with open(f_name, "w") as f:

@@ -1,0 +1,84 @@
+"""Tests of the extension machinery and exports: two-target handler (PER_GROUP
+params), MVSNet scene export, profiling helpers."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+class TestTwoTargetExtension:
+    def test_relative_pose_recovered(self):
+        from extend_param_handler import synthetic_demo
+        rel, rel_true, rms = synthetic_demo()
+        assert rms < 0.15  # at the injected 0.1 px noise floor
+        np.testing.assert_allclose(rel, rel_true, atol=1e-3)
+
+
+class TestMVSNetExport:
+    def test_write_to_txt(self, tmp_path):
+        from pycamset_tpu.models.camera import Camera
+        from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+        from pycamset_tpu.reconstruction.acmmp_utils import ReconParams
+        from pycamset_tpu.utils.general_utils import make_4x4h_tform
+        import numpy as np
+
+        k = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+        exts = [make_4x4h_tform((0, 2 * np.pi * i / 6, 0), (0, 0, 0.3))
+                for i in range(6)]
+        cams = CameraSet(camera_dict=make_cam_dict(
+            [f"c{i}" for i in range(6)], exts, [k] * 6,
+            [np.zeros(5)] * 6, [[640, 480]] * 6))
+        out = tmp_path / "mvsnet"
+        out.mkdir()
+        ims = [np.zeros((480, 640), dtype=np.uint8)] * 6
+        cams.write_to_txt(out, ReconParams(max_n_view=3), ims=ims)
+
+        cam_txt = (out / "00000000_cam.txt").read_text()
+        assert cam_txt.startswith("extrinsic\n")
+        assert "intrinsic" in cam_txt
+        pair = (tmp_path / "pair.txt").read_text()
+        assert pair.startswith("6\n0\n")
+        assert (tmp_path / "images" / "00000000.jpg").exists()
+
+    def test_single_cam_txt_round_trip(self, tmp_path):
+        from pycamset_tpu.models.camera import Camera
+        cam = Camera()
+        f = tmp_path / "cam.txt"
+        cam.to_MVSnet_txt(f, (0.1, 0.8), 192)
+        lines = f.read_text().splitlines()
+        ext = np.array([[float(v) for v in line.split()]
+                        for line in lines[1:5]])
+        np.testing.assert_allclose(ext, cam.extrinsic)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        import jax.numpy as jnp
+        from pycamset_tpu.utils.profiling import StepTimer, annotate
+        timer = StepTimer()
+        with annotate("test-region"):
+            out = timer.timed("matmul", lambda: jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+        assert out.shape == (64, 64)
+        assert "matmul" in timer.report()
+
+
+class TestAdaptiveDetection:
+    def test_decimation_sweep(self):
+        import cv2
+        from cv2 import aruco
+        from pycamset_tpu.utils.general_utils import (
+            adaptive_decimated_charuco_detection_stereo)
+        board = aruco.CharucoBoard(
+            (8, 8), 0.004, 0.0032,
+            aruco.getPredefinedDictionary(aruco.DICT_4X4_1000))
+        im = board.generateImage((1600, 1600))
+        corners, ids, d = adaptive_decimated_charuco_detection_stereo(im, board)
+        assert corners is not None and len(corners) > 30
+        assert corners.max() <= 1600
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -99,29 +99,74 @@ def make_optimisation_function(param_handler: TemplateBundleHandler,
                                ) -> tuple[Callable, Callable | None, np.ndarray]:
     """A (loss_fn, jac_fn, init_params) triple over the free parameters.
 
-    loss_fn returns the flattened residual vector; jac_fn returns the dense
-    residual Jacobian (computed by jacfwd of the whole residual — present for
-    API parity and small problems; the LM path never materialises it).
+    API parity with the reference (optimisation_handling.py:24-49): loss_fn
+    returns the flattened residual vector and jac_fn a scipy.sparse.csr_array
+    of shape (2*n_det, n_free) — device-evaluated per-detection local
+    Jacobians scattered into CSR on the host. Directly consumable by
+    scipy.optimize.least_squares.
     """
+    from scipy.sparse import csr_array
+
+    from pycamset_tpu.optim.residuals import make_local_jac_fn
+
     logging.info("getting initial params")
-    _, residual_fn, init_params = build_solver(param_handler)
+    dtype = default_device_dtype()
+    op_fun = param_handler.op_fun
+    x0 = np.asarray(param_handler.get_initial_params(), dtype=np.float64)
+    struct, det = param_handler.build_problem()
+    cols_np = det.cols[: det.n_real]
+    darrs = det.as_device(dtype)
+
+    base_full = param_handler.bundlePrimitive.base_full()
+    unfixed = param_handler.bundlePrimitive.unfixed_full()
+    base_full[unfixed] = x0
+    free_idx = np.where(unfixed)[0]
+    full_to_free = np.full(struct.total, -1, dtype=np.int64)
+    full_to_free[free_idx] = np.arange(free_idx.size)
+
+    residual = jax.jit(make_residual_fn(op_fun))
+    local_jac = jax.jit(make_local_jac_fn(op_fun))
+    free_idx_j = jnp.asarray(free_idx, dtype=jnp.int32)
+    base_dev = jnp.asarray(base_full, dtype=dtype)
+
+    def full_of(x):
+        return base_dev.at[free_idx_j].set(jnp.asarray(x, dtype=dtype))
 
     def loss_fn(x):
-        return residual_fn(x).reshape(-1)
+        r = np.asarray(residual(full_of(x), *darrs))[: det.n_real]
+        return r.reshape(-1)
 
     jac_fn = None
     if param_handler.can_make_jac():
-        def jac_fn(x):
-            f = lambda xx: jnp.asarray(residual_fn(np.asarray(xx))).reshape(-1)
-            eps = 1e-7
-            cols = []
-            for j in range(len(x)):
-                dx = np.zeros_like(x)
-                dx[j] = eps
-                cols.append((loss_fn(x + dx) - loss_fn(x - dx)) / (2 * eps))
-            return np.stack(cols, axis=1)
+        # precompute the CSR sparsity (free columns only); rows interleave
+        # (x_i, y_i) per detection, matching the loss ordering
+        col_free = full_to_free[cols_np]                    # (N, L), -1 = fixed
+        keep = col_free >= 0
+        counts = keep.sum(axis=1)                           # entries per row
+        total = int(counts.sum())
+        indptr = np.concatenate(
+            [[0], np.cumsum(np.repeat(counts, 2))]).astype(np.int64)
+        # positions of the x-row / y-row entries in the data array
+        blk_start = np.concatenate([[0], np.cumsum(2 * counts)[:-1]])
+        ent_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total) - np.repeat(ent_start, counts)
+        x_pos = np.repeat(blk_start, counts) + within
+        y_pos = x_pos + np.repeat(counts, counts)
+        flat_cols = col_free[keep]
+        indices = np.empty(2 * total, dtype=np.int64)
+        indices[x_pos] = flat_cols
+        indices[y_pos] = flat_cols
 
-    return loss_fn, jac_fn, init_params
+        def jac_fn(x):
+            _, jac = local_jac(full_of(x), *darrs)
+            jac = np.asarray(jac)[: det.n_real]             # (N,2,L)
+            data = np.empty(2 * total)
+            data[x_pos] = jac[:, 0][keep]
+            data[y_pos] = jac[:, 1][keep]
+            return csr_array((data, indices, indptr),
+                             shape=(2 * det.n_real, free_idx.size))
+
+    return loss_fn, jac_fn, x0
 
 
 def run_bundle_adjustment(param_handler: TemplateBundleHandler,
@@ -134,7 +179,33 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
     """
     logging.info("Making optimisation problem")
     dtype = dtype or default_device_dtype()
-    if backend in ("auto", "structured"):
+    if backend == "scipy":
+        # reference-equivalent solver path: scipy TRF with the sparse
+        # analytic Jacobian (device-evaluated) — kept for parity validation
+        from scipy.optimize import least_squares
+        loss_fn, jac_fn, init_params = make_optimisation_function(param_handler)
+
+        class _ScipyResult:
+            pass
+
+        def solve_fn(x0):
+            sol = least_squares(
+                loss_fn, x0, jac=jac_fn,
+                verbose=param_handler.problem_opts.get("verbosity", 0),
+                max_nfev=param_handler.problem_opts.get("max_nfev", 100),
+                x_scale="jac")
+            res = _ScipyResult()
+            res.cost = 2.0 * sol.cost  # scipy cost = 0.5 * sum(r^2)
+            res.nfev = sol.nfev
+            res.nit = sol.nfev
+            res.status = sol.status
+            res.history = np.array([2.0 * sol.cost])
+            return np.asarray(sol.x, dtype=np.float64), res
+
+        def residual_fn(x):
+            return loss_fn(x).reshape(-1, 2)
+
+    elif backend in ("auto", "structured"):
         try:
             from pycamset_tpu.optim.structured_driver import (
                 build_structured_problem)

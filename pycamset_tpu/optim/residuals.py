@@ -115,6 +115,29 @@ def make_cost_fn(op_fun: OptimFunction):
     return cost
 
 
+def make_local_jac_fn(op_fun: OptimFunction):
+    """(params_full, ...) -> (residuals (N,2), local jacobians (N,2,L)).
+
+    The raw per-detection pieces, for host-side sparse-Jacobian assembly
+    (scipy interop) — the analogue of the reference's generated full_jac.
+    """
+    point_fn = op_fun.make_point_fn()
+
+    def local_jac(params_full, cols, tpl, uv, mask):
+        local = params_full[cols]
+
+        def res_one(lp, t, u):
+            return point_fn(lp, t) - u
+
+        def rj(lp, t, u):
+            return res_one(lp, t, u), jax.jacfwd(res_one)(lp, t, u)
+
+        r, jac = jax.vmap(rj)(local, tpl, uv)
+        return r * mask[:, None], jac * mask[:, None, None]
+
+    return local_jac
+
+
 def make_neq_fn(op_fun: OptimFunction):
     """Normal-equation builder.
 

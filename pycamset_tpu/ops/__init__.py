@@ -8,7 +8,7 @@ from pycamset_tpu.ops.rotations import (
 from pycamset_tpu.ops.transforms import (
     pose_to_se3, se3_to_pose, pose_to_h4, se3_apply, pose_apply, se3_inv,
     pose_inv, se3_compose, h_tform, project_h, rigid_fit, geometric_median,
-    pairwise_dist,
+    pairwise_dist, make_cartesian, make_polar,
 )
 from pycamset_tpu.ops.distortion import (
     distort_normalized, distort_pixels, undistort_normalized, undistort_pixels,

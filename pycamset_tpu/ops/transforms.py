@@ -118,6 +118,23 @@ def geometric_median(pts: jnp.ndarray, iters: int = 50, eps: float = 1e-12) -> j
     return jax.lax.fori_loop(0, iters, body, init)
 
 
+def make_cartesian(polar: jnp.ndarray) -> jnp.ndarray:
+    """Spherical (theta, phi) (...,2) -> cartesian unit vectors (...,3)."""
+    theta = polar[..., 0]
+    phi = polar[..., 1]
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                      jnp.cos(theta)], axis=-1)
+
+
+def make_polar(xyz: jnp.ndarray) -> jnp.ndarray:
+    """Cartesian unit vectors (...,3) -> spherical (theta, phi) (...,2)."""
+    n = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    theta = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(n[..., 1], n[..., 0])
+    return jnp.stack([theta, phi], axis=-1)
+
+
 def pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Euclidean distance matrix between (N,3) and (M,3)."""
     d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)

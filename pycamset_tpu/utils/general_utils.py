@@ -170,6 +170,19 @@ def get_close_square_tuple(n) -> tuple[int, int]:
     return (x, math.ceil(n / x))
 
 
+def grouper(iterable, n, fillvalue=None):
+    """Iterate n items at a time (last group padded with fillvalue)."""
+    from itertools import zip_longest
+    args = [iter(iterable)] * n
+    return zip_longest(*args, fillvalue=fillvalue)
+
+
+def colourmap_to_colour_list(length, colourmap):
+    """Sample a matplotlib colormap into a list of RGB uint8 triples."""
+    pts = np.linspace(0, 1, length)
+    return [np.array(colourmap(pt, bytes=True))[:3] for pt in pts]
+
+
 # ------------------------------------------------------------- diagnostics
 
 def mad_outlier_detection(data, out_thresh: float = 3, draw: bool = True):

@@ -24,6 +24,21 @@ jax.config.update("jax_enable_x64", True)
 # cost is irrelevant next to the 19x iteration saving.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the LM while_loop takes 20-90 s to compile;
+# repeated runs (pipelines, benchmarks) hit the cache instead. Opt out with
+# PYCAMSET_NO_COMPILE_CACHE=1.
+import os  # noqa: E402
+
+if not os.environ.get("PYCAMSET_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "PYCAMSET_COMPILE_CACHE", os.path.expanduser("~/.cache/pycamset_jax"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimisation, never a requirement
+        pass
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -198,22 +198,32 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths):
         gk (K,c), cost.
     """
     point_fn = op_fun.make_point_fn()
+    from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
+    analytic_rj = analytic_block_rj_for_chain(op_fun)
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
-        def slot_fn(cam_p, im_p, key_p, t, u):
-            local = jnp.concatenate([cam_p, im_p, key_p])
-            return point_fn(local, t) - u
+        if analytic_rj is not None:
+            # closed-form residual+jacobian: shared subexpressions instead of
+            # a 21-wide jacfwd tangent batch (the reference's sympy-kernel
+            # economy, vectorised)
+            per_block = jax.vmap(analytic_rj, in_axes=(0, 0, None, None, 0))
+            r, jc, ji, jk = per_block(cam_b, im_b, keyp, tpl, uv)
+        else:
+            def slot_fn(cam_p, im_p, key_p, t, u):
+                local = jnp.concatenate([cam_p, im_p, key_p])
+                return point_fn(local, t) - u
 
-        def slot_rj(cam_p, im_p, key_p, t, u):
-            f = lambda cp, ip, kp: slot_fn(cp, ip, kp, t, u)
-            r = f(cam_p, im_p, key_p)
-            jc, ji, jk = jax.jacfwd(f, argnums=(0, 1, 2))(cam_p, im_p, key_p)
-            return r, jc, ji, jk
+            def slot_rj(cam_p, im_p, key_p, t, u):
+                f = lambda cp, ip, kp: slot_fn(cp, ip, kp, t, u)
+                r = f(cam_p, im_p, key_p)
+                jc, ji, jk = jax.jacfwd(f, argnums=(0, 1, 2))(
+                    cam_p, im_p, key_p)
+                return r, jc, ji, jk
 
-        # vmap over keys (inner) then blocks (outer)
-        per_key = jax.vmap(slot_rj, in_axes=(None, None, 0, 0, 0))
-        per_block = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
-        r, jc, ji, jk = per_block(cam_b, im_b, keyp, tpl, uv)
+            # vmap over keys (inner) then blocks (outer)
+            per_key = jax.vmap(slot_rj, in_axes=(None, None, 0, 0, 0))
+            per_block = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
+            r, jc, ji, jk = per_block(cam_b, im_b, keyp, tpl, uv)
         # r (B,K,2); jc (B,K,2,a); ji (B,K,2,b); jk (B,K,2,c)
 
         m = mask[..., None]

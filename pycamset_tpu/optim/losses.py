@@ -1,0 +1,62 @@
+"""Robust loss functions for the bundle adjustment (IRLS weighting).
+
+scipy-compatible definitions (scipy.optimize.least_squares loss/f_scale):
+with z = s / f_scale^2 where s = ||r_i||^2 per observation,
+
+    linear : rho(z) = z            w = 1
+    huber  : z <= 1: z, else 2*sqrt(z)-1        w = min(1, 1/sqrt(z))
+    soft_l1: 2*(sqrt(1+z)-1)                    w = 1/sqrt(1+z)
+    cauchy : ln(1+z)                            w = 1/(1+z)
+
+The damped normal equations use the reweighted Gauss-Newton form
+JtWJ / JtWr (sqrt(w) folded into J and r); the LM gain ratio uses the true
+robust cost f_scale^2 * sum rho(z). The reference carries loss="cauchy"
+only as a commented-out option (optimisation_handling.py:96); here it is a
+first-class capability of both backends.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LOSSES = ("linear", "huber", "soft_l1", "cauchy")
+
+
+def make_loss(loss: str = "linear", f_scale: float = 1.0):
+    """(rho_fn, weight_fn) on the squared residual s = ||r_i||^2.
+
+    rho_fn returns the per-observation robust cost (already rescaled by
+    f_scale^2 so costs are comparable with the linear loss); weight_fn the
+    IRLS weight to fold into the normal equations.
+    """
+    if loss not in LOSSES:
+        raise ValueError(f"unknown loss {loss!r}; options: {LOSSES}")
+    c2 = float(f_scale) ** 2
+
+    if loss == "linear":
+        return (lambda s: s), (lambda s: jnp.ones_like(s))
+
+    if loss == "huber":
+        def rho(s):
+            z = s / c2
+            return c2 * jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(z) - 1.0)
+
+        def weight(s):
+            z = jnp.maximum(s / c2, 1e-30)
+            return jnp.minimum(1.0, 1.0 / jnp.sqrt(z))
+        return rho, weight
+
+    if loss == "soft_l1":
+        def rho(s):
+            return c2 * 2.0 * (jnp.sqrt(1.0 + s / c2) - 1.0)
+
+        def weight(s):
+            return 1.0 / jnp.sqrt(1.0 + s / c2)
+        return rho, weight
+
+    # cauchy
+    def rho(s):
+        return c2 * jnp.log1p(s / c2)
+
+    def weight(s):
+        return 1.0 / (1.0 + s / c2)
+    return rho, weight

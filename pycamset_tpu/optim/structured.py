@@ -187,9 +187,12 @@ def make_block_point_fn(op_fun: OptimFunction, widths: GroupWidths):
     return op_fun.make_point_fn()
 
 
-def make_block_grams(op_fun: OptimFunction, widths: GroupWidths):
+def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
+                     loss: str = "linear", f_scale: float = 1.0):
     """Per-block gram builder — the shardable inner kernel.
 
+    :param loss: robust loss name (optim.losses); IRLS weights fold into the
+        normal equations, the returned cost is the robust cost.
     :return: grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask)
         over a (possibly local shard of the) block axis, returning
         (r-derived) per-block tensors plus key-axis partial sums:
@@ -199,7 +202,10 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths):
     """
     point_fn = op_fun.make_point_fn()
     from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
+    from pycamset_tpu.optim.losses import make_loss
     analytic_rj = analytic_block_rj_for_chain(op_fun)
+    rho_fn, weight_fn = make_loss(loss, f_scale)
+    robust = loss != "linear"
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         if analytic_rj is not None:
@@ -228,11 +234,17 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths):
 
         m = mask[..., None]
         r = r * m
-        jc = jc * m[..., None] * cmask_b[:, None, None, :]
-        ji = ji * m[..., None] * imask_b[:, None, None, :]
-        jk = jk * m[..., None] * kmask[None, :, None, :]
-
-        cost = jnp.sum(r * r)
+        if robust:
+            s = jnp.sum(r * r, axis=-1)                    # (B,K) ||r_i||^2
+            cost = jnp.sum(rho_fn(s) * mask)
+            sw = jnp.sqrt(weight_fn(s))[..., None] * m     # sqrt IRLS weight
+            r = r * sw
+        else:
+            cost = jnp.sum(r * r)
+            sw = m
+        jc = jc * sw[..., None] * cmask_b[:, None, None, :]
+        ji = ji * sw[..., None] * imask_b[:, None, None, :]
+        jk = jk * sw[..., None] * kmask[None, :, None, :]
 
         # per-block grams (batched matmuls on the MXU)
         gcc_b = jnp.einsum("bkti,bktj->bij", jc, jc)
@@ -262,7 +274,8 @@ def block_onehots(n_cams: int, n_ims: int):
 
 
 def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
-                        n_cams: int, n_ims: int):
+                        n_cams: int, n_ims: int, loss: str = "linear",
+                        f_scale: float = 1.0):
     """Structured normal-equation builder over the (B, K) grid.
 
     :return: neq(pieces, uv, mask, tpl, colmask) -> NormalEq, where
@@ -270,7 +283,7 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         and colmask is a ParamPieces of 0/1 unfixed masks.
     """
     a, b, c = widths.a, widths.b, widths.c
-    grams = make_block_grams(op_fun, widths)
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
     blk_cam_j = jnp.asarray(blk_cam)
     blk_im_j = jnp.asarray(blk_im)

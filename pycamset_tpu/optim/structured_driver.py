@@ -60,7 +60,10 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     colmask_np[unfixed] = 1.0
     colmask = to_pieces(colmask_np)
 
-    neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims_grid)
+    neq_raw = make_structured_neq(
+        op_fun, widths, n_cams, n_ims_grid,
+        loss=param_handler.problem_opts.get("loss", "linear"),
+        f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)))
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))

@@ -25,14 +25,15 @@ from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
 
 def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
-                                n_cams: int, n_ims: int, mesh: Mesh):
+                                n_cams: int, n_ims: int, mesh: Mesh,
+                                loss: str = "linear", f_scale: float = 1.0):
     """neq with the block axis of (uv, mask) sharded over the mesh.
 
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
         n_cams * n_ims must be divisible by the mesh size.
     """
     a, b, c = widths.a, widths.b, widths.c
-    grams = make_block_grams(op_fun, widths)
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
     n_blocks = n_cams * n_ims
     n_dev = mesh.devices.size
@@ -86,13 +87,15 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
 
 def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
                                    n_cams: int, n_ims: int, mesh: Mesh,
-                                   colmask: ParamPieces, max_nfev: int = 100):
+                                   colmask: ParamPieces, max_nfev: int = 100,
+                                   loss: str = "linear", f_scale: float = 1.0):
     """A jitted multi-device LM solve on the structured backend.
 
     :return: solve(pieces, uv, mask, tpl) -> SLMResult; uv/mask must be
         placed with their block axis sharded over the mesh.
     """
-    neq = make_sharded_structured_neq(op_fun, widths, n_cams, n_ims, mesh)
+    neq = make_sharded_structured_neq(op_fun, widths, n_cams, n_ims, mesh,
+                                      loss=loss, f_scale=f_scale)
 
     @jax.jit
     def solve(pieces: ParamPieces, uv, mask, tpl) -> SLMResult:

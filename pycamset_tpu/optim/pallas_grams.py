@@ -1,0 +1,234 @@
+"""Pallas TPU kernel: fused residual + Jacobian + gram for the template chain.
+
+The XLA path materialises the (B, K, 2, 21) Jacobian tensor to HBM between
+the jacfwd and the gram einsums. This kernel keeps everything in VMEM: one
+grid step processes a tile of 8 (cam, image) blocks, computes the 21
+closed-form Jacobian columns and the residual as (8, K) vectors (perfect VPU
+tiling), and accumulates the full extended gram
+
+    G = [J | r]^T [J | r]   (per block, 22 x 22)
+
+whose slices give every normal-equation piece: Hcc/ Hii / Wci blocks, the
+gradients (last column), and the cost (corner). Per-block rotation matrices
+and their Rodrigues derivatives are tiny and parameter-dependent, so they
+are precomputed in plain jnp and passed in as a packed (B, PPB) operand.
+
+Derivation shared with optim/analytic.py (parity-tested against it and
+against jacfwd). Only the template chain (a=15, b=6, c=0) is handled; other
+chains use the XLA path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pycamset_tpu.ops.rotations import rodrigues_to_matrix
+
+BLOCK_TILE = 8      # blocks per grid step (sublane dimension)
+GRAM_W = 22         # 15 cam + 6 pose + 1 residual column
+
+# packed per-block parameter row layout (PPB floats):
+# [intr9 | Re(9) | dRe(27) | te(3) | Rp(9) | dRp(27) | tp(3)] = 87 -> pad 96
+_OFF_INTR = 0
+_OFF_RE = 9
+_OFF_DRE = 18
+_OFF_TE = 45
+_OFF_RP = 48
+_OFF_DRP = 57
+_OFF_TP = 84
+PPB = 96
+
+
+def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray) -> jnp.ndarray:
+    """(B,15) cam params + (B,6) poses -> packed (B, PPB) kernel operand."""
+    def one(cam15, pose6):
+        re = rodrigues_to_matrix(cam15[9:12])
+        dre = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(cam15[9:12]), -1, 0)
+        rp = rodrigues_to_matrix(pose6[:3])
+        drp = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(pose6[:3]), -1, 0)
+        row = jnp.concatenate([
+            cam15[:9], re.reshape(-1), dre.reshape(-1), cam15[12:15],
+            rp.reshape(-1), drp.reshape(-1), pose6[3:]])
+        return jnp.pad(row, (0, PPB - row.shape[0]))
+
+    return jax.vmap(one)(cam_b, im_b)
+
+
+def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
+    """One grid step: 8 blocks x K keys -> 8 extended 22x22 grams."""
+    prm = params_ref[:]                       # (8, PPB)
+    tpl = tpl_ref[:]                          # (3, K)
+    uv = uv_ref[:]                            # (8, 2, K)
+    mask = mask_ref[:]                        # (8, K)
+
+    def col(off):                             # (8, 1) scalar-per-block column
+        return prm[:, off:off + 1]
+
+    xt = [tpl[i:i + 1, :] for i in range(3)]  # 3 x (1, K)
+
+    # Xw = Rp @ Xt + tp ; per-component (8, K)
+    def rot_apply(base, vecs):
+        return [col(base + 3 * a + 0) * vecs[0] + col(base + 3 * a + 1) * vecs[1]
+                + col(base + 3 * a + 2) * vecs[2] for a in range(3)]
+
+    xw = rot_apply(_OFF_RP, xt)
+    xw = [xw[a] + col(_OFF_TP + a) for a in range(3)]
+    xc = rot_apply(_OFF_RE, xw)
+    xc = [xc[a] + col(_OFF_TE + a) for a in range(3)]
+
+    fx, px, fy, py = (col(_OFF_INTR + i) for i in range(4))
+    k1, k2, p1, p2, k3 = (col(_OFF_INTR + 4 + i) for i in range(5))
+
+    inv_z = 1.0 / xc[2]
+    x = xc[0] * inv_z
+    y = xc[1] * inv_z
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    dradial = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
+    xy = x * y
+    xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
+
+    r_u = (fx * xd + px - uv[:, 0, :]) * mask
+    r_v = (fy * yd + py - uv[:, 1, :]) * mask
+
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+
+    # d(u,v)/d intr9 — columns 0..8
+    ju = [xd, one, zero, zero, fx * x * r2, fx * x * r2 * r2, fx * 2.0 * xy,
+          fx * (r2 + 2.0 * x * x), fx * x * r2 ** 3]
+    jv = [zero, zero, yd, one, fy * y * r2, fy * y * r2 * r2,
+          fy * (r2 + 2.0 * y * y), fy * 2.0 * xy, fy * y * r2 ** 3]
+
+    # d(u,v)/dXc (2x3 per slot)
+    dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
+    dxd_dy = 2.0 * xy * dradial + 2.0 * p1 * x + 2.0 * p2 * y
+    dyd_dy = radial + 2.0 * y * y * dradial + 6.0 * p1 * y + 2.0 * p2 * x
+    du_dx = fx * dxd_dx
+    du_dy = fx * dxd_dy
+    dv_dx = fy * dxd_dy            # dyd_dx == dxd_dy
+    dv_dy = fy * dyd_dy
+    du_xc = [du_dx * inv_z, du_dy * inv_z, -(du_dx * x + du_dy * y) * inv_z]
+    dv_xc = [dv_dx * inv_z, dv_dy * inv_z, -(dv_dx * x + dv_dy * y) * inv_z]
+
+    # extrinsic rotation: dXc/drve[j] = dRe[j] @ Xw — columns 9..11
+    for j in range(3):
+        dxc = [col(_OFF_DRE + 9 * j + 3 * a + 0) * xw[0]
+               + col(_OFF_DRE + 9 * j + 3 * a + 1) * xw[1]
+               + col(_OFF_DRE + 9 * j + 3 * a + 2) * xw[2] for a in range(3)]
+        ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
+        jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
+    # extrinsic translation: dXc/dte = I — columns 12..14
+    ju.extend(du_xc)
+    jv.extend(dv_xc)
+
+    # pose rotation: dXc/drvp[j] = Re @ (dRp[j] @ Xt) — columns 15..17
+    for j in range(3):
+        dxw = [col(_OFF_DRP + 9 * j + 3 * a + 0) * xt[0]
+               + col(_OFF_DRP + 9 * j + 3 * a + 1) * xt[1]
+               + col(_OFF_DRP + 9 * j + 3 * a + 2) * xt[2] for a in range(3)]
+        dxc = rot_apply(_OFF_RE, dxw)
+        ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
+        jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
+    # pose translation: dXc/dtp = Re — columns 18..20
+    for bcol in range(3):
+        re_col = [col(_OFF_RE + 3 * a + bcol) for a in range(3)]
+        ju.append(du_xc[0] * re_col[0] + du_xc[1] * re_col[1]
+                  + du_xc[2] * re_col[2])
+        jv.append(dv_xc[0] * re_col[0] + dv_xc[1] * re_col[1]
+                  + dv_xc[2] * re_col[2])
+
+    # extended columns: [J row-masked | r]
+    ju = [j * mask for j in ju] + [r_u]
+    jv = [j * mask for j in jv] + [r_v]
+
+    # accumulate the symmetric 22x22 gram per block
+    gvals = [[None] * GRAM_W for _ in range(GRAM_W)]
+    for i in range(GRAM_W):
+        for j in range(i, GRAM_W):
+            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (8,)
+            gvals[i][j] = g
+            gvals[j][i] = g
+    rows = [jnp.stack(gvals[i], axis=-1) for i in range(GRAM_W)]  # (8,22) each
+    out_ref[:] = jnp.stack(rows, axis=1)                          # (8,22,22)
+
+
+def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
+                         uv_t: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Extended per-block grams for the template chain.
+
+    :param packed: (B, PPB) from pack_block_params. :param tpl_t: (3, K).
+    :param uv_t: (B, 2, K). :param mask: (B, K).
+    :return: (B, 22, 22) grams of [Jc | Ji | r].
+    """
+    b, k = mask.shape
+    b_pad = ((b + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
+    if b_pad != b:
+        # pad with copies of block 0 under a zero mask (keeps lanes finite)
+        reps = b_pad - b
+        packed = jnp.concatenate([packed, jnp.tile(packed[:1], (reps, 1))])
+        uv_t = jnp.concatenate([uv_t, jnp.zeros((reps, *uv_t.shape[1:]),
+                                                uv_t.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((reps, k), mask.dtype)])
+    # index maps derive every constant from the i32 program id: with x64
+    # enabled, literal 0 becomes i64 and Mosaic fails to legalize the
+    # mixed-type index tuple
+    grid = (b_pad // BLOCK_TILE,)
+    out = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_TILE, PPB), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, k), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_TILE, 2, k), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_TILE, k), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_TILE, GRAM_W, GRAM_W),
+                               lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, GRAM_W, GRAM_W), uv_t.dtype),
+    )(packed, tpl_t, uv_t, mask)
+    return out[:b]
+
+
+def make_pallas_template_grams(widths):
+    """A drop-in per-block gram builder using the Pallas kernel.
+
+    Same contract as make_block_grams for the template chain (c == 0):
+    grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask) ->
+    (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost).
+    """
+    a, bwidth = widths.a, widths.b
+    assert (a, bwidth, widths.c) == (15, 6, 0)
+
+    def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
+        packed = pack_block_params(cam_b, im_b)
+        g = template_gram_pallas(packed, tpl.T, uv.transpose(0, 2, 1), mask)
+
+        cost = jnp.sum(g[:, a + bwidth, a + bwidth])
+        cmask2 = cmask_b[:, :, None] * cmask_b[:, None, :]
+        imask2 = imask_b[:, :, None] * imask_b[:, None, :]
+        gcc_b = g[:, :a, :a] * cmask2
+        gii_b = g[:, a:a + bwidth, a:a + bwidth] * imask2
+        wci_b = (g[:, :a, a:a + bwidth]
+                 * cmask_b[:, :, None] * imask_b[:, None, :])
+        gc_b = g[:, :a, a + bwidth] * cmask_b
+        gi_b = g[:, a:a + bwidth, a + bwidth] * imask_b
+
+        bb, k_pad = mask.shape
+        dtype = uv.dtype
+        hkk = jnp.zeros((k_pad, 0, 0), dtype)
+        wck_b = jnp.zeros((bb, k_pad, a, 0), dtype)
+        wik_b = jnp.zeros((bb, k_pad, bwidth, 0), dtype)
+        gk = jnp.zeros((k_pad, 0), dtype)
+        return gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost
+
+    return grams

@@ -1,0 +1,71 @@
+"""Pallas fused-gram kernel parity vs the XLA gram path (interpret mode)."""
+import numpy as np
+import pytest
+
+
+def test_pallas_grams_match_xla(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import pycamset_tpu.optim.pallas_grams as pg
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, Projection, TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    # run the kernel in interpret mode on the CPU backend
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pg, "pl", type(pl)("pl_shim"))
+    pg.pl.pallas_call = interp
+    pg.pl.BlockSpec = pl.BlockSpec
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
+                             noise_px=0.5, seed=2)
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    cam_b = pieces.cam[blk_cam]
+    im_b = pieces.im[blk_im]
+    bb = n_cams * n_ims
+    # fix a couple of columns to exercise the column masks
+    cmask = jnp.ones((bb, 15)).at[:, 3].set(0.0)
+    imask = jnp.ones((bb, 6)).at[:, 5].set(0.0)
+    args = (jnp.zeros((k_pad, 0)), jnp.asarray(tpl_pad), uv, mask,
+            cmask, imask, jnp.ones((k_pad, 0)))
+
+    ref = make_block_grams(op_fun, widths)(cam_b, im_b, *args)
+    got = pg.make_pallas_template_grams(widths)(cam_b, im_b, *args)
+    names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
+             "gc_b", "gi_b", "gk", "cost"]
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        if r.size == 0:
+            continue
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

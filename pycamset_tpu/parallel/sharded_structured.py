@@ -32,8 +32,22 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
         n_cams * n_ims must be divisible by the mesh size.
     """
+    import os
+
+    import jax as _jax
+
     a, b, c = widths.a, widths.b, widths.c
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
+    # per-shard fused Pallas grams on TPU meshes (same dispatch rule as the
+    # single-device path; each device runs the kernel over its block slab)
+    if ((a, b, c) == (15, 6, 0) and loss == "linear"
+            and _jax.default_backend() == "tpu"
+            and not os.environ.get("PYCAMSET_NO_PALLAS")):
+        names = tuple(type(bk).__name__ for bk in op_fun.blocks)
+        if names == ("Projection", "Extrinsic3D", "TemplatePoints"):
+            from pycamset_tpu.optim.pallas_grams import (
+                make_pallas_template_grams)
+            grams = make_pallas_template_grams(widths)
     blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
     n_blocks = n_cams * n_ims
     n_dev = mesh.devices.size

@@ -1,0 +1,133 @@
+"""Command-line interface: calibrate rigs and inspect .camset files.
+
+The reference has no CLI (calibrate_cameras is driven from scripts); this
+adds one without changing the library API:
+
+    python -m pycamset_tpu calibrate DATA --target charuco --nx 20 --ny 20 --square 4
+    python -m pycamset_tpu calibrate DATA --target ccube --n-points 10 --length 40
+    python -m pycamset_tpu info optimised_cameras.camset
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_calibrate(sub):
+    p = sub.add_parser("calibrate", help="calibrate a rig from image folders")
+    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("--target", choices=["charuco", "ccube"], default="charuco")
+    p.add_argument("--nx", type=int, default=20, help="charuco squares in x")
+    p.add_argument("--ny", type=int, default=20, help="charuco squares in y")
+    p.add_argument("--square", type=float, default=4.0,
+                   help="charuco square size (mm)")
+    p.add_argument("--n-points", type=int, default=10, help="ccube squares/edge")
+    p.add_argument("--length", type=float, default=40.0, help="ccube edge (mm)")
+    p.add_argument("--border-fraction", type=float, default=0.1)
+    p.add_argument("--dict", dest="adict", default="DICT_4X4_1000",
+                   help="aruco dictionary name")
+    p.add_argument("--legacy", action="store_true",
+                   help="legacy charuco pattern layout")
+    p.add_argument("--no-save", action="store_true")
+    p.add_argument("--self-calibrate", action="store_true",
+                   help="refine the target geometry after the template solve")
+    p.add_argument("--outliers", choices=["ask", "y", "n"], default="ask")
+    p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
+                   default="linear")
+    p.add_argument("--f-scale", type=float, default=1.0)
+    p.add_argument("--max-nfev", type=int, default=100)
+    p.add_argument("--high-distortion", action="store_true")
+    p.add_argument("--draw", action="store_true")
+
+
+def _add_info(sub):
+    p = sub.add_parser("info", help="summarise a .camset file")
+    p.add_argument("camset", help="path to a .camset file")
+
+
+def cmd_calibrate(args) -> int:
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    from pycamset_tpu import calibrate_cameras
+    opts = {"outliers": args.outliers, "loss": args.loss,
+            "f_scale": args.f_scale, "max_nfev": args.max_nfev}
+
+    if args.target == "charuco":
+        from pycamset_tpu.models.charuco import ChArUco
+        target = ChArUco(args.nx, args.ny, args.square,
+                         a_dict=getattr(cv2.aruco, args.adict),
+                         legacy=args.legacy)
+    else:
+        from pycamset_tpu.models.ccube import Ccube
+        target = Ccube(n_points=args.n_points, length=args.length,
+                       aruco_dict=getattr(cv2.aruco, args.adict),
+                       border_fraction=args.border_fraction,
+                       legacy=args.legacy)
+
+    cams = calibrate_cameras(
+        f_loc=Path(args.folder), calibration_target=target,
+        save=not args.no_save, draw=args.draw,
+        high_distortion=args.high_distortion, problem_options=opts)
+
+    if args.self_calibrate:
+        from pycamset_tpu.calibration.camera_calibrator import (
+            detect_datapoints_in_imfile, run_stereo_calibration)
+        from pycamset_tpu.optim.handlers import SelfBundleHandler
+        det, _ = detect_datapoints_in_imfile(
+            f_loc=Path(args.folder), calibration_target=target,
+            caching=not args.no_save)
+        handler = SelfBundleHandler(detection=det, target=target,
+                                    camset=cams, options=opts)
+        handler.set_from_templated_camset(cams)
+        cams = run_stereo_calibration(
+            cams, det, target, param_handler=handler, save=not args.no_save,
+            save_loc=Path(args.folder) / "self_calibrated_cameras.camset")
+
+    err = np.mean(np.linalg.norm(
+        np.reshape(cams.calibration_result, (-1, 2)), axis=1))
+    print(f"calibrated {cams.get_n_cams()} cameras; "
+          f"mean reprojection error {err:.3f} px")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import numpy as np
+
+    from pycamset_tpu.utils.saving import load_CameraSet
+    cams = load_CameraSet(args.camset)
+    print(f"{args.camset}: {cams.get_n_cams()} cameras")
+    for name in cams.get_names():
+        cam = cams[name]
+        k = cam.intrinsic
+        d = np.reshape(cam.distortion_coefs, -1)
+        print(f"  {name}: res={list(cam.res)} fx={k[0, 0]:.2f} fy={k[1, 1]:.2f} "
+              f"c=({k[0, 2]:.1f},{k[1, 2]:.1f}) "
+              f"dist=[{', '.join(f'{v:.4f}' for v in d)}] "
+              f"pos={np.round(cam.position, 4).tolist()}")
+    if cams.calibration_result is not None:
+        err = np.mean(np.linalg.norm(
+            np.reshape(cams.calibration_result, (-1, 2)), axis=1))
+        print(f"  calibration history: mean reprojection error {err:.3f} px")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="pycamset_tpu",
+        description="TPU-native multi-camera calibration")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_calibrate(sub)
+    _add_info(sub)
+    args = parser.parse_args(argv)
+    if args.cmd == "calibrate":
+        return cmd_calibrate(args)
+    if args.cmd == "info":
+        return cmd_info(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

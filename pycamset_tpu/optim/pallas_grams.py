@@ -33,7 +33,7 @@ BLOCK_TILE = 8      # blocks per grid step (sublane dimension)
 GRAM_W = 22         # 15 cam + 6 pose + 1 residual column
 
 # packed per-block parameter row layout (PPB floats):
-# [intr9 | Re(9) | dRe(27) | te(3) | Rp(9) | dRp(27) | tp(3)] = 87 -> pad 96
+# [intr9 | Re(9) | dRe(27) | te(3) | Rp(9) | dRp(27) | tp(3) | ReRp(9)] = 96
 _OFF_INTR = 0
 _OFF_RE = 9
 _OFF_DRE = 18
@@ -41,6 +41,7 @@ _OFF_TE = 45
 _OFF_RP = 48
 _OFF_DRP = 57
 _OFF_TP = 84
+_OFF_RERP = 87
 PPB = 96
 
 
@@ -53,7 +54,8 @@ def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray) -> jnp.ndarray:
         drp = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(pose6[:3]), -1, 0)
         row = jnp.concatenate([
             cam15[:9], re.reshape(-1), dre.reshape(-1), cam15[12:15],
-            rp.reshape(-1), drp.reshape(-1), pose6[3:]])
+            rp.reshape(-1), drp.reshape(-1), pose6[3:],
+            (re @ rp).reshape(-1)])
         return jnp.pad(row, (0, PPB - row.shape[0]))
 
     return jax.vmap(one)(cam_b, im_b)
@@ -197,6 +199,222 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b_pad, GRAM_W, GRAM_W), uv_t.dtype),
     )(packed, tpl_t, uv_t, mask)
     return out[:b]
+
+
+def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+                    imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
+                    hkkgk_ref):
+    """Self-cal chain: per-block extended grams + per-key pieces.
+
+    Reuses the template-chain math with the template point replaced by the
+    free PER_KEY point; additionally emits Jk-derived tensors:
+    wck (per block, Jc^T Jk), wik (Ji^T Jk), and hkk/gk accumulated across
+    the sequential grid into a shared output block.
+    """
+    prm = params_ref[:]                       # (8, PPB)
+    pts = pts_ref[:]                          # (3, K) free points
+    uv = uv_ref[:]                            # (8, 2, K)
+    mask = mask_ref[:]                        # (8, K)
+    cmask = cmask_ref[:]                      # (8, 15)
+    imask = imask_ref[:]                      # (8, 6)
+    kmask = kmask_ref[:]                      # (3, K)
+
+    def col(off):
+        return prm[:, off:off + 1]
+
+    xt = [pts[i:i + 1, :] for i in range(3)]
+
+    def rot_apply(base, vecs):
+        return [col(base + 3 * a + 0) * vecs[0] + col(base + 3 * a + 1) * vecs[1]
+                + col(base + 3 * a + 2) * vecs[2] for a in range(3)]
+
+    xw = rot_apply(_OFF_RP, xt)
+    xw = [xw[a] + col(_OFF_TP + a) for a in range(3)]
+    xc = rot_apply(_OFF_RE, xw)
+    xc = [xc[a] + col(_OFF_TE + a) for a in range(3)]
+
+    fx, px, fy, py = (col(_OFF_INTR + i) for i in range(4))
+    k1, k2, p1, p2, k3 = (col(_OFF_INTR + 4 + i) for i in range(5))
+
+    inv_z = 1.0 / xc[2]
+    x = xc[0] * inv_z
+    y = xc[1] * inv_z
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    dradial = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
+    xy = x * y
+    xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
+
+    r_u = (fx * xd + px - uv[:, 0, :]) * mask
+    r_v = (fy * yd + py - uv[:, 1, :]) * mask
+
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    ju = [xd, one, zero, zero, fx * x * r2, fx * x * r2 * r2, fx * 2.0 * xy,
+          fx * (r2 + 2.0 * x * x), fx * x * r2 ** 3]
+    jv = [zero, zero, yd, one, fy * y * r2, fy * y * r2 * r2,
+          fy * (r2 + 2.0 * y * y), fy * 2.0 * xy, fy * y * r2 ** 3]
+
+    dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
+    dxd_dy = 2.0 * xy * dradial + 2.0 * p1 * x + 2.0 * p2 * y
+    dyd_dy = radial + 2.0 * y * y * dradial + 6.0 * p1 * y + 2.0 * p2 * x
+    du_dx = fx * dxd_dx
+    du_dy = fx * dxd_dy
+    dv_dx = fy * dxd_dy
+    dv_dy = fy * dyd_dy
+    du_xc = [du_dx * inv_z, du_dy * inv_z, -(du_dx * x + du_dy * y) * inv_z]
+    dv_xc = [dv_dx * inv_z, dv_dy * inv_z, -(dv_dx * x + dv_dy * y) * inv_z]
+
+    for j in range(3):
+        dxc = [col(_OFF_DRE + 9 * j + 3 * a + 0) * xw[0]
+               + col(_OFF_DRE + 9 * j + 3 * a + 1) * xw[1]
+               + col(_OFF_DRE + 9 * j + 3 * a + 2) * xw[2] for a in range(3)]
+        ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
+        jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
+    ju.extend(du_xc)
+    jv.extend(dv_xc)
+    for j in range(3):
+        dxw = [col(_OFF_DRP + 9 * j + 3 * a + 0) * xt[0]
+               + col(_OFF_DRP + 9 * j + 3 * a + 1) * xt[1]
+               + col(_OFF_DRP + 9 * j + 3 * a + 2) * xt[2] for a in range(3)]
+        dxc = rot_apply(_OFF_RE, dxw)
+        ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
+        jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
+    for bcol in range(3):
+        re_col = [col(_OFF_RE + 3 * a + bcol) for a in range(3)]
+        ju.append(du_xc[0] * re_col[0] + du_xc[1] * re_col[1]
+                  + du_xc[2] * re_col[2])
+        jv.append(dv_xc[0] * re_col[0] + dv_xc[1] * re_col[1]
+                  + dv_xc[2] * re_col[2])
+
+    # column masks in-kernel (the per-key outputs are too large to re-mask
+    # outside): ju/jv columns 0..14 by cmask, 15..20 by imask; rows by mask
+    colm = ([cmask[:, i:i + 1] for i in range(15)]
+            + [imask[:, i:i + 1] for i in range(6)])
+    ju = [j * mask * cm for j, cm in zip(ju, colm)] + [r_u]
+    jv = [j * mask * cm for j, cm in zip(jv, colm)] + [r_v]
+
+    # Jk columns (free point): d(u,v)/dXt = d_xc @ (Re Rp), masked by kmask
+    jku, jkv = [], []
+    for j in range(3):
+        rerp_col = [col(_OFF_RERP + 3 * a + j) for a in range(3)]
+        km = kmask[j:j + 1, :]
+        jku.append((du_xc[0] * rerp_col[0] + du_xc[1] * rerp_col[1]
+                    + du_xc[2] * rerp_col[2]) * mask * km)
+        jkv.append((dv_xc[0] * rerp_col[0] + dv_xc[1] * rerp_col[1]
+                    + dv_xc[2] * rerp_col[2]) * mask * km)
+
+    # per-block extended gram (cam+pose+residual)
+    gvals = [[None] * GRAM_W for _ in range(GRAM_W)]
+    for i in range(GRAM_W):
+        for j in range(i, GRAM_W):
+            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
+            gvals[i][j] = g
+            gvals[j][i] = g
+    rows = [jnp.stack(gvals[i], axis=-1) for i in range(GRAM_W)]
+    out_ref[:] = jnp.stack(rows, axis=1)
+
+    # per-(block, key) couplings, laid out (8, a*c | b*c, K)
+    wck_rows = [ju[i] * jku[j] + jv[i] * jkv[j]
+                for i in range(15) for j in range(3)]
+    wck_ref[:] = jnp.stack(wck_rows, axis=1)            # (8, 45, K)
+    wik_rows = [ju[15 + i] * jku[j] + jv[15 + i] * jkv[j]
+                for i in range(6) for j in range(3)]
+    wik_ref[:] = jnp.stack(wik_rows, axis=1)            # (8, 18, K)
+
+    # per-key diag + gradient, accumulated across the sequential grid
+    hk_rows = [jnp.sum(jku[i] * jku[j] + jkv[i] * jkv[j], axis=0)
+               for i in range(3) for j in range(3)]
+    gk_rows = [jnp.sum(jku[i] * r_u + jkv[i] * r_v, axis=0) for i in range(3)]
+    pad = [jnp.zeros_like(hk_rows[0])] * 4
+    update = jnp.stack(hk_rows + gk_rows + pad, axis=0)  # (16, K)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hkkgk_ref[:] = jnp.zeros_like(hkkgk_ref)
+
+    hkkgk_ref[:] += update
+
+
+def make_pallas_selfcal_grams(widths):
+    """Drop-in per-block gram builder for the self-cal chain (Pallas)."""
+    a, bw, c = widths.a, widths.b, widths.c
+    assert (a, bw, c) == (15, 6, 3)
+
+    def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
+        dtype = uv.dtype
+        bb, k = mask.shape
+        b_pad = ((bb + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
+        packed = pack_block_params(cam_b, im_b)
+        uv_t = uv.transpose(0, 2, 1)
+        cm, im_, mk = cmask_b, imask_b, mask
+        if b_pad != bb:
+            reps = b_pad - bb
+            packed = jnp.concatenate([packed, jnp.tile(packed[:1], (reps, 1))])
+            uv_t = jnp.concatenate(
+                [uv_t, jnp.zeros((reps, 2, k), dtype)])
+            mk = jnp.concatenate([mk, jnp.zeros((reps, k), dtype)])
+            cm = jnp.concatenate([cm, jnp.zeros((reps, a), dtype)])
+            im_ = jnp.concatenate([im_, jnp.zeros((reps, bw), dtype)])
+
+        grid = (b_pad // BLOCK_TILE,)
+        g, wck_r, wik_r, hkkgk = pl.pallas_call(
+            _selfcal_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BLOCK_TILE, PPB), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, 2, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, k), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, a), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, bw), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BLOCK_TILE, GRAM_W, GRAM_W),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, a * c, k),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, bw * c, k),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_pad, GRAM_W, GRAM_W), dtype),
+                jax.ShapeDtypeStruct((b_pad, a * c, k), dtype),
+                jax.ShapeDtypeStruct((b_pad, bw * c, k), dtype),
+                jax.ShapeDtypeStruct((16, k), dtype),
+            ),
+        )(packed, keyp.T, uv_t, mk, cm, im_, kmask.T)
+
+        g = g[:bb]
+        cost = jnp.sum(g[:, a + bw, a + bw])
+        gcc_b = g[:, :a, :a]
+        gii_b = g[:, a:a + bw, a:a + bw]
+        wci_b = g[:, :a, a:a + bw]
+        gc_b = g[:, :a, a + bw]
+        gi_b = g[:, a:a + bw, a + bw]
+
+        # (B, a*c, K) -> (B, K, a, c)
+        wck_b = wck_r[:bb].transpose(0, 2, 1).reshape(bb, k, a, c)
+        wik_b = wik_r[:bb].transpose(0, 2, 1).reshape(bb, k, bw, c)
+        hkk = hkkgk[:9].T.reshape(k, 3, 3)
+        gk = hkkgk[9:12].T
+        return gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost
+
+    return grams
 
 
 def make_pallas_template_grams(widths):

@@ -286,16 +286,19 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
 
     a, b, c = widths.a, widths.b, widths.c
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
-    # the fused Pallas kernel covers the linear-loss template chain on TPU
-    # (16x the XLA gram path); set PYCAMSET_NO_PALLAS=1 to disable
-    if ((a, b, c) == (15, 6, 0) and loss == "linear"
-            and jax.default_backend() == "tpu"
+    # fused Pallas kernels cover the linear-loss template and self-cal
+    # chains on TPU (16x the XLA gram path); PYCAMSET_NO_PALLAS=1 disables
+    if (loss == "linear" and jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")):
-        from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
-        from pycamset_tpu.optim.pallas_grams import make_pallas_template_grams
+        from pycamset_tpu.optim.pallas_grams import (
+            make_pallas_selfcal_grams, make_pallas_template_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-        if names == ("Projection", "Extrinsic3D", "TemplatePoints"):
+        if (a, b, c) == (15, 6, 0) and names == (
+                "Projection", "Extrinsic3D", "TemplatePoints"):
             grams = make_pallas_template_grams(widths)
+        elif (a, b, c) == (15, 6, 3) and names == (
+                "Projection", "Extrinsic3D", "RigidTform3d", "FreePoint"):
+            grams = make_pallas_selfcal_grams(widths)
     blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
     blk_cam_j = jnp.asarray(blk_cam)
     blk_im_j = jnp.asarray(blk_im)

@@ -3,6 +3,75 @@ import numpy as np
 import pytest
 
 
+def _interp_shim(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    import pycamset_tpu.optim.pallas_grams as pg
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    shim = type(pl)("pl_shim")
+    shim.pallas_call = interp
+    shim.BlockSpec = pl.BlockSpec
+    shim.when = pl.when
+    shim.program_id = pl.program_id
+    monkeypatch.setattr(pg, "pl", shim)
+    return pg
+
+
+def test_pallas_selfcal_grams_match_xla(monkeypatch):
+    import jax.numpy as jnp
+
+    pg = _interp_shim(monkeypatch)
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, FreePoint, Projection, RigidTform3d)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
+                             noise_px=0.5, seed=2)
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    op_fun = OptimFunction(
+        [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel(), rig["template"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    keyp = jnp.zeros((k_pad, 3)).at[:n_keys].set(pieces.key)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    bb = n_cams * n_ims
+    cmask = jnp.ones((bb, 15)).at[:, 2].set(0.0)
+    imask = jnp.ones((bb, 6)).at[:, 4].set(0.0)
+    kmask = (jnp.ones((k_pad, 3)).at[n_keys:].set(0.0)
+             .at[0].set(0.0).at[2, 1].set(0.0))
+    args = (keyp, jnp.zeros((k_pad, 3)), uv, mask, cmask, imask, kmask)
+
+    ref = make_block_grams(op_fun, widths)(
+        pieces.cam[blk_cam], pieces.im[blk_im], *args)
+    got = pg.make_pallas_selfcal_grams(widths)(
+        pieces.cam[blk_cam], pieces.im[blk_im], *args)
+    names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
+             "gc_b", "gi_b", "gk", "cost"]
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, name
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name
+
+
 def test_pallas_grams_match_xla(monkeypatch):
     import jax
     import jax.numpy as jnp

@@ -15,7 +15,8 @@ x_scale='jac') in the reference's hot loop (optimisation_handling.py:88-98):
 The entire loop — normal-equation build, dense solve, accept/reject — is one
 jitted lax.while_loop: zero host round-trips per iteration. The solve is a
 dense Cholesky of the (free-param) reduced system; for rigs where the free
-parameter count is large, the Schur-complement path (optim/schur.py) applies.
+parameter count is large, the Schur-complement path (optim/structured.py +
+optim/structured_lm.py) applies.
 
 Fixed parameters: the solver works on the free sub-vector; gathering the free
 rows/columns of the full normal equations happens here with static index
@@ -24,7 +25,6 @@ abstract_function_blocks.py:465-489).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

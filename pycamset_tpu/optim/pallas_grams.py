@@ -14,16 +14,14 @@ and their Rodrigues derivatives are tiny and parameter-dependent, so they
 are precomputed in plain jnp and passed in as a packed (B, PPB) operand.
 
 Derivation shared with optim/analytic.py (parity-tested against it and
-against jacfwd). Only the template chain (a=15, b=6, c=0) is handled; other
-chains use the XLA path.
+against jacfwd). The template chain (a=15, b=6, c=0) and the self-cal chain
+(a=15, b=6, c=3 — adds per-key couplings and a sequential-grid-accumulated
+Hkk/gk) are covered; other chains use the XLA path.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -193,6 +193,8 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
                 loss_fn, x0, jac=jac_fn,
                 verbose=param_handler.problem_opts.get("verbosity", 0),
                 max_nfev=param_handler.problem_opts.get("max_nfev", 100),
+                loss=param_handler.problem_opts.get("loss", "linear"),
+                f_scale=param_handler.problem_opts.get("f_scale", 1.0),
                 x_scale="jac")
             res = _ScipyResult()
             res.cost = 2.0 * sol.cost  # scipy cost = 0.5 * sum(r^2)

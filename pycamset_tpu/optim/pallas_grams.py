@@ -415,6 +415,36 @@ def make_pallas_selfcal_grams(widths):
     return grams
 
 
+def make_pallas_freepoint_grams(widths):
+    """Per-block gram builder for the pose-free free-point chain.
+
+    Reuses the self-cal kernel with identity poses (rvec = t = 0 packs to
+    Rp = I) and fully-masked pose columns, then strips the zero-width pose
+    outputs. ~25% wasted lanes on the masked columns — still far ahead of
+    the XLA path.
+    """
+    from pycamset_tpu.optim.structured import GroupWidths
+    a, bw, c = widths.a, widths.b, widths.c
+    assert (a, bw, c) == (15, 0, 3)
+    inner = make_pallas_selfcal_grams(GroupWidths(15, 6, 3))
+
+    def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
+        bb = mask.shape[0]
+        dtype = uv.dtype
+        im_fake = jnp.zeros((bb, 6), dtype)
+        imask_fake = jnp.zeros((bb, 6), dtype)
+        (gcc_b, _gii, _wci, hkk, wck_b, _wik, gc_b, _gi, gk,
+         cost) = inner(cam_b, im_fake, keyp, tpl, uv, mask, cmask_b,
+                       imask_fake, kmask)
+        k_pad = mask.shape[1]
+        return (gcc_b, jnp.zeros((bb, 0, 0), dtype),
+                jnp.zeros((bb, a, 0), dtype), hkk, wck_b,
+                jnp.zeros((bb, k_pad, 0, c), dtype), gc_b,
+                jnp.zeros((bb, 0), dtype), gk, cost)
+
+    return grams
+
+
 def make_pallas_template_grams(widths):
     """A drop-in per-block gram builder using the Pallas kernel.
 

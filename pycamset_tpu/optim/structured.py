@@ -291,7 +291,8 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     if (loss == "linear" and jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")):
         from pycamset_tpu.optim.pallas_grams import (
-            make_pallas_selfcal_grams, make_pallas_template_grams)
+            make_pallas_freepoint_grams, make_pallas_selfcal_grams,
+            make_pallas_template_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
         if (a, b, c) == (15, 6, 0) and names == (
                 "Projection", "Extrinsic3D", "TemplatePoints"):
@@ -299,6 +300,9 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         elif (a, b, c) == (15, 6, 3) and names == (
                 "Projection", "Extrinsic3D", "RigidTform3d", "FreePoint"):
             grams = make_pallas_selfcal_grams(widths)
+        elif (a, b, c) == (15, 0, 3) and names == (
+                "Projection", "Extrinsic3D", "FreePoint"):
+            grams = make_pallas_freepoint_grams(widths)
     blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
     blk_cam_j = jnp.asarray(blk_cam)
     blk_im_j = jnp.asarray(blk_im)

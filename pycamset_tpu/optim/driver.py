@@ -62,7 +62,9 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
     free_idx = jnp.asarray(np.where(unfixed)[0], dtype=jnp.int32)
     base_dev = jnp.asarray(base_full, dtype=dtype)
 
-    neq = make_neq_fn(op_fun)
+    neq = make_neq_fn(
+        op_fun, loss=param_handler.problem_opts.get("loss", "linear"),
+        f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)))
     residual = make_residual_fn(op_fun)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
 
@@ -208,13 +210,14 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
             return loss_fn(x).reshape(-1, 2)
 
     elif backend in ("auto", "structured"):
+        from pycamset_tpu.optim.structured import UnsupportedChain
         try:
             from pycamset_tpu.optim.structured_driver import (
                 build_structured_problem)
             solve_fn, residual_fn, init_params = build_structured_problem(
                 param_handler, dtype=dtype)
             logging.info("Using the structured (Schur) backend")
-        except ValueError as e:
+        except UnsupportedChain as e:
             if backend == "structured":
                 raise
             logging.info(f"Structured backend unavailable ({e}); "

@@ -214,7 +214,9 @@ class TemplateBundleHandler:
         intr_unfixed = np.array(
             ["int" not in self.fixed_params.get(c, {}) for c in self.cam_names])
         pose_unfixed = np.ones(n_poses, dtype=bool)
-        if "fixed_pose" in self.problem_opts:
+        # fixed_pose=None means "no gauge pose" (numpy would interpret a None
+        # index as a new axis and silently fix every pose)
+        if self.problem_opts.get("fixed_pose") is not None:
             fixed_pose = self.problem_opts["fixed_pose"]
             pose_unfixed[fixed_pose] = False
             poses[fixed_pose, :] = 0.0
@@ -302,19 +304,25 @@ class TemplateBundleHandler:
     def get_initial_params(self) -> np.ndarray:
         if self.initial_params is not None:
             return self.initial_params
-        return self.calc_initial_params()
+        # cache: the PnP sweep (and its interactive outlier prompt) must not
+        # re-run when multiple solver frontends ask for the seed
+        self.initial_params = self.calc_initial_params()
+        return self.initial_params
 
     def calc_initial_params(self) -> np.ndarray:
         """Seed the optimisation: per-camera intrinsics from the CameraSet,
         extrinsics + target poses from PnP-based relative pose estimation."""
         cams = self.camset
-        cam_poses, target_poses, per_im_error = estimate_camera_relative_poses(
+        (cam_poses, target_poses, per_im_error,
+         pose_found) = estimate_camera_relative_poses(
             detection=self.detection, cams=self.camset,
             calibration_target=self.target,
             ref_cam=self.problem_opts.get("ref_cam", 0),
             ref_pose=self.problem_opts.get("ref_pose", 0))
 
-        self.missing_poses = np.array([np.isnan(t[0, 0]) for t in target_poses])
+        # an image where NO camera found a target pose has no usable seed:
+        # mark it missing so its detections leave the optimisation
+        self.missing_poses = ~pose_found
         self.find_and_exclude_transform_outliers(per_im_error)
 
         prim = self.bundlePrimitive
@@ -388,9 +396,6 @@ class TemplateBundleHandler:
         _write_cams(new_cams, self.cam_names, proj, extr)
         if not return_pose:
             return new_cams
-        ps = np.array([np.concatenate([
-            gu.make_4x4h_tform(p[:3], p[3:])[:3, :3].reshape(-1), p[3:]])
-            for p in poses])
         # flat-12 (R | t) per pose, matching the reference convention
         ps = np.array([gu.make_4x4h_tform(p[:3], p[3:])[:3, :4].reshape(-1)
                        for p in poses])
@@ -537,12 +542,19 @@ def estimate_camera_relative_poses(
     :return cam_poses: (C,4,4) camera extrinsic estimates (world->cam).
     :return target_poses: (I,4,4) target pose estimates (target->world).
     :return per_im_error: (I,) total reprojection cost of the chosen poses.
+    :return pose_found: (I,) bool — at least one camera localised the target.
+
+    Note: ``ref_cam`` is accepted for reference-API compatibility; the world
+    frame is anchored to the target at ``ref_pose`` (the reference's
+    implementation also never applies ref_cam to the estimate).
     """
     img_detections = detection.get_image_list()
     mat_ac = np.array([
         [calibration_target.target_pose_in_cam_image(im_det, cam, mode="nan")
          for im_det in img_detections]
         for cam in cams])                                       # (C,I,4,4)
+    # before any gap-filling: which images got a pose from ANY camera
+    pose_found = ~np.all(np.isnan(mat_ac[:, :, 0, 0]), axis=0)  # (I,)
 
     ref_pose = check_feasiblity_and_update_refpose(mat_ac, ref_pose)
 
@@ -564,11 +576,17 @@ def estimate_camera_relative_poses(
     errors = np.full((len(mat_rt_ac), n_ims), np.nan)
     for idc, mat_rt_c in enumerate(mat_rt_ac):
         nanform = np.isnan(mat_rt_c[:, 0, 0])
+        if np.all(nanform):
+            errors[idc] = np.inf  # this camera localised nothing
+            mat_rt_c[:] = np.eye(4)
+            continue
+        # gap-fill missing candidates from the nearest valid image (the
+        # reference raised on a leading gap; back-fill instead)
+        first_valid = int(np.argmin(nanform))
         for idn, wasnan in enumerate(nanform):
             if wasnan:
-                if idn == 0:
-                    raise ValueError("No pose in first image")
-                mat_rt_c[idn] = mat_rt_c[idn - 1]  # forward-fill missing poses
+                mat_rt_c[idn] = (mat_rt_c[idn - 1] if idn > first_valid
+                                 else mat_rt_c[first_valid])
         imlocs = np.array([gu.h_tform(ps, m) for m in mat_rt_c])
         costs = reprojection_costs(dd, imlocs, proj, ints, dists)
         costs = np.linalg.norm(costs, axis=1)
@@ -583,7 +601,7 @@ def estimate_camera_relative_poses(
     per_im_error = np.bincount(im_col, weights=costs, minlength=n_ims)
 
     mat_rt[ref_pose] = np.eye(4)
-    return mrt_ac, mat_rt, per_im_error
+    return mrt_ac, mat_rt, per_im_error, pose_found
 
 
 # ------------------------------------------------------------------ self-cal
@@ -645,10 +663,10 @@ class SelfBundleHandler(TemplateBundleHandler):
     def get_initial_params(self) -> np.ndarray:
         if self.initial_params is not None:
             return self.initial_params
-        start_params = self.calc_initial_params()
-        self.initial_params = np.concatenate([
-            start_params,
-            self.target.point_data.copy().flatten()[self.feat_unfixed]])
+        # calc_initial_params extracts the free vector from the primitive,
+        # which for the self-cal primitive already carries the free bundle
+        # points (seeded from the reference geometry at construction)
+        self.initial_params = self.calc_initial_params()
         return self.initial_params
 
     def set_from_templated_camset(self, prev_cams: CameraSet):

@@ -1,7 +1,11 @@
 """Robust loss functions for the bundle adjustment (IRLS weighting).
 
-scipy-compatible definitions (scipy.optimize.least_squares loss/f_scale):
-with z = s / f_scale^2 where s = ||r_i||^2 per observation,
+Definitions follow scipy.optimize.least_squares' loss/f_scale forms, but
+applied PER 2D OBSERVATION (s = ||r_i||^2 over the u,v pair — the standard
+BA convention, as in Ceres), whereas scipy applies rho per residual
+COMPONENT. The two therefore weight diagonal outliers slightly differently;
+backend='scipy' uses scipy's own per-component semantics.
+With z = s / f_scale^2 where s = ||r_i||^2 per observation,
 
     linear : rho(z) = z            w = 1
     huber  : z <= 1: z, else 2*sqrt(z)-1        w = min(1, 1/sqrt(z))

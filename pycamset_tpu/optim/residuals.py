@@ -138,15 +138,22 @@ def make_local_jac_fn(op_fun: OptimFunction):
     return local_jac
 
 
-def make_neq_fn(op_fun: OptimFunction):
+def make_neq_fn(op_fun: OptimFunction, loss: str = "linear",
+                f_scale: float = 1.0):
     """Normal-equation builder.
 
     neq(params_full, cols, tpl, uv, mask) ->
         (JtJ (P,P), grad (P,) = J^T r, cost scalar)
 
     assembled by scatter-add of per-detection (L,L)/(L,) contributions.
+    Robust losses apply IRLS weights per 2D observation, like the
+    structured backend.
     """
+    from pycamset_tpu.optim.losses import make_loss
+
     point_fn = op_fun.make_point_fn()
+    rho_fn, weight_fn = make_loss(loss, f_scale)
+    robust = loss != "linear"
 
     def neq(params_full, cols, tpl, uv, mask):
         p_total = params_full.shape[0]
@@ -160,7 +167,14 @@ def make_neq_fn(op_fun: OptimFunction):
 
         r, jac = jax.vmap(rj)(local, tpl, uv)          # (N,2), (N,2,L)
         r = r * mask[:, None]
-        jac = jac * mask[:, None, None]
+        if robust:
+            s = jnp.sum(r * r, axis=-1)
+            robust_cost = jnp.sum(rho_fn(s) * mask)
+            sw = jnp.sqrt(weight_fn(s)) * mask
+            r = r * sw[:, None]
+            jac = jac * sw[:, None, None]
+        else:
+            jac = jac * mask[:, None, None]
 
         gram = jnp.einsum("nki,nkj->nij", jac, jac)    # (N,L,L)
         jtr = jnp.einsum("nki,nk->ni", jac, r)         # (N,L)
@@ -168,7 +182,7 @@ def make_neq_fn(op_fun: OptimFunction):
         jtj = jnp.zeros((p_total, p_total), dtype=r.dtype).at[
             cols[:, :, None], cols[:, None, :]].add(gram)
         grad = jnp.zeros((p_total,), dtype=r.dtype).at[cols].add(jtr)
-        cost = jnp.sum(r * r)
+        cost = robust_cost if robust else jnp.sum(r * r)
         return jtj, grad, cost
 
     return neq

@@ -61,6 +61,10 @@ class GroupWidths:
         return self.a + self.b + self.c
 
 
+class UnsupportedChain(ValueError):
+    """The chain does not fit the structured block layout (generic path)."""
+
+
 def chain_widths(op_fun: OptimFunction) -> GroupWidths:
     """Column widths by link; requires groups ordered cam*, im*, key*."""
     a = b = c = 0
@@ -74,13 +78,14 @@ def chain_widths(op_fun: OptimFunction) -> GroupWidths:
         elif g.link == key_type.PER_KEY:
             c += g.n
         else:
-            raise ValueError(
+            raise UnsupportedChain(
                 f"{g.link.name} groups unsupported on the structured path")
     # the structured path assumes cam groups come first, then img, then key —
     # true for all shipped chains (the local slice must split contiguously)
     order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY]
     if seen != sorted(seen, key=order.index):
-        raise ValueError("chain group order not cam*,im*,key* — use generic path")
+        raise UnsupportedChain(
+            "chain group order not cam*,im*,key* — use generic path")
     return GroupWidths(a, b, c)
 
 

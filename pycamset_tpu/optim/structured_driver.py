@@ -42,23 +42,33 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     base_full[unfixed] = x0
     free_idx = np.where(unfixed)[0]
 
-    # template table padded to the key grid (zeros when keys are parameters)
+    # template table padded to the key grid; pad ROWS REPLICATE a real point
+    # (a zero pad point can project at z=0 -> inf*0 = NaN poisons the grams;
+    # replicated rows stay finite and are killed by the slot mask)
     tpl_tab = param_handler.template_table()
     tpl_pad = np.zeros((k_pad, 3))
     if tpl_tab is not None and op_fun.templated:
-        tpl_pad[:n_keys] = tpl_tab.reshape(-1, 3)
+        flat_tpl = tpl_tab.reshape(-1, 3)
+        tpl_pad[:n_keys] = flat_tpl
+        tpl_pad[n_keys:] = flat_tpl[0]
 
     def to_pieces(full_np: np.ndarray) -> ParamPieces:
         p = split_full_params(jnp.asarray(full_np, dtype=dtype), op_fun,
                               struct, n_cams, n_ims, n_keys, widths)
-        # pad the key piece to the slot grid
-        key = jnp.zeros((k_pad, widths.c), dtype=dtype).at[:n_keys].set(p.key)
+        # pad the key piece to the slot grid, replicating key 0 (see above)
+        if widths.c:
+            key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
+        else:
+            key = jnp.zeros((k_pad, 0), dtype=dtype)
         im = p.im if widths.b else jnp.zeros((n_ims_grid, 0), dtype=dtype)
         return ParamPieces(p.cam, im, key)
 
     colmask_np = np.zeros_like(base_full)
     colmask_np[unfixed] = 1.0
     colmask = to_pieces(colmask_np)
+    if widths.c:  # padded key slots are never free parameters
+        colmask = ParamPieces(colmask.cam, colmask.im,
+                              colmask.key.at[n_keys:].set(0.0))
 
     neq_raw = make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,

@@ -243,12 +243,15 @@ def outlier_rejection(results, params) -> tuple[TargetDetection | None, bool]:
     for im_num, errs in zip(detection[:, 1], results):
         d_list[int(im_num)].append(errs)
 
+    # indices into the compacted (non-empty) list map back to image numbers
+    im_ids = np.array([i for i, d in enumerate(d_list) if d])
     per_im_outliers = mad_outlier_detection(
-        [np.mean(d) for d in d_list if d], draw=False, out_thresh=5)
+        [np.mean(d_list[i]) for i in im_ids], draw=False, out_thresh=5)
     plt.boxplot([d for d in d_list if d])
     plt.ylabel("Average Pixels Reprojection error")
     if per_im_outliers is not None:
-        plt.title(f"Images {list(per_im_outliers[0])} are likely outliers")
+        outlier_ims = im_ids[per_im_outliers[0]]
+        plt.title(f"Images {list(outlier_ims)} are likely outliers")
     else:
         plt.title("Reprojection error per image")
     plt.show()
@@ -256,7 +259,7 @@ def outlier_rejection(results, params) -> tuple[TargetDetection | None, bool]:
     if per_im_outliers is None:
         return None, False
     logging.info("deleting datum associated with the above outliers")
-    return params.detection.delete_row(im_num=per_im_outliers[0]), True
+    return params.detection.delete_row(im_num=outlier_ims), True
 
 
 def sanitise_input_images(detected_sub_folders: list[Path], optmode: str = "na"):

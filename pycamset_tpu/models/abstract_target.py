@@ -214,7 +214,9 @@ class AbstractTarget(ABC):
         datum = detection.get(cam=cam.name).get_data()
         if datum is None:
             return fail(f"The detection had no data for camera {cam.name}")
-        if len(np.unique(datum[:, 0])) > 1:
+        # one image only; the reference checked column 0 (the camera column,
+        # always unique after get(cam=...)), so its guard never fired
+        if len(np.unique(datum[:, 1])) > 1:
             return fail("passed detection contained info from multiple "
                         "cameras; pose estimation only works with 1 image")
 
@@ -246,7 +248,7 @@ class AbstractTarget(ABC):
         :return poses: list of found 4x4 poses.
         :return p_detected: boolean array — was a pose found in each image.
         """
-        other_cams = set(range(camset.get_n_cams())) - {0}
+        other_cams = set(range(camset.get_n_cams())) - {ref_cam}
         cam = camset[ref_cam]
         poses = []
         for im_list in detections.get_image_list():

@@ -197,36 +197,58 @@ class CameraSet:
                 for cam_name, datum in group.items():
                     data.append([names.index(cam_name), 0, idx,
                                  datum[0], datum[1]])
-            data = np.array(data, dtype=float)
+            data = (np.array(data, dtype=float) if data
+                    else np.zeros((0, 5)))
         else:
             data = np.asarray(to_reconstruct, dtype=float)
+
+        def empty_result():
+            out = np.zeros((0, 3))
+            if return_used:
+                return out, np.zeros((0, data.shape[1] if data.size else 5)), \
+                    [], np.zeros((0, 1))
+            return out
+
+        if data.shape[0] == 0:
+            return empty_result()
 
         # keep only groups (unique im+key) observed by >= 2 cameras
         _, inv, count = np.unique(data[:, 1:-2], axis=0,
                                   return_inverse=True, return_counts=True)
         viable_mask = count > 1
         recon = data[viable_mask[inv.squeeze()]]
+        if recon.shape[0] == 0:
+            return empty_result()
 
-        uniq, grp_inv, grp_counts = np.unique(
-            recon[:, 1:-2], axis=0, return_inverse=True, return_counts=True)
+        # groups ordered by FIRST APPEARANCE in the input table: callers pair
+        # the outputs with row-order quantities of their (sorted) input, as
+        # the reference's sequential triangulation did
+        uniq, grp_first, grp_inv, grp_counts = np.unique(
+            recon[:, 1:-2], axis=0, return_index=True, return_inverse=True,
+            return_counts=True)
         grp_inv = grp_inv.squeeze()
+        appearance = np.argsort(grp_first)
+        rank = np.empty_like(appearance)
+        rank[appearance] = np.arange(appearance.size)
+        gid = rank[grp_inv]                  # group id in appearance order
+        uniq = uniq[appearance]
+        grp_counts = grp_counts[appearance]
         n_groups = uniq.shape[0]
         vmax = int(grp_counts.max())
 
         # build padded (n_groups, vmax) observation tables
-        order = np.argsort(grp_inv, kind="stable")
+        order = np.argsort(gid, kind="stable")
         slot = np.zeros(recon.shape[0], dtype=int)
-        sorted_ginv = grp_inv[order]
         slot_sorted = np.arange(recon.shape[0]) - np.concatenate(
-            [[0], np.cumsum(grp_counts)[:-1]])[sorted_ginv]
+            [[0], np.cumsum(grp_counts)[:-1]])[gid[order]]
         slot[order] = slot_sorted
 
         cam_idx = np.zeros((n_groups, vmax), dtype=np.int32)
         uv = np.zeros((n_groups, vmax, 2))
         mask = np.zeros((n_groups, vmax))
-        cam_idx[grp_inv, slot] = recon[:, 0].astype(np.int32)
-        uv[grp_inv, slot] = recon[:, -2:]
-        mask[grp_inv, slot] = 1.0
+        cam_idx[gid, slot] = recon[:, 0].astype(np.int32)
+        uv[gid, slot] = recon[:, -2:]
+        mask[gid, slot] = 1.0
 
         proj = np.array([cam.proj for cam in self])
         dists = np.array([np.reshape(cam.distortion_coefs, -1) for cam in self])
@@ -240,7 +262,8 @@ class CameraSet:
 
         if return_used:
             where_mask = np.where(viable_mask[inv.squeeze()])[0]
-            working_array = [where_mask[grp_inv == g] for g in range(n_groups)]
+            working_array = np.split(where_mask[order],
+                                     np.cumsum(grp_counts)[:-1])
             return reconstructed, recon, working_array, uniq
         return reconstructed
 

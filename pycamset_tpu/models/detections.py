@@ -61,6 +61,7 @@ class TargetDetection:
 
     @property
     def max_ims(self) -> int:
+        self._glomp_buffer()  # buffered appends count towards the image range
         if self._data is not None and self._data.shape[0]:
             self._max_ims = max(int(np.max(self._data[:, 1])) + 1, self._max_ims)
         return self._max_ims

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import time
+import types
 
 import jax
 
@@ -38,11 +39,18 @@ class StepTimer:
         self.history: list[tuple[str, float]] = []
 
     @contextlib.contextmanager
-    def time(self, name: str, result=None):
+    def time(self, name: str):
+        """Time a block; assign the device output to ``box.result`` inside
+        the block so the timer can synchronise on it:
+
+            with timer.time("solve") as box:
+                box.result = solve(...)
+        """
+        box = types.SimpleNamespace(result=None)
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
+        yield box
+        if box.result is not None:
+            jax.block_until_ready(box.result)
         self.history.append((name, time.perf_counter() - t0))
 
     def timed(self, name: str, fn, *args, **kwargs):

@@ -148,3 +148,53 @@ def test_generic_backend_applies_robust_loss():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_triangulation_group_order_matches_row_order():
+    """multi_cam_triangulate must return groups in first-appearance order of
+    the input table (consumers pair outputs with row-order poses/keys)."""
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+    rig = make_synthetic_rig(n_cams=3, n_ims=3, grid=4, visibility=1.0,
+                             noise_px=0.0, seed=47)
+    cams = _rig_camset(rig, ["a", "b", "c"])
+    import pycamset_tpu.utils.general_utils as gu
+    det_data = rig["dd"]
+    # sort key-major (as get_calibration_points does) and triangulate
+    from pycamset_tpu.models.detections import TargetDetection
+    det = TargetDetection(cam_names=["a", "b", "c"], data=det_data)
+    table = det.sort(["key", "im_num"]).get_data()
+    recon, subset, used, uniq = cams.multi_cam_triangulate(
+        table, return_used=True)
+    # expected world points, paired row-order like the consumers do
+    first_rows = np.sort(np.unique(subset[:, 1:-2], axis=0,
+                                   return_index=True)[1])
+    ims = subset[first_rows, 1].astype(int)
+    keys = subset[first_rows, 2].astype(int)
+    for point, im, key in zip(recon, ims, keys):
+        t = gu.make_4x4h_tform(rig["poses"][im][:3], rig["poses"][im][3:])
+        expect = gu.h_tform(rig["template"][key], t)
+        np.testing.assert_allclose(point, expect, atol=1e-6)
+    # uniq rows agree with the same pairing
+    np.testing.assert_allclose(uniq[:, 0], ims)
+    # used indices point at rows of the right group
+    for g, rows in enumerate(used):
+        np.testing.assert_allclose(subset[first_rows[g], 1:-2],
+                                   table[rows][0, 1:-2])
+
+
+def test_triangulation_degenerate_inputs():
+    """Single-camera and empty inputs return empty results, not crashes."""
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+    rig = make_synthetic_rig(n_cams=2, n_ims=1, grid=3, visibility=1.0,
+                             noise_px=0.0, seed=53)
+    cams = _rig_camset(rig, ["a", "b"])
+    assert cams.multi_cam_triangulate({"a": (10.0, 20.0)}).shape == (0, 3)
+    assert cams.multi_cam_triangulate([]).shape == (0, 3)
+
+
+def test_max_ims_flushes_buffer():
+    from pycamset_tpu.models.detections import ImageDetection, TargetDetection
+    det = TargetDetection(cam_names=["x"])
+    det.add_detection("x", 5, ImageDetection([0], [[1.0, 2.0]]))
+    assert det.max_ims == 6
+    assert len(det.get_image_list()) == 6

@@ -143,6 +143,9 @@ class TargetDetection:
         if key not in ("cam", "key", "im_num"):
             raise ValueError(f'{key} is not a gettable item: accepted are '
                              f'"cam", "key", or "im_num"')
+        if self._data is None:
+            return TargetDetection(cam_names=self.cam_names, data=None,
+                                   max_ims=self.max_ims)
         data = self._data[self._mask_for(key, target), :]
         if data.shape[0] == 0:
             data = None

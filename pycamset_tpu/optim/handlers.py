@@ -459,8 +459,11 @@ def _write_cams(new_cams, cam_names, proj, extr):
 
 def check_for_target_misalignment(tforms: np.ndarray, ref_cam: int = 0):
     """Warn when relative cam-to-reference transforms vary across images —
-    a signature of misordered/temporally misaligned captures."""
-    inv_ref = [np.linalg.inv(p) for p in tforms[ref_cam]]
+    a signature of misordered/temporally misaligned captures. nan poses
+    (failed PnP) are excluded via the nan-aware statistics."""
+    nan4 = np.full((4, 4), np.nan)
+    inv_ref = [np.linalg.inv(p) if np.all(np.isfinite(p)) else nan4
+               for p in tforms[ref_cam]]
     rel = np.array([[t_c @ r_t for r_t, t_c in zip(inv_ref, cam_t)]
                     for cam_t in tforms])
     for ic, rel_c in enumerate(rel):
@@ -555,6 +558,10 @@ def estimate_camera_relative_poses(
         for cam in cams])                                       # (C,I,4,4)
     # before any gap-filling: which images got a pose from ANY camera
     pose_found = ~np.all(np.isnan(mat_ac[:, :, 0, 0]), axis=0)  # (I,)
+
+    # warn on inconsistent relative transforms (misordered / desynced images)
+    # — the reference defines this check but leaves the call commented out
+    check_for_target_misalignment(mat_ac, ref_cam)
 
     ref_pose = check_feasiblity_and_update_refpose(mat_ac, ref_pose)
 

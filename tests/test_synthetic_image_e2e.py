@@ -1,0 +1,151 @@
+"""Gold-standard E2E: rendered ChArUco images with KNOWN ground truth.
+
+The real datasets validate against px thresholds only; here board images are
+rendered through known cameras (including distortion, via inverse-mapped
+remap), the full pipeline runs (cv2 detection -> OpenCV seeding -> PnP
+initialisation -> TPU-resident bundle adjustment), and the recovered
+intrinsics/extrinsics are compared against the generating ground truth.
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+RES = (800, 600)  # (w, h)
+
+
+def make_gt_cameras():
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.models.camera_set import CameraSet
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    rng = np.random.default_rng(0)
+    cams = {}
+    for i, ang in enumerate([-0.25, 0.0, 0.25]):
+        k = np.array([[900.0 + 40 * i, 0, RES[0] / 2 + rng.normal() * 3],
+                      [0, 895.0 + 40 * i, RES[1] / 2 + rng.normal() * 3],
+                      [0, 0, 1.0]])
+        dist = np.array([-0.15 + 0.03 * i, 0.03, 5e-4, -5e-4, 0.0])
+        ext = make_4x4h_tform(np.array([0.0, ang, 0.0]),
+                              np.array([0.12 * (i - 1), 0.0, 0.45]))
+        cams[f"cam{i}"] = Camera(extrinsic=ext, intrinsic=k, res=list(RES),
+                                 distortion_coefs=dist, name=f"cam{i}")
+    return CameraSet(camera_dict=cams)
+
+
+def render_views(target, cams, poses, out_dir):
+    """Render the board as seen by each camera through each pose.
+
+    For each output pixel: undistort -> back-project the ideal ray ->
+    intersect the target plane (z=0 in target frame) -> sample the board
+    texture via cv2.remap.
+    """
+    import jax.numpy as jnp
+
+    from pycamset_tpu.ops.distortion import undistort_pixels
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    # render the board texture at its physical scale
+    square_px = 60
+    n_sq = target.board.getChessboardSize()[0]
+    board_px = n_sq * square_px
+    board_im = target.board.generateImage((board_px, board_px))
+    sq_m = target.square_size / 1000
+    board_m = n_sq * sq_m  # physical board edge in metres
+    px_per_m = board_px / board_m
+
+    w, h = RES
+    uu, vv = np.meshgrid(np.arange(w, dtype=float), np.arange(h, dtype=float))
+    pix = np.stack([uu.ravel(), vv.ravel()], axis=1)
+
+    for name in cams.get_names():
+        cam = cams[name]
+        cdir = out_dir / name
+        cdir.mkdir(exist_ok=True)
+        ideal = np.array(undistort_pixels(
+            jnp.asarray(pix), jnp.asarray(cam.intrinsic),
+            jnp.asarray(cam.distortion_coefs), iters=25))
+        rays_cam = np.concatenate(
+            [(ideal - [cam.intrinsic[0, 2], cam.intrinsic[1, 2]])
+             / [cam.intrinsic[0, 0], cam.intrinsic[1, 1]],
+             np.ones((ideal.shape[0], 1))], axis=1)
+        for i, pose6 in enumerate(poses):
+            t_pose = make_4x4h_tform(pose6[:3], pose6[3:])
+            cam_to_target = np.linalg.inv(t_pose) @ cam.cam_to_world
+            origin = cam_to_target[:3, 3]
+            dirs = rays_cam @ cam_to_target[:3, :3].T
+            tt = -origin[2] / dirs[:, 2]
+            plane = origin[None, :2] + tt[:, None] * dirs[:, :2]
+            map_x = (plane[:, 0] * px_per_m).reshape(h, w).astype(np.float32)
+            map_y = (plane[:, 1] * px_per_m).reshape(h, w).astype(np.float32)
+            im = cv2.remap(board_im, map_x, map_y, cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_CONSTANT, borderValue=128)
+            cv2.imwrite(str(cdir / f"im{i:03d}.png"), im)
+
+
+@pytest.fixture(scope="module")
+def rendered_dataset(tmp_path_factory):
+    from pycamset_tpu.models.charuco import ChArUco
+    out = tmp_path_factory.mktemp("synth_ims")
+    target = ChArUco(10, 10, 25)  # 25 mm squares -> 0.25 m board
+    cams = make_gt_cameras()
+    rng = np.random.default_rng(4)
+    poses = []
+    for i in range(10):
+        # near-frontal poses: the cameras view the board's printed (+z) face
+        rvec = rng.normal(size=3) * 0.25
+        tvec = np.array([-0.125, -0.1, 0.0]) \
+            + rng.normal(size=3) * [0.04, 0.04, 0.05]
+        poses.append(np.concatenate([rvec, tvec]))
+    render_views(target, cams, poses, out)
+    return out, target, cams
+
+
+def test_pipeline_recovers_ground_truth(rendered_dataset):
+    from pycamset_tpu import calibrate_cameras
+    from pycamset_tpu.models.charuco import ChArUco
+    data_dir, target, gt_cams = rendered_dataset
+    fresh_target = ChArUco(10, 10, 25)
+    cams = calibrate_cameras(
+        f_loc=data_dir, calibration_target=fresh_target, save=False,
+        problem_options={"outliers": "n"})
+
+    err = np.mean(np.linalg.norm(
+        cams.calibration_result.reshape(-1, 2), axis=1))
+    assert err < 0.5, f"reprojection error too high: {err:.3f}"
+
+    # intrinsics recovered against the generating ground truth
+    for name in gt_cams.get_names():
+        got, want = cams[name], gt_cams[name]
+        assert abs(got.intrinsic[0, 0] - want.intrinsic[0, 0]) < 5.0, name
+        assert abs(got.intrinsic[1, 1] - want.intrinsic[1, 1]) < 5.0, name
+        # individual k coefficients trade off when the board does not reach
+        # the image corners; compare the distortion FUNCTION over the
+        # observed field instead (displacement agreement in px)
+        grid = np.stack(np.meshgrid(
+            np.linspace(RES[0] * 0.2, RES[0] * 0.8, 7),
+            np.linspace(RES[1] * 0.2, RES[1] * 0.8, 7)), -1).reshape(-1, 2)
+        import jax.numpy as jnp
+        from pycamset_tpu.ops.distortion import distort_pixels
+        d_got = np.array(distort_pixels(
+            jnp.asarray(grid), jnp.asarray(want.intrinsic),
+            jnp.asarray(np.reshape(got.distortion_coefs, -1))))
+        d_want = np.array(distort_pixels(
+            jnp.asarray(grid), jnp.asarray(want.intrinsic),
+            jnp.asarray(want.distortion_coefs)))
+        assert np.abs(d_got - d_want).max() < 0.5, name
+
+    # relative extrinsics (world gauge differs; compare cam0-relative)
+    def rel(cs, a, b):
+        return cs[b].extrinsic @ np.linalg.inv(cs[a].extrinsic)
+
+    for pair in [("cam0", "cam1"), ("cam0", "cam2")]:
+        got_rel = rel(cams, *pair)
+        want_rel = rel(gt_cams, *pair)
+        assert np.abs(got_rel[:3, 3] - want_rel[:3, 3]).max() < 2e-3, pair
+        cosang = (np.trace(got_rel[:3, :3] @ want_rel[:3, :3].T) - 1) / 2
+        assert np.degrees(np.arccos(np.clip(cosang, -1, 1))) < 0.2, pair
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v", "-s"])

@@ -18,7 +18,14 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
 
     :return: (solve_fn(x0_free)->(x_free, SLMResult), residual_fn(x_free),
               x0_free) — same contract as optim.driver.build_solver.
-    Raises ValueError when the chain does not fit the structured layout.
+    Raises UnsupportedChain when the chain does not fit the structured layout.
+
+    The image axis of the device grid is padded to a bucket multiple
+    (problem_opts['im_bucket'], default 8; None disables) so rigs with
+    similar image counts share compiled executables — compilation dominates
+    wall time for one-off solves (20-300 s vs tens of ms). Pad images carry
+    replicated pose values, zero masks and zero column masks, so they
+    contribute nothing.
     """
     op_fun: OptimFunction = param_handler.op_fun
     widths = chain_widths(op_fun)
@@ -29,7 +36,12 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     n_keys = param_handler.n_keys()
     # the free-point chain has no image parameters, but every (cam, im) pair
     # in the table still indexes a block on the grid
-    n_ims_grid = n_ims if widths.b else int(param_handler.detection.max_ims)
+    n_ims_true = n_ims if widths.b else int(param_handler.detection.max_ims)
+    im_bucket = param_handler.problem_opts.get("im_bucket", 8)
+    if im_bucket:
+        n_ims_grid = ((n_ims_true + im_bucket - 1) // im_bucket) * im_bucket
+    else:
+        n_ims_grid = n_ims_true
 
     dd = param_handler.get_detection_data(flatten=True)
     blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
@@ -60,15 +72,22 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
             key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
         else:
             key = jnp.zeros((k_pad, 0), dtype=dtype)
-        im = p.im if widths.b else jnp.zeros((n_ims_grid, 0), dtype=dtype)
+        # pad the image piece to the (bucketed) grid, replicating row 0
+        if widths.b:
+            im = jnp.tile(p.im[:1], (n_ims_grid, 1)).at[:n_ims].set(p.im)
+        else:
+            im = jnp.zeros((n_ims_grid, 0), dtype=dtype)
         return ParamPieces(p.cam, im, key)
 
     colmask_np = np.zeros_like(base_full)
     colmask_np[unfixed] = 1.0
     colmask = to_pieces(colmask_np)
+    fixes = {}
     if widths.c:  # padded key slots are never free parameters
-        colmask = ParamPieces(colmask.cam, colmask.im,
-                              colmask.key.at[n_keys:].set(0.0))
+        fixes["key"] = colmask.key.at[n_keys:].set(0.0)
+    if widths.b:  # nor are padded image slots
+        fixes["im"] = colmask.im.at[n_ims:].set(0.0)
+    colmask = colmask._replace(**fixes)
 
     neq_raw = make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,
@@ -117,7 +136,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         x_pieces = jax.tree_util.tree_map(np.asarray, res.x)
         full = np.asarray(merge_pieces_to_full(
             ParamPieces(jnp.asarray(x_pieces.cam, dtype=jnp.float64),
-                        (jnp.asarray(x_pieces.im, dtype=jnp.float64)
+                        (jnp.asarray(x_pieces.im[:n_ims], dtype=jnp.float64)
                          if widths.b else jnp.zeros((n_ims, 0))),
                         jnp.asarray(x_pieces.key[:n_keys], dtype=jnp.float64)),
             op_fun, struct, n_cams, n_ims, n_keys))

@@ -308,29 +308,28 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         elif (a, b, c) == (15, 0, 3) and names == (
                 "Projection", "Extrinsic3D", "FreePoint"):
             grams = make_pallas_freepoint_grams(widths)
-    blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
-    blk_cam_j = jnp.asarray(blk_cam)
-    blk_im_j = jnp.asarray(blk_im)
 
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
-        dtype = uv.dtype
-        onehot_cam = jnp.asarray(onehot_cam_np, dtype=dtype)
-        onehot_im = jnp.asarray(onehot_im_np, dtype=dtype)
+        # blocks are (cam-major, image-minor): per-cam / per-im parameter
+        # broadcasts are repeats/tiles and the block->cam / block->im
+        # reductions are plain reshaped sums — no gather tables, no one-hot
+        # constants (which would embed O(C*I^2) bytes in the executable)
+        cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+        im_b = jnp.tile(pieces.im, (n_cams, 1))
+        cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+        imask_b = jnp.tile(colmask.im, (n_cams, 1))
 
         (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(pieces.cam[blk_cam_j], pieces.im[blk_im_j], pieces.key,
-                       tpl, uv, mask, colmask.cam[blk_cam_j],
-                       colmask.im[blk_im_j], colmask.key)
+         cost) = grams(cam_b, im_b, pieces.key, tpl, uv, mask,
+                       cmask_b, imask_b, colmask.key)
 
-        # one-hot contractions: block axis -> cam / im axes (MXU matmuls)
-        bb = gcc_b.shape[0]
         k_pad = wck_b.shape[1]
-        hcc = (onehot_cam @ gcc_b.reshape(bb, -1)).reshape(n_cams, a, a)
-        hii = (onehot_im @ gii_b.reshape(bb, -1)).reshape(n_ims, b, b)
-        gc = onehot_cam @ gc_b
-        gi = onehot_im @ gi_b
-        wck = (onehot_cam @ wck_b.reshape(bb, -1)).reshape(n_cams, k_pad, a, c)
-        wik = (onehot_im @ wik_b.reshape(bb, -1)).reshape(n_ims, k_pad, b, c)
+        hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+        hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
+        gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+        gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
+        wck = wck_b.reshape(n_cams, n_ims, k_pad, a, c).sum(axis=1)
+        wik = wik_b.reshape(n_cams, n_ims, k_pad, b, c).sum(axis=0)
         wci = wci_b.reshape(n_cams, n_ims, a, b)  # a block IS one (c,i) pair
 
         return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
@@ -360,12 +359,20 @@ def neq_matvec(neq: NormalEq, dx: ParamPieces) -> ParamPieces:
     return ParamPieces(oc, oi, ok)
 
 
-def schur_solve(neq: NormalEq, damp: ParamPieces) -> ParamPieces:
+def schur_solve(neq: NormalEq, damp: ParamPieces, method: str = "dense",
+                cg_tol: float = 1e-6, cg_maxiter: int = 250) -> ParamPieces:
     """Solve (H + diag(damp)) dx = -g by Schur elimination.
 
     Eliminates the per-point blocks first (classic reduced camera system),
-    then solves the dense (cam+pose) system, then back-substitutes. When a
-    group is absent (zero width) its elimination is a no-op.
+    then solves the (cam+pose) system, then back-substitutes. When a group
+    is absent (zero width) its elimination is a no-op.
+
+    :param method: 'dense' materialises the reduced system and Cholesky-solves
+        it (exact; memory grows as (15C + 6I)^2). 'cg' runs matrix-free
+        preconditioned conjugate gradients — the point-elimination term is
+        applied as W (K^-1 (W^T x)) without ever forming the (C,C)/(I,I)
+        coupling blocks, so memory stays O(C*K + I*K): the path for rigs
+        with thousands of poses.
     """
     c_, i_, k_ = neq.hcc.shape[0], neq.hii.shape[0], neq.hkk.shape[0]
     a, b, c = neq.hcc.shape[2], neq.hii.shape[2], neq.hkk.shape[2]
@@ -375,44 +382,52 @@ def schur_solve(neq: NormalEq, damp: ParamPieces) -> ParamPieces:
     hii = (neq.hii + jax.vmap(jnp.diag)(damp.im)) if b else neq.hii
     hkk = (neq.hkk + jax.vmap(jnp.diag)(damp.key)) if c else neq.hkk
 
-    # --- eliminate points -------------------------------------------------
+    # --- eliminate points (shared by both solvers) --------------------------
     if c:
         kinv = _normalized_inv(hkk)                               # (K,c,c)
         uck = jnp.einsum("ckap,kpq->ckaq", neq.wck, kinv)         # (C,K,a,c)
         uik = jnp.einsum("ikbp,kpq->ikbq", neq.wik, kinv)         # (I,K,b,c)
-        scc = -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck)        # (C,C,a,a)
-        sci = -jnp.einsum("ckap,ikbp->ciab", uck, neq.wik)        # (C,I,a,b)
-        sii = -jnp.einsum("ikap,jkbp->ijab", uik, neq.wik)        # (I,I,b,b)
         gc = neq.gc - jnp.einsum("ckaq,kq->ca", uck, neq.gk)
         gi = neq.gi - jnp.einsum("ikbq,kq->ib", uik, neq.gk) if b else neq.gi
     else:
-        scc = jnp.zeros((c_, c_, a, a), dtype)
-        sci = jnp.zeros((c_, i_, a, b), dtype)
-        sii = jnp.zeros((i_, i_, b, b), dtype)
+        kinv = uck = uik = None
         gc, gi = neq.gc, neq.gi
 
-    scc = _block_diag_add(scc, hcc)
-
-    if b:
-        sci = sci + neq.wci
-        sii = _block_diag_add(sii, hii)
-        # assemble the dense reduced (cam+pose) system
-        top = jnp.concatenate([
-            scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a),
-            sci.transpose(0, 2, 1, 3).reshape(c_ * a, i_ * b)], axis=1)
-        bot = jnp.concatenate([
-            sci.transpose(1, 3, 0, 2).reshape(i_ * b, c_ * a),
-            sii.transpose(0, 2, 1, 3).reshape(i_ * b, i_ * b)], axis=1)
-        amat = jnp.concatenate([top, bot], axis=0)
-        rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
-        sol = _psd_solve(amat, rhs)
-        dxc = sol[: c_ * a].reshape(c_, a)
-        dxi = sol[c_ * a:].reshape(i_, b)
+    if method == "cg":
+        dxc, dxi = _reduced_cg(neq, hcc, hii, uck, uik, gc, gi,
+                               cg_tol, cg_maxiter)
     else:
-        amat = scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a)
-        sol = _psd_solve(amat, -gc.reshape(-1))
-        dxc = sol.reshape(c_, a)
-        dxi = jnp.zeros((i_, b), dtype)
+        if c:
+            scc = -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck)    # (C,C,a,a)
+            sci = -jnp.einsum("ckap,ikbp->ciab", uck, neq.wik)    # (C,I,a,b)
+            sii = -jnp.einsum("ikap,jkbp->ijab", uik, neq.wik)    # (I,I,b,b)
+        else:
+            scc = jnp.zeros((c_, c_, a, a), dtype)
+            sci = jnp.zeros((c_, i_, a, b), dtype)
+            sii = jnp.zeros((i_, i_, b, b), dtype)
+
+        scc = _block_diag_add(scc, hcc)
+
+        if b:
+            sci = sci + neq.wci
+            sii = _block_diag_add(sii, hii)
+            # assemble the dense reduced (cam+pose) system
+            top = jnp.concatenate([
+                scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a),
+                sci.transpose(0, 2, 1, 3).reshape(c_ * a, i_ * b)], axis=1)
+            bot = jnp.concatenate([
+                sci.transpose(1, 3, 0, 2).reshape(i_ * b, c_ * a),
+                sii.transpose(0, 2, 1, 3).reshape(i_ * b, i_ * b)], axis=1)
+            amat = jnp.concatenate([top, bot], axis=0)
+            rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
+            sol = _psd_solve(amat, rhs)
+            dxc = sol[: c_ * a].reshape(c_, a)
+            dxi = sol[c_ * a:].reshape(i_, b)
+        else:
+            amat = scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a)
+            sol = _psd_solve(amat, -gc.reshape(-1))
+            dxc = sol.reshape(c_, a)
+            dxi = jnp.zeros((i_, b), dtype)
 
     # --- back-substitute points -------------------------------------------
     if c:
@@ -424,6 +439,49 @@ def schur_solve(neq: NormalEq, damp: ParamPieces) -> ParamPieces:
         dxk = jnp.zeros((k_, c), dtype)
 
     return ParamPieces(dxc, dxi, dxk)
+
+
+def _reduced_cg(neq: NormalEq, hcc, hii, uck, uik, gc, gi, tol, maxiter):
+    """Matrix-free preconditioned CG on the reduced (cam+pose) system.
+
+    Matvec applies the point-elimination coupling as three O(C*K)/(I*K)
+    einsums per iteration; the preconditioner is the block-Jacobi inverse of
+    the damped diagonal blocks.
+    """
+    b = hii.shape[2] if hii.ndim == 3 else 0
+    c = neq.hkk.shape[2]
+    has_pts = c > 0 and uck is not None
+
+    hcc_inv = _normalized_inv(hcc)
+    hii_inv = _normalized_inv(hii) if b else None
+
+    def matvec(x):
+        xc, xi = x
+        yc = jnp.einsum("cab,cb->ca", hcc, xc)
+        yi = (jnp.einsum("iab,ib->ia", hii, xi) if b
+              else jnp.zeros_like(xi))
+        if b:
+            yc = yc + jnp.einsum("ciab,ib->ca", neq.wci, xi)
+            yi = yi + jnp.einsum("ciab,ca->ib", neq.wci, xc)
+        if has_pts:
+            t = jnp.einsum("ckap,ca->kp", neq.wck, xc)
+            if b:
+                t = t + jnp.einsum("ikbp,ib->kp", neq.wik, xi)
+            yc = yc - jnp.einsum("ckaq,kq->ca", uck, t)
+            if b:
+                yi = yi - jnp.einsum("ikbq,kq->ib", uik, t)
+        return (yc, yi)
+
+    def precond(x):
+        xc, xi = x
+        pc = jnp.einsum("cab,cb->ca", hcc_inv, xc)
+        pi = jnp.einsum("iab,ib->ia", hii_inv, xi) if b else xi
+        return (pc, pi)
+
+    rhs = (-gc, -gi)
+    sol, _ = jax.scipy.sparse.linalg.cg(
+        matvec, rhs, M=precond, tol=tol, maxiter=maxiter)
+    return sol
 
 
 def _block_diag_add(full: jnp.ndarray, diag_blocks: jnp.ndarray) -> jnp.ndarray:

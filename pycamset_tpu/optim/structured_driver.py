@@ -97,11 +97,19 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
 
+    # reduced-system solver: dense Cholesky for small rigs, matrix-free CG
+    # when the (15C + 6I) system would be large to form
+    reduced_solver = param_handler.problem_opts.get("reduced_solver", "auto")
+    if reduced_solver == "auto":
+        dim = n_cams * widths.a + n_ims_grid * widths.b
+        reduced_solver = "cg" if dim > 4096 else "dense"
+
     @jax.jit
     def solve_impl(x_pieces, uv, mask, tpl):
         def neq_fn(p):
             return neq_raw(p, uv, mask, tpl, colmask)
-        return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev)
+        return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
+                                   reduced_solver=reduced_solver)
 
     from pycamset_tpu.optim.residuals import make_residual_fn  # noqa: F401
     point_fn = op_fun.make_point_fn()

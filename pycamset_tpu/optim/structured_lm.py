@@ -64,8 +64,15 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
                         x0: ParamPieces, *, max_nfev: int = 100,
                         ftol: float = 1e-8, xtol: float = 1e-8,
                         gtol: float = 1e-8, lam0: float = 1e-4,
-                        scale_floor: float = 1e-8) -> SLMResult:
-    """Minimise the structured BA cost; fully traceable (use under jit)."""
+                        scale_floor: float = 1e-8,
+                        reduced_solver: str = "dense",
+                        cg_tol: float = 1e-6,
+                        cg_maxiter: int = 250) -> SLMResult:
+    """Minimise the structured BA cost; fully traceable (use under jit).
+
+    :param reduced_solver: 'dense' (exact Cholesky) or 'cg' (matrix-free,
+        for rigs where the (15C + 6I) reduced system is too large to form).
+    """
     dtype = x0.cam.dtype
     hist_len = max_nfev + 2
     # scipy's 1e-8 defaults assume float64; clamp to the dtype's resolution
@@ -94,7 +101,8 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
     def body(s: SLMState):
         damp = ParamPieces(s.lam * s.scale2.cam, s.lam * s.scale2.im,
                            s.lam * s.scale2.key)
-        dx = schur_solve(s.neq, damp)
+        dx = schur_solve(s.neq, damp, method=reduced_solver,
+                         cg_tol=cg_tol, cg_maxiter=cg_maxiter)
         x_new = _padd(s.x, dx)
 
         neq_new = neq_fn(x_new)

@@ -212,3 +212,73 @@ def test_structured_lm_converges():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_cg_reduced_solver_matches_dense():
+    """Matrix-free CG reduced solve agrees with the dense Cholesky path."""
+    rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=4, visibility=0.85,
+                             noise_px=0.4, seed=8)
+    chain = [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()]
+    op_fun, widths, struct, full = setup_problem(chain, rig, True)
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    key = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
+    pieces = ParamPieces(pieces.cam, pieces.im, key)
+    colmask = ParamPieces(
+        jnp.ones((n_cams, widths.a)),
+        jnp.ones((n_ims, widths.b)).at[0].set(0.0),
+        jnp.ones((k_pad, 3)).at[n_keys:].set(0.0))
+    neq = make_structured_neq(op_fun, widths, n_cams, n_ims)(
+        pieces, uv, mask, jnp.zeros((k_pad, 3)), colmask)
+    from pycamset_tpu.optim.structured import neq_diag
+    d = neq_diag(neq)
+    damp = ParamPieces(*[1e-3 * jnp.maximum(x, 1e-8) for x in d])
+    dx_dense = schur_solve(neq, damp, method="dense")
+    dx_cg = schur_solve(neq, damp, method="cg", cg_tol=1e-12, cg_maxiter=2000)
+    for name, a, b in zip(["cam", "im", "key"], dx_dense, dx_cg):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 1e-6, name
+
+
+def test_structured_lm_with_cg_converges():
+    rig = make_synthetic_rig(n_cams=4, n_ims=8, grid=6, visibility=0.9,
+                             noise_px=0.0, seed=4)
+    chain = [Projection(), Extrinsic3D(), TemplatePoints()]
+    op_fun, widths, struct, full = setup_problem(chain, rig, False)
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]
+
+    x = full.copy()
+    x += np.random.default_rng(0).normal(size=x.size) * 1e-3
+    pose_sl = struct.group_slice(2)
+    x[pose_sl.start:pose_sl.start + 6] = full[pose_sl.start:pose_sl.start + 6]
+    pieces = split_full_params(jnp.asarray(x), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    pieces = ParamPieces(pieces.cam, pieces.im, jnp.zeros((k_pad, 0)))
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a)),
+                          jnp.ones((n_ims, widths.b)).at[0].set(0.0),
+                          jnp.ones((k_pad, 0)))
+    neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
+    tpl_j = jnp.asarray(tpl_pad)
+
+    @jax.jit
+    def solve(p):
+        return structured_lm_solve(
+            lambda pp: neq_raw(pp, uv, mask, tpl_j, colmask), p,
+            max_nfev=50, reduced_solver="cg")
+
+    res = solve(pieces)
+    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    assert rms < 1e-6, f"CG-based LM failed to converge: {rms}"

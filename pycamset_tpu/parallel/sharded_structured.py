@@ -1,11 +1,13 @@
-"""Multi-device structured BA: shard the block axis, psum the normal equations.
+"""Multi-device structured BA: shard cameras, psum the normal equations.
 
-The (cam x im, key) block grid shards on its block axis across a 1-D mesh:
-each device computes per-block grams for its contiguous slab of blocks
-(make_block_grams), contracts them against its slice of the block->cam /
-block->im one-hot matrices, places its wci blocks into the global (C,I,a,b)
-tensor at its slab offset, and a single psum over ICI produces the replicated
-NormalEq. The Schur solve and LM control flow run replicated on every device.
+The (cam × im, key) block grid is cam-major, so sharding the CAMERA axis
+gives each device a contiguous slab of whole cameras: per-cam reductions
+are local reshaped sums, per-image/per-key reductions are local partial
+sums + one psum over ICI, and the per-(cam, image) coupling blocks are
+placed into the global tensor at the device's camera offset before the same
+psum. No gather tables and no one-hot constants (which embed O(C*I^2)
+bytes in the executable). The Schur solve and LM control flow run
+replicated on every device — they are tiny relative to the residual work.
 """
 from __future__ import annotations
 
@@ -19,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
-    GroupWidths, NormalEq, ParamPieces, block_onehots, make_block_grams)
+    GroupWidths, NormalEq, ParamPieces, make_block_grams)
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
@@ -27,33 +29,19 @@ from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                                 n_cams: int, n_ims: int, mesh: Mesh,
                                 loss: str = "linear", f_scale: float = 1.0):
-    """neq with the block axis of (uv, mask) sharded over the mesh.
+    """neq with the camera axis of (uv, mask) sharded over the mesh.
+
+    uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on axis 0;
+    parameters are replicated. n_cams must be divisible by the mesh size.
 
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
-        n_cams * n_ims must be divisible by the mesh size.
     """
-    import os
-
-    import jax as _jax
-
     a, b, c = widths.a, widths.b, widths.c
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
-    # per-shard fused Pallas grams on TPU meshes (same dispatch rule as the
-    # single-device path; each device runs the kernel over its block slab)
-    if ((a, b, c) == (15, 6, 0) and loss == "linear"
-            and _jax.default_backend() == "tpu"
-            and not os.environ.get("PYCAMSET_NO_PALLAS")):
-        names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-        if names == ("Projection", "Extrinsic3D", "TemplatePoints"):
-            from pycamset_tpu.optim.pallas_grams import (
-                make_pallas_template_grams)
-            grams = make_pallas_template_grams(widths)
-    blk_cam, blk_im, onehot_cam_np, onehot_im_np = block_onehots(n_cams, n_ims)
-    n_blocks = n_cams * n_ims
     n_dev = mesh.devices.size
-    if n_blocks % n_dev != 0:
-        raise ValueError(f"{n_blocks} blocks not divisible by {n_dev} devices")
-    b_loc = n_blocks // n_dev
+    if n_cams % n_dev != 0:
+        raise ValueError(f"{n_cams} cameras not divisible by {n_dev} devices")
+    c_loc = n_cams // n_dev
 
     piece_spec = ParamPieces(P(), P(), P())
 
@@ -64,33 +52,44 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         dtype = uv.dtype
         d = jax.lax.axis_index(DETECTION_AXIS)
-        off = d * b_loc
+        cam_off = d * c_loc
+        k_pad = mask.shape[-1]
 
-        blk_cam_loc = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(blk_cam), off, b_loc)
-        blk_im_loc = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(blk_im), off, b_loc)
-        oh_cam = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(onehot_cam_np, dtype=dtype), off, b_loc, axis=1)
-        oh_im = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(onehot_im_np, dtype=dtype), off, b_loc, axis=1)
+        cam_loc = jax.lax.dynamic_slice_in_dim(pieces.cam, cam_off, c_loc)
+        cmask_loc = jax.lax.dynamic_slice_in_dim(colmask.cam, cam_off, c_loc)
+
+        # local block grid: this device's cameras x all images
+        bb = c_loc * n_ims
+        cam_b = jnp.repeat(cam_loc, n_ims, axis=0)
+        im_b = jnp.tile(pieces.im, (c_loc, 1))
+        cmask_b = jnp.repeat(cmask_loc, n_ims, axis=0)
+        imask_b = jnp.tile(colmask.im, (c_loc, 1))
 
         (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(pieces.cam[blk_cam_loc], pieces.im[blk_im_loc],
-                       pieces.key, tpl, uv, mask, colmask.cam[blk_cam_loc],
-                       colmask.im[blk_im_loc], colmask.key)
+         cost) = grams(cam_b, im_b, pieces.key, tpl,
+                       uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
+                       cmask_b, imask_b, colmask.key)
 
-        k_pad = wck_b.shape[1]
-        hcc = (oh_cam @ gcc_b.reshape(b_loc, -1)).reshape(n_cams, a, a)
-        hii = (oh_im @ gii_b.reshape(b_loc, -1)).reshape(n_ims, b, b)
-        gc = oh_cam @ gc_b
-        gi = oh_im @ gi_b
-        wck = (oh_cam @ wck_b.reshape(b_loc, -1)).reshape(n_cams, k_pad, a, c)
-        wik = (oh_im @ wik_b.reshape(b_loc, -1)).reshape(n_ims, k_pad, b, c)
-        # local slab of wci blocks into the global (B,a,b), then reshape
-        wci_full = jnp.zeros((n_blocks, a, b), dtype=dtype)
-        wci_full = jax.lax.dynamic_update_slice_in_dim(wci_full, wci_b, off, 0)
-        wci = wci_full.reshape(n_cams, n_ims, a, b)
+        # local reductions (cam-major slab)
+        hcc_loc = gcc_b.reshape(c_loc, n_ims, a, a).sum(axis=1)
+        gc_loc = gc_b.reshape(c_loc, n_ims, a).sum(axis=1)
+        wck_loc = wck_b.reshape(c_loc, n_ims, k_pad, a, c).sum(axis=1)
+        hii = gii_b.reshape(c_loc, n_ims, b, b).sum(axis=0)
+        gi = gi_b.reshape(c_loc, n_ims, b).sum(axis=0)
+        wik = wik_b.reshape(c_loc, n_ims, k_pad, b, c).sum(axis=0)
+        wci_loc = wci_b.reshape(c_loc, n_ims, a, b)
+
+        # place this device's camera slab into the global tensors, then one
+        # psum over the mesh replicates the full system everywhere
+        zeros = jnp.zeros
+        hcc = jax.lax.dynamic_update_slice_in_dim(
+            zeros((n_cams, a, a), dtype), hcc_loc, cam_off, 0)
+        gc = jax.lax.dynamic_update_slice_in_dim(
+            zeros((n_cams, a), dtype), gc_loc, cam_off, 0)
+        wck = jax.lax.dynamic_update_slice_in_dim(
+            zeros((n_cams, k_pad, a, c), dtype), wck_loc, cam_off, 0)
+        wci = jax.lax.dynamic_update_slice_in_dim(
+            zeros((n_cams, n_ims, a, b), dtype), wci_loc, cam_off, 0)
 
         out = NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
         return jax.tree_util.tree_map(
@@ -102,11 +101,12 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
 def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
                                    n_cams: int, n_ims: int, mesh: Mesh,
                                    colmask: ParamPieces, max_nfev: int = 100,
-                                   loss: str = "linear", f_scale: float = 1.0):
+                                   loss: str = "linear", f_scale: float = 1.0,
+                                   reduced_solver: str = "dense"):
     """A jitted multi-device LM solve on the structured backend.
 
-    :return: solve(pieces, uv, mask, tpl) -> SLMResult; uv/mask must be
-        placed with their block axis sharded over the mesh.
+    :return: solve(pieces, uv, mask, tpl) -> SLMResult; uv/mask are
+        camera-major (C, I, K[, 2]) tensors sharded on axis 0.
     """
     neq = make_sharded_structured_neq(op_fun, widths, n_cams, n_ims, mesh,
                                       loss=loss, f_scale=f_scale)
@@ -115,12 +115,17 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
     def solve(pieces: ParamPieces, uv, mask, tpl) -> SLMResult:
         return structured_lm_solve(
             lambda p: neq(p, uv, mask, tpl, colmask), pieces,
-            max_nfev=max_nfev)
+            max_nfev=max_nfev, reduced_solver=reduced_solver)
 
     return solve
 
 
-def shard_block_arrays(mesh: Mesh, uv, mask):
-    """Place (uv, mask) with the block axis sharded over the mesh."""
+def shard_block_arrays(mesh: Mesh, uv, mask, n_cams: int):
+    """(B, K, 2)/(B, K) block arrays -> camera-major (C, I, K, 2)/(C, I, K)
+    placed with the camera axis sharded over the mesh."""
+    b, k = np.shape(mask)
+    n_ims = b // n_cams
+    uv_c = jnp.reshape(uv, (n_cams, n_ims, k, 2))
+    mask_c = jnp.reshape(mask, (n_cams, n_ims, k))
     sh = NamedSharding(mesh, P(DETECTION_AXIS))
-    return jax.device_put(uv, sh), jax.device_put(mask, sh)
+    return jax.device_put(uv_c, sh), jax.device_put(mask_c, sh)

@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def setup():
-    rig = make_synthetic_rig(n_cams=4, n_ims=8, grid=4, visibility=0.85,
+    rig = make_synthetic_rig(n_cams=8, n_ims=4, grid=4, visibility=0.85,
                              noise_px=0.4, seed=7)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
     op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
@@ -48,7 +48,7 @@ def test_sharded_neq_matches_single_device():
     (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
      n_cams, n_ims, blocks) = setup()
     mesh = detection_mesh(8)
-    uv_s, mask_s = shard_block_arrays(mesh, uv, mask)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
 
     neq_single = jax.jit(make_structured_neq(op_fun, widths, n_cams, n_ims))
     neq_sharded = jax.jit(
@@ -65,7 +65,7 @@ def test_sharded_lm_step_runs_and_converges():
     (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
      n_cams, n_ims, blocks) = setup()
     mesh = detection_mesh(8)
-    uv_s, mask_s = shard_block_arrays(mesh, uv, mask)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
 
     # perturb then solve on the mesh
     pert = ParamPieces(

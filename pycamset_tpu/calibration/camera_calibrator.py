@@ -67,6 +67,7 @@ def calibrate_cameras(
         f_loc = Path(f_loc)
     if save_loc is None:
         save_loc = f_loc
+    camera_model = (problem_options or {}).get("camera_model", "standard")
 
     detections, camera_res = detect_datapoints_in_imfile(
         f_loc=f_loc, caching=save, calibration_target=calibration_target,
@@ -74,12 +75,15 @@ def calibrate_cameras(
 
     validate_detections(detections, calibration_target)
 
-    string_tail = ".camset"
+    # distinct cache per camera model: a cached 5-coef seed is a valid (zero
+    # k4..k6) rational seed but would silently shadow a real rational one
+    string_tail = (".camset" if camera_model == "standard"
+                   else f"_{camera_model}.camset")
     if initial_cams is None:
         initial_cams = run_initial_calibration(
             detections, calibration_target, camera_res, save=save,
             save_loc=save_loc / ("initial_cameras" + string_tail),
-            fixed_params=fixed_params)
+            fixed_params=fixed_params, camera_model=camera_model)
 
         if high_distortion:
             detections, _ = detect_datapoints_in_imfile(
@@ -87,7 +91,8 @@ def calibrate_cameras(
                 n_lim=n_lim, camset=initial_cams)
             initial_cams = run_initial_calibration(
                 detections, calibration_target, camera_res, save=save,
-                save_loc=save_loc / ("initial_cameras_high_distortion" + string_tail))
+                save_loc=save_loc / ("initial_cameras_high_distortion" + string_tail),
+                camera_model=camera_model)
             initial_cams.draw_camera_distortions()
     else:
         logging.info("Using the provided initial cameras.")
@@ -106,7 +111,8 @@ def run_initial_calibration(detection: TargetDetection,
                             cam_res: list, save: bool = True,
                             save_loc: Path = Path("initial_estimate.camset"),
                             ref_cam=0,
-                            fixed_params: dict | None = None) -> CameraSet:
+                            fixed_params: dict | None = None,
+                            camera_model: str = "standard") -> CameraSet:
     """Per-camera initial calibration via the target's calibration method
     (cv2.calibrateCamera by default), with .camset caching."""
     if save_loc.exists() and save:
@@ -121,9 +127,21 @@ def run_initial_calibration(detection: TargetDetection,
     logging.info("Pulling calibration method from target")
     cam_names = detection.cam_names
     cam_detections = detection.get_cam_list()
+    # custom targets may override initial_calibration without the
+    # camera_model kwarg; only pass it when the signature accepts it
+    import inspect
+    kw = {}
+    sig = inspect.signature(calibration_target.initial_calibration)
+    if "camera_model" in sig.parameters:
+        kw["camera_model"] = camera_model
+    elif camera_model != "standard":
+        logging.warning(
+            f"Target {type(calibration_target).__name__}.initial_calibration "
+            f"does not accept camera_model={camera_model!r}; seeding with its "
+            "default model (extra coefficients start at zero).")
     raw = [calibration_target.initial_calibration(
         cam_name=name, detection=det, res=res, pose_im=pose_im,
-        fixed_params=fixed_params)
+        fixed_params=fixed_params, **kw)
         for name, det, res in zip(cam_names, cam_detections, cam_res)]
     cams = CameraSet(camera_dict={n: c for n, c in zip(cam_names, raw)})
     if save:

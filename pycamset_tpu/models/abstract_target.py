@@ -141,11 +141,15 @@ class AbstractTarget(ABC):
 
     def initial_calibration(self, cam_name, detection: TargetDetection,
                             res: list, pose_im: int = 0,
-                            fixed_params: dict | None = None) -> Camera:
+                            fixed_params: dict | None = None,
+                            camera_model: str = "standard") -> Camera:
         """Per-camera intrinsic seed via cv2.calibrateCamera on planar faces.
 
         Uses only boards with >12 detected corners, feeding (local 2D object
         points, image points) pairs; honours fixed int/dst/ext params.
+        camera_model="rational" seeds with cv2.CALIB_RATIONAL_MODEL (8
+        distortion coefficients) — the reference carries this flag only as
+        commented-out dead code (abstract_target.py initial_calibration).
         """
         detections_in_image = detection.get(cam=cam_name).get_image_list()
         object_points: list = []
@@ -178,8 +182,9 @@ class AbstractTarget(ABC):
                     image_points.append(board_im)
 
         start = time.time()
+        flags = cv2.CALIB_RATIONAL_MODEL if camera_model == "rational" else 0
         ic = cv2.calibrateCamera(object_points, image_points,
-                                 tuple(res[::-1]), None, None, None)
+                                 tuple(res[::-1]), None, None, flags=flags)
         logging.info(f"{cam_name} took {time.time() - start:.1f} seconds, "
                      f"leftover error of {ic[0]:.2f} pixels")
 

@@ -16,13 +16,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _radial_factor(r2: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Radial distortion factor: polynomial (5-coef) or rational (8-coef).
+
+    dist layouts (OpenCV order): [k1,k2,p1,p2,k3] or
+    [k1,k2,p1,p2,k3,k4,k5,k6] with
+    radial = (1 + k1 r2 + k2 r4 + k3 r6) / (1 + k4 r2 + k5 r4 + k6 r6).
+    """
+    k1, k2, k3 = dist[0], dist[1], dist[4]
+    num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    if dist.shape[0] >= 8:
+        k4, k5, k6 = dist[5], dist[6], dist[7]
+        den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+        return num / den
+    return num
+
+
 def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
-    """Forward-distort normalized coords (...,2) with [k1,k2,p1,p2,k3]."""
+    """Forward-distort normalized coords (...,2).
+
+    dist is [k1,k2,p1,p2,k3] (standard) or [k1,k2,p1,p2,k3,k4,k5,k6]
+    (rational model).
+    """
     x = xy[..., 0]
     y = xy[..., 1]
-    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    p1, p2 = dist[2], dist[3]
     r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    radial = _radial_factor(r2, dist)
     xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
     yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
     return jnp.stack([xd, yd], axis=-1)
@@ -37,15 +57,19 @@ def distort_pixels(uv: jnp.ndarray, kmat: jnp.ndarray, dist: jnp.ndarray) -> jnp
 
 
 def undistort_normalized(xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
-    """Invert Brown–Conrady on normalized coords via fixed-point iteration."""
-    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    """Invert the distortion on normalized coords via fixed-point iteration.
+
+    Works for both the standard 5-coefficient and rational 8-coefficient
+    models (the radial factor generalises to a ratio).
+    """
+    p1, p2 = dist[2], dist[3]
     xd = xy_d[..., 0]
     yd = xy_d[..., 1]
 
     def body(_, xy):
         x, y = xy[..., 0], xy[..., 1]
         r2 = x * x + y * y
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        radial = _radial_factor(r2, dist)
         dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
         return jnp.stack([(xd - dx) / radial, (yd - dy) / radial], axis=-1)

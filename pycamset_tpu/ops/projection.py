@@ -21,29 +21,38 @@ from pycamset_tpu.ops.distortion import distort_normalized
 from pycamset_tpu.ops.transforms import pose_apply
 
 
-def intr9_from_k_dist(kmat, dist) -> jnp.ndarray:
-    """(3,3) intrinsic + (5,) distortion -> packed intr9 vector."""
+def intr9_from_k_dist(kmat, dist, n_dist: int = 5) -> jnp.ndarray:
+    """(3,3) intrinsic + distortion -> packed [fx,px,fy,py,dist...] vector.
+
+    n_dist=5 gives the standard intr9; n_dist=8 the rational-model intr12.
+    """
     kmat = jnp.asarray(kmat)
-    dist = jnp.reshape(jnp.asarray(dist), (-1,))[:5]
+    dist = jnp.reshape(jnp.asarray(dist), (-1,))
+    dist = jnp.concatenate(
+        [dist, jnp.zeros(max(0, n_dist - dist.shape[0]), dist.dtype)])[:n_dist]
     return jnp.concatenate([
         jnp.stack([kmat[0, 0], kmat[0, 2], kmat[1, 1], kmat[1, 2]]), dist])
 
 
 def k_dist_from_intr9(intr9) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Packed intr9 vector -> ((3,3) intrinsic, (5,) distortion)."""
+    """Packed intrinsic vector -> ((3,3) intrinsic, distortion)."""
     fx, px, fy, py = intr9[0], intr9[1], intr9[2], intr9[3]
     one = jnp.ones((), dtype=intr9.dtype)
     zero = jnp.zeros((), dtype=intr9.dtype)
     kmat = jnp.array([[fx, zero, px], [zero, fy, py], [zero, zero, one]])
-    return kmat, intr9[4:9]
+    return kmat, intr9[4:]
 
 
 def project_cam_points(intr9: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
-    """Project camera-frame points (...,3) to distorted pixels (...,2)."""
+    """Project camera-frame points (...,3) to distorted pixels (...,2).
+
+    intr9 is the packed [fx,px,fy,py, dist...] vector — 9 entries for the
+    standard model, 12 for the rational model.
+    """
     fx, px, fy, py = intr9[0], intr9[1], intr9[2], intr9[3]
     inv_z = 1.0 / xc[..., 2]
     xy = xc[..., :2] * inv_z[..., None]
-    xy_d = distort_normalized(xy, intr9[4:9])
+    xy_d = distort_normalized(xy, intr9[4:])
     u = xy_d[..., 0] * fx + px
     v = xy_d[..., 1] * fy + py
     return jnp.stack([u, v], axis=-1)

@@ -118,6 +118,15 @@ class Projection(FunctionBlock):
         return project_cam_points(params, inp)
 
 
+class ProjectionRational(Projection):
+    """Pinhole + rational-model projection; 12 PER_CAM params
+    [fx, px, fy, py, k1, k2, p1, p2, k3, k4, k5, k6] with
+    radial = (1 + k1 r2 + k2 r4 + k3 r6) / (1 + k4 r2 + k5 r4 + k6 r6)
+    (OpenCV's CALIB_RATIONAL_MODEL — the reference carries the flag only as
+    commented-out dead code in initial_calibration)."""
+    params = ParamSpec(key_type.PER_CAM, 12)
+
+
 class RigidTform3d(FunctionBlock):
     """SE(3) transform of a 3-input point; 6 PER_IMG params [rvec, t]."""
     num_inp = 3

@@ -32,7 +32,8 @@ from pycamset_tpu.models.abstract_target import AbstractTarget
 from pycamset_tpu.models.camera_set import CameraSet
 from pycamset_tpu.models.detections import TargetDetection
 from pycamset_tpu.optim.blocks import (
-    Extrinsic3D, FreePoint, Projection, RigidTform3d, TemplatePoints)
+    Extrinsic3D, FreePoint, Projection, ProjectionRational, RigidTform3d,
+    TemplatePoints)
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.residuals import build_detection_arrays
 from pycamset_tpu.ops import rigid_fit
@@ -44,7 +45,33 @@ DEFAULT_OPTIONS = {
     "ref_pose": 0,
     "outliers": "ask",
     "max_nfev": 100,
+    # "standard" = Brown-Conrady 5-coef (intr 9/cam, the reference model);
+    # "rational" = OpenCV CALIB_RATIONAL_MODEL 8-coef (intr 12/cam)
+    "camera_model": "standard",
 }
+
+_CAMERA_MODELS = {"standard": 9, "rational": 12}
+
+
+def _projection_block(camera_model: str) -> Projection:
+    if camera_model == "rational":
+        return ProjectionRational()
+    if camera_model == "standard":
+        return Projection()
+    raise ValueError(
+        f"Unknown camera_model {camera_model!r}; expected one of "
+        f"{sorted(_CAMERA_MODELS)}")
+
+
+def _pack_dist(dist, n: int) -> np.ndarray:
+    """Pad/truncate a distortion vector to n coefficients (OpenCV order)."""
+    d = np.reshape(np.asarray(dist, dtype=float), (-1,))
+    if d.size > n and np.any(d[n:] != 0):
+        logging.warning(
+            f"Truncating a {d.size}-coefficient distortion vector to {n} "
+            "coefficients; pass options={'camera_model': 'rational'} to "
+            "keep the rational (k4-k6) terms.")
+    return np.pad(d, (0, max(0, n - d.size)))[:n]
 
 
 # ----------------------------------------------------------------- primitives
@@ -58,6 +85,7 @@ class TemplateBundlePrimitive:
         self.poses = poses
         self.extr = extr
         self.intr = intr
+        self.intr_width = intr.shape[1] if intr.ndim == 2 else 9
         self.poses_unfixed = (poses_unfixed if poses_unfixed is not None
                               else np.ones(poses.shape[0], dtype=bool))
         self.extr_unfixed = (extr_unfixed if extr_unfixed is not None
@@ -70,7 +98,7 @@ class TemplateBundlePrimitive:
         self.free_poses = int(np.sum(self.poses_unfixed))
         self.free_extr = int(np.sum(self.extr_unfixed))
         self.free_intr = int(np.sum(self.intr_unfixed))
-        self.intr_end = 9 * self.free_intr
+        self.intr_end = self.intr_width * self.free_intr
         self.extr_end = 6 * self.free_extr + self.intr_end
         self.pose_end = 6 * self.free_poses + self.extr_end
 
@@ -81,9 +109,14 @@ class TemplateBundlePrimitive:
 
     def unfixed_full(self) -> np.ndarray:
         return np.concatenate([
-            np.repeat(self.intr_unfixed, 9),
+            np.repeat(self.intr_unfixed, self.intr_width),
             np.repeat(self.extr_unfixed, 6),
             np.repeat(self.poses_unfixed, 6)])
+
+    def _ends(self):
+        n_c = self.intr.shape[0]
+        w = self.intr_width
+        return w * n_c, (w + 6) * n_c
 
     def return_bundle_primitives(self, params):
         """Scatter a free parameter vector into the full arrays."""
@@ -91,9 +124,10 @@ class TemplateBundlePrimitive:
         full[self.unfixed_full()] = params
         n_c = self.intr.shape[0]
         n_p = self.poses.shape[0]
-        self.intr[:] = full[: 9 * n_c].reshape(n_c, 9)
-        self.extr[:] = full[9 * n_c: 15 * n_c].reshape(n_c, 6)
-        self.poses[:] = full[15 * n_c:].reshape(n_p, 6)
+        ie, ee = self._ends()
+        self.intr[:] = full[:ie].reshape(n_c, self.intr_width)
+        self.extr[:] = full[ie:ee].reshape(n_c, 6)
+        self.poses[:] = full[ee:].reshape(n_p, 6)
         return self.intr, self.extr, self.poses
 
 
@@ -126,10 +160,11 @@ class StandardBundlePrimitive(TemplateBundlePrimitive):
         full[self.unfixed_full()] = params
         n_c = self.intr.shape[0]
         n_p = self.poses.shape[0]
-        self.intr[:] = full[: 9 * n_c].reshape(n_c, 9)
-        self.extr[:] = full[9 * n_c: 15 * n_c].reshape(n_c, 6)
-        self.poses[:] = full[15 * n_c: 15 * n_c + 6 * n_p].reshape(n_p, 6)
-        self.bundle_pts[:] = full[15 * n_c + 6 * n_p:]
+        ie, ee = self._ends()
+        self.intr[:] = full[:ie].reshape(n_c, self.intr_width)
+        self.extr[:] = full[ie:ee].reshape(n_c, 6)
+        self.poses[:] = full[ee:ee + 6 * n_p].reshape(n_p, 6)
+        self.bundle_pts[:] = full[ee + 6 * n_p:]
         return self.intr, self.extr, self.poses, self.bundle_pts.reshape(-1, 3)
 
 
@@ -157,7 +192,7 @@ class FreePointPrimitive(TemplateBundlePrimitive):
 
     def unfixed_full(self) -> np.ndarray:
         return np.concatenate([
-            np.repeat(self.intr_unfixed, 9),
+            np.repeat(self.intr_unfixed, self.intr_width),
             np.repeat(self.extr_unfixed, 6),
             self.bdpt_unfixed])
 
@@ -165,9 +200,10 @@ class FreePointPrimitive(TemplateBundlePrimitive):
         full = self.base_full()
         full[self.unfixed_full()] = params
         n_c = self.intr.shape[0]
-        self.intr[:] = full[: 9 * n_c].reshape(n_c, 9)
-        self.extr[:] = full[9 * n_c: 15 * n_c].reshape(n_c, 6)
-        self.bundle_pts[:] = full[15 * n_c:]
+        ie, ee = self._ends()
+        self.intr[:] = full[:ie].reshape(n_c, self.intr_width)
+        self.extr[:] = full[ie:ee].reshape(n_c, 6)
+        self.bundle_pts[:] = full[ee:]
         return self.intr, self.extr, self.bundle_pts.reshape(-1, 3)
 
 
@@ -205,7 +241,14 @@ class TemplateBundleHandler:
         n_poses = detection.max_ims
         n_cams = camset.get_n_cams()
 
-        intr = np.zeros((n_cams, 9))
+        self.camera_model = self.problem_opts.get("camera_model", "standard")
+        if self.camera_model not in _CAMERA_MODELS:
+            raise ValueError(
+                f"Unknown camera_model {self.camera_model!r}; expected one of "
+                f"{sorted(_CAMERA_MODELS)}")
+        self.intr_width = _CAMERA_MODELS[self.camera_model]
+
+        intr = np.zeros((n_cams, self.intr_width))
         extr = np.zeros((n_cams, 6))
         poses = np.zeros((n_poses, 6))
 
@@ -231,7 +274,8 @@ class TemplateBundleHandler:
         self.jac_mask = None
         self.missing_poses = missing_poses
         self.op_fun = OptimFunction(
-            [Projection(), Extrinsic3D(), TemplatePoints()])
+            [_projection_block(self.camera_model), Extrinsic3D(),
+             TemplatePoints()])
 
     # ------------------------------------------------------------- plumbing
 
@@ -250,15 +294,16 @@ class TemplateBundleHandler:
                 self.bundlePrimitive.extr[idx] = ext
             if "int" in fixed:
                 intr = np.asarray(fixed["int"], dtype=float)
+                n_dist = self.bundlePrimitive.intr_width - 4
                 if intr.shape == (3, 3):
-                    # stored as the packed 9-vector; distortion stays zero
+                    # stored as the packed vector; distortion stays zero
                     # unless 'dst' is also fixed
-                    dst = np.asarray(
-                        self.fixed_params[cam_name].get("dst", np.zeros(5)),
-                        dtype=float).reshape(-1)
+                    dst = _pack_dist(
+                        self.fixed_params[cam_name].get(
+                            "dst", np.zeros(n_dist)), n_dist)
                     intr = np.concatenate(
                         [intr[[0, 0, 1, 1], [0, 2, 1, 2]], dst])
-                self.bundlePrimitive.intr[idx] = intr
+                self.bundlePrimitive.intr[idx] = _pack_dist(intr, n_dist + 4)
 
     def n_keys(self) -> int:
         return int(np.prod(self.target_point_shape[:-1]))
@@ -330,7 +375,8 @@ class TemplateBundleHandler:
             if prim.intr_unfixed[idc]:
                 prim.intr[idc] = np.concatenate([
                     cams[idc].intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]],
-                    np.reshape(cams[idc].distortion_coefs, -1)[:5]])
+                    _pack_dist(cams[idc].distortion_coefs,
+                               prim.intr_width - 4)])
             if prim.extr_unfixed[idc]:
                 rvec, tvec = gu.ext_4x4_to_rod(cam_poses[idc])
                 prim.extr[idc] = np.concatenate([rvec, tvec])
@@ -510,7 +556,8 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
     :param dd: flattened detection table [cam, im, key, u, v].
     :param imlocs: (n_ims, n_keys, 3) world-space target points per image.
     :param proj: (C,3,4) projection matrices. :param ints: (C,3,3).
-    :param dists: (C,5) distortion coefficients.
+    :param dists: (C,5) or (C,8) distortion coefficients (8 = rational
+        model; radial becomes the polynomial ratio).
     :return: (N,2) residuals.
     """
     cam = dd[:, 0].astype(int)
@@ -527,6 +574,9 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
     k1, k2, p1, p2, k3 = (dists[cam, i] for i in range(5))
     r2 = x * x + y * y
     radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    if dists.shape[1] >= 8:
+        k4, k5, k6 = (dists[cam, i] for i in range(5, 8))
+        radial = radial / (1 + r2 * (k4 + r2 * (k5 + r2 * k6)))
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
     yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
     pred = np.stack([xd, yd], axis=1) * f + c
@@ -569,7 +619,9 @@ def estimate_camera_relative_poses(
     mac_rt = np.array([np.linalg.inv(m) for m in mrt_ac])
     mat_rt_ac = mac_rt[:, None] @ mat_ac                        # (C,I,4,4)
 
-    dists = np.array([np.reshape(c.distortion_coefs, -1)[:5] for c in cams])
+    dlists = [np.reshape(c.distortion_coefs, -1) for c in cams]
+    n_dist = max(5, max((d.size for d in dlists), default=5))
+    dists = np.array([_pack_dist(d, n_dist) for d in dlists])
     ints = np.array([c.intrinsic for c in cams])
     proj = ints @ mrt_ac[:, :3, :]
 
@@ -662,7 +714,8 @@ class SelfBundleHandler(TemplateBundleHandler):
 
         self.missing_poses = missing_poses
         self.op_fun = OptimFunction(
-            [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+            [_projection_block(self.camera_model), Extrinsic3D(),
+             RigidTform3d(), FreePoint()])
 
     def template_table(self):
         return None  # geometry is optimised, not a constant table
@@ -833,7 +886,8 @@ class FreePointBundleHandler(TemplateBundleHandler):
             intr_unfixed=self.super_primitive.intr_unfixed,
             bundle_points_unfixed=self.feat_unfixed)
         self.missing_poses = missing_poses
-        self.op_fun = OptimFunction([Projection(), Extrinsic3D(), FreePoint()])
+        self.op_fun = OptimFunction(
+            [_projection_block(self.camera_model), Extrinsic3D(), FreePoint()])
 
     def template_table(self):
         return None
@@ -854,7 +908,8 @@ class FreePointBundleHandler(TemplateBundleHandler):
             if prim.intr_unfixed[idc]:
                 prim.intr[idc] = np.concatenate([
                     self.camset[idc].intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]],
-                    np.reshape(self.camset[idc].distortion_coefs, -1)[:5]])
+                    _pack_dist(self.camset[idc].distortion_coefs,
+                               prim.intr_width - 4)])
             if prim.extr_unfixed[idc]:
                 rvec, tvec = gu.ext_4x4_to_rod(self.camset[idc].extrinsic)
                 prim.extr[idc] = np.concatenate([rvec, tvec])

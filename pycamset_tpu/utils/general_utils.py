@@ -281,8 +281,11 @@ def distort_points(pts: np.ndarray, intrinsics: np.ndarray,
     focal = np.diag(intrinsics)[:2]
     x, y = (np.asarray(pts, dtype=float) - centre) / focal
     r2 = x ** 2 + y ** 2
-    k1, k2, p1, p2, k3 = np.reshape(dist_coef, (-1,))[:5]
+    d = np.reshape(dist_coef, (-1,))
+    k1, k2, p1, p2, k3 = d[:5]
     radial = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    if d.size >= 8:  # rational model: radial becomes a polynomial ratio
+        radial = radial / (1 + d[5] * r2 + d[6] * r2 ** 2 + d[7] * r2 ** 3)
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x ** 2)
     yd = y * radial + p1 * (r2 + 2 * y ** 2) + 2 * p2 * x * y
     return np.array([xd, yd]) * focal + centre

@@ -30,7 +30,8 @@ def look_at_extrinsic(position: np.ndarray, to: np.ndarray) -> np.ndarray:
 
 def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        visibility: float = 0.85, noise_px: float = 0.3,
-                       seed: int = 0, res=(1600, 1200)):
+                       seed: int = 0, res=(1600, 1200),
+                       camera_model: str = "standard"):
     """Generate a rig + observations.
 
     Cameras sit on a ring of radius ~1 m looking at the origin; the target
@@ -38,23 +39,31 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     origin. Observations outside the image or dropped by the visibility
     fraction are removed.
 
-    :return: dict with intr (C,9), extr (C,6), poses (I,6), template (K,3),
-        dd (N,5) observation table, and metadata.
+    camera_model="rational" generates 12-wide intrinsics with nonzero
+    k4..k6 and projects through the rational radial model.
+
+    :return: dict with intr (C,9 or C,12), extr (C,6), poses (I,6),
+        template (K,3), dd (N,5) observation table, and metadata.
     """
     rng = np.random.default_rng(seed)
+    rational = camera_model == "rational"
+    intr_w = 12 if rational else 9
     k = grid * grid
     tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
     tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
 
-    intr = np.zeros((n_cams, 9))
+    intr = np.zeros((n_cams, intr_w))
     extr = np.zeros((n_cams, 6))
     for c in range(n_cams):
         f = rng.uniform(1400, 1600)
-        intr[c] = [f, res[0] / 2 + rng.normal() * 5,
-                   f * rng.uniform(0.99, 1.01), res[1] / 2 + rng.normal() * 5,
-                   rng.uniform(-0.25, -0.05), rng.uniform(0.0, 0.08),
-                   rng.normal() * 5e-4, rng.normal() * 5e-4,
-                   rng.uniform(-0.01, 0.01)]
+        intr[c, :9] = [f, res[0] / 2 + rng.normal() * 5,
+                       f * rng.uniform(0.99, 1.01), res[1] / 2 + rng.normal() * 5,
+                       rng.uniform(-0.25, -0.05), rng.uniform(0.0, 0.08),
+                       rng.normal() * 5e-4, rng.normal() * 5e-4,
+                       rng.uniform(-0.01, 0.01)]
+        if rational:
+            intr[c, 9:] = [rng.uniform(-0.10, 0.10), rng.uniform(-0.02, 0.02),
+                           rng.uniform(-0.005, 0.005)]
         ang = 2 * np.pi * c / n_cams
         pos = np.array([np.cos(ang), np.sin(ang),
                         rng.uniform(0.3, 0.8)]) * rng.uniform(0.9, 1.1)
@@ -69,13 +78,16 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     # project everything (host numpy; mirrors the device projection model)
     def project(c, pts):
         fx, px, fy, py = intr[c, :4]
-        k1, k2, p1, p2, k3 = intr[c, 4:]
+        k1, k2, p1, p2, k3 = intr[c, 4:9]
         t = make_4x4h_tform(extr[c, :3], extr[c, 3:])
         xc = pts @ t[:3, :3].T + t[:3, 3]
         x = xc[:, 0] / xc[:, 2]
         y = xc[:, 1] / xc[:, 2]
         r2 = x * x + y * y
         radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        if rational:
+            k4, k5, k6 = intr[c, 9:12]
+            radial = radial / (1 + r2 * (k4 + r2 * (k5 + r2 * k6)))
         xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
         yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
         return np.stack([xd * fx + px, yd * fy + py], 1), xc[:, 2]
@@ -97,5 +109,5 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     return {
         "intr": intr, "extr": extr, "poses": poses, "template": tpl,
         "dd": dd, "n_cams": n_cams, "n_ims": n_ims, "n_keys": k,
-        "noise_px": noise_px,
+        "noise_px": noise_px, "camera_model": camera_model,
     }

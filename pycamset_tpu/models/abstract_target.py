@@ -148,8 +148,9 @@ class AbstractTarget(ABC):
         Uses only boards with >12 detected corners, feeding (local 2D object
         points, image points) pairs; honours fixed int/dst/ext params.
         camera_model="rational" seeds with cv2.CALIB_RATIONAL_MODEL (8
-        distortion coefficients) — the reference carries this flag only as
-        commented-out dead code (abstract_target.py initial_calibration).
+        distortion coefficients); "thin_prism" adds CALIB_THIN_PRISM_MODEL
+        (12) — the reference carries these flags only as commented-out dead
+        code (abstract_target.py initial_calibration).
         """
         detections_in_image = detection.get(cam=cam_name).get_image_list()
         object_points: list = []
@@ -182,7 +183,10 @@ class AbstractTarget(ABC):
                     image_points.append(board_im)
 
         start = time.time()
-        flags = cv2.CALIB_RATIONAL_MODEL if camera_model == "rational" else 0
+        flags = {"standard": 0, "rational": cv2.CALIB_RATIONAL_MODEL,
+                 "thin_prism": (cv2.CALIB_RATIONAL_MODEL
+                                | cv2.CALIB_THIN_PRISM_MODEL),
+                 }.get(camera_model, 0)
         ic = cv2.calibrateCamera(object_points, image_points,
                                  tuple(res[::-1]), None, None, flags=flags)
         logging.info(f"{cam_name} took {time.time() - start:.1f} seconds, "

@@ -35,8 +35,8 @@ def _radial_factor(r2: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
 def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     """Forward-distort normalized coords (...,2).
 
-    dist is [k1,k2,p1,p2,k3] (standard) or [k1,k2,p1,p2,k3,k4,k5,k6]
-    (rational model).
+    dist is [k1,k2,p1,p2,k3] (standard), [k1,k2,p1,p2,k3,k4,k5,k6]
+    (rational model) or [...,s1,s2,s3,s4] (12-coef thin-prism model).
     """
     x = xy[..., 0]
     y = xy[..., 1]
@@ -45,6 +45,9 @@ def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     radial = _radial_factor(r2, dist)
     xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
     yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    if dist.shape[0] >= 12:
+        xd = xd + r2 * (dist[8] + r2 * dist[9])
+        yd = yd + r2 * (dist[10] + r2 * dist[11])
     return jnp.stack([xd, yd], axis=-1)
 
 
@@ -60,7 +63,8 @@ def undistort_normalized(xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -
     """Invert the distortion on normalized coords via fixed-point iteration.
 
     Works for both the standard 5-coefficient and rational 8-coefficient
-    models (the radial factor generalises to a ratio).
+    models (the radial factor generalises to a ratio), and the 12-coef
+    thin-prism model (prism terms join the iterated additive part).
     """
     p1, p2 = dist[2], dist[3]
     xd = xy_d[..., 0]
@@ -72,6 +76,9 @@ def undistort_normalized(xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -
         radial = _radial_factor(r2, dist)
         dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        if dist.shape[0] >= 12:  # thin-prism terms
+            dx = dx + r2 * (dist[8] + r2 * dist[9])
+            dy = dy + r2 * (dist[10] + r2 * dist[11])
         return jnp.stack([(xd - dx) / radial, (yd - dy) / radial], axis=-1)
 
     return jax.lax.fori_loop(0, iters, body, xy_d)

@@ -127,6 +127,13 @@ class ProjectionRational(Projection):
     params = ParamSpec(key_type.PER_CAM, 12)
 
 
+class ProjectionThinPrism(Projection):
+    """Pinhole + rational + thin-prism projection; 16 PER_CAM params
+    [fx, px, fy, py, k1, k2, p1, p2, k3, k4, k5, k6, s1, s2, s3, s4]
+    (OpenCV's CALIB_RATIONAL_MODEL | CALIB_THIN_PRISM_MODEL)."""
+    params = ParamSpec(key_type.PER_CAM, 16)
+
+
 class RigidTform3d(FunctionBlock):
     """SE(3) transform of a 3-input point; 6 PER_IMG params [rvec, t]."""
     num_inp = 3

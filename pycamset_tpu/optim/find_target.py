@@ -40,12 +40,16 @@ class FixedCameraPoseHandler(TemplateBundleHandler):
     def __init__(self, camset, target, detection, options=None,
                  missing_poses=None):
         options = dict(options or {})
-        # a rig calibrated with the rational model carries 8 distortion
-        # coefficients; follow it rather than silently truncating to 5
-        if "camera_model" not in options and any(
-                np.reshape(camset[n].distortion_coefs, -1).size > 5
-                for n in camset.get_names()):
-            options["camera_model"] = "rational"
+        # a rig calibrated with the rational / thin-prism model carries
+        # 8 / 12 distortion coefficients; follow it rather than silently
+        # truncating to 5
+        if "camera_model" not in options:
+            n_dist = max(np.reshape(camset[n].distortion_coefs, -1).size
+                         for n in camset.get_names())
+            if n_dist > 8:
+                options["camera_model"] = "thin_prism"
+            elif n_dist > 5:
+                options["camera_model"] = "rational"
         super().__init__(camset, target, detection,
                          fixed_params=make_fixed_camera_params(camset),
                          options=options, missing_poses=missing_poses)

@@ -32,8 +32,8 @@ from pycamset_tpu.models.abstract_target import AbstractTarget
 from pycamset_tpu.models.camera_set import CameraSet
 from pycamset_tpu.models.detections import TargetDetection
 from pycamset_tpu.optim.blocks import (
-    Extrinsic3D, FreePoint, Projection, ProjectionRational, RigidTform3d,
-    TemplatePoints)
+    Extrinsic3D, FreePoint, Projection, ProjectionRational,
+    ProjectionThinPrism, RigidTform3d, TemplatePoints)
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.residuals import build_detection_arrays
 from pycamset_tpu.ops import rigid_fit
@@ -46,16 +46,19 @@ DEFAULT_OPTIONS = {
     "outliers": "ask",
     "max_nfev": 100,
     # "standard" = Brown-Conrady 5-coef (intr 9/cam, the reference model);
-    # "rational" = OpenCV CALIB_RATIONAL_MODEL 8-coef (intr 12/cam)
+    # "rational" = OpenCV CALIB_RATIONAL_MODEL 8-coef (intr 12/cam);
+    # "thin_prism" = rational + CALIB_THIN_PRISM_MODEL 12-coef (intr 16/cam)
     "camera_model": "standard",
 }
 
-_CAMERA_MODELS = {"standard": 9, "rational": 12}
+_CAMERA_MODELS = {"standard": 9, "rational": 12, "thin_prism": 16}
 
 
 def _projection_block(camera_model: str) -> Projection:
     if camera_model == "rational":
         return ProjectionRational()
+    if camera_model == "thin_prism":
+        return ProjectionThinPrism()
     if camera_model == "standard":
         return Projection()
     raise ValueError(
@@ -69,8 +72,8 @@ def _pack_dist(dist, n: int) -> np.ndarray:
     if d.size > n and np.any(d[n:] != 0):
         logging.warning(
             f"Truncating a {d.size}-coefficient distortion vector to {n} "
-            "coefficients; pass options={'camera_model': 'rational'} to "
-            "keep the rational (k4-k6) terms.")
+            "coefficients; pass options={'camera_model': 'rational'} (or "
+            "'thin_prism') to keep the higher-order terms.")
     return np.pad(d, (0, max(0, n - d.size)))[:n]
 
 
@@ -577,8 +580,13 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
     if dists.shape[1] >= 8:
         k4, k5, k6 = (dists[cam, i] for i in range(5, 8))
         radial = radial / (1 + r2 * (k4 + r2 * (k5 + r2 * k6)))
-    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
-    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    prism_x = prism_y = 0.0
+    if dists.shape[1] >= 12:
+        s1, s2, s3, s4 = (dists[cam, i] for i in range(8, 12))
+        prism_x = r2 * (s1 + r2 * s2)
+        prism_y = r2 * (s3 + r2 * s4)
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + prism_x
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + prism_y
     pred = np.stack([xd, yd], axis=1) * f + c
     return pred - dd[:, 3:5]
 

@@ -288,6 +288,9 @@ def distort_points(pts: np.ndarray, intrinsics: np.ndarray,
         radial = radial / (1 + d[5] * r2 + d[6] * r2 ** 2 + d[7] * r2 ** 3)
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x ** 2)
     yd = y * radial + p1 * (r2 + 2 * y ** 2) + 2 * p2 * x * y
+    if d.size >= 12:  # thin-prism terms
+        xd = xd + r2 * (d[8] + r2 * d[9])
+        yd = yd + r2 * (d[10] + r2 * d[11])
     return np.array([xd, yd]) * focal + centre
 
 

@@ -40,14 +40,16 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     fraction are removed.
 
     camera_model="rational" generates 12-wide intrinsics with nonzero
-    k4..k6 and projects through the rational radial model.
+    k4..k6 and projects through the rational radial model; "thin_prism"
+    adds nonzero s1..s4 (16-wide).
 
-    :return: dict with intr (C,9 or C,12), extr (C,6), poses (I,6),
+    :return: dict with intr (C,9/12/16), extr (C,6), poses (I,6),
         template (K,3), dd (N,5) observation table, and metadata.
     """
     rng = np.random.default_rng(seed)
-    rational = camera_model == "rational"
-    intr_w = 12 if rational else 9
+    rational = camera_model in ("rational", "thin_prism")
+    prism = camera_model == "thin_prism"
+    intr_w = {"standard": 9, "rational": 12, "thin_prism": 16}[camera_model]
     k = grid * grid
     tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
     tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
@@ -62,8 +64,11 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        rng.normal() * 5e-4, rng.normal() * 5e-4,
                        rng.uniform(-0.01, 0.01)]
         if rational:
-            intr[c, 9:] = [rng.uniform(-0.10, 0.10), rng.uniform(-0.02, 0.02),
-                           rng.uniform(-0.005, 0.005)]
+            intr[c, 9:12] = [rng.uniform(-0.10, 0.10),
+                             rng.uniform(-0.02, 0.02),
+                             rng.uniform(-0.005, 0.005)]
+        if prism:
+            intr[c, 12:] = rng.uniform(-2e-3, 2e-3, size=4)
         ang = 2 * np.pi * c / n_cams
         pos = np.array([np.cos(ang), np.sin(ang),
                         rng.uniform(0.3, 0.8)]) * rng.uniform(0.9, 1.1)
@@ -88,8 +93,13 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         if rational:
             k4, k5, k6 = intr[c, 9:12]
             radial = radial / (1 + r2 * (k4 + r2 * (k5 + r2 * k6)))
-        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
-        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        px_add = py_add = 0.0
+        if prism:
+            s1, s2, s3, s4 = intr[c, 12:16]
+            px_add = r2 * (s1 + r2 * s2)
+            py_add = r2 * (s3 + r2 * s4)
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + px_add
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + py_add
         return np.stack([xd * fx + px, yd * fy + py], 1), xc[:, 2]
 
     rows = []

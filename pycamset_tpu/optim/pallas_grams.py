@@ -17,6 +17,11 @@ Derivation shared with optim/analytic.py (parity-tested against it and
 against jacfwd). The template chain (a=15, b=6, c=0) and the self-cal chain
 (a=15, b=6, c=3 — adds per-key couplings and a sequential-grid-accumulated
 Hkk/gk) are covered; other chains use the XLA path.
+
+Robust losses (optim/losses.py) fold in-kernel: the per-observation IRLS
+sqrt-weight multiplies every Jacobian column and the residual, and the gram
+corner — used only for the cost — is replaced by the true robust cost
+sum(rho(||r||^2)) so the LM gain ratio sees the robust objective.
 """
 from __future__ import annotations
 
@@ -59,7 +64,18 @@ def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(cam_b, im_b)
 
 
-def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
+def _make_gram_kernel(rho_fn=None, weight_fn=None):
+    """Template-chain kernel factory; robust-loss fns fold in when given."""
+
+    def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
+        _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
+                          rho_fn, weight_fn)
+
+    return _gram_kernel
+
+
+def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
+                      rho_fn, weight_fn):
     """One grid step: 8 blocks x K keys -> 8 extended 22x22 grams."""
     prm = params_ref[:]                       # (8, PPB)
     tpl = tpl_ref[:]                          # (3, K)
@@ -96,6 +112,13 @@ def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
 
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
+    if weight_fn is not None:                 # robust loss: IRLS weights
+        s_obs = r_u * r_u + r_v * r_v
+        sw = jnp.sqrt(weight_fn(s_obs))
+        rcost = jnp.sum(rho_fn(s_obs) * mask, axis=1)   # (8,) true cost
+        mask = mask * sw
+        r_u = r_u * sw
+        r_v = r_v * sw
 
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
@@ -155,18 +178,30 @@ def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
             g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (8,)
             gvals[i][j] = g
             gvals[j][i] = g
+    if weight_fn is not None:
+        # corner is only read as the cost: report the robust cost, not r~^2
+        gvals[GRAM_W - 1][GRAM_W - 1] = rcost
     rows = [jnp.stack(gvals[i], axis=-1) for i in range(GRAM_W)]  # (8,22) each
     out_ref[:] = jnp.stack(rows, axis=1)                          # (8,22,22)
 
 
 def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
-                         uv_t: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+                         uv_t: jnp.ndarray, mask: jnp.ndarray,
+                         loss: str = "linear",
+                         f_scale: float = 1.0) -> jnp.ndarray:
     """Extended per-block grams for the template chain.
 
     :param packed: (B, PPB) from pack_block_params. :param tpl_t: (3, K).
     :param uv_t: (B, 2, K). :param mask: (B, K).
-    :return: (B, 22, 22) grams of [Jc | Ji | r].
+    :return: (B, 22, 22) grams of [Jc | Ji | r] (IRLS-weighted when loss is
+        robust; corner carries the robust cost).
     """
+    from pycamset_tpu.optim.losses import make_loss
+    if loss != "linear":
+        rho_fn, weight_fn = make_loss(loss, f_scale)
+        kernel = _make_gram_kernel(rho_fn, weight_fn)
+    else:
+        kernel = _make_gram_kernel()
     b, k = mask.shape
     b_pad = ((b + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
     if b_pad != b:
@@ -181,7 +216,7 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
     # mixed-type index tuple
     grid = (b_pad // BLOCK_TILE,)
     out = pl.pallas_call(
-        _gram_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((BLOCK_TILE, PPB), lambda i: (i, i * 0),
@@ -199,9 +234,22 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
     return out[:b]
 
 
-def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
-                    imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
-                    hkkgk_ref):
+def _make_selfcal_kernel(rho_fn=None, weight_fn=None):
+    """Self-cal kernel factory; robust-loss fns fold in when given."""
+
+    def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+                        imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
+                        hkkgk_ref):
+        _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref,
+                             cmask_ref, imask_ref, kmask_ref, out_ref,
+                             wck_ref, wik_ref, hkkgk_ref, rho_fn, weight_fn)
+
+    return _selfcal_kernel
+
+
+def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+                         imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
+                         hkkgk_ref, rho_fn, weight_fn):
     """Self-cal chain: per-block extended grams + per-key pieces.
 
     Reuses the template-chain math with the template point replaced by the
@@ -246,6 +294,13 @@ def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
 
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
+    if weight_fn is not None:                 # robust loss: IRLS weights
+        s_obs = r_u * r_u + r_v * r_v
+        sw = jnp.sqrt(weight_fn(s_obs))
+        rcost = jnp.sum(rho_fn(s_obs) * mask, axis=1)   # (8,) true cost
+        mask = mask * sw
+        r_u = r_u * sw
+        r_v = r_v * sw
 
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
@@ -310,6 +365,8 @@ def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
             g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
             gvals[i][j] = g
             gvals[j][i] = g
+    if weight_fn is not None:
+        gvals[GRAM_W - 1][GRAM_W - 1] = rcost
     rows = [jnp.stack(gvals[i], axis=-1) for i in range(GRAM_W)]
     out_ref[:] = jnp.stack(rows, axis=1)
 
@@ -335,10 +392,16 @@ def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
     hkkgk_ref[:] += update
 
 
-def make_pallas_selfcal_grams(widths):
+def make_pallas_selfcal_grams(widths, loss: str = "linear",
+                              f_scale: float = 1.0):
     """Drop-in per-block gram builder for the self-cal chain (Pallas)."""
+    from pycamset_tpu.optim.losses import make_loss
     a, bw, c = widths.a, widths.b, widths.c
     assert (a, bw, c) == (15, 6, 3)
+    if loss != "linear":
+        kernel = _make_selfcal_kernel(*make_loss(loss, f_scale))
+    else:
+        kernel = _make_selfcal_kernel()
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         dtype = uv.dtype
@@ -358,7 +421,7 @@ def make_pallas_selfcal_grams(widths):
 
         grid = (b_pad // BLOCK_TILE,)
         g, wck_r, wik_r, hkkgk = pl.pallas_call(
-            _selfcal_kernel,
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((BLOCK_TILE, PPB), lambda i: (i, i * 0),
@@ -415,7 +478,8 @@ def make_pallas_selfcal_grams(widths):
     return grams
 
 
-def make_pallas_freepoint_grams(widths):
+def make_pallas_freepoint_grams(widths, loss: str = "linear",
+                                f_scale: float = 1.0):
     """Per-block gram builder for the pose-free free-point chain.
 
     Reuses the self-cal kernel with identity poses (rvec = t = 0 packs to
@@ -426,7 +490,8 @@ def make_pallas_freepoint_grams(widths):
     from pycamset_tpu.optim.structured import GroupWidths
     a, bw, c = widths.a, widths.b, widths.c
     assert (a, bw, c) == (15, 0, 3)
-    inner = make_pallas_selfcal_grams(GroupWidths(15, 6, 3))
+    inner = make_pallas_selfcal_grams(GroupWidths(15, 6, 3), loss=loss,
+                                      f_scale=f_scale)
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         bb = mask.shape[0]
@@ -445,7 +510,8 @@ def make_pallas_freepoint_grams(widths):
     return grams
 
 
-def make_pallas_template_grams(widths):
+def make_pallas_template_grams(widths, loss: str = "linear",
+                               f_scale: float = 1.0):
     """A drop-in per-block gram builder using the Pallas kernel.
 
     Same contract as make_block_grams for the template chain (c == 0):
@@ -457,7 +523,8 @@ def make_pallas_template_grams(widths):
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         packed = pack_block_params(cam_b, im_b)
-        g = template_gram_pallas(packed, tpl.T, uv.transpose(0, 2, 1), mask)
+        g = template_gram_pallas(packed, tpl.T, uv.transpose(0, 2, 1), mask,
+                                 loss=loss, f_scale=f_scale)
 
         cost = jnp.sum(g[:, a + bwidth, a + bwidth])
         cmask2 = cmask_b[:, :, None] * cmask_b[:, None, :]

@@ -291,9 +291,10 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
 
     a, b, c = widths.a, widths.b, widths.c
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
-    # fused Pallas kernels cover the linear-loss template and self-cal
-    # chains on TPU (16x the XLA gram path); PYCAMSET_NO_PALLAS=1 disables
-    if (loss == "linear" and jax.default_backend() == "tpu"
+    # fused Pallas kernels cover the template / self-cal / free-point chains
+    # on TPU (16x the XLA gram path), with robust-loss IRLS weights folded
+    # in-kernel; PYCAMSET_NO_PALLAS=1 disables
+    if (jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")):
         from pycamset_tpu.optim.pallas_grams import (
             make_pallas_freepoint_grams, make_pallas_selfcal_grams,
@@ -301,13 +302,16 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
         if (a, b, c) == (15, 6, 0) and names == (
                 "Projection", "Extrinsic3D", "TemplatePoints"):
-            grams = make_pallas_template_grams(widths)
+            grams = make_pallas_template_grams(widths, loss=loss,
+                                               f_scale=f_scale)
         elif (a, b, c) == (15, 6, 3) and names == (
                 "Projection", "Extrinsic3D", "RigidTform3d", "FreePoint"):
-            grams = make_pallas_selfcal_grams(widths)
+            grams = make_pallas_selfcal_grams(widths, loss=loss,
+                                              f_scale=f_scale)
         elif (a, b, c) == (15, 0, 3) and names == (
                 "Projection", "Extrinsic3D", "FreePoint"):
-            grams = make_pallas_freepoint_grams(widths)
+            grams = make_pallas_freepoint_grams(widths, loss=loss,
+                                                f_scale=f_scale)
 
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         # blocks are (cam-major, image-minor): per-cam / per-im parameter

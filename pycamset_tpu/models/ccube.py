@@ -168,7 +168,13 @@ class Ccube(AbstractTarget):
 
     def find_in_image(self, image, draw=False, camera: Camera | None = None,
                       wait_len=1) -> ImageDetection:
-        """Detect all 6 faces; keys are (face_id, corner_id) pairs."""
+        """Detect all 6 faces; keys are (face_id, corner_id) pairs.
+
+        When a camera model is given, detection runs on the undistorted view
+        and corners are mapped back (board-aware detection).
+        """
+        from pycamset_tpu.models.abstract_target import undistort_for_detection
+        image, redistort = undistort_for_detection(image, camera)
         if self.board_detectors is None:
             params = aruco.CharucoParameters()
             params.tryRefineMarkers = True
@@ -210,4 +216,6 @@ class Ccube(AbstractTarget):
             cv2.imshow("detections", im_idea)
             cv2.waitKey(wait_len)
 
+        if redistort is not None and seen_data:
+            seen_data = list(redistort(np.asarray(seen_data)))
         return ImageDetection(keys=seen_keys, image_points=seen_data)

@@ -59,7 +59,11 @@ class ChArUco(AbstractTarget):
 
         Falls back to the flipped legacy-pattern layout when markers are found
         but no corners interpolate (OpenCV version drift produces this).
+        When a camera model is given, detection runs on the undistorted view
+        and the corners are mapped back (board-aware detection).
         """
+        from pycamset_tpu.models.abstract_target import undistort_for_detection
+        image, redistort = undistort_for_detection(image, camera)
         c_corners, c_ids, mloc, mid = self.board_detector.detectBoard(image)
         if c_corners is None and mloc is not None:
             if not self._given_legacy_warning:
@@ -76,6 +80,8 @@ class ChArUco(AbstractTarget):
         # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
         c_corners = np.asarray(c_corners).reshape(-1, 2)
         c_ids = np.asarray(c_ids).reshape(-1)
+        if redistort is not None:
+            c_corners = redistort(c_corners)
 
         if draw:
             display_im = image.copy()

@@ -688,21 +688,57 @@ def find_not_colinear_pts(points: np.ndarray):
 class SelfBundleHandler(TemplateBundleHandler):
     """Target self-calibration: the template BA plus per-point target
     geometry parameters, with a 7-coordinate gauge fix and unseen-feature
-    freezing; results are similarity-aligned back onto the reference model."""
+    freezing; results are similarity-aligned back onto the reference model.
+
+    ``bundle_points_unfixed`` lets the caller pin their own coordinates
+    (e.g. a known sub-structure); the automatic 7-coordinate gauge fix is
+    then skipped and — unless ``always_correct_gauge=True`` — so is the
+    post-hoc similarity alignment, since the user's pins define the frame.
+    (The reference documents this path but ships it commented out —
+    standard_bundle_handler.py:140-148.)
+    """
 
     def __init__(self, camset, target, detection, fixed_params=None,
-                 options=None, missing_poses=None):
+                 options=None, missing_poses=None,
+                 bundle_points_unfixed=None, always_correct_gauge=False):
         super().__init__(camset, target, detection, fixed_params, options,
                          missing_poses)
         self.flat_point_data = np.copy(self.point_data.reshape(-1))
 
-        # gauge: fix 3 (of 3) + 3 + 1 coordinates of 3 non-colinear points
-        self.fixed_inds = find_not_colinear_pts(self.flat_point_data.reshape(-1, 3))
-        i0, i1, i2 = self.fixed_inds
-        self.feat_unfixed = np.ones(self.flat_point_data.shape[0], dtype=bool)
-        self.feat_unfixed[3 * i0: 3 * i0 + 3] = False
-        self.feat_unfixed[3 * i1: 3 * i1 + 3] = False
-        self.feat_unfixed[3 * i2] = False
+        if bundle_points_unfixed is not None:
+            self.feat_unfixed = np.array(bundle_points_unfixed, dtype=bool)
+            if self.feat_unfixed.shape != self.flat_point_data.shape:
+                raise ValueError(
+                    "bundle_points_unfixed must be a flat per-coordinate "
+                    f"mask of shape {self.flat_point_data.shape}")
+            n_pinned = int(self.feat_unfixed.size - self.feat_unfixed.sum())
+            if n_pinned == 0:
+                raise ValueError(
+                    "bundle_points_unfixed fixes nothing: the self "
+                    "calibration needs >= 7 pinned coordinates to break "
+                    "the gauge symmetry")
+            if n_pinned < 7:
+                logging.warning(
+                    f"Only {n_pinned} coordinates pinned; the 7-dof "
+                    "similarity gauge is under-constrained and the solve "
+                    "may wander.")
+            self.fixed_inds = None
+            self.correct_gauge = bool(always_correct_gauge)
+            logging.info(
+                "Custom unfixed bundle points given; the optimisation will "
+                + ("still" if self.correct_gauge else "not")
+                + " similarity-align the result onto the reference model.")
+        else:
+            # gauge: fix 3 (of 3) + 3 + 1 coords of 3 non-colinear points
+            self.fixed_inds = find_not_colinear_pts(
+                self.flat_point_data.reshape(-1, 3))
+            i0, i1, i2 = self.fixed_inds
+            self.feat_unfixed = np.ones(self.flat_point_data.shape[0],
+                                        dtype=bool)
+            self.feat_unfixed[3 * i0: 3 * i0 + 3] = False
+            self.feat_unfixed[3 * i1: 3 * i1 + 3] = False
+            self.feat_unfixed[3 * i2] = False
+            self.correct_gauge = True
 
         # freeze features never observed
         n_points = self.n_keys()
@@ -762,13 +798,18 @@ class SelfBundleHandler(TemplateBundleHandler):
     def get_updated_target(self, x):
         """The recovered (gauge-aligned) target geometry."""
         model = self.bundlePrimitive.return_bundle_primitives(x)
+        if not self.correct_gauge:
+            return model[3]
         _, _, _, ps = self.apply_gauge_transform(*model)
         return ps
 
     def get_camset(self, x, return_pose: bool = False):
         new_cams = _clone_camset(self.camset)
         model = self.bundlePrimitive.return_bundle_primitives(x)
-        proj, extr, poses, ps = self.apply_gauge_transform(*model)
+        if self.correct_gauge:
+            proj, extr, poses, ps = self.apply_gauge_transform(*model)
+        else:
+            proj, extr, poses, ps = model
         _write_cams(new_cams, self.cam_names, proj, extr)
         if not return_pose:
             return new_cams

@@ -119,20 +119,25 @@ def geometric_median(pts: jnp.ndarray, iters: int = 50, eps: float = 1e-12) -> j
 
 
 def make_cartesian(polar: jnp.ndarray) -> jnp.ndarray:
-    """Spherical (theta, phi) (...,2) -> cartesian unit vectors (...,3)."""
-    theta = polar[..., 0]
-    phi = polar[..., 1]
-    st = jnp.sin(theta)
-    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
-                      jnp.cos(theta)], axis=-1)
+    """Spherical (lat, lng) (...,2) -> cartesian unit vectors (...,3).
+
+    Latitude convention matches the reference (compiled_helpers.py:552-566):
+    lat=0 is the equator (z=0), lat=+pi/2 the -z pole.
+    """
+    lat = polar[..., 0] + jnp.pi / 2
+    lng = polar[..., 1]
+    st = jnp.sin(lat)
+    return jnp.stack([st * jnp.cos(lng), st * jnp.sin(lng),
+                      jnp.cos(lat)], axis=-1)
 
 
 def make_polar(xyz: jnp.ndarray) -> jnp.ndarray:
-    """Cartesian unit vectors (...,3) -> spherical (theta, phi) (...,2)."""
+    """Cartesian unit vectors (...,3) -> spherical (lat, lng) (...,2);
+    inverse of make_cartesian (reference compiled_helpers.py:568-580)."""
     n = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    theta = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
-    phi = jnp.arctan2(n[..., 1], n[..., 0])
-    return jnp.stack([theta, phi], axis=-1)
+    lat = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0)) - jnp.pi / 2
+    lng = jnp.arctan2(n[..., 1], n[..., 0])
+    return jnp.stack([lat, lng], axis=-1)
 
 
 def pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,91 @@
+"""Import machinery for using the reference implementation as a test oracle.
+
+The reference (read-only at /root/reference) depends on numba / pyvista /
+blosc / natsort / uniplot, none of which exist in this environment. Its
+numba kernels are plain numpy under an @njit decorator, so stubbing numba
+with an identity decorator runs them in pure Python — slow, but EXACT: the
+numerical oracle the parity tests want. pyvista & friends are stubbed with
+permissive attribute factories (only mesh plotting touches them).
+
+Nothing here copies reference code; it imports and executes the mounted
+reference for comparison only.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+_REF_PATH = "/root/reference"
+
+
+class _Any:
+    """Permissive placeholder: every attribute/call returns another _Any."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        return _Any()
+
+    def __getattr__(self, name):
+        return _Any()
+
+
+def _njit(*args, **kwargs):
+    if len(args) == 1 and callable(args[0]) and not kwargs:
+        return args[0]
+    return lambda f: f
+
+
+class _StubModule(types.ModuleType):
+    """Module whose missing attributes resolve to permissive placeholders."""
+
+    def __init__(self, name, attrs):
+        super().__init__(name)
+        for k, v in attrs.items():
+            setattr(self, k, v)
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _Any()
+
+
+class _TypedList(list):
+    """numba.typed.List lookalike (append-constructed in the reference)."""
+
+    @staticmethod
+    def empty_list(*a, **k):
+        return _TypedList()
+
+
+_STUBS = {
+    "numba": {"njit": _njit, "prange": range, "int64": int, "float64": float,
+              "__path__": []},
+    "numba.typed": {"List": _TypedList, "Dict": dict},
+    "numba.types": {},
+    "numba.core": {},
+    "numba.extending": {},
+    "pyvista": {},
+    "blosc": {"compress": lambda d, **k: d, "decompress": lambda d, **k: d},
+    "natsort": {"natsorted": sorted},
+    "uniplot": {"plot": lambda *a, **k: None,
+                "histogram": lambda *a, **k: None},
+    "coloredlogs": {"install": lambda *a, **k: None},
+    "tqdm": {"tqdm": lambda x, **k: x},
+}
+
+
+def import_reference(module: str):
+    """Import a pyCamSet module from the mounted reference, stubbing the
+    missing heavy dependencies. Returns the module object."""
+    for name, attrs in _STUBS.items():
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = _StubModule(name, attrs)
+    if _REF_PATH not in sys.path:
+        sys.path.insert(0, _REF_PATH)
+    __import__(module)
+    return sys.modules[module]

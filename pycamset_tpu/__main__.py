@@ -34,6 +34,11 @@ def _add_calibrate(sub):
     p.add_argument("--outliers", choices=["ask", "y", "n"], default="ask")
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
+    p.add_argument("--camera-model",
+                   choices=["standard", "rational", "thin_prism"],
+                   default="standard",
+                   help="distortion model: 5-coef Brown-Conrady (standard), "
+                        "8-coef rational, or 12-coef thin-prism")
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--max-nfev", type=int, default=100)
     p.add_argument("--high-distortion", action="store_true")
@@ -53,7 +58,8 @@ def cmd_calibrate(args) -> int:
 
     from pycamset_tpu import calibrate_cameras
     opts = {"outliers": args.outliers, "loss": args.loss,
-            "f_scale": args.f_scale, "max_nfev": args.max_nfev}
+            "f_scale": args.f_scale, "max_nfev": args.max_nfev,
+            "camera_model": args.camera_model}
 
     if args.target == "charuco":
         from pycamset_tpu.models.charuco import ChArUco

@@ -35,10 +35,11 @@ def _add_calibrate(sub):
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
     p.add_argument("--camera-model",
-                   choices=["standard", "rational", "thin_prism"],
+                   choices=["standard", "rational", "thin_prism", "tilted"],
                    default="standard",
                    help="distortion model: 5-coef Brown-Conrady (standard), "
-                        "8-coef rational, or 12-coef thin-prism")
+                        "8-coef rational, 12-coef thin-prism, or 14-coef "
+                        "tilted (Scheimpflug)")
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--max-nfev", type=int, default=100)
     p.add_argument("--high-distortion", action="store_true")

@@ -217,6 +217,9 @@ class AbstractTarget(ABC):
         flags = {"standard": 0, "rational": cv2.CALIB_RATIONAL_MODEL,
                  "thin_prism": (cv2.CALIB_RATIONAL_MODEL
                                 | cv2.CALIB_THIN_PRISM_MODEL),
+                 "tilted": (cv2.CALIB_RATIONAL_MODEL
+                            | cv2.CALIB_THIN_PRISM_MODEL
+                            | cv2.CALIB_TILTED_MODEL),
                  }.get(camera_model, 0)
         ic = cv2.calibrateCamera(object_points, image_points,
                                  tuple(res[::-1]), None, None, flags=flags)

@@ -32,11 +32,37 @@ def _radial_factor(r2: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     return num
 
 
+def _tilt_matrix(taux: jnp.ndarray, tauy: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV sensor-tilt (Scheimpflug) projection matrix.
+
+    matTilt = projZ(R) @ R with R = Ry(tauy) @ Rx(taux), exactly
+    cv2's computeTiltProjectionMatrix.
+    """
+    cx, sx = jnp.cos(taux), jnp.sin(taux)
+    cy, sy = jnp.cos(tauy), jnp.sin(tauy)
+    rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cx, sx], [0.0, -sx, cx]])
+    ry = jnp.array([[cy, 0.0, -sy], [0.0, 1.0, 0.0], [sy, 0.0, cy]])
+    r = ry @ rx
+    projz = jnp.array([[r[2, 2], 0.0, -r[0, 2]],
+                       [0.0, r[2, 2], -r[1, 2]],
+                       [0.0, 0.0, 1.0]])
+    return projz @ r
+
+
+def _apply_tilt(xy: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 3x3 tilt (homography) to normalized coords (...,2)."""
+    w = mat[2, 0] * xy[..., 0] + mat[2, 1] * xy[..., 1] + mat[2, 2]
+    u = mat[0, 0] * xy[..., 0] + mat[0, 1] * xy[..., 1] + mat[0, 2]
+    v = mat[1, 0] * xy[..., 0] + mat[1, 1] * xy[..., 1] + mat[1, 2]
+    return jnp.stack([u / w, v / w], axis=-1)
+
+
 def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     """Forward-distort normalized coords (...,2).
 
     dist is [k1,k2,p1,p2,k3] (standard), [k1,k2,p1,p2,k3,k4,k5,k6]
-    (rational model) or [...,s1,s2,s3,s4] (12-coef thin-prism model).
+    (rational model), [...,s1,s2,s3,s4] (12-coef thin-prism model) or
+    [...,taux,tauy] (14-coef tilted/Scheimpflug model).
     """
     x = xy[..., 0]
     y = xy[..., 1]
@@ -48,7 +74,10 @@ def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     if dist.shape[0] >= 12:
         xd = xd + r2 * (dist[8] + r2 * dist[9])
         yd = yd + r2 * (dist[10] + r2 * dist[11])
-    return jnp.stack([xd, yd], axis=-1)
+    out = jnp.stack([xd, yd], axis=-1)
+    if dist.shape[0] >= 14:
+        out = _apply_tilt(out, _tilt_matrix(dist[12], dist[13]))
+    return out
 
 
 def distort_pixels(uv: jnp.ndarray, kmat: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
@@ -67,6 +96,9 @@ def undistort_normalized(xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -
     thin-prism model (prism terms join the iterated additive part).
     """
     p1, p2 = dist[2], dist[3]
+    if dist.shape[0] >= 14:  # undo the sensor tilt before the fixed point
+        inv_tilt = jnp.linalg.inv(_tilt_matrix(dist[12], dist[13]))
+        xy_d = _apply_tilt(xy_d, inv_tilt)
     xd = xy_d[..., 0]
     yd = xy_d[..., 1]
 

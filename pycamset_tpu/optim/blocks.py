@@ -134,6 +134,13 @@ class ProjectionThinPrism(Projection):
     params = ParamSpec(key_type.PER_CAM, 16)
 
 
+class ProjectionTilted(Projection):
+    """Pinhole + rational + thin-prism + sensor-tilt projection; 18 PER_CAM
+    params [fx,px,fy,py,k1,k2,p1,p2,k3,k4,k5,k6,s1,s2,s3,s4,taux,tauy]
+    (OpenCV's full 14-coefficient model, CALIB_TILTED_MODEL)."""
+    params = ParamSpec(key_type.PER_CAM, 18)
+
+
 class RigidTform3d(FunctionBlock):
     """SE(3) transform of a 3-input point; 6 PER_IMG params [rvec, t]."""
     num_inp = 3

@@ -46,7 +46,9 @@ class FixedCameraPoseHandler(TemplateBundleHandler):
         if "camera_model" not in options:
             n_dist = max(np.reshape(camset[n].distortion_coefs, -1).size
                          for n in camset.get_names())
-            if n_dist > 8:
+            if n_dist > 12:
+                options["camera_model"] = "tilted"
+            elif n_dist > 8:
                 options["camera_model"] = "thin_prism"
             elif n_dist > 5:
                 options["camera_model"] = "rational"

@@ -33,7 +33,7 @@ from pycamset_tpu.models.camera_set import CameraSet
 from pycamset_tpu.models.detections import TargetDetection
 from pycamset_tpu.optim.blocks import (
     Extrinsic3D, FreePoint, Projection, ProjectionRational,
-    ProjectionThinPrism, RigidTform3d, TemplatePoints)
+    ProjectionThinPrism, ProjectionTilted, RigidTform3d, TemplatePoints)
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.residuals import build_detection_arrays
 from pycamset_tpu.ops import rigid_fit
@@ -47,11 +47,13 @@ DEFAULT_OPTIONS = {
     "max_nfev": 100,
     # "standard" = Brown-Conrady 5-coef (intr 9/cam, the reference model);
     # "rational" = OpenCV CALIB_RATIONAL_MODEL 8-coef (intr 12/cam);
-    # "thin_prism" = rational + CALIB_THIN_PRISM_MODEL 12-coef (intr 16/cam)
+    # "thin_prism" = rational + CALIB_THIN_PRISM_MODEL 12-coef (intr 16/cam);
+    # "tilted" = + CALIB_TILTED_MODEL taux/tauy 14-coef (intr 18/cam)
     "camera_model": "standard",
 }
 
-_CAMERA_MODELS = {"standard": 9, "rational": 12, "thin_prism": 16}
+_CAMERA_MODELS = {"standard": 9, "rational": 12, "thin_prism": 16,
+                  "tilted": 18}
 
 
 def _projection_block(camera_model: str) -> Projection:
@@ -59,6 +61,8 @@ def _projection_block(camera_model: str) -> Projection:
         return ProjectionRational()
     if camera_model == "thin_prism":
         return ProjectionThinPrism()
+    if camera_model == "tilted":
+        return ProjectionTilted()
     if camera_model == "standard":
         return Projection()
     raise ValueError(
@@ -72,8 +76,8 @@ def _pack_dist(dist, n: int) -> np.ndarray:
     if d.size > n and np.any(d[n:] != 0):
         logging.warning(
             f"Truncating a {d.size}-coefficient distortion vector to {n} "
-            "coefficients; pass options={'camera_model': 'rational'} (or "
-            "'thin_prism') to keep the higher-order terms.")
+            "coefficients; pass options={'camera_model': 'rational' / "
+            "'thin_prism' / 'tilted'} to keep the higher-order terms.")
     return np.pad(d, (0, max(0, n - d.size)))[:n]
 
 
@@ -587,6 +591,22 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
         prism_y = r2 * (s3 + r2 * s4)
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + prism_x
     yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + prism_y
+    if dists.shape[1] >= 14:  # sensor tilt (host path, per-camera matrices)
+        def tilt_mat(taux, tauy):
+            cx_, sx_ = np.cos(taux), np.sin(taux)
+            cy_, sy_ = np.cos(tauy), np.sin(tauy)
+            rx_ = np.array([[1, 0, 0], [0, cx_, sx_], [0, -sx_, cx_]])
+            ry_ = np.array([[cy_, 0, -sy_], [0, 1, 0], [sy_, 0, cy_]])
+            rr = ry_ @ rx_
+            pz = np.array([[rr[2, 2], 0, -rr[0, 2]],
+                           [0, rr[2, 2], -rr[1, 2]], [0, 0, 1]])
+            return pz @ rr
+        mats = np.array([tilt_mat(d[12], d[13]) for d in dists])
+        m = mats[cam]
+        w = m[:, 2, 0] * xd + m[:, 2, 1] * yd + m[:, 2, 2]
+        xt = (m[:, 0, 0] * xd + m[:, 0, 1] * yd + m[:, 0, 2]) / w
+        yt = (m[:, 1, 0] * xd + m[:, 1, 1] * yd + m[:, 1, 2]) / w
+        xd, yd = xt, yt
     pred = np.stack([xd, yd], axis=1) * f + c
     return pred - dd[:, 3:5]
 

@@ -41,15 +41,17 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
 
     camera_model="rational" generates 12-wide intrinsics with nonzero
     k4..k6 and projects through the rational radial model; "thin_prism"
-    adds nonzero s1..s4 (16-wide).
+    adds nonzero s1..s4 (16-wide); "tilted" adds taux/tauy (18-wide).
 
-    :return: dict with intr (C,9/12/16), extr (C,6), poses (I,6),
+    :return: dict with intr (C,9/12/16/18), extr (C,6), poses (I,6),
         template (K,3), dd (N,5) observation table, and metadata.
     """
     rng = np.random.default_rng(seed)
-    rational = camera_model in ("rational", "thin_prism")
-    prism = camera_model == "thin_prism"
-    intr_w = {"standard": 9, "rational": 12, "thin_prism": 16}[camera_model]
+    rational = camera_model in ("rational", "thin_prism", "tilted")
+    prism = camera_model in ("thin_prism", "tilted")
+    tilted = camera_model == "tilted"
+    intr_w = {"standard": 9, "rational": 12, "thin_prism": 16,
+              "tilted": 18}[camera_model]
     k = grid * grid
     tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
     tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
@@ -68,7 +70,9 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                              rng.uniform(-0.02, 0.02),
                              rng.uniform(-0.005, 0.005)]
         if prism:
-            intr[c, 12:] = rng.uniform(-2e-3, 2e-3, size=4)
+            intr[c, 12:16] = rng.uniform(-2e-3, 2e-3, size=4)
+        if tilted:
+            intr[c, 16:18] = rng.uniform(-0.01, 0.01, size=2)
         ang = 2 * np.pi * c / n_cams
         pos = np.array([np.cos(ang), np.sin(ang),
                         rng.uniform(0.3, 0.8)]) * rng.uniform(0.9, 1.1)
@@ -100,6 +104,17 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
             py_add = r2 * (s3 + r2 * s4)
         xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + px_add
         yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + py_add
+        if tilted:
+            taux, tauy = intr[c, 16:18]
+            cx_, sx_ = np.cos(taux), np.sin(taux)
+            cy_, sy_ = np.cos(tauy), np.sin(tauy)
+            rr = (np.array([[cy_, 0, -sy_], [0, 1, 0], [sy_, 0, cy_]])
+                  @ np.array([[1, 0, 0], [0, cx_, sx_], [0, -sx_, cx_]]))
+            m = np.array([[rr[2, 2], 0, -rr[0, 2]],
+                          [0, rr[2, 2], -rr[1, 2]], [0, 0, 1]]) @ rr
+            w = m[2, 0] * xd + m[2, 1] * yd + m[2, 2]
+            xd, yd = ((m[0, 0] * xd + m[0, 1] * yd + m[0, 2]) / w,
+                      (m[1, 0] * xd + m[1, 1] * yd + m[1, 2]) / w)
         return np.stack([xd * fx + px, yd * fy + py], 1), xc[:, 2]
 
     rows = []

@@ -51,10 +51,17 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class GroupWidths:
-    """Per-link local Jacobian column widths for a chain."""
+    """Per-link local Jacobian column widths for a chain.
+
+    key_link records what the c-axis binds to: PER_KEY (one parameter row
+    per point) or PER_GROUP (one row per feature group — e.g. the relative
+    pose of each of several rigidly-coupled targets; rows are expanded onto
+    the key grid and the gram pieces reduced back, see make_structured_neq).
+    """
     a: int  # cam-linked params per camera (e.g. 9 intr + 6 extr = 15)
     b: int  # image-linked params per image (6, or 0 for free-point)
     c: int  # key-linked params per point (3, or 0 for template)
+    key_link: key_type = key_type.PER_KEY
 
     @property
     def local(self):
@@ -66,27 +73,41 @@ class UnsupportedChain(ValueError):
 
 
 def chain_widths(op_fun: OptimFunction) -> GroupWidths:
-    """Column widths by link; requires groups ordered cam*, im*, key*."""
+    """Column widths by link; requires groups ordered cam*, im*, key*.
+
+    PER_GROUP parameters ride the key axis (one parameter row per feature
+    group, expanded onto the key grid by the group_of_key mapping); a chain
+    may use PER_KEY or PER_GROUP but not both.
+    """
     a = b = c = 0
     seen = []
+    key_link = key_type.PER_KEY
     for g in op_fun.groups:
         seen.append(g.link)
         if g.link == key_type.PER_CAM:
             a += g.n
         elif g.link == key_type.PER_IMG:
             b += g.n
-        elif g.link == key_type.PER_KEY:
+        elif g.link in (key_type.PER_KEY, key_type.PER_GROUP):
             c += g.n
+            if g.link == key_type.PER_GROUP:
+                key_link = key_type.PER_GROUP
         else:
             raise UnsupportedChain(
                 f"{g.link.name} groups unsupported on the structured path")
-    # the structured path assumes cam groups come first, then img, then key —
-    # true for all shipped chains (the local slice must split contiguously)
-    order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY]
+    if (key_link == key_type.PER_GROUP
+            and any(g.link == key_type.PER_KEY for g in op_fun.groups)):
+        raise UnsupportedChain(
+            "chains mixing PER_KEY and PER_GROUP use the generic path")
+    # the structured path assumes cam groups come first, then img, then
+    # key/group — true for all shipped chains (the local slice must split
+    # contiguously)
+    order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY,
+             key_type.PER_GROUP]
     if seen != sorted(seen, key=order.index):
         raise UnsupportedChain(
             "chain group order not cam*,im*,key* — use generic path")
-    return GroupWidths(a, b, c)
+    return GroupWidths(a, b, c, key_link)
 
 
 @dataclass
@@ -153,8 +174,9 @@ def split_full_params(full: jnp.ndarray, op_fun: OptimFunction,
             cam_parts.append(chunk.reshape(n_cams, g.n))
         elif g.link == key_type.PER_IMG:
             im_parts.append(chunk.reshape(n_ims, g.n))
-        elif g.link == key_type.PER_KEY:
-            key_parts.append(chunk.reshape(n_keys, g.n))
+        elif g.link in (key_type.PER_KEY, key_type.PER_GROUP):
+            # PER_GROUP rows ride the key piece (count from the struct)
+            key_parts.append(chunk.reshape(struct.counts[gi_], g.n))
     z = full[:0]
     cam = (jnp.concatenate(cam_parts, axis=1) if cam_parts
            else z.reshape(n_cams, 0))
@@ -177,7 +199,7 @@ def merge_pieces_to_full(pieces: ParamPieces, op_fun: OptimFunction, struct,
         elif g.link == key_type.PER_IMG:
             chunks.append(pieces.im[:, im_off:im_off + g.n].reshape(-1))
             im_off += g.n
-        elif g.link == key_type.PER_KEY:
+        elif g.link in (key_type.PER_KEY, key_type.PER_GROUP):
             chunks.append(pieces.key[:, key_off:key_off + g.n].reshape(-1))
             key_off += g.n
     return jnp.concatenate(chunks)
@@ -280,9 +302,16 @@ def block_onehots(n_cams: int, n_ims: int):
 
 def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         n_cams: int, n_ims: int, loss: str = "linear",
-                        f_scale: float = 1.0):
+                        f_scale: float = 1.0,
+                        group_of_key: np.ndarray | None = None):
     """Structured normal-equation builder over the (B, K) grid.
 
+    :param group_of_key: (k_pad,) int key->group map, required iff the chain
+        binds its c-axis PER_GROUP. The per-group parameter rows expand onto
+        the key grid through a small (K, G) one-hot, and the per-key gram
+        pieces reduce back to per-group blocks with its transpose — every
+        residual touches exactly one key (hence one group), so the group
+        normal-equation blocks are plain sums of the per-key ones.
     :return: neq(pieces, uv, mask, tpl, colmask) -> NormalEq, where
         tpl is the (K,3) template table (zeros when the chain has key params)
         and colmask is a ParamPieces of 0/1 unfixed masks.
@@ -313,19 +342,37 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             grams = make_pallas_freepoint_grams(widths, loss=loss,
                                                 f_scale=f_scale)
 
+    grouped = widths.key_link == key_type.PER_GROUP
+    if grouped:
+        if group_of_key is None:
+            raise ValueError(
+                "group_of_key is required for PER_GROUP-keyed chains")
+        gok = np.asarray(group_of_key, dtype=np.int64)
+        n_groups = int(gok.max()) + 1
+        onehot_kg = np.zeros((gok.size, n_groups), dtype=np.float32)
+        onehot_kg[np.arange(gok.size), gok] = 1.0  # tiny: K x G
+
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         # blocks are (cam-major, image-minor): per-cam / per-im parameter
         # broadcasts are repeats/tiles and the block->cam / block->im
         # reductions are plain reshaped sums — no gather tables, no one-hot
-        # constants (which would embed O(C*I^2) bytes in the executable)
+        # constants (which would embed O(C*I^2) bytes in the executable;
+        # the (K, G) group one-hot is tiny and G-bounded)
         cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
         im_b = jnp.tile(pieces.im, (n_cams, 1))
         cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
         imask_b = jnp.tile(colmask.im, (n_cams, 1))
 
+        if grouped:  # expand per-group rows onto the key grid
+            kg = jnp.asarray(onehot_kg, dtype=uv.dtype)
+            keyp = kg @ pieces.key
+            kmask = kg @ colmask.key
+        else:
+            keyp, kmask = pieces.key, colmask.key
+
         (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(cam_b, im_b, pieces.key, tpl, uv, mask,
-                       cmask_b, imask_b, colmask.key)
+         cost) = grams(cam_b, im_b, keyp, tpl, uv, mask,
+                       cmask_b, imask_b, kmask)
 
         k_pad = wck_b.shape[1]
         hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
@@ -335,6 +382,13 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         wck = wck_b.reshape(n_cams, n_ims, k_pad, a, c).sum(axis=1)
         wik = wik_b.reshape(n_cams, n_ims, k_pad, b, c).sum(axis=0)
         wci = wci_b.reshape(n_cams, n_ims, a, b)  # a block IS one (c,i) pair
+
+        if grouped:  # reduce key-axis pieces to per-group blocks
+            kg = jnp.asarray(onehot_kg, dtype=uv.dtype)
+            hkk = jnp.einsum("kg,kij->gij", kg, hkk)
+            gk = jnp.einsum("kg,ki->gi", kg, gk)
+            wck = jnp.einsum("kg,ckap->cgap", kg, wck)
+            wik = jnp.einsum("kg,ikbp->igbp", kg, wik)
 
         return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
 

@@ -6,6 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
     BlockArrays, ParamPieces, build_block_arrays, chain_widths,
@@ -48,7 +49,21 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
                                 k_pad_multiple=k_pad_multiple)
     k_pad = blocks.uv.shape[1]
 
-    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    # PER_GROUP-keyed chains (multi-target): the key axis carries one
+    # parameter row per GROUP, expanded onto the key grid by group_of_key
+    grouped = widths.key_link == key_type.PER_GROUP
+    n_groups = int(param_handler.n_groups()) if grouped else 0
+    if grouped:
+        gok = np.asarray(param_handler.group_of_key(), dtype=np.int64)
+        # pad key slots replicate key 0 (their masks are zero anyway)
+        gok_pad = np.concatenate(
+            [gok, np.full(k_pad - n_keys, gok[0], dtype=np.int64)])
+        n_keyrows = n_groups
+    else:
+        gok_pad = None
+        n_keyrows = n_keys
+
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys, n_groups=n_groups)
     base_full = param_handler.bundlePrimitive.base_full()
     unfixed = param_handler.bundlePrimitive.unfixed_full()
     base_full[unfixed] = x0
@@ -67,9 +82,13 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     def to_pieces(full_np: np.ndarray) -> ParamPieces:
         p = split_full_params(jnp.asarray(full_np, dtype=dtype), op_fun,
                               struct, n_cams, n_ims, n_keys, widths)
-        # pad the key piece to the slot grid, replicating key 0 (see above)
-        if widths.c:
+        # pad the key piece to the slot grid, replicating key 0 (see above);
+        # per-GROUP key pieces stay at their true (G, c) shape — the neq
+        # expands them onto the grid itself
+        if widths.c and not grouped:
             key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
+        elif widths.c:
+            key = p.key
         else:
             key = jnp.zeros((k_pad, 0), dtype=dtype)
         # pad the image piece to the (bucketed) grid, replicating row 0
@@ -83,7 +102,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     colmask_np[unfixed] = 1.0
     colmask = to_pieces(colmask_np)
     fixes = {}
-    if widths.c:  # padded key slots are never free parameters
+    if widths.c and not grouped:  # padded key slots are never free params
         fixes["key"] = colmask.key.at[n_keys:].set(0.0)
     if widths.b:  # nor are padded image slots
         fixes["im"] = colmask.im.at[n_ims:].set(0.0)
@@ -92,7 +111,8 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     neq_raw = make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,
         loss=param_handler.problem_opts.get("loss", "linear"),
-        f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)))
+        f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
+        group_of_key=gok_pad)
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
@@ -116,17 +136,20 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     blk_cam = jnp.asarray(np.repeat(np.arange(n_cams), n_ims_grid))
     blk_im = jnp.asarray(np.tile(np.arange(n_ims_grid), n_cams))
 
+    gok_d = jnp.asarray(gok_pad) if grouped else None
+
     @jax.jit
     def block_residual_impl(x_pieces, uv, mask, tpl):
         cam_b = x_pieces.cam[blk_cam]
         im_b = x_pieces.im[blk_im]
+        keyp = x_pieces.key[gok_d] if grouped else x_pieces.key
 
         def slot(cp, ip, kp, t, u):
             return point_fn(jnp.concatenate([cp, ip, kp]), t) - u
 
         per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
         per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
-        return per_blk(cam_b, im_b, x_pieces.key, tpl, uv) * mask[..., None]
+        return per_blk(cam_b, im_b, keyp, tpl, uv) * mask[..., None]
 
     # unpadded residual extraction in detection-table row order
     cam_i = dd[:, 0].astype(int)
@@ -146,7 +169,8 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
             ParamPieces(jnp.asarray(x_pieces.cam, dtype=jnp.float64),
                         (jnp.asarray(x_pieces.im[:n_ims], dtype=jnp.float64)
                          if widths.b else jnp.zeros((n_ims, 0))),
-                        jnp.asarray(x_pieces.key[:n_keys], dtype=jnp.float64)),
+                        jnp.asarray(x_pieces.key[:n_keyrows],
+                                    dtype=jnp.float64)),
             op_fun, struct, n_cams, n_ims, n_keys))
         return full[free_idx], res
 

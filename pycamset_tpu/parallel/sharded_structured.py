@@ -26,11 +26,20 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
     GroupWidths, NormalEq, ParamPieces, make_block_grams)
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
+
+
+def _reject_grouped(widths: GroupWidths):
+    if widths.key_link == key_type.PER_GROUP:
+        from pycamset_tpu.optim.structured import UnsupportedChain
+        raise UnsupportedChain(
+            "PER_GROUP-keyed chains are single-device only for now "
+            "(use make_structured_neq)")
 
 
 def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
@@ -44,6 +53,7 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
     """
     a, b, c = widths.a, widths.b, widths.c
+    _reject_grouped(widths)
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     n_dev = mesh.devices.size
     if n_cams % n_dev != 0:
@@ -118,6 +128,7 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
     """
     a, b, c = widths.a, widths.b, widths.c
+    _reject_grouped(widths)
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     n_dev = mesh.devices.size
     if n_ims % n_dev != 0:

@@ -16,6 +16,72 @@ class TestTwoTargetExtension:
         assert rms < 0.15  # at the injected 0.1 px noise floor
         np.testing.assert_allclose(rel, rel_true, atol=1e-3)
 
+    def test_group_chain_runs_structured_and_matches_generic(self):
+        """PER_GROUP-keyed chains now ride the structured Schur backend
+        (group params expand onto the key grid; gram pieces reduce back);
+        it must land on the same minimum as the generic scatter backend."""
+        from extend_param_handler import TwoTargetCalibrator
+        from pycamset_tpu.optim.blocks import key_type
+        from pycamset_tpu.optim.driver import run_bundle_adjustment
+        from pycamset_tpu.optim.structured import chain_widths
+
+        # construct the handler exactly as synthetic_demo does
+        import numpy as _np
+        import pycamset_tpu.utils.general_utils as gu
+        from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+        from pycamset_tpu.models.detections import TargetDetection
+        from pycamset_tpu.optim.handlers import FreePointTarget
+        from pycamset_tpu.utils.general_utils import h_tform, make_4x4h_tform
+        from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+        def make_handler():
+            rig = make_synthetic_rig(n_cams=3, n_ims=8, grid=5,
+                                     visibility=1.0, noise_px=0.1, seed=11)
+            tpl0 = rig["template"]
+            rel_true = make_4x4h_tform(_np.array([0.1, -0.2, 0.3]),
+                                       _np.array([0.15, 0.02, -0.05]))
+            tpl1_local = tpl0 + [0.002, 0.001, 0.0]
+            tpl1_world = h_tform(tpl1_local, rel_true)
+            k_mats, exts, dists = [], [], []
+            for c in range(3):
+                i9 = rig["intr"][c]
+                k_mats.append(_np.array([[i9[0], 0, i9[1]],
+                                         [0, i9[2], i9[3]], [0, 0, 1]]))
+                dists.append(i9[4:])
+                exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                               rig["extr"][c][3:]))
+            cams = CameraSet(camera_dict=make_cam_dict(
+                ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+            rows1 = []
+            rng = _np.random.default_rng(2)
+            for i in range(8):
+                t = gu.make_4x4h_tform(rig["poses"][i][:3],
+                                       rig["poses"][i][3:])
+                world = gu.h_tform(tpl1_world, t)
+                for c in range(3):
+                    uv = cams[c].project_points(world)
+                    for kk in range(world.shape[0]):
+                        rows1.append([c, i, kk,
+                                      *(uv[kk] + rng.normal(size=2) * 0.1)])
+            det0 = TargetDetection(cam_names=["a", "b", "c"],
+                                   data=rig["dd"])
+            det1 = TargetDetection(cam_names=["a", "b", "c"],
+                                   data=_np.array(rows1))
+            return TwoTargetCalibrator(
+                cams, FreePointTarget(tpl0.reshape(1, -1, 3)),
+                FreePointTarget(tpl1_local.reshape(1, -1, 3)),
+                det0, det1, options={"outliers": "n"})
+
+        h = make_handler()
+        assert chain_widths(h.op_fun).key_link == key_type.PER_GROUP
+        res_s, _ = run_bundle_adjustment(h, backend="structured")
+
+        h2 = make_handler()
+        res_g, _ = run_bundle_adjustment(h2, backend="generic")
+        rms_s = np.sqrt(np.mean(res_s["fun"] ** 2))
+        rms_g = np.sqrt(np.mean(res_g["fun"] ** 2))
+        assert abs(rms_s - rms_g) < 1e-4, (rms_s, rms_g)
+
 
 class TestMVSNetExport:
     def test_write_to_txt(self, tmp_path):

@@ -16,6 +16,11 @@ group 1's six parameters are free. The generic backend solves this chain
 directly (the structured Schur backend declines PER_GROUP chains and the
 driver falls back automatically).
 """
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # checkout use
 from __future__ import annotations
 
 import numpy as np

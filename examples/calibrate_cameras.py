@@ -1,9 +1,9 @@
 """The one-call calibration entry point (ref: examples/calibrate_cameras.py)."""
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # checkout use
+
 from pycamset_tpu import ChArUco, calibrate_cameras
 
 calibration_data = "my/calibration/path"

@@ -12,16 +12,16 @@ first-class chain block bound PER_GROUP (which target a feature belongs to):
     pixel = projection( extrinsic( pose_im( rel_group( template[key] ))))
 
 Group 0 (the base target) has its relative transform fixed to the identity;
-group 1's six parameters are free. The generic backend solves this chain
-directly (the structured Schur backend declines PER_GROUP chains and the
-driver falls back automatically).
+group 1's six parameters are free. PER_GROUP chains run on the structured
+Schur backend (group rows expand onto the key grid; gram pieces reduce
+back); the generic scatter backend solves them too.
 """
+from __future__ import annotations
 
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # checkout use
-from __future__ import annotations
 
 import numpy as np
 

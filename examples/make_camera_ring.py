@@ -1,10 +1,10 @@
 """Manually build a ring of cameras and project/triangulate through it
 (ref: examples/make_camera_ring.py)."""
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # checkout use
+
 import numpy as np
 
 from pycamset_tpu import Camera, CameraSet

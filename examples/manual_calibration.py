@@ -5,11 +5,11 @@ For a real calibration, populate the CameraSet with initial per-camera
 estimates and the TargetDetection with detected features — the pieces
 calibrate_cameras() otherwise creates for you.
 """
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # checkout use
+
 from pycamset_tpu import CameraSet, ChArUco
 from pycamset_tpu.models.detections import TargetDetection
 from pycamset_tpu.optim.driver import run_bundle_adjustment

@@ -6,11 +6,11 @@ bundle adjustment directly through the handler API.
 
     python examples/synthetic_quickstart.py
 """
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # checkout use
+
 import sys
 from pathlib import Path
 

@@ -119,6 +119,71 @@ def test_pose_sharded_lm_converges():
     assert rms < 0.45
 
 
+def _selfcal_setup(n_cams=8, n_ims=4):
+    from pycamset_tpu.optim.blocks import FreePoint, RigidTform3d
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
+                             visibility=0.85, noise_px=0.4, seed=3)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction(
+        [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel(), rig["template"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    key = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
+    pieces = ParamPieces(pieces.cam, pieces.im, key)
+    # 7-coordinate gauge fix on the first three points + pad freeze
+    kmask = jnp.ones((k_pad, 3)).at[n_keys:].set(0.0)
+    kmask = kmask.at[0].set(0.0).at[1].set(0.0).at[2, 0].set(0.0)
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a)),
+                          jnp.ones((n_ims, widths.b)).at[0].set(0.0),
+                          kmask)
+    return (op_fun, widths, pieces, colmask, uv, mask,
+            jnp.zeros((k_pad, 3)), n_cams, n_ims)
+
+
+def test_sharded_selfcal_neq_matches_single_device():
+    """The sharded reductions must also hold for chains WITH key params
+    (hkk/gk psum'd, wck placed at the camera offset, wik partial-summed)."""
+    (op_fun, widths, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims) = _selfcal_setup()
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
+
+    neq_single = jax.jit(make_structured_neq(op_fun, widths, n_cams, n_ims))
+    neq_sharded = jax.jit(
+        make_sharded_structured_neq(op_fun, widths, n_cams, n_ims, mesh))
+    ref = neq_single(pieces, uv, mask, tpl, colmask)
+    got = neq_sharded(pieces, uv_s, mask_s, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-9,
+                                   atol=1e-9, err_msg=name)
+
+
+def test_sharded_selfcal_lm_converges():
+    (op_fun, widths, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims) = _selfcal_setup()
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
+    pert = ParamPieces(
+        pieces.cam + np.random.default_rng(0).normal(
+            size=pieces.cam.shape) * 1e-4, pieces.im, pieces.key)
+    solve = make_sharded_structured_solver(
+        op_fun, widths, n_cams, n_ims, mesh, colmask, max_nfev=30)
+    res = solve(pert, uv_s, mask_s, tpl)
+    assert np.isfinite(float(res.cost))
+    # the self-cal solve reaches the injected noise floor on the mesh
+    n_obs = float(np.asarray(mask).sum())
+    rms = float(np.sqrt(float(res.cost) / (2 * n_obs)))
+    assert rms < 0.45
+
+
 def test_choose_shard_axis():
     assert choose_shard_axis(16, 96, 8) == "pose"    # both divide, more ims
     assert choose_shard_axis(16, 100, 4) == "pose"

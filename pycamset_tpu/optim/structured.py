@@ -303,7 +303,8 @@ def block_onehots(n_cams: int, n_ims: int):
 def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         n_cams: int, n_ims: int, loss: str = "linear",
                         f_scale: float = 1.0,
-                        group_of_key: np.ndarray | None = None):
+                        group_of_key: np.ndarray | None = None,
+                        n_groups: int | None = None):
     """Structured normal-equation builder over the (B, K) grid.
 
     :param group_of_key: (k_pad,) int key->group map, required iff the chain
@@ -348,7 +349,10 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             raise ValueError(
                 "group_of_key is required for PER_GROUP-keyed chains")
         gok = np.asarray(group_of_key, dtype=np.int64)
-        n_groups = int(gok.max()) + 1
+        # n_groups is passed explicitly so a group with no observed keys
+        # (all-zero one-hot column) still gets its parameter rows
+        if n_groups is None:
+            n_groups = int(gok.max()) + 1
         onehot_kg = np.zeros((gok.size, n_groups), dtype=np.float32)
         onehot_kg[np.arange(gok.size), gok] = 1.0  # tiny: K x G
 

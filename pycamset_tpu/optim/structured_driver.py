@@ -55,6 +55,13 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     n_groups = int(param_handler.n_groups()) if grouped else 0
     if grouped:
         gok = np.asarray(param_handler.group_of_key(), dtype=np.int64)
+        if gok.shape != (n_keys,):
+            raise ValueError(
+                f"group_of_key() must return one group index per key "
+                f"({n_keys},); got shape {gok.shape}")
+        if gok.min() < 0 or gok.max() >= n_groups:
+            raise ValueError(
+                f"group_of_key() indices out of range [0, {n_groups})")
         # pad key slots replicate key 0 (their masks are zero anyway)
         gok_pad = np.concatenate(
             [gok, np.full(k_pad - n_keys, gok[0], dtype=np.int64)])
@@ -112,7 +119,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         op_fun, widths, n_cams, n_ims_grid,
         loss=param_handler.problem_opts.get("loss", "linear"),
         f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
-        group_of_key=gok_pad)
+        group_of_key=gok_pad, n_groups=n_groups if grouped else None)
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))

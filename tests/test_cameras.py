@@ -106,5 +106,37 @@ class TestCameraSet:
         assert loaded.get_names() == cams.get_names()
 
 
+def test_save_load_round_trip_all_camera_models(tmp_path):
+    """.camset persistence must round-trip every distortion-model width
+    (5/8/12/14 coefficients) with identical projections."""
+    import jax.numpy as jnp
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.models.camera_set import CameraSet
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    rng = np.random.default_rng(0)
+    k = np.array([[900.0, 0, 640], [0, 910.0, 480], [0, 0, 1]])
+    widths = {"standard": 5, "rational": 8, "thin_prism": 12, "tilted": 14}
+    cams = {}
+    for i, (name, n) in enumerate(widths.items()):
+        d = rng.normal(size=n) * 0.01
+        ext = make_4x4h_tform(rng.normal(size=3) * 0.1,
+                              np.array([0.05 * i, 0, 0.4]))
+        cams[name] = Camera(extrinsic=ext, intrinsic=k, distortion_coefs=d,
+                            res=[1280, 960], name=name)
+    cs = CameraSet(camera_dict=cams)
+    f = tmp_path / "models.camset"
+    cs.save(f)
+    back = load_CameraSet(f)
+
+    pts = rng.normal(size=(20, 3)) * 0.1 + [0, 0, 1.0]
+    for name, n in widths.items():
+        assert np.reshape(back[name].distortion_coefs, -1).size == n, name
+        np.testing.assert_allclose(back[name].project_points(pts),
+                                   cs[name].project_points(pts),
+                                   atol=1e-12, err_msg=name)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

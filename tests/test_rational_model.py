@@ -135,6 +135,41 @@ def test_rational_bundle_adjustment_recovers_model():
         assert np.max(np.abs(err_n * f)) < 0.5, name  # < 0.5 px over field
 
 
+def test_rational_self_calibration_end_to_end():
+    """Self-cal (free geometry + gauge transform) composes with the
+    rational model: 12-wide intrinsics + per-point params solve and the
+    similarity re-alignment recovers the reference geometry."""
+    import numpy as np
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (
+        FreePointTarget, SelfBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=8, grid=5, visibility=0.95,
+                             noise_px=0.1, seed=5, camera_model="rational")
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i = rig["intr"][c]
+        k_mats.append(np.array([[i[0], 0, i[1]], [0, i[2], i[3]],
+                                [0, 0, 1]]))
+        dists.append(i[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    h = SelfBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"]),
+        options={"outliers": "n", "camera_model": "rational"})
+    res, out = run_bundle_adjustment(h)
+    assert np.sqrt(np.mean(res["fun"] ** 2)) < 0.15
+    pts = h.get_updated_target(res["x"])
+    assert np.abs(pts - rig["template"]).max() < 5e-4  # metres
+    assert np.reshape(out["a"].distortion_coefs, -1).size == 8
+
+
 def test_standard_model_layout_unchanged():
     from pycamset_tpu.optim.blocks import Projection, ProjectionRational
     from tests.test_scipy_parity import _make_handler

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pycamset_tpu.optim.blocks import FunctionBlock, ParamSpec, key_type

@@ -138,7 +138,6 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
                                    reduced_solver=reduced_solver)
 
-    from pycamset_tpu.optim.residuals import make_residual_fn  # noqa: F401
     point_fn = op_fun.make_point_fn()
     blk_cam = jnp.asarray(np.repeat(np.arange(n_cams), n_ims_grid))
     blk_im = jnp.asarray(np.tile(np.arange(n_ims_grid), n_cams))

@@ -17,7 +17,6 @@ import cv2
 import numpy as np
 
 from pycamset_tpu.models.camera import Camera
-from pycamset_tpu.utils.general_utils import ext_4x4_to_rod
 
 
 def _as_cloud(points: np.ndarray, scalars=None):

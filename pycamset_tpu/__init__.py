@@ -16,7 +16,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
-    "ChArUco", "Ccube",
+    "ChArUco", "Ccube", "TargetTracker",
 ]
 
 _LAZY = {
@@ -26,6 +26,7 @@ _LAZY = {
     "calibrate_cameras": ("pycamset_tpu.calibration.camera_calibrator", "calibrate_cameras"),
     "ChArUco": ("pycamset_tpu.models.charuco", "ChArUco"),
     "Ccube": ("pycamset_tpu.models.ccube", "Ccube"),
+    "TargetTracker": ("pycamset_tpu.tracking", "TargetTracker"),
 }
 
 

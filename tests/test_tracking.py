@@ -1,0 +1,107 @@
+"""TargetTracker: the precompiled streaming pose-tracking serving path."""
+import numpy as np
+import pytest
+
+
+def _rig(n_ims=20, camera_model="standard", noise=0.2, seed=8):
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=6, visibility=0.9,
+                             noise_px=noise, seed=seed,
+                             camera_model=camera_model)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i = rig["intr"][c]
+        k_mats.append(np.array([[i[0], 0, i[1]], [0, i[2], i[3]],
+                                [0, 0, 1]]))
+        dists.append(i[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    target = FreePointTarget(rig["template"].reshape(1, -1, 3))
+    det = TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"])
+    true = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in rig["poses"]])
+    return cams, target, det, true, rig
+
+
+def test_track_batch_recovers_poses():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig()
+    tr = TargetTracker(cams, target)
+    poses, info = tr.track_batch(det)
+    assert poses.shape == true.shape
+    assert np.abs(poses[:, :3, 3] - true[:, :3, 3]).max() < 2e-4  # metres
+    assert info["rms"].mean() < 2 * rig["noise_px"]
+    assert (info["n_used"] > 0).all()
+
+
+def test_track_single_frames_with_warm_start():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=5)
+    tr = TargetTracker(cams, target)
+    frames = det.get_image_list()
+    p0, info0 = tr.track(frames[0])      # PnP-seeded
+    assert np.abs(p0[:3, 3] - true[0][:3, 3]).max() < 2e-4
+    p1, info1 = tr.track(frames[1])      # warm start from frame 0
+    assert np.abs(p1[:3, 3] - true[1][:3, 3]).max() < 2e-4
+    assert info1["status"] > 0           # converged, not budget-exhausted
+
+
+def test_track_robust_loss_rejects_outliers():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=3, noise=0.1)
+    dd = det.get_data().copy()
+    rng = np.random.default_rng(0)
+    bad = rng.choice(len(dd), len(dd) // 10, replace=False)
+    dd[bad, -2:] += rng.normal(size=(len(bad), 2)) * 60.0
+    from pycamset_tpu.models.detections import TargetDetection
+    det_bad = TargetDetection(cam_names=["a", "b", "c"], data=dd)
+
+    plain = TargetTracker(cams, target)
+    robust = TargetTracker(cams, target, loss="cauchy", f_scale=1.0,
+                           max_nfev=60)
+    p_plain, _ = plain.track_batch(det_bad)
+    # the production cascade: robustify from the plain solve's poses (a
+    # cold cauchy start from a PnP seed poisoned by the same outliers can
+    # stall in the flattened basin)
+    p_rob, _ = robust.track_batch(det_bad, inits=p_plain)
+    err_plain = np.abs(p_plain[:, :3, 3] - true[:, :3, 3]).max()
+    err_rob = np.abs(p_rob[:, :3, 3] - true[:, :3, 3]).max()
+    assert err_rob < err_plain / 3       # outliers pulled the plain solve
+    assert err_rob < 5e-4
+
+
+def test_tracker_follows_camera_model_width():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=3, camera_model="rational",
+                                        noise=0.1)
+    tr = TargetTracker(cams, target)
+    assert tr._intr.shape[1] == 12        # 4 + 8 rational coefficients
+    poses, info = tr.track_batch(det)
+    assert np.abs(poses[:, :3, 3] - true[:, :3, 3]).max() < 2e-4
+
+
+def test_tracker_capacity_and_empty_frame():
+    import logging
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=3)
+
+    small = TargetTracker(cams, target, max_detections=10)
+    frames = det.get_image_list()
+    # truncation warns but still solves (10 points pin a 6-dof pose)
+    p, info = small.track(frames[0], init=rig["poses"][0])
+    assert info["n_used"] == 10
+
+    tr = TargetTracker(cams, target)
+    empty = TargetDetection(cam_names=["a", "b", "c"], data=None)
+    with pytest.raises(ValueError, match="no detections"):
+        tr.track(empty)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

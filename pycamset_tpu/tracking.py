@@ -17,8 +17,6 @@ Works with every camera model (the packed intrinsic width follows the rig).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

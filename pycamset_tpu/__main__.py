@@ -5,6 +5,8 @@ adds one without changing the library API:
 
     python -m pycamset_tpu calibrate DATA --target charuco --nx 20 --ny 20 --square 4
     python -m pycamset_tpu calibrate DATA --target ccube --n-points 10 --length 40
+    python -m pycamset_tpu track DATA --camset optimised_cameras.camset \
+        --target charuco --nx 20 --ny 20 --square 4 --out poses.json
     python -m pycamset_tpu info optimised_cameras.camset
 """
 from __future__ import annotations
@@ -13,9 +15,7 @@ import argparse
 import sys
 
 
-def _add_calibrate(sub):
-    p = sub.add_parser("calibrate", help="calibrate a rig from image folders")
-    p.add_argument("folder", help="folder with one image subfolder per camera")
+def _add_target_args(p):
     p.add_argument("--target", choices=["charuco", "ccube"], default="charuco")
     p.add_argument("--nx", type=int, default=20, help="charuco squares in x")
     p.add_argument("--ny", type=int, default=20, help="charuco squares in y")
@@ -28,6 +28,12 @@ def _add_calibrate(sub):
                    help="aruco dictionary name")
     p.add_argument("--legacy", action="store_true",
                    help="legacy charuco pattern layout")
+
+
+def _add_calibrate(sub):
+    p = sub.add_parser("calibrate", help="calibrate a rig from image folders")
+    p.add_argument("folder", help="folder with one image subfolder per camera")
+    _add_target_args(p)
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--self-calibrate", action="store_true",
                    help="refine the target geometry after the template solve")
@@ -46,6 +52,23 @@ def _add_calibrate(sub):
     p.add_argument("--draw", action="store_true")
 
 
+
+def _add_track(sub):
+    p = sub.add_parser(
+        "track", help="per-frame target poses against a calibrated rig")
+    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("--camset", required=True,
+                   help="calibrated rig (.camset file)")
+    _add_target_args(p)
+    p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
+                   default="linear")
+    p.add_argument("--f-scale", type=float, default=1.0)
+    p.add_argument("--out", default=None,
+                   help="write poses as JSON (default: print)")
+    p.add_argument("--no-cache", action="store_true",
+                   help="skip the detection pickle cache")
+
+
 def _add_info(sub):
     p = sub.add_parser("info", help="summarise a .camset file")
     p.add_argument("camset", help="path to a .camset file")
@@ -54,7 +77,6 @@ def _add_info(sub):
 def cmd_calibrate(args) -> int:
     from pathlib import Path
 
-    import cv2
     import numpy as np
 
     from pycamset_tpu import calibrate_cameras
@@ -62,17 +84,7 @@ def cmd_calibrate(args) -> int:
             "f_scale": args.f_scale, "max_nfev": args.max_nfev,
             "camera_model": args.camera_model}
 
-    if args.target == "charuco":
-        from pycamset_tpu.models.charuco import ChArUco
-        target = ChArUco(args.nx, args.ny, args.square,
-                         a_dict=getattr(cv2.aruco, args.adict),
-                         legacy=args.legacy)
-    else:
-        from pycamset_tpu.models.ccube import Ccube
-        target = Ccube(n_points=args.n_points, length=args.length,
-                       aruco_dict=getattr(cv2.aruco, args.adict),
-                       border_fraction=args.border_fraction,
-                       legacy=args.legacy)
+    target = _make_target(args)
 
     cams = calibrate_cameras(
         f_loc=Path(args.folder), calibration_target=target,
@@ -97,6 +109,52 @@ def cmd_calibrate(args) -> int:
         np.reshape(cams.calibration_result, (-1, 2)), axis=1))
     print(f"calibrated {cams.get_n_cams()} cameras; "
           f"mean reprojection error {err:.3f} px")
+    return 0
+
+
+def _make_target(args):
+    import cv2
+    if args.target == "charuco":
+        from pycamset_tpu.models.charuco import ChArUco
+        return ChArUco(args.nx, args.ny, args.square,
+                       a_dict=getattr(cv2.aruco, args.adict),
+                       legacy=args.legacy)
+    from pycamset_tpu.models.ccube import Ccube
+    return Ccube(n_points=args.n_points, length=args.length,
+                 aruco_dict=getattr(cv2.aruco, args.adict),
+                 border_fraction=args.border_fraction, legacy=args.legacy)
+
+
+def cmd_track(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.calibration.camera_calibrator import (
+        detect_datapoints_in_imfile)
+    from pycamset_tpu.tracking import TargetTracker
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    target = _make_target(args)
+    detection, _ = detect_datapoints_in_imfile(
+        f_loc=Path(args.folder), calibration_target=target,
+        caching=not args.no_cache)
+    tracker = TargetTracker(cams, target, loss=args.loss,
+                            f_scale=args.f_scale)
+    poses, info = tracker.track_batch(detection)
+    records = [{"frame": i, "pose": p.tolist(),
+                "rms_px": float(info["rms"][i]),
+                "n_detections": int(info["n_used"][i])}
+               for i, p in enumerate(poses)]
+    text = json.dumps(records, indent=1)
+    if args.out:
+        Path(args.out).write_text(text)
+        print(f"tracked {len(poses)} frames -> {args.out} "
+              f"(mean rms {float(np.mean(info['rms'])):.3f} px)")
+    else:
+        print(text)
     return 0
 
 
@@ -127,10 +185,13 @@ def main(argv=None) -> int:
         description="TPU-native multi-camera calibration")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_calibrate(sub)
+    _add_track(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
+    if args.cmd == "track":
+        return cmd_track(args)
     if args.cmd == "info":
         return cmd_info(args)
     return 1

@@ -169,6 +169,7 @@ class TargetTracker:
                           jnp.asarray(cam_i), jnp.asarray(key_i),
                           jnp.asarray(uv, dtype=self._dtype),
                           jnp.asarray(mask, dtype=self._dtype))
+        res = jax.device_get(res)  # ONE transfer, not one per field
         pose6 = np.asarray(res.x)
         self._last_pose = pose6
         n_used = int(mask.sum())
@@ -217,6 +218,7 @@ class TargetTracker:
             jnp.asarray(cam_i), jnp.asarray(key_i),
             jnp.asarray(uv, dtype=self._dtype),
             jnp.asarray(mask, dtype=self._dtype))
+        res = jax.device_get(res)  # ONE transfer, not one per field
         pose6 = np.asarray(res.x)
         self._last_pose = pose6[-1]
         n_used = mask.sum(axis=1)

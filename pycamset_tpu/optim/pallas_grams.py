@@ -14,9 +14,10 @@ and their Rodrigues derivatives are tiny and parameter-dependent, so they
 are precomputed in plain jnp and passed in as a packed (B, PPB) operand.
 
 Derivation shared with optim/analytic.py (parity-tested against it and
-against jacfwd). The template chain (a=15, b=6, c=0) and the self-cal chain
-(a=15, b=6, c=3 — adds per-key couplings and a sequential-grid-accumulated
-Hkk/gk) are covered; other chains use the XLA path.
+against jacfwd). The template chain (a=15 standard or a=18 rational via the
+intr_w parametrisation, b=6, c=0) and the self-cal chain (a=15, b=6, c=3 —
+adds per-key couplings and a sequential-grid-accumulated Hkk/gk) are
+covered; other chains use the XLA path.
 
 Robust losses (optim/losses.py) fold in-kernel: the per-observation IRLS
 sqrt-weight multiplies every Jacobian column and the residual, and the gram
@@ -33,50 +34,72 @@ from jax.experimental.pallas import tpu as pltpu
 from pycamset_tpu.ops.rotations import rodrigues_to_matrix
 
 BLOCK_TILE = 8      # blocks per grid step (sublane dimension)
-GRAM_W = 22         # 15 cam + 6 pose + 1 residual column
-
-# packed per-block parameter row layout (PPB floats):
-# [intr9 | Re(9) | dRe(27) | te(3) | Rp(9) | dRp(27) | tp(3) | ReRp(9)] = 96
-_OFF_INTR = 0
-_OFF_RE = 9
-_OFF_DRE = 18
-_OFF_TE = 45
-_OFF_RP = 48
-_OFF_DRP = 57
-_OFF_TP = 84
-_OFF_RERP = 87
-PPB = 96
+GRAM_W = 22         # 15 cam + 6 pose + 1 residual column (standard model)
 
 
-def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray) -> jnp.ndarray:
-    """(B,15) cam params + (B,6) poses -> packed (B, PPB) kernel operand."""
-    def one(cam15, pose6):
-        re = rodrigues_to_matrix(cam15[9:12])
-        dre = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(cam15[9:12]), -1, 0)
+def _layout(intr_w: int):
+    """Packed per-block parameter row layout for an intr_w-wide intrinsic:
+    [intr | Re(9) | dRe(27) | te(3) | Rp(9) | dRp(27) | tp(3) | ReRp(9)],
+    padded to a multiple of 8 lanes."""
+    off = {"intr": 0, "re": intr_w, "dre": intr_w + 9, "te": intr_w + 36,
+           "rp": intr_w + 39, "drp": intr_w + 48, "tp": intr_w + 75,
+           "rerp": intr_w + 78}
+    ppb = -(-(intr_w + 87) // 8) * 8
+    return off, ppb
+
+
+# standard-model layout constants (the self-cal kernel uses these directly)
+_OFFS9, PPB = _layout(9)
+_OFF_INTR = _OFFS9["intr"]
+_OFF_RE = _OFFS9["re"]
+_OFF_DRE = _OFFS9["dre"]
+_OFF_TE = _OFFS9["te"]
+_OFF_RP = _OFFS9["rp"]
+_OFF_DRP = _OFFS9["drp"]
+_OFF_TP = _OFFS9["tp"]
+_OFF_RERP = _OFFS9["rerp"]
+
+
+def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray,
+                      intr_w: int = 9) -> jnp.ndarray:
+    """(B, intr_w+6) cam params + (B,6) poses -> packed (B, PPB) operand."""
+    _, ppb = _layout(intr_w)
+
+    def one(cam, pose6):
+        re = rodrigues_to_matrix(cam[intr_w:intr_w + 3])
+        dre = jnp.moveaxis(
+            jax.jacfwd(rodrigues_to_matrix)(cam[intr_w:intr_w + 3]), -1, 0)
         rp = rodrigues_to_matrix(pose6[:3])
         drp = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(pose6[:3]), -1, 0)
         row = jnp.concatenate([
-            cam15[:9], re.reshape(-1), dre.reshape(-1), cam15[12:15],
+            cam[:intr_w], re.reshape(-1), dre.reshape(-1),
+            cam[intr_w + 3:intr_w + 6],
             rp.reshape(-1), drp.reshape(-1), pose6[3:],
             (re @ rp).reshape(-1)])
-        return jnp.pad(row, (0, PPB - row.shape[0]))
+        return jnp.pad(row, (0, ppb - row.shape[0]))
 
     return jax.vmap(one)(cam_b, im_b)
 
 
-def _make_gram_kernel(rho_fn=None, weight_fn=None):
-    """Template-chain kernel factory; robust-loss fns fold in when given."""
+def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
+    """Template-chain kernel factory; robust-loss fns fold in when given.
+
+    intr_w selects the camera model: 9 = standard (5-coef polynomial
+    radial), 12 = rational (8-coef, radial = num/den).
+    """
 
     def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
         _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
-                          rho_fn, weight_fn)
+                          rho_fn, weight_fn, intr_w)
 
     return _gram_kernel
 
 
 def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
-                      rho_fn, weight_fn):
-    """One grid step: 8 blocks x K keys -> 8 extended 22x22 grams."""
+                      rho_fn, weight_fn, intr_w):
+    """One grid step: 8 blocks x K keys -> 8 extended (a+7)x(a+7) grams."""
+    offs, _ = _layout(intr_w)
+    gram_w = intr_w + 6 + 6 + 1
     prm = params_ref[:]                       # (8, PPB)
     tpl = tpl_ref[:]                          # (3, K)
     uv = uv_ref[:]                            # (8, 2, K)
@@ -92,20 +115,31 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
         return [col(base + 3 * a + 0) * vecs[0] + col(base + 3 * a + 1) * vecs[1]
                 + col(base + 3 * a + 2) * vecs[2] for a in range(3)]
 
-    xw = rot_apply(_OFF_RP, xt)
-    xw = [xw[a] + col(_OFF_TP + a) for a in range(3)]
-    xc = rot_apply(_OFF_RE, xw)
-    xc = [xc[a] + col(_OFF_TE + a) for a in range(3)]
+    xw = rot_apply(offs["rp"], xt)
+    xw = [xw[a] + col(offs["tp"] + a) for a in range(3)]
+    xc = rot_apply(offs["re"], xw)
+    xc = [xc[a] + col(offs["te"] + a) for a in range(3)]
 
-    fx, px, fy, py = (col(_OFF_INTR + i) for i in range(4))
-    k1, k2, p1, p2, k3 = (col(_OFF_INTR + 4 + i) for i in range(5))
+    fx, px, fy, py = (col(offs["intr"] + i) for i in range(4))
+    k1, k2, p1, p2, k3 = (col(offs["intr"] + 4 + i) for i in range(5))
 
     inv_z = 1.0 / xc[2]
     x = xc[0] * inv_z
     y = xc[1] * inv_z
     r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-    dradial = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
+    num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    dnum = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
+    if intr_w >= 12:  # rational model: radial is a polynomial ratio
+        k4, k5, k6 = (col(offs["intr"] + 9 + i) for i in range(3))
+        den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+        dden = k4 + r2 * (2.0 * k5 + 3.0 * k6 * r2)
+        inv_den = 1.0 / den
+        radial = num * inv_den
+        dradial = (dnum - radial * dden) * inv_den
+    else:
+        inv_den = 1.0
+        radial = num
+        dradial = dnum
     xy = x * y
     xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
     yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
@@ -123,11 +157,19 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
 
-    # d(u,v)/d intr9 — columns 0..8
-    ju = [xd, one, zero, zero, fx * x * r2, fx * x * r2 * r2, fx * 2.0 * xy,
-          fx * (r2 + 2.0 * x * x), fx * x * r2 ** 3]
-    jv = [zero, zero, yd, one, fy * y * r2, fy * y * r2 * r2,
-          fy * (r2 + 2.0 * y * y), fy * 2.0 * xy, fy * y * r2 ** 3]
+    # d(u,v)/d intr — columns 0..intr_w-1 (numerator k's see 1/den; the
+    # denominator k's are -radial * r2^i / den)
+    ju = [xd, one, zero, zero,
+          fx * x * r2 * inv_den, fx * x * r2 * r2 * inv_den, fx * 2.0 * xy,
+          fx * (r2 + 2.0 * x * x), fx * x * r2 ** 3 * inv_den]
+    jv = [zero, zero, yd, one,
+          fy * y * r2 * inv_den, fy * y * r2 * r2 * inv_den,
+          fy * (r2 + 2.0 * y * y), fy * 2.0 * xy,
+          fy * y * r2 ** 3 * inv_den]
+    if intr_w >= 12:
+        for i in (1, 2, 3):
+            ju.append(-fx * x * radial * r2 ** i * inv_den)
+            jv.append(-fy * y * radial * r2 ** i * inv_den)
 
     # d(u,v)/dXc (2x3 per slot)
     dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
@@ -140,28 +182,30 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
     du_xc = [du_dx * inv_z, du_dy * inv_z, -(du_dx * x + du_dy * y) * inv_z]
     dv_xc = [dv_dx * inv_z, dv_dy * inv_z, -(dv_dx * x + dv_dy * y) * inv_z]
 
-    # extrinsic rotation: dXc/drve[j] = dRe[j] @ Xw — columns 9..11
+    # extrinsic rotation: dXc/drve[j] = dRe[j] @ Xw
     for j in range(3):
-        dxc = [col(_OFF_DRE + 9 * j + 3 * a + 0) * xw[0]
-               + col(_OFF_DRE + 9 * j + 3 * a + 1) * xw[1]
-               + col(_OFF_DRE + 9 * j + 3 * a + 2) * xw[2] for a in range(3)]
+        dxc = [col(offs["dre"] + 9 * j + 3 * a + 0) * xw[0]
+               + col(offs["dre"] + 9 * j + 3 * a + 1) * xw[1]
+               + col(offs["dre"] + 9 * j + 3 * a + 2) * xw[2]
+               for a in range(3)]
         ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
         jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
-    # extrinsic translation: dXc/dte = I — columns 12..14
+    # extrinsic translation: dXc/dte = I
     ju.extend(du_xc)
     jv.extend(dv_xc)
 
-    # pose rotation: dXc/drvp[j] = Re @ (dRp[j] @ Xt) — columns 15..17
+    # pose rotation: dXc/drvp[j] = Re @ (dRp[j] @ Xt)
     for j in range(3):
-        dxw = [col(_OFF_DRP + 9 * j + 3 * a + 0) * xt[0]
-               + col(_OFF_DRP + 9 * j + 3 * a + 1) * xt[1]
-               + col(_OFF_DRP + 9 * j + 3 * a + 2) * xt[2] for a in range(3)]
-        dxc = rot_apply(_OFF_RE, dxw)
+        dxw = [col(offs["drp"] + 9 * j + 3 * a + 0) * xt[0]
+               + col(offs["drp"] + 9 * j + 3 * a + 1) * xt[1]
+               + col(offs["drp"] + 9 * j + 3 * a + 2) * xt[2]
+               for a in range(3)]
+        dxc = rot_apply(offs["re"], dxw)
         ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
         jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
-    # pose translation: dXc/dtp = Re — columns 18..20
+    # pose translation: dXc/dtp = Re
     for bcol in range(3):
-        re_col = [col(_OFF_RE + 3 * a + bcol) for a in range(3)]
+        re_col = [col(offs["re"] + 3 * a + bcol) for a in range(3)]
         ju.append(du_xc[0] * re_col[0] + du_xc[1] * re_col[1]
                   + du_xc[2] * re_col[2])
         jv.append(dv_xc[0] * re_col[0] + dv_xc[1] * re_col[1]
@@ -171,37 +215,41 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
     ju = [j * mask for j in ju] + [r_u]
     jv = [j * mask for j in jv] + [r_v]
 
-    # accumulate the symmetric 22x22 gram per block
-    gvals = [[None] * GRAM_W for _ in range(GRAM_W)]
-    for i in range(GRAM_W):
-        for j in range(i, GRAM_W):
+    # accumulate the symmetric gram per block
+    gvals = [[None] * gram_w for _ in range(gram_w)]
+    for i in range(gram_w):
+        for j in range(i, gram_w):
             g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (8,)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
         # corner is only read as the cost: report the robust cost, not r~^2
-        gvals[GRAM_W - 1][GRAM_W - 1] = rcost
-    rows = [jnp.stack(gvals[i], axis=-1) for i in range(GRAM_W)]  # (8,22) each
-    out_ref[:] = jnp.stack(rows, axis=1)                          # (8,22,22)
+        gvals[gram_w - 1][gram_w - 1] = rcost
+    rows = [jnp.stack(gvals[i], axis=-1) for i in range(gram_w)]
+    out_ref[:] = jnp.stack(rows, axis=1)
 
 
 def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
                          uv_t: jnp.ndarray, mask: jnp.ndarray,
                          loss: str = "linear",
-                         f_scale: float = 1.0) -> jnp.ndarray:
+                         f_scale: float = 1.0,
+                         intr_w: int = 9) -> jnp.ndarray:
     """Extended per-block grams for the template chain.
 
     :param packed: (B, PPB) from pack_block_params. :param tpl_t: (3, K).
     :param uv_t: (B, 2, K). :param mask: (B, K).
-    :return: (B, 22, 22) grams of [Jc | Ji | r] (IRLS-weighted when loss is
-        robust; corner carries the robust cost).
+    :param intr_w: 9 (standard) or 12 (rational) per-camera intrinsics.
+    :return: (B, W, W) grams of [Jc | Ji | r], W = intr_w + 13
+        (IRLS-weighted when loss is robust; corner carries the robust cost).
     """
     from pycamset_tpu.optim.losses import make_loss
+    gram_w = intr_w + 13
+    ppb = packed.shape[1]
     if loss != "linear":
         rho_fn, weight_fn = make_loss(loss, f_scale)
-        kernel = _make_gram_kernel(rho_fn, weight_fn)
+        kernel = _make_gram_kernel(rho_fn, weight_fn, intr_w)
     else:
-        kernel = _make_gram_kernel()
+        kernel = _make_gram_kernel(intr_w=intr_w)
     b, k = mask.shape
     b_pad = ((b + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
     if b_pad != b:
@@ -219,7 +267,7 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_TILE, PPB), lambda i: (i, i * 0),
+            pl.BlockSpec((BLOCK_TILE, ppb), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, k), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_TILE, 2, k), lambda i: (i, i * 0, i * 0),
@@ -227,9 +275,9 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
             pl.BlockSpec((BLOCK_TILE, k), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_TILE, GRAM_W, GRAM_W),
+        out_specs=pl.BlockSpec((BLOCK_TILE, gram_w, gram_w),
                                lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, GRAM_W, GRAM_W), uv_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, gram_w, gram_w), uv_t.dtype),
     )(packed, tpl_t, uv_t, mask)
     return out[:b]
 
@@ -514,17 +562,19 @@ def make_pallas_template_grams(widths, loss: str = "linear",
                                f_scale: float = 1.0):
     """A drop-in per-block gram builder using the Pallas kernel.
 
-    Same contract as make_block_grams for the template chain (c == 0):
+    Same contract as make_block_grams for the template chain (c == 0);
+    serves the standard (a=15) and rational (a=18) camera models.
     grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask) ->
     (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost).
     """
     a, bwidth = widths.a, widths.b
-    assert (a, bwidth, widths.c) == (15, 6, 0)
+    assert (bwidth, widths.c) == (6, 0) and a in (15, 18)
+    intr_w = a - 6
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
-        packed = pack_block_params(cam_b, im_b)
+        packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
         g = template_gram_pallas(packed, tpl.T, uv.transpose(0, 2, 1), mask,
-                                 loss=loss, f_scale=f_scale)
+                                 loss=loss, f_scale=f_scale, intr_w=intr_w)
 
         cost = jnp.sum(g[:, a + bwidth, a + bwidth])
         cmask2 = cmask_b[:, :, None] * cmask_b[:, None, :]

@@ -188,6 +188,61 @@ def test_pallas_template_grams_robust_match_xla(monkeypatch, loss):
         assert np.abs(r - g).max() / scale < 1e-6, name
 
 
+@pytest.mark.parametrize("loss", ["linear", "cauchy"])
+def test_pallas_rational_template_grams_match_xla(monkeypatch, loss):
+    """The parametrized kernel serves the RATIONAL model (a=18): ratio
+    radial, 1/den numerator columns, -radial r2^i/den denominator columns."""
+    import jax.numpy as jnp
+
+    pg = _interp_shim(monkeypatch)
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, ProjectionRational, TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
+                             noise_px=2.0, seed=6, camera_model="rational")
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    op_fun = OptimFunction(
+        [ProjectionRational(), Extrinsic3D(), TemplatePoints()])
+    widths = chain_widths(op_fun)
+    assert widths.a == 18
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    bb = n_cams * n_ims
+    cmask = jnp.ones((bb, 18)).at[:, 3].set(0.0)
+    imask = jnp.ones((bb, 6)).at[:, 5].set(0.0)
+    args = (jnp.zeros((k_pad, 0)), jnp.asarray(tpl_pad), uv, mask,
+            cmask, imask, jnp.ones((k_pad, 0)))
+
+    ref = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0)(
+        pieces.cam[blk_cam], pieces.im[blk_im], *args)
+    got = pg.make_pallas_template_grams(widths, loss=loss, f_scale=2.0)(
+        pieces.cam[blk_cam], pieces.im[blk_im], *args)
+    names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
+             "gc_b", "gi_b", "gk", "cost"]
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        if r.size == 0:
+            continue
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name
+
+
 @pytest.mark.parametrize("loss", ["huber", "soft_l1"])
 def test_pallas_selfcal_grams_robust_match_xla(monkeypatch, loss):
     import jax.numpy as jnp

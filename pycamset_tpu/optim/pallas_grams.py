@@ -14,10 +14,11 @@ and their Rodrigues derivatives are tiny and parameter-dependent, so they
 are precomputed in plain jnp and passed in as a packed (B, PPB) operand.
 
 Derivation shared with optim/analytic.py (parity-tested against it and
-against jacfwd). The template chain (a=15 standard or a=18 rational via the
-intr_w parametrisation, b=6, c=0) and the self-cal chain (a=15, b=6, c=3 —
-adds per-key couplings and a sequential-grid-accumulated Hkk/gk) are
-covered; other chains use the XLA path.
+against jacfwd). The template chain (a=15 standard, a=18 rational or
+a=22 thin-prism via the intr_w parametrisation, b=6, c=0) and the self-cal
+chain (a=15, b=6, c=3 — adds per-key couplings and a
+sequential-grid-accumulated Hkk/gk) are covered; other chains use the XLA
+path.
 
 Robust losses (optim/losses.py) fold in-kernel: the per-observation IRLS
 sqrt-weight multiplies every Jacobian column and the residual, and the gram
@@ -85,7 +86,8 @@ def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
     """Template-chain kernel factory; robust-loss fns fold in when given.
 
     intr_w selects the camera model: 9 = standard (5-coef polynomial
-    radial), 12 = rational (8-coef, radial = num/den).
+    radial), 12 = rational (8-coef, radial = num/den), 16 = thin-prism
+    (12-coef, + s1..s4 prism terms).
     """
 
     def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
@@ -143,6 +145,10 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
     xy = x * y
     xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
     yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
+    if intr_w >= 16:  # thin-prism terms
+        s1, s2, s3, s4 = (col(offs["intr"] + 12 + i) for i in range(4))
+        xd = xd + r2 * (s1 + r2 * s2)
+        yd = yd + r2 * (s3 + r2 * s4)
 
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
@@ -157,6 +163,9 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
 
+    def zero_c(_):
+        return zero
+
     # d(u,v)/d intr — columns 0..intr_w-1 (numerator k's see 1/den; the
     # denominator k's are -radial * r2^i / den)
     ju = [xd, one, zero, zero,
@@ -170,14 +179,27 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
         for i in (1, 2, 3):
             ju.append(-fx * x * radial * r2 ** i * inv_den)
             jv.append(-fy * y * radial * r2 ** i * inv_den)
+    if intr_w >= 16:  # prism columns: d(xd)/ds1 = r2, /ds2 = r4 (u only)
+        ju.extend([fx * r2, fx * r2 * r2, zero_c(r2), zero_c(r2)])
+        jv.extend([zero_c(r2), zero_c(r2), fy * r2, fy * r2 * r2])
 
     # d(u,v)/dXc (2x3 per slot)
     dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
     dxd_dy = 2.0 * xy * dradial + 2.0 * p1 * x + 2.0 * p2 * y
+    dyd_dx = dxd_dy
     dyd_dy = radial + 2.0 * y * y * dradial + 6.0 * p1 * y + 2.0 * p2 * x
+    if intr_w >= 16:
+        # prism breaks the dyd_dx == dxd_dy symmetry:
+        # d(prism_x)/d(x,y) = (s1 + 2 s2 r2) * (2x, 2y); same with s3/s4
+        dpx = s1 + 2.0 * s2 * r2
+        dpy = s3 + 2.0 * s4 * r2
+        dxd_dx = dxd_dx + 2.0 * x * dpx
+        dxd_dy = dxd_dy + 2.0 * y * dpx
+        dyd_dx = dyd_dx + 2.0 * x * dpy
+        dyd_dy = dyd_dy + 2.0 * y * dpy
     du_dx = fx * dxd_dx
     du_dy = fx * dxd_dy
-    dv_dx = fy * dxd_dy            # dyd_dx == dxd_dy
+    dv_dx = fy * dyd_dx
     dv_dy = fy * dyd_dy
     du_xc = [du_dx * inv_z, du_dy * inv_z, -(du_dx * x + du_dy * y) * inv_z]
     dv_xc = [dv_dx * inv_z, dv_dy * inv_z, -(dv_dx * x + dv_dy * y) * inv_z]
@@ -238,7 +260,7 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
 
     :param packed: (B, PPB) from pack_block_params. :param tpl_t: (3, K).
     :param uv_t: (B, 2, K). :param mask: (B, K).
-    :param intr_w: 9 (standard) or 12 (rational) per-camera intrinsics.
+    :param intr_w: 9 (standard), 12 (rational) or 16 (thin-prism).
     :return: (B, W, W) grams of [Jc | Ji | r], W = intr_w + 13
         (IRLS-weighted when loss is robust; corner carries the robust cost).
     """
@@ -563,12 +585,13 @@ def make_pallas_template_grams(widths, loss: str = "linear",
     """A drop-in per-block gram builder using the Pallas kernel.
 
     Same contract as make_block_grams for the template chain (c == 0);
-    serves the standard (a=15) and rational (a=18) camera models.
+    serves the standard (a=15), rational (a=18) and thin-prism (a=22)
+    camera models.
     grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask) ->
     (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost).
     """
     a, bwidth = widths.a, widths.b
-    assert (bwidth, widths.c) == (6, 0) and a in (15, 18)
+    assert (bwidth, widths.c) == (6, 0) and a in (15, 18, 22)
     intr_w = a - 6
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):

@@ -338,6 +338,10 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                 "ProjectionRational", "Extrinsic3D", "TemplatePoints"):
             grams = make_pallas_template_grams(widths, loss=loss,
                                                f_scale=f_scale)
+        elif (a, b, c) == (22, 6, 0) and names == (
+                "ProjectionThinPrism", "Extrinsic3D", "TemplatePoints"):
+            grams = make_pallas_template_grams(widths, loss=loss,
+                                               f_scale=f_scale)
         elif (a, b, c) == (15, 6, 3) and names == (
                 "Projection", "Extrinsic3D", "RigidTform3d", "FreePoint"):
             grams = make_pallas_selfcal_grams(widths, loss=loss,

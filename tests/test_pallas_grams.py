@@ -188,15 +188,20 @@ def test_pallas_template_grams_robust_match_xla(monkeypatch, loss):
         assert np.abs(r - g).max() / scale < 1e-6, name
 
 
-@pytest.mark.parametrize("loss", ["linear", "cauchy"])
-def test_pallas_rational_template_grams_match_xla(monkeypatch, loss):
-    """The parametrized kernel serves the RATIONAL model (a=18): ratio
-    radial, 1/den numerator columns, -radial r2^i/den denominator columns."""
+@pytest.mark.parametrize("model,loss", [("rational", "linear"),
+                                        ("rational", "cauchy"),
+                                        ("thin_prism", "linear"),
+                                        ("thin_prism", "huber")])
+def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
+    """The parametrized kernel serves the RATIONAL (a=18) and THIN-PRISM
+    (a=22) models: ratio radial, 1/den numerator columns, -radial r2^i/den
+    denominator columns, prism columns + asymmetric dyd_dx."""
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
     from pycamset_tpu.optim.blocks import (
-        Extrinsic3D, ProjectionRational, TemplatePoints)
+        Extrinsic3D, ProjectionRational, ProjectionThinPrism,
+        TemplatePoints)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         build_block_arrays, chain_widths, make_block_grams,
@@ -204,12 +209,13 @@ def test_pallas_rational_template_grams_match_xla(monkeypatch, loss):
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
-                             noise_px=2.0, seed=6, camera_model="rational")
+                             noise_px=2.0, seed=6, camera_model=model)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
-    op_fun = OptimFunction(
-        [ProjectionRational(), Extrinsic3D(), TemplatePoints()])
+    proj = (ProjectionRational() if model == "rational"
+            else ProjectionThinPrism())
+    op_fun = OptimFunction([proj, Extrinsic3D(), TemplatePoints()])
     widths = chain_widths(op_fun)
-    assert widths.a == 18
+    assert widths.a == {"rational": 18, "thin_prism": 22}[model]
     struct = op_fun.param_struct(n_cams, n_ims, n_keys)
     blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
                                 k_pad_multiple=8)
@@ -224,7 +230,7 @@ def test_pallas_rational_template_grams_match_xla(monkeypatch, loss):
     blk_cam = np.repeat(np.arange(n_cams), n_ims)
     blk_im = np.tile(np.arange(n_ims), n_cams)
     bb = n_cams * n_ims
-    cmask = jnp.ones((bb, 18)).at[:, 3].set(0.0)
+    cmask = jnp.ones((bb, widths.a)).at[:, 3].set(0.0)
     imask = jnp.ones((bb, 6)).at[:, 5].set(0.0)
     args = (jnp.zeros((k_pad, 0)), jnp.asarray(tpl_pad), uv, mask,
             cmask, imask, jnp.ones((k_pad, 0)))

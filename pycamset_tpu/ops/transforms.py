@@ -99,7 +99,16 @@ def rigid_fit(src: jnp.ndarray, dst: jnp.ndarray,
     d0 = dst - mu_d
     cov = (d0 * w[:, None]).T @ s0
     u, _, vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(u @ vt)
+    # planar point sets make cov rank-2; some SVD backends (TPU) return a
+    # DEFECTIVE basis for the null direction. Rebuild the third column/row
+    # as the cross product of the first two — identical (up to sign, which
+    # the determinant correction absorbs) for full-rank inputs, and a valid
+    # orthogonal completion for the rank-2 case.
+    u2 = jnp.cross(u[:, 0], u[:, 1])
+    u = jnp.stack([u[:, 0], u[:, 1], u2], axis=1)
+    v2 = jnp.cross(vt[0], vt[1])
+    vt = jnp.stack([vt[0], vt[1], v2], axis=0)
+    det = jnp.sign(jnp.linalg.det(u @ vt))
     d = jnp.array([1.0, 1.0, 0.0], dtype=src.dtype)
     d = jnp.concatenate([d[:2], det[None]])
     rmat = (u * d) @ vt

@@ -14,11 +14,11 @@ and their Rodrigues derivatives are tiny and parameter-dependent, so they
 are precomputed in plain jnp and passed in as a packed (B, PPB) operand.
 
 Derivation shared with optim/analytic.py (parity-tested against it and
-against jacfwd). The template chain (a=15 standard, a=18 rational or
-a=22 thin-prism via the intr_w parametrisation, b=6, c=0) and the self-cal
-chain (a=15, b=6, c=3 — adds per-key couplings and a
-sequential-grid-accumulated Hkk/gk) are covered; other chains use the XLA
-path.
+against jacfwd). Both the template chain (b=6, c=0) and the self-cal /
+free-point chains (c=3; per-key couplings and a sequential-grid-accumulated
+Hkk/gk) share one projection core (_projection_columns) parametrised over
+the intrinsic width: a=15 standard, a=18 rational, a=22 thin-prism. The
+tilted model and PER_GROUP chains use the XLA path.
 
 Robust losses (optim/losses.py) fold in-kernel: the per-observation IRLS
 sqrt-weight multiplies every Jacobian column and the residual, and the gram
@@ -97,20 +97,21 @@ def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
     return _gram_kernel
 
 
-def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
-                      rho_fn, weight_fn, intr_w):
-    """One grid step: 8 blocks x K keys -> 8 extended (a+7)x(a+7) grams."""
-    offs, _ = _layout(intr_w)
-    gram_w = intr_w + 6 + 6 + 1
-    prm = params_ref[:]                       # (8, PPB)
-    tpl = tpl_ref[:]                          # (3, K)
-    uv = uv_ref[:]                            # (8, 2, K)
-    mask = mask_ref[:]                        # (8, K)
+def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn):
+    """Shared projection math: residuals + camera/pose Jacobian columns.
+
+    pts3 is the (3, K) 3D point table (the constant template for the
+    template chain, the free PER_KEY points for self-cal). Returns
+    (ju, jv, r_u, r_v, rcost, mask, du_xc, dv_xc, col, rot_apply, xw, xt)
+    where ju/jv hold the a+6 camera+pose columns (row-mask NOT applied),
+    mask carries the IRLS sqrt-weight when the loss is robust, and
+    col/rot_apply/du_xc/dv_xc/xw/xt let callers build extra columns
+    (e.g. the self-cal chain's per-key Jk)."""
 
     def col(off):                             # (8, 1) scalar-per-block column
         return prm[:, off:off + 1]
 
-    xt = [tpl[i:i + 1, :] for i in range(3)]  # 3 x (1, K)
+    xt = [pts3[i:i + 1, :] for i in range(3)]  # 3 x (1, K)
 
     # Xw = Rp @ Xt + tp ; per-component (8, K)
     def rot_apply(base, vecs):
@@ -152,6 +153,7 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
 
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
+    rcost = None
     if weight_fn is not None:                 # robust loss: IRLS weights
         s_obs = r_u * r_u + r_v * r_v
         sw = jnp.sqrt(weight_fn(s_obs))
@@ -162,9 +164,6 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
 
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
-
-    def zero_c(_):
-        return zero
 
     # d(u,v)/d intr — columns 0..intr_w-1 (numerator k's see 1/den; the
     # denominator k's are -radial * r2^i / den)
@@ -180,8 +179,8 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
             ju.append(-fx * x * radial * r2 ** i * inv_den)
             jv.append(-fy * y * radial * r2 ** i * inv_den)
     if intr_w >= 16:  # prism columns: d(xd)/ds1 = r2, /ds2 = r4 (u only)
-        ju.extend([fx * r2, fx * r2 * r2, zero_c(r2), zero_c(r2)])
-        jv.extend([zero_c(r2), zero_c(r2), fy * r2, fy * r2 * r2])
+        ju.extend([fx * r2, fx * r2 * r2, zero, zero])
+        jv.extend([zero, zero, fy * r2, fy * r2 * r2])
 
     # d(u,v)/dXc (2x3 per slot)
     dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
@@ -232,6 +231,18 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
                   + du_xc[2] * re_col[2])
         jv.append(dv_xc[0] * re_col[0] + dv_xc[1] * re_col[1]
                   + dv_xc[2] * re_col[2])
+
+    return ju, jv, r_u, r_v, rcost, mask, du_xc, dv_xc, col
+
+
+def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
+                      rho_fn, weight_fn, intr_w):
+    """One grid step: 8 blocks x K keys -> 8 extended (a+7)x(a+7) grams."""
+    offs, _ = _layout(intr_w)
+    gram_w = intr_w + 6 + 6 + 1
+    (ju, jv, r_u, r_v, rcost, mask, _, _, _) = _projection_columns(
+        params_ref[:], tpl_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
+        rho_fn, weight_fn)
 
     # extended columns: [J row-masked | r]
     ju = [j * mask for j in ju] + [r_u]
@@ -304,116 +315,44 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
     return out[:b]
 
 
-def _make_selfcal_kernel(rho_fn=None, weight_fn=None):
-    """Self-cal kernel factory; robust-loss fns fold in when given."""
+def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
+    """Self-cal kernel factory; robust-loss fns fold in when given; intr_w
+    selects the camera model as in _make_gram_kernel."""
 
     def _selfcal_kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                         imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
                         hkkgk_ref):
         _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref,
                              cmask_ref, imask_ref, kmask_ref, out_ref,
-                             wck_ref, wik_ref, hkkgk_ref, rho_fn, weight_fn)
+                             wck_ref, wik_ref, hkkgk_ref, rho_fn, weight_fn,
+                             intr_w)
 
     return _selfcal_kernel
 
 
 def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                          imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
-                         hkkgk_ref, rho_fn, weight_fn):
+                         hkkgk_ref, rho_fn, weight_fn, intr_w):
     """Self-cal chain: per-block extended grams + per-key pieces.
 
-    Reuses the template-chain math with the template point replaced by the
-    free PER_KEY point; additionally emits Jk-derived tensors:
-    wck (per block, Jc^T Jk), wik (Ji^T Jk), and hkk/gk accumulated across
-    the sequential grid into a shared output block.
+    Shares _projection_columns with the template chain, with the template
+    point replaced by the free PER_KEY point; additionally emits Jk-derived
+    tensors: wck (per block, Jc^T Jk), wik (Ji^T Jk), and hkk/gk accumulated
+    across the sequential grid into a shared output block.
     """
-    prm = params_ref[:]                       # (8, PPB)
-    pts = pts_ref[:]                          # (3, K) free points
-    uv = uv_ref[:]                            # (8, 2, K)
-    mask = mask_ref[:]                        # (8, K)
-    cmask = cmask_ref[:]                      # (8, 15)
+    offs, _ = _layout(intr_w)
+    a = intr_w + 6
+    gram_w = a + 6 + 1
+    cmask = cmask_ref[:]                      # (8, a)
     imask = imask_ref[:]                      # (8, 6)
     kmask = kmask_ref[:]                      # (3, K)
-
-    def col(off):
-        return prm[:, off:off + 1]
-
-    xt = [pts[i:i + 1, :] for i in range(3)]
-
-    def rot_apply(base, vecs):
-        return [col(base + 3 * a + 0) * vecs[0] + col(base + 3 * a + 1) * vecs[1]
-                + col(base + 3 * a + 2) * vecs[2] for a in range(3)]
-
-    xw = rot_apply(_OFF_RP, xt)
-    xw = [xw[a] + col(_OFF_TP + a) for a in range(3)]
-    xc = rot_apply(_OFF_RE, xw)
-    xc = [xc[a] + col(_OFF_TE + a) for a in range(3)]
-
-    fx, px, fy, py = (col(_OFF_INTR + i) for i in range(4))
-    k1, k2, p1, p2, k3 = (col(_OFF_INTR + 4 + i) for i in range(5))
-
-    inv_z = 1.0 / xc[2]
-    x = xc[0] * inv_z
-    y = xc[1] * inv_z
-    r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-    dradial = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
-    xy = x * y
-    xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
-    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
-
-    r_u = (fx * xd + px - uv[:, 0, :]) * mask
-    r_v = (fy * yd + py - uv[:, 1, :]) * mask
-    if weight_fn is not None:                 # robust loss: IRLS weights
-        s_obs = r_u * r_u + r_v * r_v
-        sw = jnp.sqrt(weight_fn(s_obs))
-        rcost = jnp.sum(rho_fn(s_obs) * mask, axis=1)   # (8,) true cost
-        mask = mask * sw
-        r_u = r_u * sw
-        r_v = r_v * sw
-
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    ju = [xd, one, zero, zero, fx * x * r2, fx * x * r2 * r2, fx * 2.0 * xy,
-          fx * (r2 + 2.0 * x * x), fx * x * r2 ** 3]
-    jv = [zero, zero, yd, one, fy * y * r2, fy * y * r2 * r2,
-          fy * (r2 + 2.0 * y * y), fy * 2.0 * xy, fy * y * r2 ** 3]
-
-    dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
-    dxd_dy = 2.0 * xy * dradial + 2.0 * p1 * x + 2.0 * p2 * y
-    dyd_dy = radial + 2.0 * y * y * dradial + 6.0 * p1 * y + 2.0 * p2 * x
-    du_dx = fx * dxd_dx
-    du_dy = fx * dxd_dy
-    dv_dx = fy * dxd_dy
-    dv_dy = fy * dyd_dy
-    du_xc = [du_dx * inv_z, du_dy * inv_z, -(du_dx * x + du_dy * y) * inv_z]
-    dv_xc = [dv_dx * inv_z, dv_dy * inv_z, -(dv_dx * x + dv_dy * y) * inv_z]
-
-    for j in range(3):
-        dxc = [col(_OFF_DRE + 9 * j + 3 * a + 0) * xw[0]
-               + col(_OFF_DRE + 9 * j + 3 * a + 1) * xw[1]
-               + col(_OFF_DRE + 9 * j + 3 * a + 2) * xw[2] for a in range(3)]
-        ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
-        jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
-    ju.extend(du_xc)
-    jv.extend(dv_xc)
-    for j in range(3):
-        dxw = [col(_OFF_DRP + 9 * j + 3 * a + 0) * xt[0]
-               + col(_OFF_DRP + 9 * j + 3 * a + 1) * xt[1]
-               + col(_OFF_DRP + 9 * j + 3 * a + 2) * xt[2] for a in range(3)]
-        dxc = rot_apply(_OFF_RE, dxw)
-        ju.append(du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
-        jv.append(dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
-    for bcol in range(3):
-        re_col = [col(_OFF_RE + 3 * a + bcol) for a in range(3)]
-        ju.append(du_xc[0] * re_col[0] + du_xc[1] * re_col[1]
-                  + du_xc[2] * re_col[2])
-        jv.append(dv_xc[0] * re_col[0] + dv_xc[1] * re_col[1]
-                  + dv_xc[2] * re_col[2])
+    (ju, jv, r_u, r_v, rcost, mask, du_xc, dv_xc, col) = _projection_columns(
+        params_ref[:], pts_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
+        rho_fn, weight_fn)
 
     # column masks in-kernel (the per-key outputs are too large to re-mask
-    # outside): ju/jv columns 0..14 by cmask, 15..20 by imask; rows by mask
-    colm = ([cmask[:, i:i + 1] for i in range(15)]
+    # outside): ju/jv columns 0..a-1 by cmask, a..a+5 by imask; rows by mask
+    colm = ([cmask[:, i:i + 1] for i in range(a)]
             + [imask[:, i:i + 1] for i in range(6)])
     ju = [j * mask * cm for j, cm in zip(ju, colm)] + [r_u]
     jv = [j * mask * cm for j, cm in zip(jv, colm)] + [r_v]
@@ -421,7 +360,7 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
     # Jk columns (free point): d(u,v)/dXt = d_xc @ (Re Rp), masked by kmask
     jku, jkv = [], []
     for j in range(3):
-        rerp_col = [col(_OFF_RERP + 3 * a + j) for a in range(3)]
+        rerp_col = [col(offs["rerp"] + 3 * a_ + j) for a_ in range(3)]
         km = kmask[j:j + 1, :]
         jku.append((du_xc[0] * rerp_col[0] + du_xc[1] * rerp_col[1]
                     + du_xc[2] * rerp_col[2]) * mask * km)
@@ -429,22 +368,22 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                     + dv_xc[2] * rerp_col[2]) * mask * km)
 
     # per-block extended gram (cam+pose+residual)
-    gvals = [[None] * GRAM_W for _ in range(GRAM_W)]
-    for i in range(GRAM_W):
-        for j in range(i, GRAM_W):
+    gvals = [[None] * gram_w for _ in range(gram_w)]
+    for i in range(gram_w):
+        for j in range(i, gram_w):
             g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
-        gvals[GRAM_W - 1][GRAM_W - 1] = rcost
-    rows = [jnp.stack(gvals[i], axis=-1) for i in range(GRAM_W)]
+        gvals[gram_w - 1][gram_w - 1] = rcost
+    rows = [jnp.stack(gvals[i], axis=-1) for i in range(gram_w)]
     out_ref[:] = jnp.stack(rows, axis=1)
 
     # per-(block, key) couplings, laid out (8, a*c | b*c, K)
     wck_rows = [ju[i] * jku[j] + jv[i] * jkv[j]
-                for i in range(15) for j in range(3)]
-    wck_ref[:] = jnp.stack(wck_rows, axis=1)            # (8, 45, K)
-    wik_rows = [ju[15 + i] * jku[j] + jv[15 + i] * jkv[j]
+                for i in range(a) for j in range(3)]
+    wck_ref[:] = jnp.stack(wck_rows, axis=1)            # (8, a*3, K)
+    wik_rows = [ju[a + i] * jku[j] + jv[a + i] * jkv[j]
                 for i in range(6) for j in range(3)]
     wik_ref[:] = jnp.stack(wik_rows, axis=1)            # (8, 18, K)
 
@@ -464,20 +403,26 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
 
 def make_pallas_selfcal_grams(widths, loss: str = "linear",
                               f_scale: float = 1.0):
-    """Drop-in per-block gram builder for the self-cal chain (Pallas)."""
+    """Drop-in per-block gram builder for the self-cal chain (Pallas);
+    serves the standard (a=15), rational (a=18) and thin-prism (a=22)
+    camera models."""
     from pycamset_tpu.optim.losses import make_loss
     a, bw, c = widths.a, widths.b, widths.c
-    assert (a, bw, c) == (15, 6, 3)
+    assert a in (15, 18, 22) and (bw, c) == (6, 3)
+    intr_w = a - 6
+    gram_w = a + 6 + 1
+    _, ppb = _layout(intr_w)
     if loss != "linear":
-        kernel = _make_selfcal_kernel(*make_loss(loss, f_scale))
+        rho_fn, weight_fn = make_loss(loss, f_scale)
+        kernel = _make_selfcal_kernel(rho_fn, weight_fn, intr_w)
     else:
-        kernel = _make_selfcal_kernel()
+        kernel = _make_selfcal_kernel(intr_w=intr_w)
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         dtype = uv.dtype
         bb, k = mask.shape
         b_pad = ((bb + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
-        packed = pack_block_params(cam_b, im_b)
+        packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
         uv_t = uv.transpose(0, 2, 1)
         cm, im_, mk = cmask_b, imask_b, mask
         if b_pad != bb:
@@ -494,7 +439,7 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((BLOCK_TILE, PPB), lambda i: (i, i * 0),
+                pl.BlockSpec((BLOCK_TILE, ppb), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, k), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.VMEM),
@@ -510,7 +455,7 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((BLOCK_TILE, GRAM_W, GRAM_W),
+                pl.BlockSpec((BLOCK_TILE, gram_w, gram_w),
                              lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BLOCK_TILE, a * c, k),
@@ -523,7 +468,7 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((b_pad, GRAM_W, GRAM_W), dtype),
+                jax.ShapeDtypeStruct((b_pad, gram_w, gram_w), dtype),
                 jax.ShapeDtypeStruct((b_pad, a * c, k), dtype),
                 jax.ShapeDtypeStruct((b_pad, bw * c, k), dtype),
                 jax.ShapeDtypeStruct((16, k), dtype),
@@ -559,8 +504,8 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
     """
     from pycamset_tpu.optim.structured import GroupWidths
     a, bw, c = widths.a, widths.b, widths.c
-    assert (a, bw, c) == (15, 0, 3)
-    inner = make_pallas_selfcal_grams(GroupWidths(15, 6, 3), loss=loss,
+    assert a in (15, 18, 22) and (bw, c) == (0, 3)
+    inner = make_pallas_selfcal_grams(GroupWidths(a, 6, 3), loss=loss,
                                       f_scale=f_scale)
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):

@@ -330,24 +330,19 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             make_pallas_freepoint_grams, make_pallas_selfcal_grams,
             make_pallas_template_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-        if (a, b, c) == (15, 6, 0) and names == (
-                "Projection", "Extrinsic3D", "TemplatePoints"):
+        if (b, c) == (6, 0) and a in (15, 18, 22) and names[1:] == (
+                "Extrinsic3D", "TemplatePoints") and names[0] in (
+                "Projection", "ProjectionRational", "ProjectionThinPrism"):
             grams = make_pallas_template_grams(widths, loss=loss,
                                                f_scale=f_scale)
-        elif (a, b, c) == (18, 6, 0) and names == (
-                "ProjectionRational", "Extrinsic3D", "TemplatePoints"):
-            grams = make_pallas_template_grams(widths, loss=loss,
-                                               f_scale=f_scale)
-        elif (a, b, c) == (22, 6, 0) and names == (
-                "ProjectionThinPrism", "Extrinsic3D", "TemplatePoints"):
-            grams = make_pallas_template_grams(widths, loss=loss,
-                                               f_scale=f_scale)
-        elif (a, b, c) == (15, 6, 3) and names == (
-                "Projection", "Extrinsic3D", "RigidTform3d", "FreePoint"):
+        elif (b, c) == (6, 3) and a in (15, 18, 22) and names[1:] == (
+                "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
+                "Projection", "ProjectionRational", "ProjectionThinPrism"):
             grams = make_pallas_selfcal_grams(widths, loss=loss,
                                               f_scale=f_scale)
-        elif (a, b, c) == (15, 0, 3) and names == (
-                "Projection", "Extrinsic3D", "FreePoint"):
+        elif (b, c) == (0, 3) and a in (15, 18, 22) and names[1:] == (
+                "Extrinsic3D", "FreePoint") and names[0] in (
+                "Projection", "ProjectionRational", "ProjectionThinPrism"):
             grams = make_pallas_freepoint_grams(widths, loss=loss,
                                                 f_scale=f_scale)
 

@@ -207,5 +207,34 @@ class TestTriangulation:
         np.testing.assert_allclose(padded, full, atol=1e-9)
 
 
+def test_rigid_fit_planar_rank2():
+    """Planar point sets make the Kabsch covariance rank-2; the TPU SVD
+    returns a DEFECTIVE null-space basis for such inputs (orthogonality
+    error ~1), which used to crash every planar-target self-calibration's
+    gauge alignment on hardware. rigid_fit now rebuilds the null direction
+    via cross products."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pycamset_tpu.ops import rigid_fit
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    rng = np.random.default_rng(0)
+    src = np.concatenate([rng.normal(size=(30, 2)) * 0.05,
+                          np.zeros((30, 1))], axis=1)       # z == 0: rank 2
+    t_true = make_4x4h_tform(np.array([0.01, -0.02, 0.3]),
+                             np.array([0.1, 0.0, 0.05]))
+    dst = src @ t_true[:3, :3].T + t_true[:3, 3]
+    r, t = rigid_fit(jnp.asarray(src), jnp.asarray(dst))
+    r = np.asarray(r)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-10)
+    np.testing.assert_allclose(r, t_true[:3, :3], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(t), t_true[:3, 3], atol=1e-10)
+
+    # reflection case: planar mirror must still produce a PROPER rotation
+    dst_m = dst * np.array([1.0, 1.0, -1.0])
+    r2, _ = rigid_fit(jnp.asarray(src), jnp.asarray(dst_m))
+    np.testing.assert_allclose(np.linalg.det(np.asarray(r2)), 1.0, atol=1e-8)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

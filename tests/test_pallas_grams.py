@@ -22,23 +22,27 @@ def _interp_shim(monkeypatch):
     return pg
 
 
-def test_pallas_selfcal_grams_match_xla(monkeypatch):
+@pytest.mark.parametrize("model", ["standard", "rational", "thin_prism"])
+def test_pallas_selfcal_grams_match_xla(monkeypatch, model):
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
     from pycamset_tpu.optim.blocks import (
-        Extrinsic3D, FreePoint, Projection, RigidTform3d)
+        Extrinsic3D, FreePoint, Projection, ProjectionRational,
+        ProjectionThinPrism, RigidTform3d)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         build_block_arrays, chain_widths, make_block_grams,
         split_full_params)
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
+    proj = {"standard": Projection, "rational": ProjectionRational,
+            "thin_prism": ProjectionThinPrism}[model]
     rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
-                             noise_px=0.5, seed=2)
+                             noise_px=0.5, seed=2, camera_model=model)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
     op_fun = OptimFunction(
-        [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+        [proj(), Extrinsic3D(), RigidTform3d(), FreePoint()])
     widths = chain_widths(op_fun)
     struct = op_fun.param_struct(n_cams, n_ims, n_keys)
     blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
@@ -53,7 +57,7 @@ def test_pallas_selfcal_grams_match_xla(monkeypatch):
     blk_cam = np.repeat(np.arange(n_cams), n_ims)
     blk_im = np.tile(np.arange(n_ims), n_cams)
     bb = n_cams * n_ims
-    cmask = jnp.ones((bb, 15)).at[:, 2].set(0.0)
+    cmask = jnp.ones((bb, widths.a)).at[:, 2].set(0.0)
     imask = jnp.ones((bb, 6)).at[:, 4].set(0.0)
     kmask = (jnp.ones((k_pad, 3)).at[n_keys:].set(0.0)
              .at[0].set(0.0).at[2, 1].set(0.0))

@@ -17,8 +17,9 @@ Derivation shared with optim/analytic.py (parity-tested against it and
 against jacfwd). Both the template chain (b=6, c=0) and the self-cal /
 free-point chains (c=3; per-key couplings and a sequential-grid-accumulated
 Hkk/gk) share one projection core (_projection_columns) parametrised over
-the intrinsic width: a=15 standard, a=18 rational, a=22 thin-prism. The
-tilted model and PER_GROUP chains use the XLA path.
+the intrinsic width: a=15 standard, a=18 rational, a=22 thin-prism, a=24
+tilted/Scheimpflug. PER_GROUP chains reach these kernels through the
+key-grid expansion in make_structured_neq.
 
 Robust losses (optim/losses.py) fold in-kernel: the per-observation IRLS
 sqrt-weight multiplies every Jacobian column and the residual, and the gram
@@ -41,11 +42,15 @@ GRAM_W = 22         # 15 cam + 6 pose + 1 residual column (standard model)
 def _layout(intr_w: int):
     """Packed per-block parameter row layout for an intr_w-wide intrinsic:
     [intr | Re(9) | dRe(27) | te(3) | Rp(9) | dRp(27) | tp(3) | ReRp(9)],
-    padded to a multiple of 8 lanes."""
+    padded to a multiple of 8 lanes. The tilted model (intr_w = 18) appends
+    the sensor-tilt homography and its taux/tauy derivatives
+    [Mt(9) | dMx(9) | dMy(9)] — PER_CAM-constant, so precomputed like Re."""
     off = {"intr": 0, "re": intr_w, "dre": intr_w + 9, "te": intr_w + 36,
            "rp": intr_w + 39, "drp": intr_w + 48, "tp": intr_w + 75,
-           "rerp": intr_w + 78}
-    ppb = -(-(intr_w + 87) // 8) * 8
+           "rerp": intr_w + 78, "mt": intr_w + 87, "dmx": intr_w + 96,
+           "dmy": intr_w + 105}
+    width = intr_w + (114 if intr_w >= 18 else 87)
+    ppb = -(-width // 8) * 8
     return off, ppb
 
 
@@ -72,11 +77,17 @@ def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray,
             jax.jacfwd(rodrigues_to_matrix)(cam[intr_w:intr_w + 3]), -1, 0)
         rp = rodrigues_to_matrix(pose6[:3])
         drp = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(pose6[:3]), -1, 0)
-        row = jnp.concatenate([
-            cam[:intr_w], re.reshape(-1), dre.reshape(-1),
-            cam[intr_w + 3:intr_w + 6],
-            rp.reshape(-1), drp.reshape(-1), pose6[3:],
-            (re @ rp).reshape(-1)])
+        parts = [cam[:intr_w], re.reshape(-1), dre.reshape(-1),
+                 cam[intr_w + 3:intr_w + 6],
+                 rp.reshape(-1), drp.reshape(-1), pose6[3:],
+                 (re @ rp).reshape(-1)]
+        if intr_w >= 18:  # tilted model: pack Mt and dMt/d(taux,tauy)
+            from pycamset_tpu.ops.distortion import _tilt_matrix
+            mt = _tilt_matrix(cam[16], cam[17])
+            dmt = jax.jacfwd(lambda t: _tilt_matrix(t[0], t[1]))(cam[16:18])
+            parts.extend([mt.reshape(-1), dmt[..., 0].reshape(-1),
+                          dmt[..., 1].reshape(-1)])
+        row = jnp.concatenate(parts)
         return jnp.pad(row, (0, ppb - row.shape[0]))
 
     return jax.vmap(one)(cam_b, im_b)
@@ -87,7 +98,8 @@ def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
 
     intr_w selects the camera model: 9 = standard (5-coef polynomial
     radial), 12 = rational (8-coef, radial = num/den), 16 = thin-prism
-    (12-coef, + s1..s4 prism terms).
+    (12-coef, + s1..s4 prism terms), 18 = tilted (14-coef, + taux/tauy
+    sensor-tilt homography).
     """
 
     def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
@@ -151,38 +163,25 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn):
         xd = xd + r2 * (s1 + r2 * s2)
         yd = yd + r2 * (s3 + r2 * s4)
 
-    r_u = (fx * xd + px - uv[:, 0, :]) * mask
-    r_v = (fy * yd + py - uv[:, 1, :]) * mask
-    rcost = None
-    if weight_fn is not None:                 # robust loss: IRLS weights
-        s_obs = r_u * r_u + r_v * r_v
-        sw = jnp.sqrt(weight_fn(s_obs))
-        rcost = jnp.sum(rho_fn(s_obs) * mask, axis=1)   # (8,) true cost
-        mask = mask * sw
-        r_u = r_u * sw
-        r_v = r_v * sw
-
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
 
-    # d(u,v)/d intr — columns 0..intr_w-1 (numerator k's see 1/den; the
-    # denominator k's are -radial * r2^i / den)
-    ju = [xd, one, zero, zero,
-          fx * x * r2 * inv_den, fx * x * r2 * r2 * inv_den, fx * 2.0 * xy,
-          fx * (r2 + 2.0 * x * x), fx * x * r2 ** 3 * inv_den]
-    jv = [zero, zero, yd, one,
-          fy * y * r2 * inv_den, fy * y * r2 * r2 * inv_den,
-          fy * (r2 + 2.0 * y * y), fy * 2.0 * xy,
-          fy * y * r2 ** 3 * inv_den]
+    # d(xd,yd)/d(dist coefs) — affine intrinsics fold in after the (possible)
+    # tilt chain (numerator k's see 1/den; denominator k's are
+    # -radial * r2^i / den)
+    jxd = [x * r2 * inv_den, x * r2 * r2 * inv_den, 2.0 * xy,
+           r2 + 2.0 * x * x, x * r2 ** 3 * inv_den]
+    jyd = [y * r2 * inv_den, y * r2 * r2 * inv_den,
+           r2 + 2.0 * y * y, 2.0 * xy, y * r2 ** 3 * inv_den]
     if intr_w >= 12:
         for i in (1, 2, 3):
-            ju.append(-fx * x * radial * r2 ** i * inv_den)
-            jv.append(-fy * y * radial * r2 ** i * inv_den)
-    if intr_w >= 16:  # prism columns: d(xd)/ds1 = r2, /ds2 = r4 (u only)
-        ju.extend([fx * r2, fx * r2 * r2, zero, zero])
-        jv.extend([zero, zero, fy * r2, fy * r2 * r2])
+            jxd.append(-x * radial * r2 ** i * inv_den)
+            jyd.append(-y * radial * r2 ** i * inv_den)
+    if intr_w >= 16:  # prism columns: d(xd)/ds1 = r2, /ds2 = r4 (x only)
+        jxd.extend([r2, r2 * r2, zero, zero])
+        jyd.extend([zero, zero, r2, r2 * r2])
 
-    # d(u,v)/dXc (2x3 per slot)
+    # d(xd,yd)/d(x,y)
     dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
     dxd_dy = 2.0 * xy * dradial + 2.0 * p1 * x + 2.0 * p2 * y
     dyd_dx = dxd_dy
@@ -196,6 +195,47 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn):
         dxd_dy = dxd_dy + 2.0 * y * dpx
         dyd_dx = dyd_dx + 2.0 * x * dpy
         dyd_dy = dyd_dy + 2.0 * y * dpy
+
+    if intr_w >= 18:
+        # tilted/Scheimpflug model: (xd,yd) -> homography Mt (packed
+        # per-block, PER_CAM-constant). Every existing column and the
+        # d/d(x,y) chain pass through the 2x2 homography Jacobian; the
+        # taux/tauy columns come from the packed dMt matrices.
+        m = [col(offs["mt"] + i) for i in range(9)]
+        iw = 1.0 / (m[6] * xd + m[7] * yd + m[8])
+        xtl = (m[0] * xd + m[1] * yd + m[2]) * iw
+        ytl = (m[3] * xd + m[4] * yd + m[5]) * iw
+        a00 = (m[0] - xtl * m[6]) * iw
+        a01 = (m[1] - xtl * m[7]) * iw
+        a10 = (m[3] - ytl * m[6]) * iw
+        a11 = (m[4] - ytl * m[7]) * iw
+        jxd, jyd = ([a00 * jx + a01 * jy for jx, jy in zip(jxd, jyd)],
+                    [a10 * jx + a11 * jy for jx, jy in zip(jxd, jyd)])
+        for base in ("dmx", "dmy"):
+            dm = [col(offs[base] + i) for i in range(9)]
+            dw = dm[6] * xd + dm[7] * yd + dm[8]
+            jxd.append((dm[0] * xd + dm[1] * yd + dm[2] - xtl * dw) * iw)
+            jyd.append((dm[3] * xd + dm[4] * yd + dm[5] - ytl * dw) * iw)
+        dxd_dx, dxd_dy, dyd_dx, dyd_dy = (
+            a00 * dxd_dx + a01 * dyd_dx, a00 * dxd_dy + a01 * dyd_dy,
+            a10 * dxd_dx + a11 * dyd_dx, a10 * dxd_dy + a11 * dyd_dy)
+        xd, yd = xtl, ytl
+
+    r_u = (fx * xd + px - uv[:, 0, :]) * mask
+    r_v = (fy * yd + py - uv[:, 1, :]) * mask
+    rcost = None
+    if weight_fn is not None:                 # robust loss: IRLS weights
+        s_obs = r_u * r_u + r_v * r_v
+        sw = jnp.sqrt(weight_fn(s_obs))
+        rcost = jnp.sum(rho_fn(s_obs) * mask, axis=1)   # (8,) true cost
+        mask = mask * sw
+        r_u = r_u * sw
+        r_v = r_v * sw
+
+    # d(u,v)/d intr — [fx, px, fy, py | dist coefs]
+    ju = [xd, one, zero, zero] + [fx * j for j in jxd]
+    jv = [zero, zero, yd, one] + [fy * j for j in jyd]
+
     du_dx = fx * dxd_dx
     du_dy = fx * dxd_dy
     dv_dx = fy * dyd_dx
@@ -404,11 +444,10 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
 def make_pallas_selfcal_grams(widths, loss: str = "linear",
                               f_scale: float = 1.0):
     """Drop-in per-block gram builder for the self-cal chain (Pallas);
-    serves the standard (a=15), rational (a=18) and thin-prism (a=22)
-    camera models."""
+    serves the standard (a=15), rational (a=18) and thin-prism (a=22) camera models."""
     from pycamset_tpu.optim.losses import make_loss
     a, bw, c = widths.a, widths.b, widths.c
-    assert a in (15, 18, 22) and (bw, c) == (6, 3)
+    assert a in (15, 18, 22, 24) and (bw, c) == (6, 3)
     intr_w = a - 6
     gram_w = a + 6 + 1
     _, ppb = _layout(intr_w)
@@ -504,7 +543,7 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
     """
     from pycamset_tpu.optim.structured import GroupWidths
     a, bw, c = widths.a, widths.b, widths.c
-    assert a in (15, 18, 22) and (bw, c) == (0, 3)
+    assert a in (15, 18, 22, 24) and (bw, c) == (0, 3)
     inner = make_pallas_selfcal_grams(GroupWidths(a, 6, 3), loss=loss,
                                       f_scale=f_scale)
 
@@ -530,13 +569,12 @@ def make_pallas_template_grams(widths, loss: str = "linear",
     """A drop-in per-block gram builder using the Pallas kernel.
 
     Same contract as make_block_grams for the template chain (c == 0);
-    serves the standard (a=15), rational (a=18) and thin-prism (a=22)
-    camera models.
+    serves the standard (a=15), rational (a=18) and thin-prism (a=22) camera models.
     grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask) ->
     (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost).
     """
     a, bwidth = widths.a, widths.b
-    assert (bwidth, widths.c) == (6, 0) and a in (15, 18, 22)
+    assert (bwidth, widths.c) == (6, 0) and a in (15, 18, 22, 24)
     intr_w = a - 6
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):

@@ -330,19 +330,22 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             make_pallas_freepoint_grams, make_pallas_selfcal_grams,
             make_pallas_template_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-        if (b, c) == (6, 0) and a in (15, 18, 22) and names[1:] == (
+        if (b, c) == (6, 0) and a in (15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "TemplatePoints") and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism"):
+                "Projection", "ProjectionRational", "ProjectionThinPrism",
+                "ProjectionTilted"):
             grams = make_pallas_template_grams(widths, loss=loss,
                                                f_scale=f_scale)
-        elif (b, c) == (6, 3) and a in (15, 18, 22) and names[1:] == (
+        elif (b, c) == (6, 3) and a in (15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism"):
+                "Projection", "ProjectionRational", "ProjectionThinPrism",
+                "ProjectionTilted"):
             grams = make_pallas_selfcal_grams(widths, loss=loss,
                                               f_scale=f_scale)
-        elif (b, c) == (0, 3) and a in (15, 18, 22) and names[1:] == (
+        elif (b, c) == (0, 3) and a in (15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "FreePoint") and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism"):
+                "Projection", "ProjectionRational", "ProjectionThinPrism",
+                "ProjectionTilted"):
             grams = make_pallas_freepoint_grams(widths, loss=loss,
                                                 f_scale=f_scale)
 

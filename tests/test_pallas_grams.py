@@ -22,14 +22,15 @@ def _interp_shim(monkeypatch):
     return pg
 
 
-@pytest.mark.parametrize("model", ["standard", "rational", "thin_prism"])
+@pytest.mark.parametrize("model", ["standard", "rational", "thin_prism",
+                                   "tilted"])
 def test_pallas_selfcal_grams_match_xla(monkeypatch, model):
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
     from pycamset_tpu.optim.blocks import (
         Extrinsic3D, FreePoint, Projection, ProjectionRational,
-        ProjectionThinPrism, RigidTform3d)
+        ProjectionThinPrism, ProjectionTilted, RigidTform3d)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         build_block_arrays, chain_widths, make_block_grams,
@@ -37,7 +38,7 @@ def test_pallas_selfcal_grams_match_xla(monkeypatch, model):
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     proj = {"standard": Projection, "rational": ProjectionRational,
-            "thin_prism": ProjectionThinPrism}[model]
+            "thin_prism": ProjectionThinPrism, "tilted": ProjectionTilted}[model]
     rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
                              noise_px=0.5, seed=2, camera_model=model)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
@@ -195,17 +196,20 @@ def test_pallas_template_grams_robust_match_xla(monkeypatch, loss):
 @pytest.mark.parametrize("model,loss", [("rational", "linear"),
                                         ("rational", "cauchy"),
                                         ("thin_prism", "linear"),
-                                        ("thin_prism", "huber")])
+                                        ("thin_prism", "huber"),
+                                        ("tilted", "linear"),
+                                        ("tilted", "huber")])
 def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
-    """The parametrized kernel serves the RATIONAL (a=18) and THIN-PRISM
-    (a=22) models: ratio radial, 1/den numerator columns, -radial r2^i/den
-    denominator columns, prism columns + asymmetric dyd_dx."""
+    """The parametrized kernel serves the RATIONAL (a=18), THIN-PRISM
+    (a=22) and TILTED (a=24) models: ratio radial, 1/den numerator columns,
+    -radial r2^i/den denominator columns, prism columns + asymmetric dyd_dx,
+    and the sensor-tilt homography chain with packed dMt columns."""
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
     from pycamset_tpu.optim.blocks import (
         Extrinsic3D, ProjectionRational, ProjectionThinPrism,
-        TemplatePoints)
+        ProjectionTilted, TemplatePoints)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         build_block_arrays, chain_widths, make_block_grams,
@@ -215,11 +219,11 @@ def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
     rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
                              noise_px=2.0, seed=6, camera_model=model)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
-    proj = (ProjectionRational() if model == "rational"
-            else ProjectionThinPrism())
+    proj = {"rational": ProjectionRational, "thin_prism": ProjectionThinPrism,
+            "tilted": ProjectionTilted}[model]()
     op_fun = OptimFunction([proj, Extrinsic3D(), TemplatePoints()])
     widths = chain_widths(op_fun)
-    assert widths.a == {"rational": 18, "thin_prism": 22}[model]
+    assert widths.a == {"rational": 18, "thin_prism": 22, "tilted": 24}[model]
     struct = op_fun.param_struct(n_cams, n_ims, n_keys)
     blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
                                 k_pad_multiple=8)

@@ -9,19 +9,27 @@ from pycamset_tpu.optim.analytic import (
     analytic_block_rj_for_chain, block_rj_freepoint, block_rj_selfcal,
     block_rj_template)
 from pycamset_tpu.optim.blocks import (
-    Extrinsic3D, FreePoint, Projection, RigidTform3d, TemplatePoints)
+    Extrinsic3D, FreePoint, Projection, ProjectionRational,
+    ProjectionThinPrism, ProjectionTilted, RigidTform3d, TemplatePoints)
 from pycamset_tpu.optim.chain import OptimFunction
 
 RNG = np.random.default_rng(21)
 
+PROJ = {"standard": Projection, "rational": ProjectionRational,
+        "thin_prism": ProjectionThinPrism, "tilted": ProjectionTilted}
+INTR_W = {"standard": 9, "rational": 12, "thin_prism": 16, "tilted": 18}
 
-def rand_problem(k=7):
-    intr9 = np.array([1200.0, 800, 1190, 600, -0.2, 0.05, 1e-3, -2e-3, 0.01])
+
+def rand_problem(k=7, model="standard"):
+    intr = np.array([1200.0, 800, 1190, 600, -0.2, 0.05, 1e-3, -2e-3, 0.01,
+                     0.03, -0.01, 0.004,           # k4..k6
+                     5e-4, -3e-4, 2e-4, 4e-4,      # s1..s4
+                     0.02, -0.015])[:INTR_W[model]]  # taux, tauy
     extr6 = np.concatenate([RNG.normal(size=3) * 0.3, [0.05, -0.02, 1.1]])
     pose6 = np.concatenate([RNG.normal(size=3) * 0.4, RNG.normal(size=3) * 0.1])
     pts = RNG.normal(size=(k, 3)) * 0.15
     uv = RNG.uniform(0, 1500, size=(k, 2))
-    return (jnp.array(np.concatenate([intr9, extr6])), jnp.array(pose6),
+    return (jnp.array(np.concatenate([intr, extr6])), jnp.array(pose6),
             jnp.array(pts), jnp.array(uv))
 
 
@@ -88,6 +96,37 @@ class TestAnalyticParity:
         np.testing.assert_allclose(np.asarray(jk_a), np.asarray(jk_f),
                                    rtol=1e-9, atol=1e-9)
 
+    @pytest.mark.parametrize("model", ["rational", "thin_prism", "tilted"])
+    def test_extended_template_chain(self, model):
+        op_fun = OptimFunction(
+            [PROJ[model](), Extrinsic3D(), TemplatePoints()])
+        cam_a, pose6, tpl, uv = rand_problem(model=model)
+        keyp = jnp.zeros((tpl.shape[0], 0))
+        r_a, jc_a, ji_a, jk_a = block_rj_template(cam_a, pose6, tpl, uv)
+        r_f, jc_f, ji_f, jk_f = jacfwd_reference(
+            op_fun, cam_a, pose6, keyp, tpl, uv, 0)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_f), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(jc_a), np.asarray(jc_f),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ji_a), np.asarray(ji_f),
+                                   rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("model", ["rational", "tilted"])
+    def test_extended_selfcal_chain(self, model):
+        op_fun = OptimFunction(
+            [PROJ[model](), Extrinsic3D(), RigidTform3d(), FreePoint()])
+        cam_a, pose6, pts, uv = rand_problem(model=model)
+        r_a, jc_a, ji_a, jk_a = block_rj_selfcal(cam_a, pose6, pts, uv)
+        r_f, jc_f, ji_f, jk_f = jacfwd_reference(
+            op_fun, cam_a, pose6, pts, jnp.zeros_like(pts), uv, 3)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_f), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(jc_a), np.asarray(jc_f),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ji_a), np.asarray(ji_f),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(jk_a), np.asarray(jk_f),
+                                   rtol=1e-9, atol=1e-9)
+
     def test_dispatch(self):
         assert analytic_block_rj_for_chain(OptimFunction(
             [Projection(), Extrinsic3D(), TemplatePoints()])) is not None
@@ -95,6 +134,8 @@ class TestAnalyticParity:
             [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])) is not None
         assert analytic_block_rj_for_chain(OptimFunction(
             [Projection(), Extrinsic3D(), FreePoint()])) is not None
+        assert analytic_block_rj_for_chain(OptimFunction(
+            [ProjectionTilted(), Extrinsic3D(), TemplatePoints()])) is not None
         assert analytic_block_rj_for_chain(OptimFunction(
             [Projection(), TemplatePoints()])) is None
 

@@ -11,10 +11,15 @@ Two shardings of the (cam × im, key) block grid:
   device gets a slab of whole images; right for rigs with few cameras but
   very many poses (n_cams < n_devices, or n_ims >> n_cams).
 
-choose_shard_axis picks between them. No gather tables and no one-hot
-constants (which embed O(C*I^2) bytes in the executable). The Schur solve
-and LM control flow run replicated on every device — they are tiny relative
-to the residual work.
+choose_shard_axis picks between them; rigs where neither axis divides the
+mesh shard on the pose axis after pad_pose_axis adds fully-masked images.
+PER_GROUP-keyed (multi-target) chains ride both shardings: the per-group
+parameter rows expand onto the key grid on-device and the gram pieces
+reduce back to per-group blocks before the psum. No gather tables and no
+block one-hot constants (which embed O(C*I^2) bytes in the executable; the
+(K, G) group one-hot is tiny and G-bounded). The Schur solve and LM control
+flow run replicated on every device — they are tiny relative to the
+residual work.
 """
 from __future__ import annotations
 
@@ -23,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pycamset_tpu.optim.blocks import key_type
@@ -34,26 +39,42 @@ from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
 
-def _reject_grouped(widths: GroupWidths):
-    if widths.key_link == key_type.PER_GROUP:
-        from pycamset_tpu.optim.structured import UnsupportedChain
-        raise UnsupportedChain(
-            "PER_GROUP-keyed chains are single-device only for now "
-            "(use make_structured_neq)")
+def _group_onehot(widths: GroupWidths, group_of_key, n_groups):
+    """(K, G) one-hot for PER_GROUP chains (None for PER_KEY chains).
+
+    The one-hot is tiny (K x G) and replicated on every device; per-group
+    parameter rows expand onto the key grid before the grams and the
+    per-key gram pieces reduce back to per-group blocks BEFORE the psum,
+    so ICI traffic shrinks from K-sized to G-sized tensors.
+    """
+    if widths.key_link != key_type.PER_GROUP:
+        return None
+    if group_of_key is None:
+        raise ValueError("group_of_key is required for PER_GROUP-keyed chains")
+    gok = np.asarray(group_of_key, dtype=np.int64)
+    if n_groups is None:
+        n_groups = int(gok.max()) + 1
+    onehot = np.zeros((gok.size, n_groups), dtype=np.float32)
+    onehot[np.arange(gok.size), gok] = 1.0
+    return onehot
 
 
 def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                                 n_cams: int, n_ims: int, mesh: Mesh,
-                                loss: str = "linear", f_scale: float = 1.0):
+                                loss: str = "linear", f_scale: float = 1.0,
+                                group_of_key=None, n_groups=None):
     """neq with the camera axis of (uv, mask) sharded over the mesh.
 
     uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on axis 0;
     parameters are replicated. n_cams must be divisible by the mesh size.
 
+    PER_GROUP-keyed chains pass group_of_key ((k_pad,) key->group map) and
+    n_groups, exactly as make_structured_neq.
+
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
     """
     a, b, c = widths.a, widths.b, widths.c
-    _reject_grouped(widths)
+    onehot_kg = _group_onehot(widths, group_of_key, n_groups)
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     n_dev = mesh.devices.size
     if n_cams % n_dev != 0:
@@ -82,10 +103,17 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         cmask_b = jnp.repeat(cmask_loc, n_ims, axis=0)
         imask_b = jnp.tile(colmask.im, (c_loc, 1))
 
+        if onehot_kg is not None:  # expand per-group rows onto the key grid
+            kg = jnp.asarray(onehot_kg, dtype=dtype)
+            keyp = kg @ pieces.key
+            kmask = kg @ colmask.key
+        else:
+            keyp, kmask = pieces.key, colmask.key
+
         (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(cam_b, im_b, pieces.key, tpl,
+         cost) = grams(cam_b, im_b, keyp, tpl,
                        uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
-                       cmask_b, imask_b, colmask.key)
+                       cmask_b, imask_b, kmask)
 
         # local reductions (cam-major slab)
         hcc_loc = gcc_b.reshape(c_loc, n_ims, a, a).sum(axis=1)
@@ -96,6 +124,14 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         wik = wik_b.reshape(c_loc, n_ims, k_pad, b, c).sum(axis=0)
         wci_loc = wci_b.reshape(c_loc, n_ims, a, b)
 
+        if onehot_kg is not None:  # reduce key-axis pieces to per-group
+            kg = jnp.asarray(onehot_kg, dtype=dtype)
+            hkk = jnp.einsum("kg,kij->gij", kg, hkk)
+            gk = jnp.einsum("kg,ki->gi", kg, gk)
+            wck_loc = jnp.einsum("kg,ckap->cgap", kg, wck_loc)
+            wik = jnp.einsum("kg,ikbp->igbp", kg, wik)
+        k_out = wck_loc.shape[1]
+
         # place this device's camera slab into the global tensors, then one
         # psum over the mesh replicates the full system everywhere
         zeros = jnp.zeros
@@ -104,7 +140,7 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         gc = jax.lax.dynamic_update_slice_in_dim(
             zeros((n_cams, a), dtype), gc_loc, cam_off, 0)
         wck = jax.lax.dynamic_update_slice_in_dim(
-            zeros((n_cams, k_pad, a, c), dtype), wck_loc, cam_off, 0)
+            zeros((n_cams, k_out, a, c), dtype), wck_loc, cam_off, 0)
         wci = jax.lax.dynamic_update_slice_in_dim(
             zeros((n_cams, n_ims, a, b), dtype), wci_loc, cam_off, 0)
 
@@ -119,16 +155,21 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
                                      widths: GroupWidths, n_cams: int,
                                      n_ims: int, mesh: Mesh,
                                      loss: str = "linear",
-                                     f_scale: float = 1.0):
+                                     f_scale: float = 1.0,
+                                     group_of_key=None, n_groups=None):
     """neq with the POSE (image) axis of (uv, mask) sharded over the mesh.
 
     uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on AXIS 1;
-    parameters are replicated. n_ims must be divisible by the mesh size.
+    parameters are replicated. n_ims must be divisible by the mesh size
+    (pad_pose_axis pads a non-divisible rig with fully-masked images).
+
+    PER_GROUP-keyed chains pass group_of_key/n_groups as in
+    make_structured_neq.
 
     :return: neq(pieces, uv, mask, tpl, colmask) -> replicated NormalEq.
     """
     a, b, c = widths.a, widths.b, widths.c
-    _reject_grouped(widths)
+    onehot_kg = _group_onehot(widths, group_of_key, n_groups)
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     n_dev = mesh.devices.size
     if n_ims % n_dev != 0:
@@ -157,10 +198,17 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
         cmask_b = jnp.repeat(colmask.cam, i_loc, axis=0)
         imask_b = jnp.tile(imask_loc, (n_cams, 1))
 
+        if onehot_kg is not None:  # expand per-group rows onto the key grid
+            kg = jnp.asarray(onehot_kg, dtype=dtype)
+            keyp = kg @ pieces.key
+            kmask = kg @ colmask.key
+        else:
+            keyp, kmask = pieces.key, colmask.key
+
         (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(cam_b, im_b, pieces.key, tpl,
+         cost) = grams(cam_b, im_b, keyp, tpl,
                        uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
-                       cmask_b, imask_b, colmask.key)
+                       cmask_b, imask_b, kmask)
 
         # local reductions (image-slab): per-cam pieces are partial sums
         # (completed by the psum), per-image pieces are placed at the
@@ -173,13 +221,21 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
         wik_loc = wik_b.reshape(n_cams, i_loc, k_pad, b, c).sum(axis=0)
         wci_loc = wci_b.reshape(n_cams, i_loc, a, b)
 
+        if onehot_kg is not None:  # reduce key-axis pieces to per-group
+            kg = jnp.asarray(onehot_kg, dtype=dtype)
+            hkk = jnp.einsum("kg,kij->gij", kg, hkk)
+            gk = jnp.einsum("kg,ki->gi", kg, gk)
+            wck = jnp.einsum("kg,ckap->cgap", kg, wck)
+            wik_loc = jnp.einsum("kg,ikbp->igbp", kg, wik_loc)
+        k_out = wik_loc.shape[1]
+
         zeros = jnp.zeros
         hii = jax.lax.dynamic_update_slice_in_dim(
             zeros((n_ims, b, b), dtype), hii_loc, im_off, 0)
         gi = jax.lax.dynamic_update_slice_in_dim(
             zeros((n_ims, b), dtype), gi_loc, im_off, 0)
         wik = jax.lax.dynamic_update_slice_in_dim(
-            zeros((n_ims, k_pad, b, c), dtype), wik_loc, im_off, 0)
+            zeros((n_ims, k_out, b, c), dtype), wik_loc, im_off, 0)
         wci = jax.lax.dynamic_update_slice(
             zeros((n_cams, n_ims, a, b), dtype), wci_loc,
             (0 * im_off, im_off, 0 * im_off, 0 * im_off))
@@ -194,18 +250,54 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
 def choose_shard_axis(n_cams: int, n_ims: int, n_dev: int) -> str:
     """'cam' or 'pose': prefer the axis that divides the mesh evenly, and
     among valid choices the one with more slabs per device (better balance;
-    pose wins for few-camera many-pose rigs)."""
+    pose wins for few-camera many-pose rigs). When neither axis divides,
+    'pose' is returned: the pose axis pads with fully-masked images
+    (pad_pose_axis), so any rig shards."""
     cam_ok = n_cams % n_dev == 0
     pose_ok = n_ims % n_dev == 0
     if cam_ok and pose_ok:
         return "pose" if n_ims > n_cams else "cam"
     if cam_ok:
         return "cam"
-    if pose_ok:
-        return "pose"
-    raise ValueError(
-        f"Neither {n_cams} cameras nor {n_ims} images divide evenly over "
-        f"{n_dev} devices; pad the rig (im_bucket) or change the mesh.")
+    return "pose"
+
+
+def pad_pose_axis(uv, mask, pieces: ParamPieces, colmask: ParamPieces,
+                  n_cams: int, n_dev: int):
+    """Pad the image axis of a block-grid problem to a multiple of n_dev.
+
+    Pad images replicate image 0's pose under an all-zero detection mask and
+    an all-zero parameter column mask: their residual rows contribute
+    nothing (row mask), their pose columns take exact zero steps (column
+    mask + the LM damping floor), and replicating a REAL pose keeps every
+    projected point finite (NaN-safety — pad blocks still evaluate the
+    projection chain before masking).
+
+    :param uv: (B, K, 2) block observations, B = n_cams * n_ims row-major.
+    :param mask: (B, K) block row masks.
+    :return: (uv_pad, mask_pad, pieces_pad, colmask_pad, n_ims_pad).
+    """
+    b, k = np.shape(mask)
+    n_ims = b // n_cams
+    n_ims_pad = -(-n_ims // n_dev) * n_dev
+    if n_ims_pad == n_ims:
+        return uv, mask, pieces, colmask, n_ims
+    reps = n_ims_pad - n_ims
+    uv_c = np.reshape(np.asarray(uv), (n_cams, n_ims, k, 2))
+    mask_c = np.reshape(np.asarray(mask), (n_cams, n_ims, k))
+    uv_c = np.concatenate(
+        [uv_c, np.repeat(uv_c[:, :1], reps, axis=1)], axis=1)
+    mask_c = np.concatenate(
+        [mask_c, np.zeros((n_cams, reps, k), mask_c.dtype)], axis=1)
+    im_pad = jnp.concatenate(
+        [pieces.im, jnp.repeat(pieces.im[:1], reps, axis=0)])
+    imask_pad = jnp.concatenate(
+        [colmask.im, jnp.zeros((reps, colmask.im.shape[1]),
+                               colmask.im.dtype)])
+    return (jnp.asarray(uv_c.reshape(n_cams * n_ims_pad, k, 2), uv.dtype),
+            jnp.asarray(mask_c.reshape(n_cams * n_ims_pad, k), mask.dtype),
+            ParamPieces(pieces.cam, im_pad, pieces.key),
+            ParamPieces(colmask.cam, imask_pad, colmask.key), n_ims_pad)
 
 
 def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
@@ -213,7 +305,8 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
                                    colmask: ParamPieces, max_nfev: int = 100,
                                    loss: str = "linear", f_scale: float = 1.0,
                                    reduced_solver: str = "dense",
-                                   shard_axis: str = "cam"):
+                                   shard_axis: str = "cam",
+                                   group_of_key=None, n_groups=None):
     """A jitted multi-device LM solve on the structured backend.
 
     :return: solve(pieces, uv, mask, tpl) -> SLMResult; uv/mask are
@@ -223,7 +316,7 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
     make = (make_pose_sharded_structured_neq if shard_axis == "pose"
             else make_sharded_structured_neq)
     neq = make(op_fun, widths, n_cams, n_ims, mesh, loss=loss,
-               f_scale=f_scale)
+               f_scale=f_scale, group_of_key=group_of_key, n_groups=n_groups)
 
     @jax.jit
     def solve(pieces: ParamPieces, uv, mask, tpl) -> SLMResult:

@@ -13,7 +13,7 @@ from pycamset_tpu.parallel.mesh import detection_mesh
 from pycamset_tpu.parallel.sharded_structured import (
     choose_shard_axis, make_pose_sharded_structured_neq,
     make_sharded_structured_neq, make_sharded_structured_solver,
-    shard_block_arrays)
+    pad_pose_axis, shard_block_arrays)
 from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
 pytestmark = pytest.mark.skipif(
@@ -190,8 +190,137 @@ def test_choose_shard_axis():
     assert choose_shard_axis(16, 6, 8) == "cam"      # only cams divide
     assert choose_shard_axis(3, 16, 8) == "pose"     # only poses divide
     assert choose_shard_axis(128, 64, 8) == "cam"    # both divide, more cams
-    with pytest.raises(ValueError, match="divide"):
-        choose_shard_axis(3, 5, 8)
+    # neither divides: the pose axis pads, so it is always an answer
+    assert choose_shard_axis(3, 5, 8) == "pose"
+
+
+def _grouped_setup(n_cams=8, n_ims=4):
+    """A PER_GROUP-keyed (multi-target style) chain on the synthetic rig.
+
+    The numbers need not describe a physically consistent two-target scene:
+    these tests check that the sharded normal equations match the
+    single-device ones bit-for-bit given identical inputs.
+    """
+    from pycamset_tpu.optim.blocks import (
+        ParamSpec, RigidTform3d, TemplatePoints, key_type)
+
+    class GroupTemplatePoints(TemplatePoints):
+        params = ParamSpec(key_type.PER_GROUP, 6)
+
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
+                             visibility=0.85, noise_px=0.4, seed=9)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction(
+        [Projection(), Extrinsic3D(), RigidTform3d(), GroupTemplatePoints()])
+    widths = chain_widths(op_fun)
+    assert widths.key_link == key_type.PER_GROUP and widths.c == 6
+    n_groups = 2
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys, n_groups=n_groups)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]
+    gok = (np.arange(n_keys) >= n_keys // 2).astype(np.int64)
+    gok_pad = np.concatenate([gok, np.zeros(k_pad - n_keys, np.int64)])
+
+    rel = np.array([[0.0] * 6, [0.05, -0.03, 0.08, 0.02, -0.01, 0.04]])
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel(), rel.ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    colmask = ParamPieces(
+        jnp.ones((n_cams, widths.a)),
+        jnp.ones((n_ims, widths.b)).at[0].set(0.0),
+        jnp.ones((n_groups, 6)).at[0].set(0.0))  # group 0 = identity, fixed
+    return (op_fun, widths, pieces, colmask, uv, mask,
+            jnp.asarray(tpl_pad), gok_pad, n_groups, n_cams, n_ims)
+
+
+@pytest.mark.parametrize("axis", ["cam", "pose"])
+def test_grouped_sharded_neq_matches_single_device(axis):
+    """PER_GROUP chains ride the sharded path: per-group rows expand onto
+    the key grid on-device and the gram pieces reduce back before the psum."""
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok_pad, n_groups,
+     n_cams, n_ims) = _grouped_setup(
+        n_cams=8 if axis == "cam" else 3, n_ims=4 if axis == "cam" else 16)
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                      shard_axis=axis)
+    neq_single = jax.jit(make_structured_neq(
+        op_fun, widths, n_cams, n_ims, group_of_key=gok_pad,
+        n_groups=n_groups))
+    make = (make_sharded_structured_neq if axis == "cam"
+            else make_pose_sharded_structured_neq)
+    neq_sharded = jax.jit(make(op_fun, widths, n_cams, n_ims, mesh,
+                               group_of_key=gok_pad, n_groups=n_groups))
+    ref = neq_single(pieces, uv, mask, tpl, colmask)
+    got = neq_sharded(pieces, uv_s, mask_s, tpl, colmask)
+    assert ref.hkk.shape == (n_groups, 6, 6)
+    for name, r, g in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-9,
+                                   atol=1e-9, err_msg=name)
+
+
+def test_grouped_sharded_lm_converges():
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok_pad, n_groups,
+     n_cams, n_ims) = _grouped_setup()
+    mesh = detection_mesh(8)
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
+    solve = make_sharded_structured_solver(
+        op_fun, widths, n_cams, n_ims, mesh, colmask, max_nfev=30,
+        group_of_key=gok_pad, n_groups=n_groups)
+    res = solve(pieces, uv_s, mask_s, tpl)
+    assert np.isfinite(float(res.cost))
+    # the grouped solve absorbs the injected rel-pose offset: group 1's
+    # recovered pose moves toward identity (the rig was generated ungrouped)
+    assert float(jnp.abs(res.x.key[1]).max()) < 0.05
+
+
+def test_pad_pose_axis_non_divisible_rig():
+    """3 cams x 5 ims shards over 8 devices by padding the image axis with
+    fully-masked images; the padded sharded neq equals the unpadded
+    single-device neq on every real entry and is zero on pad entries."""
+    (op_fun, widths, struct, pieces, colmask, uv, mask, tpl,
+     n_cams, n_ims, blocks) = setup(n_cams=3, n_ims=5)
+    assert choose_shard_axis(n_cams, n_ims, 8) == "pose"
+    mesh = detection_mesh(8)
+
+    ref = jax.jit(make_structured_neq(op_fun, widths, n_cams, n_ims))(
+        pieces, uv, mask, tpl, colmask)
+
+    uv_p, mask_p, pieces_p, colmask_p, n_ims_pad = pad_pose_axis(
+        uv, mask, pieces, colmask, n_cams, 8)
+    assert n_ims_pad == 8
+    uv_s, mask_s = shard_block_arrays(mesh, uv_p, mask_p, n_cams,
+                                      shard_axis="pose")
+    got = jax.jit(make_pose_sharded_structured_neq(
+        op_fun, widths, n_cams, n_ims_pad, mesh))(
+        pieces_p, uv_s, mask_s, tpl, colmask_p)
+
+    np.testing.assert_allclose(np.asarray(got.hcc), np.asarray(ref.hcc),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.gc), np.asarray(ref.gc),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.hii[:n_ims]),
+                               np.asarray(ref.hii), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.hii[n_ims:]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.wci[:, :n_ims]),
+                               np.asarray(ref.wci), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(float(got.cost), float(ref.cost), rtol=1e-12)
+
+    # and the padded solve converges to the same noise floor
+    pert = ParamPieces(
+        pieces_p.cam + np.random.default_rng(0).normal(
+            size=pieces_p.cam.shape) * 1e-4, pieces_p.im, pieces_p.key)
+    solve = make_sharded_structured_solver(
+        op_fun, widths, n_cams, n_ims_pad, mesh, colmask_p, max_nfev=30,
+        shard_axis="pose")
+    res = solve(pert, uv_s, mask_s, tpl)
+    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    assert rms < 0.45
 
 
 if __name__ == "__main__":

@@ -129,11 +129,20 @@ class AbstractTarget(ABC):
             cam_names = [cam_name]
 
         detections = TargetDetection(cam_names=cam_names)
-        for idx, im_file in enumerate(im_locs):
+
+        def detect_one(im_file):
             im = cv2.imread(im_file)
             if im.ndim == 3:
                 im = im[:, :, 0]
-            detection = self.find_in_image(im, draw=draw, camera=camera)
+            return self.find_in_image(im, draw=draw, camera=camera)
+
+        # thread-pooled per-image detection (the serial loop dominated the
+        # end-to-end wall time); OpenCV detector const methods are
+        # thread-safe and release the GIL. draw mode stays serial (imshow).
+        from pycamset_tpu.utils.general_utils import thread_map
+        results = thread_map(detect_one, im_locs,
+                             n_threads=1 if draw else None)
+        for idx, detection in enumerate(results):
             detections.add_detection(cam_name, idx, detection)
         return detections
 

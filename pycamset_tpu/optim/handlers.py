@@ -630,10 +630,17 @@ def estimate_camera_relative_poses(
     implementation also never applies ref_cam to the estimate).
     """
     img_detections = detection.get_image_list()
-    mat_ac = np.array([
-        [calibration_target.target_pose_in_cam_image(im_det, cam, mode="nan")
-         for im_det in img_detections]
-        for cam in cams])                                       # (C,I,4,4)
+    # thread-pooled C x I PnP sweep (cv2.solvePnPGeneric releases the GIL);
+    # the serial double loop dominated seeding time on large rigs
+    from pycamset_tpu.utils.general_utils import thread_map
+    cam_list = list(cams)
+    flat = thread_map(
+        lambda ci: calibration_target.target_pose_in_cam_image(
+            img_detections[ci % len(img_detections)],
+            cam_list[ci // len(img_detections)], mode="nan"),
+        range(len(cam_list) * len(img_detections)))
+    mat_ac = np.array(flat).reshape(
+        len(cam_list), len(img_detections), 4, 4)               # (C,I,4,4)
     # before any gap-filling: which images got a pose from ANY camera
     pose_found = ~np.all(np.isnan(mat_ac[:, :, 0, 0]), axis=0)  # (I,)
 

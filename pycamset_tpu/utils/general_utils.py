@@ -35,6 +35,34 @@ def natsorted(seq):
     return sorted(seq, key=natsort_key)
 
 
+def default_thread_count() -> int:
+    """Host thread-pool size for the OpenCV frontend (detection, PnP).
+
+    Mirrors the reference's heuristic (camera_calibrator.py:57-58):
+    min(max(1, cpu_count - 2), 20). OpenCV releases the GIL inside its C++
+    calls, so Python threads give real parallelism here.
+    """
+    import os
+    return min(max(1, (os.cpu_count() or 2) - 2), 20)
+
+
+def thread_map(fn, items, n_threads: int | None = None) -> list:
+    """Order-preserving parallel map over a host thread pool.
+
+    Serial when n_threads == 1 or there is a single item (keeps tracebacks
+    simple and avoids pool overhead on tiny workloads).
+    """
+    items = list(items)
+    if n_threads is None:
+        n_threads = default_thread_count()
+    n_threads = min(n_threads, len(items)) if items else 1
+    if n_threads <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        return list(ex.map(fn, items))
+
+
 def glob_ims(loc: Path) -> list[Path]:
     """All images at any depth below the input path."""
     return [p.resolve() for p in Path(loc).glob("**/*") if p.suffix.lower() in IM_SUFFIXES]

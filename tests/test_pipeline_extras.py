@@ -78,3 +78,43 @@ def test_initial_cams_passthrough(tiny_charuco):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_threaded_detection_matches_serial(tiny_charuco):
+    """find_in_imfolder with a forced multi-thread pool returns detections
+    identical to the serial loop (shared OpenCV detector objects are only
+    used through const methods, and ordering is preserved)."""
+    from pycamset_tpu.models.charuco import ChArUco
+    import pycamset_tpu.utils.general_utils as gu
+
+    target = ChArUco(20, 20, 4, legacy=True)
+    folder = tiny_charuco / "1"
+
+    orig = gu.thread_map
+
+    def forced_serial(fn, items, n_threads=None):
+        return orig(fn, items, n_threads=1)
+
+    def forced_threads(fn, items, n_threads=None):
+        return orig(fn, items, n_threads=4)
+
+    try:
+        gu.thread_map = forced_serial
+        d_serial = target.find_in_imfolder(folder, None)
+        gu.thread_map = forced_threads
+        d_thread = target.find_in_imfolder(folder, None)
+    finally:
+        gu.thread_map = orig
+    np.testing.assert_array_equal(d_serial.get_data(), d_thread.get_data())
+
+
+def test_thread_map_preserves_order_and_errors():
+    from pycamset_tpu.utils.general_utils import thread_map
+
+    assert thread_map(lambda x: x * 2, range(37), n_threads=5) == [
+        x * 2 for x in range(37)]
+    assert thread_map(lambda x: x, [], n_threads=8) == []
+    with pytest.raises(ValueError, match="boom"):
+        def bad(x):
+            raise ValueError("boom")
+        thread_map(bad, [1, 2], n_threads=2)

@@ -63,6 +63,54 @@ def test_robust_beats_linear_under_outliers(loss):
         f"{loss}: {err_rob:.3f} vs clean {err_clean:.3f}")
 
 
+@pytest.mark.parametrize("loss", ["huber", "cauchy"])
+def test_device_vs_scipy_robust_semantics_bounded(loss):
+    """Quantify the documented semantics divergence (optim/losses.py): the
+    device backends apply rho PER 2-D OBSERVATION (Ceres convention), the
+    scipy backend per residual COMPONENT.
+
+    Two numeric statements replace the hand-wave:
+    1. Pointwise, concavity/subadditivity of every shipped rho bounds the
+       per-component objective within [1x, 2x] of the per-observation one
+       (exactly equal on huber inliers) — asserted on the final residuals.
+    2. At the default budget the device IRLS solution is BETTER than the
+       scipy TRF solution even under scipy's OWN per-component objective
+       (measured ratios: 0.29 huber, 0.09 cauchy — scipy's robust TRF
+       creeps on this problem and is the weaker oracle, not a stricter
+       one).
+    """
+    from pycamset_tpu.optim.driver import (
+        make_optimisation_function, run_bundle_adjustment)
+
+    def rho_np(z, loss):
+        return (np.where(z <= 1, z, 2 * np.sqrt(z) - 1) if loss == "huber"
+                else np.log1p(z))
+
+    h_d, _ = _handler_with_outliers(loss)
+    res_d, _ = run_bundle_adjustment(h_d, backend="structured")
+    h_s, _ = _handler_with_outliers(loss)
+    res_s, _ = run_bundle_adjustment(h_s, backend="scipy")
+    h_e, _ = _handler_with_outliers(loss)
+    loss_fn, _, _ = make_optimisation_function(h_e)
+
+    def per_component(x):
+        return float(np.sum(rho_np(loss_fn(x) ** 2, loss)))
+
+    def per_observation(x):
+        r = loss_fn(x).reshape(-1, 2)
+        return float(np.sum(rho_np((r ** 2).sum(axis=1), loss)))
+
+    # (1) pointwise objective bracket on the device solution's residuals
+    obs = per_observation(res_d["x"])
+    comp = per_component(res_d["x"])
+    assert obs <= comp * (1 + 1e-12)
+    assert comp <= 2 * obs
+
+    # (2) the device argmin dominates under scipy's own semantics
+    assert comp <= per_component(res_s["x"]) * (1 + 1e-6), (
+        f"{loss}: device solution worse under scipy's objective")
+
+
 def test_loss_functions_shapes():
     import jax.numpy as jnp
     from pycamset_tpu.optim.losses import LOSSES, make_loss

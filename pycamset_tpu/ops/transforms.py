@@ -98,7 +98,27 @@ def rigid_fit(src: jnp.ndarray, dst: jnp.ndarray,
     s0 = src - mu_s
     d0 = dst - mu_d
     cov = (d0 * w[:, None]).T @ s0
-    u, _, vt = jnp.linalg.svd(cov)
+    if jax.default_backend() == "tpu":
+        # float32 SVD crashes the TPU compiler outright under the x64
+        # config (only jnp.linalg.svd — eigh/qr/cholesky lower fine; caught
+        # by the hardware test tier, tests/test_tpu_hardware.py). Build the
+        # singular basis from eigh of the 3x3 gram instead: V from
+        # cov^T cov, U = cov V / s column-wise. The null columns (rank-2
+        # planar targets!) are rebuilt by the cross products below, so the
+        # s ~ 0 columns never need a valid quotient.
+        s2, v = jnp.linalg.eigh(cov.T @ cov)           # ascending
+        v = v[:, ::-1]
+        s = jnp.sqrt(jnp.clip(s2[::-1], 0.0, None))
+        eps = jnp.asarray(1e-30, cov.dtype)
+        u = (cov @ v) / jnp.maximum(s, eps)[None, :]
+        # re-orthonormalise the two leading columns (f32 safety)
+        u0 = u[:, 0] / jnp.maximum(jnp.linalg.norm(u[:, 0]), eps)
+        u1 = u[:, 1] - jnp.dot(u0, u[:, 1]) * u0
+        u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), eps)
+        u = jnp.stack([u0, u1, u[:, 2]], axis=1)
+        vt = v.T
+    else:
+        u, _, vt = jnp.linalg.svd(cov)
     # planar point sets make cov rank-2; some SVD backends (TPU) return a
     # DEFECTIVE basis for the null direction. Rebuild the third column/row
     # as the cross product of the first two — identical (up to sign, which

@@ -1,0 +1,227 @@
+"""Hardware (real-TPU) test tier: ``PYCAMSET_TPU_TESTS=1 pytest -m tpu -q``.
+
+The default test tier forces the CPU backend, so Pallas kernels are only
+ever exercised in interpret mode and all numerics run in float64. This file
+runs on the real chip and covers the failure classes that tier cannot see:
+compiled-Mosaic kernel behaviour, float32 conditioning, and TPU linear
+algebra defects (the rank-2 SVD bug that once broke every planar-target
+gauge alignment on hardware — tests/test_ops.py:210 documents the CPU
+variant).
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_tpu():
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires the real TPU backend")
+
+
+def _rig_problem(model="standard", chain="template", n_cams=3, n_ims=5,
+                 grid=4, noise=0.5, seed=2):
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, FreePoint, Projection, ProjectionRational,
+        ProjectionThinPrism, ProjectionTilted, RigidTform3d, TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        ParamPieces, build_block_arrays, chain_widths, split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    proj = {"standard": Projection, "rational": ProjectionRational,
+            "thin_prism": ProjectionThinPrism,
+            "tilted": ProjectionTilted}[model]
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.85, noise_px=noise, seed=seed,
+                             camera_model=model)
+    n_keys = rig["n_keys"]
+    blocks_list = [proj(), Extrinsic3D()]
+    blocks_list += ([RigidTform3d(), FreePoint()] if chain == "selfcal"
+                    else [TemplatePoints()])
+    op_fun = OptimFunction(blocks_list)
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys)
+    k_pad = blocks.uv.shape[1]
+    dtype = jnp.float32
+    uv, mask = blocks.as_device(dtype)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]
+    tpl = jnp.asarray(tpl_pad, dtype)
+    parts = [rig["intr"].ravel(), rig["extr"].ravel(), rig["poses"].ravel()]
+    if chain == "selfcal":
+        parts.append(rig["template"].ravel())
+    full = np.concatenate(parts)
+    p = split_full_params(jnp.asarray(full, dtype), op_fun, struct,
+                          n_cams, n_ims, n_keys, widths)
+    if chain == "selfcal":
+        key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
+        kmask = jnp.ones((k_pad, 3), dtype).at[n_keys:].set(0.0)
+        kmask = kmask.at[0].set(0.0).at[1].set(0.0).at[2, 0].set(0.0)
+    else:
+        key = jnp.zeros((k_pad, 0), dtype)
+        kmask = jnp.ones((k_pad, 0), dtype)
+    pieces = ParamPieces(p.cam, p.im, key)
+    colmask = ParamPieces(
+        jnp.ones((n_cams, widths.a), dtype),
+        jnp.ones((n_ims, widths.b), dtype).at[0].set(0.0), kmask)
+    return op_fun, widths, pieces, colmask, uv, mask, tpl, blocks, rig
+
+
+@pytest.mark.parametrize("model,chain", [
+    ("standard", "template"), ("rational", "template"),
+    ("thin_prism", "template"), ("tilted", "template"),
+    ("standard", "selfcal"), ("tilted", "selfcal")])
+def test_compiled_pallas_gram_parity(model, chain):
+    """COMPILED (Mosaic, not interpret) Pallas grams match the XLA closed
+    form on the chip in float32 for every served intrinsic width."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.pallas_grams import (
+        make_pallas_selfcal_grams, make_pallas_template_grams)
+    from pycamset_tpu.optim.structured import make_block_grams
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, blocks,
+     rig) = _rig_problem(model=model, chain=chain)
+    n_cams, n_ims = rig["n_cams"], rig["n_ims"]
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    bb = n_cams * n_ims
+    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+    imask_b = jnp.tile(colmask.im, (n_cams, 1))
+    args = (pieces.cam[blk_cam], pieces.im[blk_im], pieces.key, tpl,
+            uv, mask, cmask_b, imask_b, colmask.key)
+
+    ref = make_block_grams(op_fun, widths)(*args)
+    maker = (make_pallas_selfcal_grams if chain == "selfcal"
+             else make_pallas_template_grams)
+    got = maker(widths)(*args)
+    names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
+             "gc_b", "gi_b", "gk", "cost"]
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        if r.size == 0:
+            continue
+        scale = np.abs(r).max() + 1e-12
+        rel = np.abs(r - g).max() / scale
+        assert rel < 5e-4, (name, rel)  # f32 accumulation-order tolerance
+
+
+@pytest.mark.parametrize("chain", ["template", "selfcal"])
+def test_solve_converges_and_matches_xla_path(chain):
+    """A full LM solve on the chip reaches the injected noise floor, and the
+    Pallas-served solve lands on the same minimum as the XLA gram path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.structured import make_structured_neq
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, blocks,
+     rig) = _rig_problem(chain=chain, n_cams=4, n_ims=10, grid=10,
+                         noise=0.4)
+
+    def run(no_pallas: bool):
+        if no_pallas:
+            os.environ["PYCAMSET_NO_PALLAS"] = "1"
+        else:
+            os.environ.pop("PYCAMSET_NO_PALLAS", None)
+        try:
+            neq = make_structured_neq(op_fun, widths, rig["n_cams"],
+                                      rig["n_ims"])
+        finally:
+            os.environ.pop("PYCAMSET_NO_PALLAS", None)
+
+        @jax.jit
+        def solve(p, uv_, mask_, tpl_):
+            return structured_lm_solve(
+                lambda pp: neq(pp, uv_, mask_, tpl_, colmask), p,
+                max_nfev=40)
+
+        pert = pieces._replace(cam=pieces.cam + jax.random.normal(
+            jax.random.PRNGKey(0), pieces.cam.shape,
+            pieces.cam.dtype) * 1e-4)
+        res = solve(pert, uv, mask, tpl)
+        jax.block_until_ready(res.cost)
+        return res
+
+    res_pallas = run(no_pallas=False)
+    res_xla = run(no_pallas=True)
+    n_obs = float(np.asarray(mask).sum())
+    rms_p = float(np.sqrt(float(res_pallas.cost) / (2 * n_obs)))
+    rms_x = float(np.sqrt(float(res_xla.cost) / (2 * n_obs)))
+    assert rms_p < 0.4 * 1.2, rms_p       # noise floor
+    assert abs(rms_p - rms_x) < 5e-3, (rms_p, rms_x)
+
+
+def test_tracker_smoke():
+    """TargetTracker end-to-end on the chip: seed, compile, track frames."""
+    import pycamset_tpu.utils.general_utils as gu
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.tracking import TargetTracker
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=6, visibility=0.9,
+                             noise_px=0.3, seed=4)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                       rig["extr"][c][3:]))
+    names = ["a", "b", "c"]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, dists, [[1600, 1200]] * 3))
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+    tracker = TargetTracker(cams, FreePointTarget(
+        rig["template"].reshape(1, -1, 3)))
+    poses, info = tracker.track_batch(det)
+    assert poses.shape == (6, 4, 4)
+    assert float(np.max(info["rms"])) < 0.5
+    for i in range(6):
+        want = gu.make_4x4h_tform(rig["poses"][i][:3], rig["poses"][i][3:])
+        np.testing.assert_allclose(poses[i], want, atol=5e-3)
+
+
+def test_rigid_fit_planar_rank2_on_chip():
+    """The TPU SVD returns a defective null-space basis for rank-2 inputs;
+    rigid_fit's cross-product rebuild must hold in compiled f32 on the
+    chip (the regression interpret mode cannot catch)."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.ops import rigid_fit
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    rng = np.random.default_rng(0)
+    src = np.concatenate([rng.normal(size=(30, 2)) * 0.05,
+                          np.zeros((30, 1))], axis=1)       # z == 0: rank 2
+    t_true = make_4x4h_tform(np.array([0.01, -0.02, 0.3]),
+                             np.array([0.1, 0.0, 0.05]))
+    dst = src @ t_true[:3, :3].T + t_true[:3, 3]
+    r, t = rigid_fit(jnp.asarray(src, jnp.float32),
+                     jnp.asarray(dst, jnp.float32))
+    r = np.asarray(r)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+    np.testing.assert_allclose(r, t_true[:3, :3], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), t_true[:3, 3], atol=1e-4)
+
+    dst_m = dst * np.array([1.0, 1.0, -1.0])
+    r2, _ = rigid_fit(jnp.asarray(src, jnp.float32),
+                      jnp.asarray(dst_m, jnp.float32))
+    np.testing.assert_allclose(np.linalg.det(np.asarray(r2)), 1.0, atol=1e-4)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -92,6 +92,123 @@ def build_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
                            mask=mask, n_real=n)
 
 
+@dataclass
+class GroupedDetectionArrays:
+    """Detections regrouped by identical parameter-gather rows.
+
+    The TPU-fast generic layout: every detection whose ``cols`` row matches
+    shares ALL its parameters (e.g. one (cam, image) pair of the template
+    chain), so the table sorts into a dense (U, M) grid — U unique rows,
+    M = max group size, short groups padded with replicas under mask 0.
+    Normal equations then assemble as U batched matmuls over the M axis and
+    ONE small (U*L^2)-element scatter, instead of a per-detection
+    (N*L^2)-element scatter-add (which serialises on TPU).
+
+    u_rows: (U, L) unique gather rows. template: (U, M, 3). uv: (U, M, 2).
+    mask: (U, M). n_real: unpadded detection count.
+    """
+    u_rows: np.ndarray
+    template: np.ndarray
+    uv: np.ndarray
+    mask: np.ndarray
+    n_real: int
+
+    def as_device(self, dtype):
+        return (jnp.asarray(self.u_rows),
+                jnp.asarray(self.template, dtype=dtype),
+                jnp.asarray(self.uv, dtype=dtype),
+                jnp.asarray(self.mask, dtype=dtype))
+
+
+def build_grouped_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
+                                   dd: np.ndarray,
+                                   template_table: np.ndarray | None,
+                                   group_of_key: np.ndarray | None = None,
+                                   m_pad_multiple: int = 8,
+                                   max_blowup: float = 3.0
+                                   ) -> GroupedDetectionArrays | None:
+    """Group a detection table by identical gather rows, or None if the
+    grouping would not pay (U*M exceeds max_blowup * N — e.g. chains whose
+    cols rows are per-detection unique, which should use the structured
+    backend or the scatter fallback instead)."""
+    flat = build_detection_arrays(op_fun, struct, dd, template_table,
+                                  pad_multiple=1, group_of_key=group_of_key)
+    n = flat.n_real
+    u_rows, inv = np.unique(flat.cols[:n], axis=0, return_inverse=True)
+    u = u_rows.shape[0]
+    counts = np.bincount(inv, minlength=u)
+    m = int(counts.max())
+    m = ((m + m_pad_multiple - 1) // m_pad_multiple) * m_pad_multiple
+    if u * m > max_blowup * n:
+        return None
+    order = np.argsort(inv, kind="stable")
+    tpl = np.zeros((u, m, 3))
+    uv = np.zeros((u, m, 2))
+    mask = np.zeros((u, m))
+    slot = np.concatenate([np.arange(c) for c in counts]) if n else np.zeros(0, int)
+    gi = inv[order]
+    tpl[gi, slot] = flat.template[:n][order]
+    uv[gi, slot] = flat.uv[:n][order]
+    mask[gi, slot] = 1.0
+    # pad slots replicate the group's first real row (NaN-safety: every
+    # lane must stay finite; the mask kills its contribution)
+    first = tpl[:, 0], uv[:, 0]
+    pad = mask == 0.0
+    tpl[pad] = np.repeat(first[0], m, axis=0).reshape(u, m, 3)[pad]
+    uv[pad] = np.repeat(first[1], m, axis=0).reshape(u, m, 2)[pad]
+    return GroupedDetectionArrays(u_rows=u_rows, template=tpl, uv=uv,
+                                  mask=mask, n_real=n)
+
+
+def make_grouped_neq_fn(op_fun: OptimFunction, loss: str = "linear",
+                        f_scale: float = 1.0):
+    """Normal-equation builder over the (U, M) grouped grid.
+
+    neq(params_full, u_rows, tpl, uv, mask) -> (JtJ, grad, cost): parameters
+    gather ONCE per group, residual/Jacobian vectorise over the dense grid,
+    grams contract over the M axis on the MXU, and only the (U, L, L) /
+    (U, L) group results scatter into the global system. Same semantics as
+    make_neq_fn (IRLS robust weights per 2-D observation).
+    """
+    from pycamset_tpu.optim.losses import make_loss
+
+    point_fn = op_fun.make_point_fn()
+    rho_fn, weight_fn = make_loss(loss, f_scale)
+    robust = loss != "linear"
+
+    def neq(params_full, u_rows, tpl, uv, mask):
+        p_total = params_full.shape[0]
+        local_u = params_full[u_rows]                  # (U, L)
+
+        def res_one(lp, t, u):
+            return point_fn(lp, t) - u
+
+        def rj(lp, t, u):
+            return res_one(lp, t, u), jax.jacfwd(res_one)(lp, t, u)
+
+        per_m = jax.vmap(rj, in_axes=(None, 0, 0))
+        r, jac = jax.vmap(per_m)(local_u, tpl, uv)     # (U,M,2), (U,M,2,L)
+        r = r * mask[..., None]
+        if robust:
+            s = jnp.sum(r * r, axis=-1)
+            cost = jnp.sum(rho_fn(s) * mask)
+            sw = jnp.sqrt(weight_fn(s)) * mask
+            r = r * sw[..., None]
+            jac = jac * sw[..., None, None]
+        else:
+            cost = jnp.sum(r * r)
+            jac = jac * mask[..., None, None]
+
+        gram_u = jnp.einsum("umki,umkj->uij", jac, jac)   # (U,L,L) MXU
+        g_u = jnp.einsum("umki,umk->ui", jac, r)          # (U,L)
+        jtj = jnp.zeros((p_total, p_total), dtype=r.dtype).at[
+            u_rows[:, :, None], u_rows[:, None, :]].add(gram_u)
+        grad = jnp.zeros((p_total,), dtype=r.dtype).at[u_rows].add(g_u)
+        return jtj, grad, cost
+
+    return neq
+
+
 def make_residual_fn(op_fun: OptimFunction):
     """residual(params_full, cols, tpl, uv, mask) -> (N,2) masked residuals."""
     point_fn = op_fun.make_point_fn()

@@ -167,3 +167,67 @@ class TestBlockSelfChecks:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestGroupedGenericAssembly:
+    """The fast generic fallback: detections grouped by identical gather
+    rows assemble the normal equations as batched matmuls + one small
+    scatter (50x the per-detection scatter-add on TPU)."""
+
+    def _problem(self):
+        from pycamset_tpu.optim.blocks import (
+            Extrinsic3D, Projection, TemplatePoints)
+        from pycamset_tpu.optim.chain import OptimFunction
+        from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+        rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=5, visibility=0.8,
+                                 noise_px=0.5, seed=3)
+        op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), TemplatePoints()])
+        struct = op_fun.param_struct(3, 6, rig["n_keys"])
+        full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                               rig["poses"].ravel()])
+        return rig, op_fun, struct, full
+
+    @pytest.mark.parametrize("loss", ["linear", "huber"])
+    def test_matches_scatter_assembly(self, loss):
+        import jax.numpy as jnp
+        from pycamset_tpu.optim.residuals import (
+            build_detection_arrays, build_grouped_detection_arrays,
+            make_grouped_neq_fn, make_neq_fn)
+
+        rig, op_fun, struct, full = self._problem()
+        det = build_detection_arrays(op_fun, struct, rig["dd"],
+                                     rig["template"])
+        g = build_grouped_detection_arrays(op_fun, struct, rig["dd"],
+                                           rig["template"])
+        assert g is not None
+        assert int(g.mask.sum()) == g.n_real == det.n_real
+        fullj = jnp.asarray(full)
+        ref = make_neq_fn(op_fun, loss=loss, f_scale=1.5)(
+            fullj, *det.as_device(jnp.float64))
+        got = make_grouped_neq_fn(op_fun, loss=loss, f_scale=1.5)(
+            fullj, *g.as_device(jnp.float64))
+        for name, r, gg in zip(["jtj", "grad", "cost"], ref, got):
+            r, gg = np.asarray(r), np.asarray(gg)
+            scale = np.abs(r).max() + 1e-12
+            assert np.abs(r - gg).max() / scale < 1e-12, name
+
+    def test_blowup_guard_returns_none(self):
+        """Chains whose gather rows are per-detection unique (here: a
+        free-point chain, each detection touching its own key params) must
+        decline the grouping."""
+        from pycamset_tpu.optim.blocks import (
+            Extrinsic3D, FreePoint, Projection, RigidTform3d)
+        from pycamset_tpu.optim.chain import OptimFunction
+        from pycamset_tpu.optim.residuals import (
+            build_grouped_detection_arrays)
+        from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+        rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=5, visibility=0.8,
+                                 noise_px=0.5, seed=3)
+        op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+        struct = op_fun.param_struct(3, 6, rig["n_keys"])
+        g = build_grouped_detection_arrays(op_fun, struct, rig["dd"], None)
+        assert g is None

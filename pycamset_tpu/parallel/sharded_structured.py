@@ -247,6 +247,111 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
     return neq
 
 
+def make_key_sharded_structured_neq(op_fun: OptimFunction,
+                                    widths: GroupWidths, n_cams: int,
+                                    n_ims: int, mesh: Mesh,
+                                    loss: str = "linear",
+                                    f_scale: float = 1.0):
+    """neq with the KEY (structure) axis sharded over the mesh.
+
+    The scaling axis for SfM-like problems: at >=100k free points the
+    per-key coupling tensors wck (C, K, a, c) / wik (I, K, b, c) are the
+    memory and ICI wall if replicated. Here every device holds all (cam,
+    image) blocks but only a K/n_dev slice of the keys: the per-key normal
+    equation pieces (hkk, gk, wck, wik) are RETURNED SHARDED and never
+    cross ICI — only the small per-cam/per-im partial sums psum. The Schur
+    solve downstream contracts over K with sharded operands, so XLA's SPMD
+    partitioner reduces those contractions with one (C*a)^2-sized
+    all-reduce per solve rather than moving the W tensors.
+
+    uv/mask enter as (C, I, K[, 2]) tensors sharded on axis 2; the key
+    pieces of params/colmask and the template table are sharded on axis 0;
+    everything else is replicated. k_pad must divide the mesh (always true
+    for the default 128-multiple padding on an 8-device mesh). PER_GROUP
+    chains have G ~ O(10) key rows — key sharding is meaningless there and
+    unsupported.
+
+    :return: neq(pieces, uv, mask, tpl, colmask) -> NormalEq with
+        hcc/hii/wci/gc/gi/cost replicated and hkk/gk/wck/wik key-sharded.
+    """
+    a, b, c = widths.a, widths.b, widths.c
+    if widths.key_link == key_type.PER_GROUP:
+        raise ValueError("key-axis sharding does not apply to PER_GROUP "
+                         "chains (use cam/pose sharding)")
+    if c == 0:
+        raise ValueError("key-axis sharding needs key-linked parameters")
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
+    n_dev = mesh.devices.size
+
+    piece_spec = ParamPieces(P(), P(), P(DETECTION_AXIS))
+    out_spec = NormalEq(
+        hcc=P(), hii=P(), hkk=P(DETECTION_AXIS), wci=P(),
+        wck=P(None, DETECTION_AXIS), wik=P(None, DETECTION_AXIS),
+        gc=P(), gi=P(), gk=P(DETECTION_AXIS), cost=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(piece_spec, P(None, None, DETECTION_AXIS),
+                       P(None, None, DETECTION_AXIS), P(DETECTION_AXIS),
+                       piece_spec),
+             out_specs=out_spec)
+    def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
+        k_loc = mask.shape[-1]
+        bb = n_cams * n_ims
+        cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+        im_b = jnp.tile(pieces.im, (n_cams, 1))
+        cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+        imask_b = jnp.tile(colmask.im, (n_cams, 1))
+
+        (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
+         cost) = grams(cam_b, im_b, pieces.key, tpl,
+                       uv.reshape(bb, k_loc, 2), mask.reshape(bb, k_loc),
+                       cmask_b, imask_b, colmask.key)
+
+        # per-cam/per-im pieces: partial sums over this device's keys,
+        # completed by a psum of SMALL tensors; per-key pieces stay local
+        hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+        hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
+        gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+        gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
+        wci = wci_b.reshape(n_cams, n_ims, a, b)
+        wck = wck_b.reshape(n_cams, n_ims, k_loc, a, c).sum(axis=1)
+        wik = wik_b.reshape(n_cams, n_ims, k_loc, b, c).sum(axis=0)
+
+        small = (hcc, hii, wci, gc, gi, cost)
+        hcc, hii, wci, gc, gi, cost = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, DETECTION_AXIS), small)
+        return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
+
+    return neq
+
+
+def shard_key_arrays(mesh: Mesh, uv, mask, tpl, pieces: ParamPieces,
+                     colmask: ParamPieces, n_cams: int):
+    """Place a block-grid problem with the KEY axis sharded over the mesh.
+
+    :param uv: (B, K, 2) block observations. :param mask: (B, K).
+    :return: (uv (C,I,K,2), mask (C,I,K), tpl, pieces, colmask) with the
+        key axes sharded and everything else replicated.
+    """
+    b, k = np.shape(mask)
+    n_ims = b // n_cams
+    key_sh = NamedSharding(mesh, P(None, None, DETECTION_AXIS))
+    row_sh = NamedSharding(mesh, P(DETECTION_AXIS))
+    rep = NamedSharding(mesh, P())
+    uv_c = jax.device_put(jnp.reshape(uv, (n_cams, n_ims, k, 2)),
+                          NamedSharding(mesh, P(None, None, DETECTION_AXIS,
+                                                None)))
+    mask_c = jax.device_put(jnp.reshape(mask, (n_cams, n_ims, k)), key_sh)
+    tpl_s = jax.device_put(tpl, row_sh)
+    pieces_s = ParamPieces(jax.device_put(pieces.cam, rep),
+                           jax.device_put(pieces.im, rep),
+                           jax.device_put(pieces.key, row_sh))
+    colmask_s = ParamPieces(jax.device_put(colmask.cam, rep),
+                            jax.device_put(colmask.im, rep),
+                            jax.device_put(colmask.key, row_sh))
+    return uv_c, mask_c, tpl_s, pieces_s, colmask_s
+
+
 def choose_shard_axis(n_cams: int, n_ims: int, n_dev: int) -> str:
     """'cam' or 'pose': prefer the axis that divides the mesh evenly, and
     among valid choices the one with more slabs per device (better balance;
@@ -313,10 +418,15 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
         camera-major (C, I, K[, 2]) tensors sharded on axis 0 ('cam') or
         axis 1 ('pose').
     """
-    make = (make_pose_sharded_structured_neq if shard_axis == "pose"
-            else make_sharded_structured_neq)
-    neq = make(op_fun, widths, n_cams, n_ims, mesh, loss=loss,
-               f_scale=f_scale, group_of_key=group_of_key, n_groups=n_groups)
+    if shard_axis == "key":
+        neq = make_key_sharded_structured_neq(
+            op_fun, widths, n_cams, n_ims, mesh, loss=loss, f_scale=f_scale)
+    else:
+        make = (make_pose_sharded_structured_neq if shard_axis == "pose"
+                else make_sharded_structured_neq)
+        neq = make(op_fun, widths, n_cams, n_ims, mesh, loss=loss,
+                   f_scale=f_scale, group_of_key=group_of_key,
+                   n_groups=n_groups)
 
     @jax.jit
     def solve(pieces: ParamPieces, uv, mask, tpl) -> SLMResult:

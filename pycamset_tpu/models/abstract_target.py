@@ -334,7 +334,7 @@ class AbstractTarget(ABC):
             user_in = outliers
             while user_in not in ("y", "n"):
                 print(f"Outliers detected in iteration {num_loops}.")
-                user_in = input("Do you wish to remove these outliers?: \n y/n: ")
+                user_in = input("Drop these outlier detections? [y/n]: ")
             if user_in == "y":
                 inds = np.arange(len(p_detected))[p_detected][ans]
                 poses = list(np.delete(np.array(poses), ans, axis=0))

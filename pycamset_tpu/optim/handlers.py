@@ -420,7 +420,7 @@ class TemplateBundleHandler:
             outlier_inds = not_missing[condensed]
             while user_in not in ("y", "n"):
                 print(f"Outliers detected in iteration {num_loops}.")
-                user_in = input("Do you wish to remove these outlier poses: \n y/n: ")
+                user_in = input("Drop these outlier poses from the problem? [y/n]: ")
             if user_in == "y":
                 self.missing_poses[outlier_inds] = True
             else:
@@ -865,10 +865,13 @@ class SelfBundleHandler(TemplateBundleHandler):
             inds = np.triu_indices(int(np.sum(vm)), k=1)
             new_map = cdist(point_estimate[vm], point_estimate[vm])[inds]
             ref_map = cdist(ref_points[vm], ref_points[vm])[inds]
-            # compare only adjacent-square distances (robust scale anchor)
-            dt = getattr(self.target, "square_size", None)
-            if dt is not None:
-                sel = np.isclose(ref_map, dt)
+            # anchor the scale on adjacent-point distances only (the grid
+            # pitch = the minimum pairwise distance of the reference model;
+            # non-empty by construction — a square_size attribute cannot be
+            # trusted for units, and an empty selection used to NaN the
+            # whole gauge transform)
+            if ref_map.size:
+                sel = np.isclose(ref_map, ref_map.min(), rtol=1e-6)
                 new_map, ref_map = new_map[sel], ref_map[sel]
         elif isinstance(valid_map, np.ndarray):
             pairs = valid_map[:, :2].astype(int)
@@ -878,10 +881,16 @@ class SelfBundleHandler(TemplateBundleHandler):
                 ref_points[pairs[:, 0]] - ref_points[pairs[:, 1]], axis=1)
         else:
             raise ValueError(
-                "The target.valid_map property either needs to be true, for "
-                "all comparisons being valid, or a nx2 list of index pairs.")
+                "target.valid_map must be True (every point pair is "
+                "comparable) or an (n, 2) array of comparable index pairs.")
 
-        s = np.mean(ref_map / new_map)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.mean(ref_map / new_map) if new_map.size else np.nan
+        if not np.isfinite(s):
+            logging.critical(
+                "Could not anchor the model scale (no finite comparable "
+                "distances); leaving the recovered scale unchanged")
+            s = 1.0
         new_points = s * point_estimate
 
         try:
@@ -893,7 +902,8 @@ class SelfBundleHandler(TemplateBundleHandler):
             update_tform[:3, 3] = np.array(tvec)
         except Exception as e:
             logging.critical(
-                "Failed to find an acceptable gauge transform, returning the identity")
+                "Gauge alignment onto the reference model failed; keeping the "
+                "identity transform")
             logging.critical(f"Gave error: {e}")
             update_tform = np.eye(4)
 

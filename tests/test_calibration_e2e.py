@@ -68,6 +68,10 @@ def test_self_calibration_charuco(charuco_cams):
         np.reshape(final_cams.calibration_result, (-1, 2)), axis=1))
     assert final_euclid < 1.07, (
         f"regression found in charuco self-calibration: {final_euclid:.3f} px")
+    # the RETURNED cameras must be gauge-aligned with finite transforms
+    # (an empty scale-anchor selection used to NaN every extrinsic here)
+    for cam in final_cams:
+        assert np.all(np.isfinite(cam.extrinsic)), cam.name
 
 
 def test_calibration_save_load_round_trip(charuco_cams):

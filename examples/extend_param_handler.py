@@ -37,9 +37,13 @@ from pycamset_tpu.utils.general_utils import (
     average_tforms, ext_4x4_to_rod, make_4x4h_tform)
 
 
+# GroupTemplatePoints is now a first-class block; shown here spelled out as
+# the pattern for custom group-bound blocks (a one-liner: subclass + a
+# PER_GROUP ParamSpec)
 class GroupTemplatePoints(TemplatePoints):
     """Template lookup + SE(3) transform bound per feature GROUP (the
-    relative pose of the group's target in the base target's frame)."""
+    relative pose of the group's target in the base target's frame).
+    Identical to pycamset_tpu.optim.blocks.GroupTemplatePoints."""
     params = ParamSpec(key_type.PER_GROUP, 6)
 
 

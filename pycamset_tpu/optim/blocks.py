@@ -181,6 +181,16 @@ class GroupRigidTform3d(RigidTform3d):
     params = ParamSpec(key_type.PER_GROUP, 6)
 
 
+class GroupTemplatePoints(TemplatePoints):
+    """Template lookup + SE(3) transform bound per feature GROUP: the
+    canonical multi-target block (each group's points are one rigid target
+    posed relative to the base target's frame). The chain
+    Projection + Extrinsic3D + RigidTform3d + GroupTemplatePoints has a
+    closed-form Jacobian (optim/analytic.py) and runs on the structured
+    Schur backend and every mesh sharding."""
+    params = ParamSpec(key_type.PER_GROUP, 6)
+
+
 # reference-style lowercase aliases (template_handler.py:152 spells the chain
 # fb.projection() + fb.extrinsic3D() + fb.template_points())
 projection = Projection

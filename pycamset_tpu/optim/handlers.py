@@ -591,17 +591,21 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
         prism_y = r2 * (s3 + r2 * s4)
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + prism_x
     yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + prism_y
-    if dists.shape[1] >= 14:  # sensor tilt (host path, per-camera matrices)
-        def tilt_mat(taux, tauy):
-            cx_, sx_ = np.cos(taux), np.sin(taux)
-            cy_, sy_ = np.cos(tauy), np.sin(tauy)
-            rx_ = np.array([[1, 0, 0], [0, cx_, sx_], [0, -sx_, cx_]])
-            ry_ = np.array([[cy_, 0, -sy_], [0, 1, 0], [sy_, 0, cy_]])
-            rr = ry_ @ rx_
-            pz = np.array([[rr[2, 2], 0, -rr[0, 2]],
-                           [0, rr[2, 2], -rr[1, 2]], [0, 0, 1]])
-            return pz @ rr
-        mats = np.array([tilt_mat(d[12], d[13]) for d in dists])
+    if dists.shape[1] >= 14:  # sensor tilt (host path, vectorised over cams)
+        cx_, sx_ = np.cos(dists[:, 12]), np.sin(dists[:, 12])
+        cy_, sy_ = np.cos(dists[:, 13]), np.sin(dists[:, 13])
+        zz, oo = np.zeros_like(cx_), np.ones_like(cx_)
+        rx_ = np.stack([oo, zz, zz, zz, cx_, sx_, zz, -sx_, cx_],
+                       axis=1).reshape(-1, 3, 3)
+        ry_ = np.stack([cy_, zz, -sy_, zz, oo, zz, sy_, zz, cy_],
+                       axis=1).reshape(-1, 3, 3)
+        rr = ry_ @ rx_
+        pz = np.zeros_like(rr)
+        pz[:, 0, 0] = pz[:, 1, 1] = rr[:, 2, 2]
+        pz[:, 0, 2] = -rr[:, 0, 2]
+        pz[:, 1, 2] = -rr[:, 1, 2]
+        pz[:, 2, 2] = 1.0
+        mats = pz @ rr
         m = mats[cam]
         w = m[:, 2, 0] * xd + m[:, 2, 1] * yd + m[:, 2, 2]
         xt = (m[:, 0, 0] * xd + m[:, 0, 1] * yd + m[:, 0, 2]) / w

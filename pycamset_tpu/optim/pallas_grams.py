@@ -444,7 +444,8 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
 def make_pallas_selfcal_grams(widths, loss: str = "linear",
                               f_scale: float = 1.0):
     """Drop-in per-block gram builder for the self-cal chain (Pallas);
-    serves the standard (a=15), rational (a=18) and thin-prism (a=22) camera models."""
+    serves the standard (a=15), rational (a=18), thin-prism (a=22) and
+    tilted (a=24) camera models."""
     from pycamset_tpu.optim.losses import make_loss
     a, bw, c = widths.a, widths.b, widths.c
     assert a in (15, 18, 22, 24) and (bw, c) == (6, 3)
@@ -569,7 +570,8 @@ def make_pallas_template_grams(widths, loss: str = "linear",
     """A drop-in per-block gram builder using the Pallas kernel.
 
     Same contract as make_block_grams for the template chain (c == 0);
-    serves the standard (a=15), rational (a=18) and thin-prism (a=22) camera models.
+    serves the standard (a=15), rational (a=18), thin-prism (a=22) and
+    tilted (a=24) camera models.
     grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask) ->
     (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost).
     """

@@ -87,5 +87,10 @@ def import_reference(module: str):
                 sys.modules[name] = _StubModule(name, attrs)
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
-    __import__(module)
+    import warnings
+    with warnings.catch_warnings():
+        # the read-only reference carries '\i' escapes in plot labels;
+        # its SyntaxWarnings are not ours to fix
+        warnings.simplefilter("ignore", SyntaxWarning)
+        __import__(module)
     return sys.modules[module]

@@ -127,6 +127,32 @@ class TestAnalyticParity:
         np.testing.assert_allclose(np.asarray(jk_a), np.asarray(jk_f),
                                    rtol=1e-9, atol=1e-9)
 
+    def test_grouped_template_chain(self):
+        """The multi-target chain's closed form (per-key group SE(3) before
+        the image pose) matches jacfwd, including the 6 group columns."""
+        from pycamset_tpu.optim.analytic import block_rj_grouped_template
+        from pycamset_tpu.optim.blocks import GroupTemplatePoints
+
+        op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), RigidTform3d(),
+             GroupTemplatePoints()])
+        cam_a, pose6, tpl, uv = rand_problem()
+        keyp6 = jnp.array(np.concatenate(
+            [RNG.normal(size=(tpl.shape[0], 3)) * 0.2,
+             RNG.normal(size=(tpl.shape[0], 3)) * 0.05], axis=1))
+        r_a, jc_a, ji_a, jk_a = block_rj_grouped_template(
+            cam_a, pose6, keyp6, tpl, uv)
+        r_f, jc_f, ji_f, jk_f = jacfwd_reference(
+            op_fun, cam_a, pose6, keyp6, tpl, uv, 6)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_f),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(jc_a), np.asarray(jc_f),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ji_a), np.asarray(ji_f),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(jk_a), np.asarray(jk_f),
+                                   rtol=1e-9, atol=1e-9)
+
     def test_dispatch(self):
         assert analytic_block_rj_for_chain(OptimFunction(
             [Projection(), Extrinsic3D(), TemplatePoints()])) is not None

@@ -232,3 +232,204 @@ def synthetic_demo():
 
 if __name__ == "__main__":
     synthetic_demo()
+
+
+# --------------------------------------------------------------------------
+# Going further: multi-target SELF-calibration (mixed PER_KEY + PER_GROUP)
+# --------------------------------------------------------------------------
+
+class TwoTargetSelfPrimitive(TwoTargetPrimitive):
+    """Two-target primitive + free per-point geometry.
+
+    Parameter layout matches the chain group order:
+    [intr | extr | poses | rel poses (PER_GROUP) | points (PER_KEY)].
+    """
+
+    def __init__(self, poses, extr, intr, rel_poses, bundle_points,
+                 poses_unfixed=None, extr_unfixed=None, intr_unfixed=None,
+                 rel_unfixed=None, bundle_points_unfixed=None):
+        self.bundle_pts = bundle_points          # flat (3*n_points,)
+        self.bdpt_unfixed = (bundle_points_unfixed
+                             if bundle_points_unfixed is not None
+                             else np.ones(bundle_points.shape[0], dtype=bool))
+        super().__init__(poses, extr, intr, rel_poses, poses_unfixed,
+                         extr_unfixed, intr_unfixed, rel_unfixed)
+
+    def base_full(self):
+        return np.concatenate([super().base_full(),
+                               self.bundle_pts.ravel()])
+
+    def unfixed_full(self):
+        return np.concatenate([super().unfixed_full(), self.bdpt_unfixed])
+
+    def return_bundle_primitives(self, params):
+        full = self.base_full()
+        full[self.unfixed_full()] = params
+        n_c = self.intr.shape[0]
+        n_p = self.poses.shape[0]
+        n_g = self.rel_poses.shape[0]
+        e0 = 9 * n_c
+        e1 = e0 + 6 * n_c
+        e2 = e1 + 6 * n_p
+        e3 = e2 + 6 * n_g
+        self.intr[:] = full[:e0].reshape(n_c, 9)
+        self.extr[:] = full[e0:e1].reshape(n_c, 6)
+        self.poses[:] = full[e1:e2].reshape(n_p, 6)
+        self.rel_poses[:] = full[e2:e3].reshape(n_g, 6)
+        self.bundle_pts[:] = full[e3:]
+        return (self.intr, self.extr, self.poses, self.rel_poses,
+                self.bundle_pts.reshape(-1, 3))
+
+
+class TwoTargetSelfCalibrator(TwoTargetCalibrator):
+    """Two rigidly-coupled targets, SELF-calibrating BOTH geometries and
+    the relative pose jointly.
+
+    The chain mixes PER_KEY (free 3D points) and PER_GROUP (relative pose)
+    parameters:
+
+        pixel = projection( extrinsic( pose_im( rel_group( point[key] ))))
+
+    which runs on the arrow-structured mixed backend
+    (optim/structured_mixed.py). Gauge: each target's local frame is
+    anchored to its nominal model — 7 fixed coordinates on target 0
+    (similarity: the global frame + scale) and 6 on target 1 (rigid: its
+    frame is otherwise absorbed by the free relative pose) — plus group 0's
+    relative pose fixed to the identity and unseen features frozen.
+    """
+
+    def __init__(self, camset: CameraSet, target0, target1,
+                 detection0: TargetDetection, detection1: TargetDetection,
+                 fixed_params=None, options=None, missing_poses=None):
+        super().__init__(camset, target0, target1, detection0, detection1,
+                         fixed_params, options, missing_poses)
+        from pycamset_tpu.optim.blocks import FreePoint, GroupRigidTform3d
+        from pycamset_tpu.optim.handlers import find_not_colinear_pts
+
+        flat_pts = np.copy(self.point_data.reshape(-1)).astype(float)
+        pts3 = flat_pts.reshape(-1, 3)
+        gok = self.group_of_key()
+        feat_unfixed = np.ones(pts3.shape[0] * 3, dtype=bool)
+        for g in range(self.n_groups()):
+            idx = np.where(gok == g)[0]
+            j0, j1, j2 = find_not_colinear_pts(pts3[idx])
+            i0, i1, i2 = idx[j0], idx[j1], idx[j2]
+            feat_unfixed[3 * i0:3 * i0 + 3] = False
+            if g == 0:   # + scale anchor: 3 + 3 + 1 = 7 (similarity)
+                feat_unfixed[3 * i1:3 * i1 + 3] = False
+                feat_unfixed[3 * i2] = False
+            else:        # 3 + 2 + 1 = 6 (rigid; rel pose carries the rest)
+                feat_unfixed[3 * i1:3 * i1 + 2] = False
+                feat_unfixed[3 * i2] = False
+        # freeze features never observed
+        seen = np.unique(self.get_detection_data(flatten=True)[:, 2]
+                         .astype(int))
+        for idf in np.setdiff1d(np.arange(pts3.shape[0]), seen):
+            feat_unfixed[3 * idf:3 * idf + 3] = False
+
+        prim = self.bundlePrimitive
+        self.bundlePrimitive = TwoTargetSelfPrimitive(
+            prim.poses, prim.extr, prim.intr, prim.rel_poses, flat_pts,
+            poses_unfixed=prim.poses_unfixed, extr_unfixed=prim.extr_unfixed,
+            intr_unfixed=prim.intr_unfixed, rel_unfixed=prim.rel_unfixed,
+            bundle_points_unfixed=feat_unfixed)
+        self.op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), RigidTform3d(),
+             GroupRigidTform3d(), FreePoint()])
+
+    def template_table(self):
+        return None  # geometry is optimised, not a constant table
+
+    def get_relative_pose(self, x) -> np.ndarray:
+        rel = self.bundlePrimitive.return_bundle_primitives(x)[3]
+        return make_4x4h_tform(rel[1][:3], rel[1][3:])
+
+    def get_updated_targets(self, x):
+        """(points of target 0, points of target 1) in their local frames."""
+        pts = self.bundlePrimitive.return_bundle_primitives(x)[4]
+        return pts[:self.len0], pts[self.len0:]
+
+    def get_camset(self, x, return_pose: bool = False):
+        from pycamset_tpu.optim.handlers import _clone_camset, _write_cams
+        new_cams = _clone_camset(self.camset)
+        proj, extr, poses, _, _ = (
+            self.bundlePrimitive.return_bundle_primitives(x))
+        _write_cams(new_cams, self.cam_names, proj, extr)
+        if not return_pose:
+            return new_cams
+        flat = np.array([make_4x4h_tform(p[:3], p[3:])[:3, :4].reshape(-1)
+                         for p in poses])
+        return new_cams, flat
+
+
+def synthetic_selfcal_demo():
+    """Two rigidly-joined grids whose TRUE geometries are warped versions
+    of the nominal models: the mixed solve recovers the warp of both
+    targets AND their relative pose, jointly with the calibration."""
+    from pycamset_tpu.models.camera_set import make_cam_dict
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.utils.general_utils import h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+    import pycamset_tpu.utils.general_utils as gu
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=10, grid=6, visibility=1.0,
+                             noise_px=0.1, seed=13)
+    tpl0_nominal = rig["template"]
+    rng = np.random.default_rng(5)
+    # true geometry: nominal + a smooth per-point warp (unknown to the seed)
+    warp0 = rng.normal(size=tpl0_nominal.shape) * 5e-4
+    tpl0_true = tpl0_nominal + warp0
+    rel_true = make_4x4h_tform(np.array([0.08, -0.15, 0.25]),
+                               np.array([0.12, 0.03, -0.04]))
+    tpl1_nominal = tpl0_nominal + [0.002, 0.001, 0.0]
+    warp1 = rng.normal(size=tpl1_nominal.shape) * 5e-4
+    tpl1_true = tpl1_nominal + warp1
+
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                       rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+
+    def project_rows(points_world_local, rel=None):
+        rows = []
+        for i in range(10):
+            t = gu.make_4x4h_tform(rig["poses"][i][:3], rig["poses"][i][3:])
+            world = h_tform(points_world_local, t if rel is None
+                            else t @ rel)
+            for c in range(3):
+                uv = cams[c].project_points(world)
+                for kk in range(world.shape[0]):
+                    rows.append([c, i, kk,
+                                 *(uv[kk] + rng.normal(size=2) * 0.1)])
+        return np.array(rows)
+
+    det0 = TargetDetection(cam_names=["a", "b", "c"],
+                           data=project_rows(tpl0_true))
+    det1 = TargetDetection(cam_names=["a", "b", "c"],
+                           data=project_rows(tpl1_true, rel=rel_true))
+
+    handler = TwoTargetSelfCalibrator(
+        cams, FreePointTarget(tpl0_nominal.reshape(1, -1, 3)),
+        FreePointTarget(tpl1_nominal.reshape(1, -1, 3)),
+        det0, det1, options={"outliers": "n"})
+    result, final_cams = run_bundle_adjustment(handler)
+    rms = np.sqrt(np.mean(result["fun"] ** 2))
+    rel = handler.get_relative_pose(result["x"])
+    pts0, pts1 = handler.get_updated_targets(result["x"])
+    warp0_rec = np.abs((pts0 - tpl0_nominal) - warp0).max()
+    warp1_err = np.abs(h_tform(pts1, rel) - h_tform(tpl1_true, rel_true)).max()
+    print(f"residual rms: {rms:.4f} px")
+    print(f"target-0 warp recovery err: {warp0_rec:.2e} m")
+    print(f"target-1 world-frame err:   {warp1_err:.2e} m")
+    return rms, warp0_rec, warp1_err
+
+
+if __name__ == "__main__" and "--selfcal" in sys.argv:
+    synthetic_selfcal_demo()

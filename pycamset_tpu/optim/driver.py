@@ -236,12 +236,23 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
                 param_handler, dtype=dtype)
             logging.info("Using the structured (Schur) backend")
         except UnsupportedChain as e:
-            if backend == "structured":
-                raise
-            logging.info(f"Structured backend unavailable ({e}); "
-                         "falling back to the generic backend")
-            solve_fn, residual_fn, init_params = build_solver(
-                param_handler, dtype=dtype)
+            try:
+                # mixed PER_KEY+PER_GROUP chains (multi-target self-cal)
+                # have their own arrow-structured backend
+                from pycamset_tpu.optim.structured_driver import (
+                    build_mixed_structured_problem)
+                solve_fn, residual_fn, init_params = (
+                    build_mixed_structured_problem(param_handler,
+                                                   dtype=dtype))
+                logging.info(
+                    "Using the mixed (key+group) structured backend")
+            except UnsupportedChain:
+                if backend == "structured":
+                    raise e
+                logging.info(f"Structured backend unavailable ({e}); "
+                             "falling back to the generic backend")
+                solve_fn, residual_fn, init_params = build_solver(
+                    param_handler, dtype=dtype)
     else:
         solve_fn, residual_fn, init_params = build_solver(
             param_handler, dtype=dtype)

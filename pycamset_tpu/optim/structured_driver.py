@@ -185,3 +185,165 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         return r[blk_i, key_i]
 
     return solve_fn, residual_fn, x0
+
+
+def build_mixed_structured_problem(param_handler, dtype,
+                                   k_pad_multiple: int = 128):
+    """Compile a MIXED PER_KEY + PER_GROUP chain (multi-target
+    self-calibration) onto the arrow-structured backend
+    (optim/structured_mixed.py). Same contract as build_structured_problem;
+    raises UnsupportedChain when the chain is not mixed.
+    """
+    from pycamset_tpu.optim.structured_mixed import (
+        MixedPieces, make_mixed_ops, make_mixed_structured_neq,
+        mixed_chain_widths)
+
+    op_fun: OptimFunction = param_handler.op_fun
+    widths = mixed_chain_widths(op_fun)
+
+    x0 = np.asarray(param_handler.get_initial_params(), dtype=np.float64)
+    n_cams = len(param_handler.cam_names)
+    n_ims = int(param_handler.bundlePrimitive.poses.shape[0])
+    n_keys = param_handler.n_keys()
+    im_bucket = param_handler.problem_opts.get("im_bucket", 8)
+    n_ims_grid = (((n_ims + im_bucket - 1) // im_bucket) * im_bucket
+                  if im_bucket else n_ims)
+
+    dd = param_handler.get_detection_data(flatten=True)
+    blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
+                                k_pad_multiple=k_pad_multiple)
+    k_pad = blocks.uv.shape[1]
+
+    n_groups = int(param_handler.n_groups())
+    gok = np.asarray(param_handler.group_of_key(), dtype=np.int64)
+    if gok.shape != (n_keys,) or gok.min() < 0 or gok.max() >= n_groups:
+        raise ValueError("group_of_key() must map every key into "
+                         f"[0, {n_groups})")
+    gok_pad = np.concatenate(
+        [gok, np.full(k_pad - n_keys, gok[0], dtype=np.int64)])
+
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys, n_groups=n_groups)
+    base_full = param_handler.bundlePrimitive.base_full()
+    unfixed = param_handler.bundlePrimitive.unfixed_full()
+    base_full[unfixed] = x0
+    free_idx = np.where(unfixed)[0]
+
+    def to_pieces(full_np: np.ndarray) -> MixedPieces:
+        full = jnp.asarray(full_np, dtype=dtype)
+        cam_parts, im_parts, key_parts, grp_parts = [], [], [], []
+        for gi_, g in enumerate(op_fun.groups):
+            sl = struct.group_slice(gi_)
+            chunk = full[sl.start:sl.stop]
+            if g.link == key_type.PER_CAM:
+                cam_parts.append(chunk.reshape(n_cams, g.n))
+            elif g.link == key_type.PER_IMG:
+                im_parts.append(chunk.reshape(n_ims, g.n))
+            elif g.link == key_type.PER_KEY:
+                key_parts.append(chunk.reshape(n_keys, g.n))
+            else:
+                grp_parts.append(chunk.reshape(n_groups, g.n))
+        cam = jnp.concatenate(cam_parts, axis=1)
+        im = jnp.concatenate(im_parts, axis=1)
+        key = jnp.concatenate(key_parts, axis=1)
+        grp = jnp.concatenate(grp_parts, axis=1)
+        # pad key rows replicate key 0; image rows pad to the bucketed grid
+        key = jnp.tile(key[:1], (k_pad, 1)).at[:n_keys].set(key)
+        im = jnp.tile(im[:1], (n_ims_grid, 1)).at[:n_ims].set(im)
+        return MixedPieces(cam, im, key, grp)
+
+    def from_pieces(p: MixedPieces) -> np.ndarray:
+        out = np.zeros(struct.total)
+        cam_off = im_off = key_off = grp_off = 0
+        for gi_, g in enumerate(op_fun.groups):
+            sl = struct.group_slice(gi_)
+            if g.link == key_type.PER_CAM:
+                out[sl.start:sl.stop] = np.asarray(
+                    p.cam[:, cam_off:cam_off + g.n]).ravel()
+                cam_off += g.n
+            elif g.link == key_type.PER_IMG:
+                out[sl.start:sl.stop] = np.asarray(
+                    p.im[:n_ims, im_off:im_off + g.n]).ravel()
+                im_off += g.n
+            elif g.link == key_type.PER_KEY:
+                out[sl.start:sl.stop] = np.asarray(
+                    p.key[:n_keys, key_off:key_off + g.n]).ravel()
+                key_off += g.n
+            else:
+                out[sl.start:sl.stop] = np.asarray(
+                    p.grp[:, grp_off:grp_off + g.n]).ravel()
+                grp_off += g.n
+        return out
+
+    colmask_np = np.zeros_like(base_full)
+    colmask_np[unfixed] = 1.0
+    colmask = to_pieces(colmask_np)
+    colmask = colmask._replace(key=colmask.key.at[n_keys:].set(0.0),
+                               im=colmask.im.at[n_ims:].set(0.0))
+
+    tpl_tab = param_handler.template_table()
+    tpl_pad = np.zeros((k_pad, 3))
+    if tpl_tab is not None and op_fun.templated:
+        flat_tpl = tpl_tab.reshape(-1, 3)
+        tpl_pad[:n_keys] = flat_tpl
+        tpl_pad[n_keys:] = flat_tpl[0]
+
+    neq_raw = make_mixed_structured_neq(
+        op_fun, widths, n_cams, n_ims_grid, group_of_key=gok_pad,
+        n_groups=n_groups,
+        loss=param_handler.problem_opts.get("loss", "linear"),
+        f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)))
+    ops = make_mixed_ops(neq_raw.onehot)
+    uv_d, mask_d = blocks.as_device(dtype)
+    tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
+    max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
+
+    @jax.jit
+    def solve_impl(x_pieces, uv, mask, tpl):
+        def neq_fn(p):
+            return neq_raw(p, uv, mask, tpl, colmask)
+        return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
+                                   ops=ops)
+
+    point_fn = op_fun.make_point_fn()
+    blk_cam = jnp.asarray(np.repeat(np.arange(n_cams), n_ims_grid))
+    blk_im = jnp.asarray(np.tile(np.arange(n_ims_grid), n_cams))
+    gok_d = jnp.asarray(gok_pad)
+    kk = np.asarray(widths.key_cols)
+    gg_cols = np.asarray(widths.grp_cols)
+
+    @jax.jit
+    def block_residual_impl(x_pieces, uv, mask, tpl):
+        cam_b = x_pieces.cam[blk_cam]
+        im_b = x_pieces.im[blk_im]
+        keyp = jnp.zeros((k_pad, widths.c), dtype)
+        keyp = keyp.at[:, kk].set(x_pieces.key)
+        keyp = keyp.at[:, gg_cols].set(x_pieces.grp[gok_d])
+
+        def slot(cp, ip, kp, t, u):
+            return point_fn(jnp.concatenate([cp, ip, kp]), t) - u
+
+        per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
+        per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
+        return per_blk(cam_b, im_b, keyp, tpl, uv) * mask[..., None]
+
+    cam_i = dd[:, 0].astype(int)
+    im_i = dd[:, 1].astype(int)
+    key_i = dd[:, 2].astype(int)
+    blk_i = cam_i * n_ims_grid + im_i
+
+    def apply_free(x_free: np.ndarray) -> MixedPieces:
+        full = base_full.copy()
+        full[free_idx] = np.asarray(x_free, dtype=np.float64)
+        return to_pieces(full)
+
+    def solve_fn(x_free: np.ndarray):
+        res: SLMResult = solve_impl(apply_free(x_free), uv_d, mask_d, tpl_d)
+        full = from_pieces(jax.tree_util.tree_map(np.asarray, res.x))
+        return full[free_idx], res
+
+    def residual_fn(x_free: np.ndarray) -> np.ndarray:
+        r = np.asarray(block_residual_impl(
+            apply_free(x_free), uv_d, mask_d, tpl_d))
+        return r[blk_i, key_i]
+
+    return solve_fn, residual_fn, x0

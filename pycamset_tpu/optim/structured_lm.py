@@ -37,27 +37,26 @@ class SLMResult(NamedTuple):
     history: jnp.ndarray
 
 
-def _pdot(p1: ParamPieces, p2: ParamPieces) -> jnp.ndarray:
-    return (jnp.sum(p1.cam * p2.cam) + jnp.sum(p1.im * p2.im)
-            + jnp.sum(p1.key * p2.key))
+def _pdot(p1, p2) -> jnp.ndarray:
+    return sum(jnp.sum(a * b) for a, b in
+               zip(jax.tree_util.tree_leaves(p1),
+                   jax.tree_util.tree_leaves(p2)))
 
 
-def _pnorm(p: ParamPieces) -> jnp.ndarray:
+def _pnorm(p) -> jnp.ndarray:
     return jnp.sqrt(_pdot(p, p))
 
 
-def _padd(p1: ParamPieces, p2: ParamPieces) -> ParamPieces:
-    return ParamPieces(p1.cam + p2.cam, p1.im + p2.im, p1.key + p2.key)
+def _padd(p1, p2):
+    return jax.tree_util.tree_map(lambda a, b: a + b, p1, p2)
 
 
-def _pwhere(ok, p1: ParamPieces, p2: ParamPieces) -> ParamPieces:
-    return ParamPieces(jnp.where(ok, p1.cam, p2.cam),
-                       jnp.where(ok, p1.im, p2.im),
-                       jnp.where(ok, p1.key, p2.key))
+def _pwhere(ok, p1, p2):
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), p1, p2)
 
 
-def _nwhere(ok, n1: NormalEq, n2: NormalEq) -> NormalEq:
-    return NormalEq(*[jnp.where(ok, f1, f2) for f1, f2 in zip(n1, n2)])
+def _nwhere(ok, n1, n2):
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), n1, n2)
 
 
 def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
@@ -67,12 +66,27 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
                         scale_floor: float = 1e-8,
                         reduced_solver: str = "dense",
                         cg_tol: float = 1e-6,
-                        cg_maxiter: int = 250) -> SLMResult:
+                        cg_maxiter: int = 250,
+                        ops=None) -> SLMResult:
     """Minimise the structured BA cost; fully traceable (use under jit).
 
     :param reduced_solver: 'dense' (exact Cholesky) or 'cg' (matrix-free,
         for rigs where the (15C + 6I) reduced system is too large to form).
+    :param ops: optional (diag_fn, matvec_fn, solve_fn, grad_fn) overriding
+        the standard structured linear algebra — the LM loop itself is
+        generic over any (pieces, neq) pytree pair (e.g. the mixed
+        PER_KEY+PER_GROUP system in optim/structured_mixed.py). solve_fn
+        receives (neq, damp, method, cg_tol, cg_maxiter).
     """
+    if ops is None:
+        diag_fn, matvec_fn, grad_fn = neq_diag, neq_matvec, None
+        solve_fn = schur_solve
+    else:
+        diag_fn, matvec_fn, solve_fn, grad_fn = ops
+    if grad_fn is None:
+        def grad_fn(neq):
+            return ParamPieces(neq.gc, neq.gi, neq.gk)
+
     dtype = x0.cam.dtype
     hist_len = max_nfev + 2
     # scipy's 1e-8 defaults assume float64; clamp to the dtype's resolution
@@ -83,7 +97,8 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
 
     neq0 = neq_fn(x0)
     floor = jnp.asarray(scale_floor, dtype)
-    sc0 = ParamPieces(*[jnp.maximum(d, floor) for d in neq_diag(neq0)])
+    sc0 = jax.tree_util.tree_map(lambda d: jnp.maximum(d, floor),
+                                 diag_fn(neq0))
     history0 = jnp.full((hist_len,), -1.0, dtype=dtype).at[0].set(neq0.cost)
 
     init = SLMState(
@@ -92,24 +107,20 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
         nfev=jnp.asarray(1, jnp.int32), it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(0, jnp.int32), history=history0)
 
-    def grad_of(neq: NormalEq) -> ParamPieces:
-        return ParamPieces(neq.gc, neq.gi, neq.gk)
-
     def cond(s: SLMState):
         return s.status == 0
 
     def body(s: SLMState):
-        damp = ParamPieces(s.lam * s.scale2.cam, s.lam * s.scale2.im,
-                           s.lam * s.scale2.key)
-        dx = schur_solve(s.neq, damp, method=reduced_solver,
-                         cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+        damp = jax.tree_util.tree_map(lambda sc: s.lam * sc, s.scale2)
+        dx = solve_fn(s.neq, damp, method=reduced_solver,
+                      cg_tol=cg_tol, cg_maxiter=cg_maxiter)
         x_new = _padd(s.x, dx)
 
         neq_new = neq_fn(x_new)
         nfev = s.nfev + 1
 
-        g = grad_of(s.neq)
-        pred_red = -(_pdot(dx, g) + 0.5 * _pdot(dx, neq_matvec(s.neq, dx)))
+        g = grad_fn(s.neq)
+        pred_red = -(_pdot(dx, g) + 0.5 * _pdot(dx, matvec_fn(s.neq, dx)))
         act_red = s.neq.cost - neq_new.cost
         rho = act_red / jnp.maximum(pred_red, jnp.finfo(dtype).tiny)
         ok = jnp.isfinite(neq_new.cost) & (act_red > 0)
@@ -120,21 +131,19 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
 
         x = _pwhere(ok, x_new, s.x)
         neq = _nwhere(ok, neq_new, s.neq)
-        d_new = neq_diag(neq_new)
-        scale2 = _pwhere(ok, ParamPieces(
-            jnp.maximum(s.scale2.cam, d_new.cam),
-            jnp.maximum(s.scale2.im, d_new.im),
-            jnp.maximum(s.scale2.key, d_new.key)), s.scale2)
+        d_new = diag_fn(neq_new)
+        scale2 = _pwhere(ok, jax.tree_util.tree_map(
+            jnp.maximum, s.scale2, d_new), s.scale2)
 
         it = s.it + 1
         history = s.history.at[jnp.minimum(it, hist_len - 1)].set(neq.cost)
 
-        g_now = grad_of(neq)
-        scaled_g = jnp.maximum(
-            jnp.max(jnp.abs(g_now.cam) / jnp.sqrt(scale2.cam), initial=0.0),
-            jnp.maximum(
-                jnp.max(jnp.abs(g_now.im) / jnp.sqrt(scale2.im), initial=0.0),
-                jnp.max(jnp.abs(g_now.key) / jnp.sqrt(scale2.key), initial=0.0)))
+        g_now = grad_fn(neq)
+        scaled_g = jnp.asarray(0.0, dtype)
+        for gl, sl in zip(jax.tree_util.tree_leaves(g_now),
+                          jax.tree_util.tree_leaves(scale2)):
+            scaled_g = jnp.maximum(scaled_g, jnp.max(
+                jnp.abs(gl) / jnp.sqrt(sl), initial=0.0))
         step_small = _pnorm(dx) < xtol * (xtol + _pnorm(s.x))
         cost_small = ok & (act_red < ftol * s.neq.cost)
         status = jnp.where(nfev >= max_nfev, 4, 0)

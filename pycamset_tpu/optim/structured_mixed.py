@@ -1,0 +1,302 @@
+"""Structured normal equations for MIXED PER_KEY + PER_GROUP chains.
+
+The flagship mixed formulation is multi-target SELF-calibration: free
+per-key target geometry AND a free per-group relative pose for each of
+several rigidly-coupled targets,
+
+    Xc = Re (Rp (Rg Xk + tg) + tp) + te
+         cam   image  group  free point
+
+(chain Projection + Extrinsic3D + RigidTform3d + GroupRigidTform3d +
+FreePoint). Neither the pure-keyed nor the pure-grouped structured layout
+covers this: the key-axis now carries TWO couplings — per-key blocks and
+per-group blocks tied across every key of the group — so the damped system
+has arrow structure
+
+    [ Hcc  Wci  Wcg | Wck ]
+    [  .   Hii  Wig | Wik ]
+    [  .    .   Hgg | Wkg']      (Hkk block-diag per key; Wkg per key,
+    [  .    .    .  | Hkk ]       each key couples to exactly ONE group)
+
+Eliminating the per-key blocks first (classic reduced camera system) folds
+Wkg into the group rows, leaving a small dense [cam | pose | group] system;
+groups are O(10), so they ride the dense reduced solve. Everything
+assembles from ONE gram computation over the (B, K) block grid with the
+c-axis = [group cols | key cols] in chain order — the group columns hold
+the group pose EXPANDED per key by the (K, G) one-hot, and the per-group
+blocks reduce back through it (each key belongs to exactly one group, so
+cross-group couplings vanish identically).
+
+Previously these chains fell to the generic scatter backend
+(~2 s/iteration at 500k detections on TPU); this path keeps them on
+batched matmuls end to end.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.optim.blocks import key_type
+from pycamset_tpu.optim.chain import OptimFunction
+from pycamset_tpu.optim.structured import (
+    GroupWidths, UnsupportedChain, _block_diag_add, _normalized_inv,
+    _psd_solve, make_block_grams)
+
+
+class MixedWidths(NamedTuple):
+    """Column widths and c-axis layout of a mixed chain.
+
+    key_cols / grp_cols index the PER_KEY / PER_GROUP columns within the
+    chain-ordered c-axis (c = ck + cg).
+    """
+    a: int
+    b: int
+    ck: int
+    cg: int
+    key_cols: tuple
+    grp_cols: tuple
+
+    @property
+    def c(self):
+        return self.ck + self.cg
+
+
+def mixed_chain_widths(op_fun: OptimFunction) -> MixedWidths:
+    """Widths/layout for a chain mixing PER_KEY and PER_GROUP params.
+
+    Requires group order cam*, im*, then any mix of key/group-linked
+    groups; raises UnsupportedChain otherwise (or if the chain is not
+    actually mixed — pure chains belong on make_structured_neq).
+    """
+    a = b = 0
+    c_links = []
+    phase = 0  # 0 = cams, 1 = images, 2 = key axis
+    for g in op_fun.groups:
+        if g.link == key_type.PER_CAM:
+            if phase > 0:
+                raise UnsupportedChain("cam groups must come first")
+            a += g.n
+        elif g.link == key_type.PER_IMG:
+            if phase > 1:
+                raise UnsupportedChain("image groups must precede key axis")
+            phase = 1
+            b += g.n
+        elif g.link in (key_type.PER_KEY, key_type.PER_GROUP):
+            phase = 2
+            c_links.append((g.link, g.n))
+        else:
+            raise UnsupportedChain(
+                f"{g.link.name} groups unsupported on the structured path")
+    kinds = {lk for lk, _ in c_links}
+    if kinds != {key_type.PER_KEY, key_type.PER_GROUP}:
+        raise UnsupportedChain(
+            "mixed path needs BOTH PER_KEY and PER_GROUP groups")
+    key_cols, grp_cols = [], []
+    off = 0
+    for lk, n in c_links:
+        cols = list(range(off, off + n))
+        (key_cols if lk == key_type.PER_KEY else grp_cols).extend(cols)
+        off += n
+    return MixedWidths(a, b, len(key_cols), len(grp_cols),
+                       tuple(key_cols), tuple(grp_cols))
+
+
+class MixedPieces(NamedTuple):
+    cam: jnp.ndarray   # (C, a)
+    im: jnp.ndarray    # (I, b)
+    key: jnp.ndarray   # (K, ck)
+    grp: jnp.ndarray   # (G, cg)
+
+
+class MixedNormalEq(NamedTuple):
+    hcc: jnp.ndarray   # (C, a, a)
+    hii: jnp.ndarray   # (I, b, b)
+    hkk: jnp.ndarray   # (K, ck, ck)
+    hgg: jnp.ndarray   # (G, cg, cg)
+    wci: jnp.ndarray   # (C, I, a, b)
+    wck: jnp.ndarray   # (C, K, a, ck)
+    wik: jnp.ndarray   # (I, K, b, ck)
+    wcg: jnp.ndarray   # (C, G, a, cg)
+    wig: jnp.ndarray   # (I, G, b, cg)
+    wkg: jnp.ndarray   # (K, ck, cg)  — key vs ITS OWN group only
+    gc: jnp.ndarray
+    gi: jnp.ndarray
+    gk: jnp.ndarray
+    gg: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
+                              n_cams: int, n_ims: int,
+                              group_of_key: np.ndarray,
+                              n_groups: int, loss: str = "linear",
+                              f_scale: float = 1.0):
+    """Mixed normal-equation builder over the (B, K) grid.
+
+    :param group_of_key: (k_pad,) key -> group map (pad keys may map to any
+        valid group; their masks are zero).
+    :return: neq(pieces: MixedPieces, uv, mask, tpl, colmask) ->
+        MixedNormalEq.
+    """
+    a, b = widths.a, widths.b
+    kk = np.asarray(widths.key_cols)
+    gg_ = np.asarray(widths.grp_cols)
+    grams = make_block_grams(
+        op_fun, GroupWidths(a, b, widths.c), loss=loss, f_scale=f_scale)
+    gok = np.asarray(group_of_key, dtype=np.int64)
+    onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
+    onehot_np[np.arange(gok.size), gok] = 1.0
+
+    def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
+        cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+        im_b = jnp.tile(pieces.im, (n_cams, 1))
+        cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+        imask_b = jnp.tile(colmask.im, (n_cams, 1))
+        oh = jnp.asarray(onehot_np, dtype=uv.dtype)
+
+        # c-axis = [chain-ordered grp | key columns]: scatter the two pieces
+        # into their chain positions
+        k_pad = pieces.key.shape[0]
+        keyp = jnp.zeros((k_pad, widths.c), uv.dtype)
+        keyp = keyp.at[:, kk].set(pieces.key)
+        keyp = keyp.at[:, gg_].set(oh @ pieces.grp)
+        kmask = jnp.zeros((k_pad, widths.c), uv.dtype)
+        kmask = kmask.at[:, kk].set(colmask.key)
+        kmask = kmask.at[:, gg_].set(oh @ colmask.grp)
+
+        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
+         cost) = grams(cam_b, im_b, keyp, tpl, uv, mask,
+                       cmask_b, imask_b, kmask)
+
+        hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+        hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
+        gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+        gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
+        wci = wci_b.reshape(n_cams, n_ims, a, b)
+        wck_f = wck_b.reshape(n_cams, n_ims, k_pad, a, widths.c).sum(axis=1)
+        wik_f = wik_b.reshape(n_cams, n_ims, k_pad, b, widths.c).sum(axis=0)
+
+        # split the c-axis into per-key and (one-hot-reduced) per-group
+        hkk = hkk_f[:, kk][:, :, kk]
+        wkg = hkk_f[:, kk][:, :, gg_]
+        hgg = jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, gg_][:, :, gg_])
+        wck = wck_f[:, :, :, kk]
+        wcg = jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, gg_])
+        wik = wik_f[:, :, :, kk]
+        wig = jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_])
+        gk = gk_f[:, kk]
+        gg = jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_])
+
+        return MixedNormalEq(hcc, hii, hkk, hgg, wci, wck, wik, wcg, wig,
+                             wkg, gc, gi, gk, gg, cost)
+
+    neq.onehot = onehot_np
+    return neq
+
+
+def mixed_diag(neq: MixedNormalEq) -> MixedPieces:
+    return MixedPieces(
+        jnp.diagonal(neq.hcc, axis1=1, axis2=2),
+        jnp.diagonal(neq.hii, axis1=1, axis2=2),
+        jnp.diagonal(neq.hkk, axis1=1, axis2=2),
+        jnp.diagonal(neq.hgg, axis1=1, axis2=2))
+
+
+def mixed_grad(neq: MixedNormalEq) -> MixedPieces:
+    return MixedPieces(neq.gc, neq.gi, neq.gk, neq.gg)
+
+
+def make_mixed_ops(onehot_np: np.ndarray):
+    """(diag, matvec, solve, grad) ops for structured_lm_solve."""
+
+    def matvec(neq: MixedNormalEq, dx: MixedPieces) -> MixedPieces:
+        oh = jnp.asarray(onehot_np, dtype=dx.cam.dtype)
+        dg_k = oh @ dx.grp                                     # (K, cg)
+        oc = jnp.einsum("cij,cj->ci", neq.hcc, dx.cam)
+        oc += jnp.einsum("ciab,ib->ca", neq.wci, dx.im)
+        oc += jnp.einsum("ckap,kp->ca", neq.wck, dx.key)
+        oc += jnp.einsum("cgaq,gq->ca", neq.wcg, dx.grp)
+        oi = jnp.einsum("iab,ib->ia", neq.hii, dx.im)
+        oi += jnp.einsum("ciab,ca->ib", neq.wci, dx.cam)
+        oi += jnp.einsum("ikbp,kp->ib", neq.wik, dx.key)
+        oi += jnp.einsum("igbq,gq->ib", neq.wig, dx.grp)
+        ok = jnp.einsum("kpq,kq->kp", neq.hkk, dx.key)
+        ok += jnp.einsum("ckap,ca->kp", neq.wck, dx.cam)
+        ok += jnp.einsum("ikbp,ib->kp", neq.wik, dx.im)
+        ok += jnp.einsum("kpq,kq->kp", neq.wkg, dg_k)
+        og = jnp.einsum("gpq,gq->gp", neq.hgg, dx.grp)
+        og += jnp.einsum("cgaq,ca->gq", neq.wcg, dx.cam)
+        og += jnp.einsum("igbq,ib->gq", neq.wig, dx.im)
+        og += jnp.einsum("kg,kpq,kp->gq", oh, neq.wkg, dx.key)
+        return MixedPieces(oc, oi, ok, og)
+
+    def solve(neq: MixedNormalEq, damp: MixedPieces, method: str = "dense",
+              cg_tol: float = 1e-6, cg_maxiter: int = 250) -> MixedPieces:
+        """(H + diag(damp)) dx = -g: eliminate keys, dense-solve
+        [cam | pose | group], back-substitute. Group counts are tiny, so
+        the dense reduced solve always applies (the cg option is accepted
+        for signature parity and currently solves dense)."""
+        oh = jnp.asarray(onehot_np, dtype=neq.gc.dtype)
+        c_, i_, g_ = neq.hcc.shape[0], neq.hii.shape[0], neq.hgg.shape[0]
+        a, b = neq.hcc.shape[2], neq.hii.shape[2]
+        cg = neq.hgg.shape[2]
+        dtype = neq.gc.dtype
+
+        hcc = neq.hcc + jax.vmap(jnp.diag)(damp.cam)
+        hii = neq.hii + jax.vmap(jnp.diag)(damp.im)
+        hkk = neq.hkk + jax.vmap(jnp.diag)(damp.key)
+        hgg = neq.hgg + jax.vmap(jnp.diag)(damp.grp)
+
+        kinv = _normalized_inv(hkk)                            # (K,ck,ck)
+        uck = jnp.einsum("ckap,kpq->ckaq", neq.wck, kinv)
+        uik = jnp.einsum("ikbp,kpq->ikbq", neq.wik, kinv)
+        vkg = jnp.einsum("kpq,kpr->kqr", kinv, neq.wkg)        # (K,ck,cg)
+
+        scc = _block_diag_add(
+            -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck), hcc)
+        sci = neq.wci - jnp.einsum("ckap,ikbp->ciab", uck, neq.wik)
+        sii = _block_diag_add(
+            -jnp.einsum("ikap,jkbp->ijab", uik, neq.wik), hii)
+        scg = neq.wcg - jnp.einsum("ckap,kpq,kg->cgaq", uck, neq.wkg, oh)
+        sig = neq.wig - jnp.einsum("ikbp,kpq,kg->igbq", uik, neq.wkg, oh)
+        # each key couples to ONE group: the group-group correction is
+        # block-diagonal per group
+        sgg_corr = jnp.einsum("kpq,kpr,kg->gqr", neq.wkg, vkg, oh)
+        sgg = _block_diag_add(jnp.zeros((g_, g_, cg, cg), dtype),
+                              hgg - sgg_corr)
+
+        tk = jnp.einsum("kpq,kq->kp", kinv, neq.gk)
+        gc = neq.gc - jnp.einsum("ckaq,kq->ca", uck, neq.gk)
+        gi = neq.gi - jnp.einsum("ikbq,kq->ib", uik, neq.gk)
+        gg = neq.gg - jnp.einsum("kpq,kp,kg->gq", neq.wkg, tk, oh)
+
+        def flat(m, rows, rdim, cols, cdim):
+            return m.transpose(0, 2, 1, 3).reshape(rows * rdim, cols * cdim)
+
+        top = jnp.concatenate([flat(scc, c_, a, c_, a),
+                               flat(sci, c_, a, i_, b),
+                               flat(scg, c_, a, g_, cg)], axis=1)
+        mid = jnp.concatenate([flat(sci, c_, a, i_, b).T,
+                               flat(sii, i_, b, i_, b),
+                               flat(sig, i_, b, g_, cg)], axis=1)
+        bot = jnp.concatenate([flat(scg, c_, a, g_, cg).T,
+                               flat(sig, i_, b, g_, cg).T,
+                               flat(sgg, g_, cg, g_, cg)], axis=1)
+        amat = jnp.concatenate([top, mid, bot], axis=0)
+        rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1),
+                                gg.reshape(-1)])
+        sol = _psd_solve(amat, rhs)
+        dxc = sol[:c_ * a].reshape(c_, a)
+        dxi = sol[c_ * a:c_ * a + i_ * b].reshape(i_, b)
+        dxg = sol[c_ * a + i_ * b:].reshape(g_, cg)
+
+        rk = (-neq.gk - jnp.einsum("ckap,ca->kp", neq.wck, dxc)
+              - jnp.einsum("ikbp,ib->kp", neq.wik, dxi)
+              - jnp.einsum("kpq,kq->kp", neq.wkg, oh @ dxg))
+        dxk = jnp.einsum("kpq,kq->kp", kinv, rk)
+        return MixedPieces(dxc, dxi, dxk, dxg)
+
+    return (mixed_diag, matvec, solve, mixed_grad)

@@ -148,3 +148,79 @@ class TestAdaptiveDetection:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestTwoTargetSelfCalibration:
+    """Mixed PER_KEY + PER_GROUP chain: free geometry for BOTH targets plus
+    the free relative pose, on the arrow-structured mixed backend."""
+
+    def test_selfcal_demo_converges(self):
+        from extend_param_handler import synthetic_selfcal_demo
+        rms, warp0_err, warp1_err = synthetic_selfcal_demo()
+        assert rms < 0.15  # at the injected 0.1 px noise floor
+        # geometry lands within the planar-grid weak-mode envelope (the
+        # injected warp is 5e-4; depth-like modes are weakly observed)
+        assert warp0_err < 2e-2 and warp1_err < 2e-2
+
+    def test_mixed_backend_matches_generic(self):
+        """The arrow-structured mixed solve and the generic scatter solve
+        land on the same minimum."""
+        import numpy as _np
+        from extend_param_handler import synthetic_selfcal_demo  # noqa: F401
+        from extend_param_handler import TwoTargetSelfCalibrator
+        import pycamset_tpu.utils.general_utils as gu
+        from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+        from pycamset_tpu.models.detections import TargetDetection
+        from pycamset_tpu.optim.driver import run_bundle_adjustment
+        from pycamset_tpu.optim.handlers import FreePointTarget
+        from pycamset_tpu.optim.structured_mixed import mixed_chain_widths
+        from pycamset_tpu.utils.general_utils import h_tform, make_4x4h_tform
+        from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+        def make_handler():
+            rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=5,
+                                     visibility=1.0, noise_px=0.1, seed=17)
+            tpl0 = rig["template"]
+            rel_true = make_4x4h_tform(_np.array([0.05, -0.1, 0.2]),
+                                       _np.array([0.1, 0.02, -0.03]))
+            tpl1 = tpl0 + [0.002, 0.001, 0.0]
+            k_mats, exts, dists = [], [], []
+            for c in range(3):
+                i9 = rig["intr"][c]
+                k_mats.append(_np.array([[i9[0], 0, i9[1]],
+                                         [0, i9[2], i9[3]], [0, 0, 1]]))
+                dists.append(i9[4:])
+                exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                               rig["extr"][c][3:]))
+            cams = CameraSet(camera_dict=make_cam_dict(
+                ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+            rng = _np.random.default_rng(2)
+            rows1 = []
+            for i in range(6):
+                t = gu.make_4x4h_tform(rig["poses"][i][:3],
+                                       rig["poses"][i][3:])
+                world = h_tform(h_tform(tpl1, rel_true), t)
+                for c in range(3):
+                    uv = cams[c].project_points(world)
+                    for kk in range(world.shape[0]):
+                        rows1.append([c, i, kk,
+                                      *(uv[kk] + rng.normal(size=2) * 0.1)])
+            det0 = TargetDetection(cam_names=["a", "b", "c"],
+                                   data=rig["dd"])
+            det1 = TargetDetection(cam_names=["a", "b", "c"],
+                                   data=_np.array(rows1))
+            return TwoTargetSelfCalibrator(
+                cams, FreePointTarget(tpl0.reshape(1, -1, 3)),
+                FreePointTarget(tpl1.reshape(1, -1, 3)),
+                det0, det1, options={"outliers": "n"})
+
+        h = make_handler()
+        widths = mixed_chain_widths(h.op_fun)   # raises if not mixed
+        assert (widths.ck, widths.cg) == (3, 6)
+        res_m, _ = run_bundle_adjustment(h, backend="structured")
+
+        h2 = make_handler()
+        res_g, _ = run_bundle_adjustment(h2, backend="generic")
+        rms_m = np.sqrt(np.mean(res_m["fun"] ** 2))
+        rms_g = np.sqrt(np.mean(res_g["fun"] ** 2))
+        assert abs(rms_m - rms_g) < 1e-4, (rms_m, rms_g)

@@ -153,6 +153,30 @@ class TestAnalyticParity:
         np.testing.assert_allclose(np.asarray(jk_a), np.asarray(jk_f),
                                    rtol=1e-9, atol=1e-9)
 
+    def test_mixed_selfcal_chain(self):
+        """The mixed multi-target self-cal chain's closed form matches
+        jacfwd for all of [grp pose | point] key-axis columns."""
+        from pycamset_tpu.optim.analytic import block_rj_mixed_selfcal
+        from pycamset_tpu.optim.blocks import GroupRigidTform3d
+
+        op_fun = OptimFunction(
+            [Projection(), Extrinsic3D(), RigidTform3d(),
+             GroupRigidTform3d(), FreePoint()])
+        cam_a, pose6, pts, uv = rand_problem()
+        keyp = jnp.array(np.concatenate(
+            [RNG.normal(size=(pts.shape[0], 3)) * 0.2,
+             RNG.normal(size=(pts.shape[0], 3)) * 0.05,
+             np.asarray(pts)], axis=1))           # [grp6 | pt3]
+        r_a, jc_a, ji_a, jk_a = block_rj_mixed_selfcal(
+            cam_a, pose6, keyp, uv)
+        r_f, jc_f, ji_f, jk_f = jacfwd_reference(
+            op_fun, cam_a, pose6, keyp, jnp.zeros_like(pts), uv, 9)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_f),
+                                   atol=1e-9)
+        for got, want in [(jc_a, jc_f), (ji_a, ji_f), (jk_a, jk_f)]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-9, atol=1e-9)
+
     def test_dispatch(self):
         assert analytic_block_rj_for_chain(OptimFunction(
             [Projection(), Extrinsic3D(), TemplatePoints()])) is not None

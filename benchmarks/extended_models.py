@@ -61,6 +61,7 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
     uv, mask = blocks.as_device(dtype)
     tpl_pad = np.zeros((k_pad, 3))
     tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]  # pad rows replicate a real point
     tpl = jnp.asarray(tpl_pad, dtype=dtype)
 
     parts = [rig["intr"].ravel(), rig["extr"].ravel(), rig["poses"].ravel()]
@@ -80,7 +81,7 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
     pieces = split_full_params(jnp.asarray(x_full, dtype=dtype), op_fun,
                                struct, n_cams, n_ims, n_keys, widths)
     if chain == "selfcal":
-        keyp = jnp.zeros((k_pad, 3), dtype).at[:n_keys].set(pieces.key)
+        keyp = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
         kmask = jnp.ones((k_pad, 3), dtype).at[n_keys:].set(0.0)
         # gauge: freeze 7 structure coords (3 + 2 + 1 + scale anchor)
         kmask = kmask.at[0].set(0.0).at[1, :2].set(0.0).at[2, 0].set(0.0)

@@ -230,7 +230,7 @@ def synthetic_demo():
     return rel, rel_true, rms
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--selfcal" not in sys.argv:
     synthetic_demo()
 
 

@@ -87,14 +87,19 @@ class Ccube(AbstractTarget):
             raise ValueError("Input dictionary of marker didn't contain "
                              "enough markers for this cube")
 
-        self.boards = [
-            aruco.CharucoBoard((n_points, n_points), self.square_size,
-                               markerLength=0.75 * self.square_size,
-                               dictionary=a_dict)
-            for a_dict in self.a_dicts[:6]]
-        if legacy:
-            for b in self.boards:
-                b.setLegacyPattern(True)
+        def make_boards(flipped):
+            bs = [aruco.CharucoBoard((n_points, n_points), self.square_size,
+                                     markerLength=0.75 * self.square_size,
+                                     dictionary=a_dict)
+                  for a_dict in self.a_dicts[:6]]
+            for b in bs:
+                b.setLegacyPattern(bool(flipped))
+            return bs
+
+        # both pattern layouts built up front: the version-drift fallback
+        # must never mutate a shared board (detection runs on a thread pool)
+        self.boards = make_boards(legacy)
+        self._alt_boards = make_boards(not legacy)
 
         self.n_points = n_points
         self.draw_res = draw_res
@@ -128,6 +133,8 @@ class Ccube(AbstractTarget):
         self._process_data()
 
         self.board_detectors = None
+        self._alt_detectors = None
+        self._preferred = [0] * 6   # sticky per-face pattern (atomic writes)
         self._given_legacy_warning = False
 
     def plot(self, return_scene=False):
@@ -175,11 +182,15 @@ class Ccube(AbstractTarget):
         """
         from pycamset_tpu.models.abstract_target import undistort_for_detection
         image, redistort = undistort_for_detection(image, camera)
-        if self.board_detectors is None:
+        if self.board_detectors is None or self._alt_detectors is None:
             params = aruco.CharucoParameters()
             params.tryRefineMarkers = True
+            # build fully, then publish in one (atomic) assignment — a
+            # concurrent first call at worst builds a second identical list
             self.board_detectors = [aruco.CharucoDetector(b, params)
                                     for b in self.boards]
+            self._alt_detectors = [aruco.CharucoDetector(b, params)
+                                   for b in self._alt_boards]
 
         if draw:
             im_idea = image.copy()
@@ -191,17 +202,21 @@ class Ccube(AbstractTarget):
 
         seen_keys = []
         seen_data = []
-        for idb, bd in enumerate(self.board_detectors):
+        det_sets = (self.board_detectors, self._alt_detectors)
+        for idb in range(len(self.boards)):
+            pref = self._preferred[idb]
+            bd = det_sets[pref][idb]
             c_corners, c_ids, mloc, mid = bd.detectBoard(image)
             if c_corners is None and mloc is not None:
                 if not self._given_legacy_warning:
                     logging.warning("Found markers, but no corners, trying "
                                     "using alternative board detection")
                     self._given_legacy_warning = True
-                self.boards[idb].setLegacyPattern(
-                    not self.boards[idb].getLegacyPattern())
-                c_corners, c_ids, mloc, mid = bd.detectBoard(
-                    image, markerCorners=mloc, markerIds=mid)
+                c_corners, c_ids, mloc, mid = (
+                    det_sets[1 - pref][idb].detectBoard(
+                        image, markerCorners=mloc, markerIds=mid))
+                if c_corners is not None:
+                    self._preferred[idb] = 1 - pref
             if c_ids is not None:
                 c_corners = np.asarray(c_corners).reshape(-1, 2)
                 c_ids = np.asarray(c_ids).reshape(-1)

@@ -39,16 +39,26 @@ class ChArUco(AbstractTarget):
         marker_length = marker_fraction * square_size / 1000
 
         self.a_dict = cv2.aruco.getPredefinedDictionary(a_dict)
-        self.board = cv2.aruco.CharucoBoard(
-            (num_squares_x, num_squares_y), squares_length, marker_length,
-            self.a_dict)
-        if legacy:
-            self.board.setLegacyPattern(True)
+        # both pattern layouts are built up front so the version-drift
+        # fallback never mutates a shared board (find_in_image runs on a
+        # thread pool; cv2 detectBoard is const/thread-safe, board mutation
+        # is not) — index 0 is the requested layout, 1 the flipped one
+        self.boards = []
+        for flipped in (legacy, not legacy):
+            b = cv2.aruco.CharucoBoard(
+                (num_squares_x, num_squares_y), squares_length,
+                marker_length, self.a_dict)
+            b.setLegacyPattern(bool(flipped))
+            self.boards.append(b)
+        self.board = self.boards[0]
         self.point_data = self.board.getChessboardCorners().squeeze().astype(np.float64)
 
         self.detection_params = aruco.CharucoParameters()
         self.detection_params.tryRefineMarkers = True
-        self.board_detector = aruco.CharucoDetector(self.board, self.detection_params)
+        self.board_detectors = [aruco.CharucoDetector(b, self.detection_params)
+                                for b in self.boards]
+        self.board_detector = self.board_detectors[0]
+        self._preferred = 0        # sticky pattern choice (int write: atomic)
         self._given_legacy_warning = False
 
         self._process_data()
@@ -64,15 +74,19 @@ class ChArUco(AbstractTarget):
         """
         from pycamset_tpu.models.abstract_target import undistort_for_detection
         image, redistort = undistort_for_detection(image, camera)
-        c_corners, c_ids, mloc, mid = self.board_detector.detectBoard(image)
+        pref = self._preferred
+        c_corners, c_ids, mloc, mid = (
+            self.board_detectors[pref].detectBoard(image))
         if c_corners is None and mloc is not None:
             if not self._given_legacy_warning:
                 logging.warning("Found markers, but no corners, trying using "
                                 "alternative board detection")
                 self._given_legacy_warning = True
-            self.board.setLegacyPattern(not self.board.getLegacyPattern())
-            c_corners, c_ids, mloc, mid = self.board_detector.detectBoard(
-                image, markerCorners=mloc, markerIds=mid)
+            c_corners, c_ids, mloc, mid = (
+                self.board_detectors[1 - pref].detectBoard(
+                    image, markerCorners=mloc, markerIds=mid))
+            if c_corners is not None:
+                self._preferred = 1 - pref  # sticky, like the old board flip
 
         if c_corners is None:
             return ImageDetection()

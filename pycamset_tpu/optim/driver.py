@@ -69,13 +69,13 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
     # into batched matmuls + one small scatter; chains whose rows are
     # per-detection unique keep the scatter fallback
     grouped = None
-    if not getattr(param_handler, "_grouped_neq_disabled", False):
+    if param_handler.problem_opts.get("grouped_neq", True):
         from pycamset_tpu.optim.residuals import (
             build_grouped_detection_arrays, make_grouped_neq_fn)
+        # reuse the flat arrays build_problem just assembled (only the
+        # unpadded rows are read)
         grouped = build_grouped_detection_arrays(
-            op_fun, struct, param_handler.get_detection_data(flatten=True),
-            param_handler.template_table(),
-            group_of_key=param_handler.group_of_key())
+            op_fun, struct, None, None, precomputed=det)
     if grouped is not None:
         g_rows, g_tpl, g_uv, g_mask = grouped.as_device(dtype)
         neq = make_grouped_neq_fn(op_fun, loss=loss, f_scale=f_scale)

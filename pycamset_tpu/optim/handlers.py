@@ -870,12 +870,13 @@ class SelfBundleHandler(TemplateBundleHandler):
             new_map = cdist(point_estimate[vm], point_estimate[vm])[inds]
             ref_map = cdist(ref_points[vm], ref_points[vm])[inds]
             # anchor the scale on adjacent-point distances only (the grid
-            # pitch = the minimum pairwise distance of the reference model;
-            # non-empty by construction — a square_size attribute cannot be
-            # trusted for units, and an empty selection used to NaN the
-            # whole gauge transform)
-            if ref_map.size:
-                sel = np.isclose(ref_map, ref_map.min(), rtol=1e-6)
+            # pitch = the minimum POSITIVE pairwise distance of the
+            # reference model — coincident points would anchor s at 0; a
+            # square_size attribute cannot be trusted for units, and an
+            # empty selection used to NaN the whole gauge transform)
+            pos = ref_map[ref_map > 0]
+            if pos.size:
+                sel = np.isclose(ref_map, pos.min(), rtol=1e-6)
                 new_map, ref_map = new_map[sel], ref_map[sel]
         elif isinstance(valid_map, np.ndarray):
             pairs = valid_map[:, :2].astype(int)
@@ -890,10 +891,11 @@ class SelfBundleHandler(TemplateBundleHandler):
 
         with np.errstate(invalid="ignore", divide="ignore"):
             s = np.mean(ref_map / new_map) if new_map.size else np.nan
-        if not np.isfinite(s):
+        if not np.isfinite(s) or s <= 0:
             logging.critical(
-                "Could not anchor the model scale (no finite comparable "
-                "distances); leaving the recovered scale unchanged")
+                "Could not anchor the model scale (no finite positive "
+                "comparable distances); leaving the recovered scale "
+                "unchanged")
             s = 1.0
         new_points = s * point_estimate
 

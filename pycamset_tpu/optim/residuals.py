@@ -125,15 +125,24 @@ def build_grouped_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
                                    template_table: np.ndarray | None,
                                    group_of_key: np.ndarray | None = None,
                                    m_pad_multiple: int = 8,
-                                   max_blowup: float = 3.0
+                                   max_blowup: float = 3.0,
+                                   precomputed: DetectionArrays | None = None
                                    ) -> GroupedDetectionArrays | None:
     """Group a detection table by identical gather rows, or None if the
     grouping would not pay (U*M exceeds max_blowup * N — e.g. chains whose
     cols rows are per-detection unique, which should use the structured
-    backend or the scatter fallback instead)."""
-    flat = build_detection_arrays(op_fun, struct, dd, template_table,
-                                  pad_multiple=1, group_of_key=group_of_key)
+    backend or the scatter fallback instead).
+
+    :param precomputed: an already-built flat DetectionArrays for the same
+        problem (avoids rebuilding the gather tables; only its first n_real
+        rows are read, so padding is fine)."""
+    flat = (precomputed if precomputed is not None else
+            build_detection_arrays(op_fun, struct, dd, template_table,
+                                   pad_multiple=1,
+                                   group_of_key=group_of_key))
     n = flat.n_real
+    if n == 0:
+        return None  # nothing to group; callers keep the scatter path
     u_rows, inv = np.unique(flat.cols[:n], axis=0, return_inverse=True)
     u = u_rows.shape[0]
     counts = np.bincount(inv, minlength=u)

@@ -283,6 +283,12 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
     n_dev = mesh.devices.size
 
+    def _check_divisible(k_pad: int):
+        if k_pad % n_dev != 0:
+            raise ValueError(
+                f"{k_pad} key slots not divisible by {n_dev} devices; "
+                "pad the key axis (k_pad_multiple) to a mesh multiple")
+
     piece_spec = ParamPieces(P(), P(), P(DETECTION_AXIS))
     out_spec = NormalEq(
         hcc=P(), hii=P(), hkk=P(DETECTION_AXIS), wci=P(),
@@ -294,7 +300,7 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
                        P(None, None, DETECTION_AXIS), P(DETECTION_AXIS),
                        piece_spec),
              out_specs=out_spec)
-    def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
+    def _neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         k_loc = mask.shape[-1]
         bb = n_cams * n_ims
         cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
@@ -321,6 +327,10 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
         hcc, hii, wci, gc, gi, cost = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, DETECTION_AXIS), small)
         return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
+
+    def neq(pieces, uv, mask, tpl, colmask):
+        _check_divisible(mask.shape[-1])   # clear error, like cam/pose modes
+        return _neq(pieces, uv, mask, tpl, colmask)
 
     return neq
 

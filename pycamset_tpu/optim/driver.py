@@ -64,6 +64,8 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
 
     loss = param_handler.problem_opts.get("loss", "linear")
     f_scale = float(param_handler.problem_opts.get("f_scale", 1.0))
+    semantics = param_handler.problem_opts.get("loss_semantics",
+                                               "observation")
     # fast generic assembly: detections grouped by identical gather rows
     # turn the per-detection scatter-add (~2 s/eval on TPU at 500k rows)
     # into batched matmuls + one small scatter; chains whose rows are
@@ -78,10 +80,12 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
             op_fun, struct, None, None, precomputed=det)
     if grouped is not None:
         g_rows, g_tpl, g_uv, g_mask = grouped.as_device(dtype)
-        neq = make_grouped_neq_fn(op_fun, loss=loss, f_scale=f_scale)
+        neq = make_grouped_neq_fn(op_fun, loss=loss, f_scale=f_scale,
+                                  loss_semantics=semantics)
         neq_args = (g_rows, g_tpl, g_uv, g_mask)
     else:
-        neq = make_neq_fn(op_fun, loss=loss, f_scale=f_scale)
+        neq = make_neq_fn(op_fun, loss=loss, f_scale=f_scale,
+                          loss_semantics=semantics)
         neq_args = (cols, tpl, uv, mask)
     residual = make_residual_fn(op_fun)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))

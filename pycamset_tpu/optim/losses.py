@@ -35,11 +35,15 @@ LOSSES = ("linear", "huber", "soft_l1", "cauchy")
 
 
 def make_loss(loss: str = "linear", f_scale: float = 1.0):
-    """(rho_fn, weight_fn) on the squared residual s = ||r_i||^2.
+    """(rho_fn, weight_fn) on a squared residual s.
 
-    rho_fn returns the per-observation robust cost (already rescaled by
-    f_scale^2 so costs are comparable with the linear loss); weight_fn the
-    IRLS weight to fold into the normal equations.
+    rho_fn returns the robust cost (already rescaled by f_scale^2 so costs
+    are comparable with the linear loss); weight_fn the IRLS weight to fold
+    into the normal equations. The SEMANTICS — whether s is the
+    per-observation ||r_i||^2 (default, Ceres convention) or each squared
+    component (scipy convention) — is chosen by the caller via
+    ``loss_semantics`` on the gram/neq builders ("observation" or
+    "component"); the rho/weight forms are identical either way.
     """
     if loss not in LOSSES:
         raise ValueError(f"unknown loss {loss!r}; options: {LOSSES}")

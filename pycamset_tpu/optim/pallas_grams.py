@@ -93,7 +93,8 @@ def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray,
     return jax.vmap(one)(cam_b, im_b)
 
 
-def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
+def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
+                      semantics: str = "observation"):
     """Template-chain kernel factory; robust-loss fns fold in when given.
 
     intr_w selects the camera model: 9 = standard (5-coef polynomial
@@ -104,19 +105,21 @@ def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
 
     def _gram_kernel(params_ref, tpl_ref, uv_ref, mask_ref, out_ref):
         _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
-                          rho_fn, weight_fn, intr_w)
+                          rho_fn, weight_fn, intr_w, semantics)
 
     return _gram_kernel
 
 
-def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn):
+def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
+                        semantics="observation"):
     """Shared projection math: residuals + camera/pose Jacobian columns.
 
     pts3 is the (3, K) 3D point table (the constant template for the
     template chain, the free PER_KEY points for self-cal). Returns
-    (ju, jv, r_u, r_v, rcost, mask, du_xc, dv_xc, col, rot_apply, xw, xt)
+    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col)
     where ju/jv hold the a+6 camera+pose columns (row-mask NOT applied),
-    mask carries the IRLS sqrt-weight when the loss is robust, and
+    mu/mv carry the per-row IRLS sqrt-weights when the loss is robust
+    (identical under per-observation semantics, distinct per component), and
     col/rot_apply/du_xc/dv_xc/xw/xt let callers build extra columns
     (e.g. the self-cal chain's per-key Jk)."""
 
@@ -224,11 +227,23 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn):
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
     rcost = None
-    if weight_fn is not None:                 # robust loss: IRLS weights
+    mu = mv = mask
+    if weight_fn is not None and semantics == "component":
+        # scipy semantics: rho per residual component
+        su = r_u * r_u
+        sv = r_v * r_v
+        rcost = jnp.sum((rho_fn(su) + rho_fn(sv)) * mask, axis=1)
+        swu = jnp.sqrt(weight_fn(su))
+        swv = jnp.sqrt(weight_fn(sv))
+        mu = mask * swu
+        mv = mask * swv
+        r_u = r_u * swu
+        r_v = r_v * swv
+    elif weight_fn is not None:               # robust loss: IRLS weights
         s_obs = r_u * r_u + r_v * r_v
         sw = jnp.sqrt(weight_fn(s_obs))
         rcost = jnp.sum(rho_fn(s_obs) * mask, axis=1)   # (8,) true cost
-        mask = mask * sw
+        mu = mv = mask * sw
         r_u = r_u * sw
         r_v = r_v * sw
 
@@ -272,21 +287,21 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn):
         jv.append(dv_xc[0] * re_col[0] + dv_xc[1] * re_col[1]
                   + dv_xc[2] * re_col[2])
 
-    return ju, jv, r_u, r_v, rcost, mask, du_xc, dv_xc, col
+    return ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col
 
 
 def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
-                      rho_fn, weight_fn, intr_w):
+                      rho_fn, weight_fn, intr_w, semantics="observation"):
     """One grid step: 8 blocks x K keys -> 8 extended (a+7)x(a+7) grams."""
     offs, _ = _layout(intr_w)
     gram_w = intr_w + 6 + 6 + 1
-    (ju, jv, r_u, r_v, rcost, mask, _, _, _) = _projection_columns(
+    (ju, jv, r_u, r_v, rcost, mu, mv, _, _, _) = _projection_columns(
         params_ref[:], tpl_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
-        rho_fn, weight_fn)
+        rho_fn, weight_fn, semantics)
 
     # extended columns: [J row-masked | r]
-    ju = [j * mask for j in ju] + [r_u]
-    jv = [j * mask for j in jv] + [r_v]
+    ju = [j * mu for j in ju] + [r_u]
+    jv = [j * mv for j in jv] + [r_v]
 
     # accumulate the symmetric gram per block
     gvals = [[None] * gram_w for _ in range(gram_w)]
@@ -306,7 +321,8 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
                          uv_t: jnp.ndarray, mask: jnp.ndarray,
                          loss: str = "linear",
                          f_scale: float = 1.0,
-                         intr_w: int = 9) -> jnp.ndarray:
+                         intr_w: int = 9,
+                         loss_semantics: str = "observation") -> jnp.ndarray:
     """Extended per-block grams for the template chain.
 
     :param packed: (B, PPB) from pack_block_params. :param tpl_t: (3, K).
@@ -320,7 +336,8 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
     ppb = packed.shape[1]
     if loss != "linear":
         rho_fn, weight_fn = make_loss(loss, f_scale)
-        kernel = _make_gram_kernel(rho_fn, weight_fn, intr_w)
+        kernel = _make_gram_kernel(rho_fn, weight_fn, intr_w,
+                                   semantics=loss_semantics)
     else:
         kernel = _make_gram_kernel(intr_w=intr_w)
     b, k = mask.shape
@@ -355,7 +372,8 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
     return out[:b]
 
 
-def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
+def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
+                         semantics: str = "observation"):
     """Self-cal kernel factory; robust-loss fns fold in when given; intr_w
     selects the camera model as in _make_gram_kernel."""
 
@@ -365,14 +383,15 @@ def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9):
         _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref,
                              cmask_ref, imask_ref, kmask_ref, out_ref,
                              wck_ref, wik_ref, hkkgk_ref, rho_fn, weight_fn,
-                             intr_w)
+                             intr_w, semantics)
 
     return _selfcal_kernel
 
 
 def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                          imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
-                         hkkgk_ref, rho_fn, weight_fn, intr_w):
+                         hkkgk_ref, rho_fn, weight_fn, intr_w,
+                         semantics="observation"):
     """Self-cal chain: per-block extended grams + per-key pieces.
 
     Shares _projection_columns with the template chain, with the template
@@ -386,16 +405,16 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
     cmask = cmask_ref[:]                      # (8, a)
     imask = imask_ref[:]                      # (8, 6)
     kmask = kmask_ref[:]                      # (3, K)
-    (ju, jv, r_u, r_v, rcost, mask, du_xc, dv_xc, col) = _projection_columns(
+    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col) = _projection_columns(
         params_ref[:], pts_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
-        rho_fn, weight_fn)
+        rho_fn, weight_fn, semantics)
 
     # column masks in-kernel (the per-key outputs are too large to re-mask
-    # outside): ju/jv columns 0..a-1 by cmask, a..a+5 by imask; rows by mask
+    # outside): ju/jv columns 0..a-1 by cmask, a..a+5 by imask; rows by mu/mv
     colm = ([cmask[:, i:i + 1] for i in range(a)]
             + [imask[:, i:i + 1] for i in range(6)])
-    ju = [j * mask * cm for j, cm in zip(ju, colm)] + [r_u]
-    jv = [j * mask * cm for j, cm in zip(jv, colm)] + [r_v]
+    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
+    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
 
     # Jk columns (free point): d(u,v)/dXt = d_xc @ (Re Rp), masked by kmask
     jku, jkv = [], []
@@ -403,9 +422,9 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
         rerp_col = [col(offs["rerp"] + 3 * a_ + j) for a_ in range(3)]
         km = kmask[j:j + 1, :]
         jku.append((du_xc[0] * rerp_col[0] + du_xc[1] * rerp_col[1]
-                    + du_xc[2] * rerp_col[2]) * mask * km)
+                    + du_xc[2] * rerp_col[2]) * mu * km)
         jkv.append((dv_xc[0] * rerp_col[0] + dv_xc[1] * rerp_col[1]
-                    + dv_xc[2] * rerp_col[2]) * mask * km)
+                    + dv_xc[2] * rerp_col[2]) * mv * km)
 
     # per-block extended gram (cam+pose+residual)
     gvals = [[None] * gram_w for _ in range(gram_w)]
@@ -442,7 +461,8 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
 
 
 def make_pallas_selfcal_grams(widths, loss: str = "linear",
-                              f_scale: float = 1.0):
+                              f_scale: float = 1.0,
+                              loss_semantics: str = "observation"):
     """Drop-in per-block gram builder for the self-cal chain (Pallas);
     serves the standard (a=15), rational (a=18), thin-prism (a=22) and
     tilted (a=24) camera models."""
@@ -454,7 +474,8 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
     _, ppb = _layout(intr_w)
     if loss != "linear":
         rho_fn, weight_fn = make_loss(loss, f_scale)
-        kernel = _make_selfcal_kernel(rho_fn, weight_fn, intr_w)
+        kernel = _make_selfcal_kernel(rho_fn, weight_fn, intr_w,
+                                      semantics=loss_semantics)
     else:
         kernel = _make_selfcal_kernel(intr_w=intr_w)
 
@@ -534,7 +555,8 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
 
 
 def make_pallas_freepoint_grams(widths, loss: str = "linear",
-                                f_scale: float = 1.0):
+                                f_scale: float = 1.0,
+                                loss_semantics: str = "observation"):
     """Per-block gram builder for the pose-free free-point chain.
 
     Reuses the self-cal kernel with identity poses (rvec = t = 0 packs to
@@ -546,7 +568,8 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
     a, bw, c = widths.a, widths.b, widths.c
     assert a in (15, 18, 22, 24) and (bw, c) == (0, 3)
     inner = make_pallas_selfcal_grams(GroupWidths(a, 6, 3), loss=loss,
-                                      f_scale=f_scale)
+                                      f_scale=f_scale,
+                                      loss_semantics=loss_semantics)
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         bb = mask.shape[0]
@@ -566,7 +589,8 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
 
 
 def make_pallas_template_grams(widths, loss: str = "linear",
-                               f_scale: float = 1.0):
+                               f_scale: float = 1.0,
+                               loss_semantics: str = "observation"):
     """A drop-in per-block gram builder using the Pallas kernel.
 
     Same contract as make_block_grams for the template chain (c == 0);
@@ -582,7 +606,8 @@ def make_pallas_template_grams(widths, loss: str = "linear",
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
         g = template_gram_pallas(packed, tpl.T, uv.transpose(0, 2, 1), mask,
-                                 loss=loss, f_scale=f_scale, intr_w=intr_w)
+                                 loss=loss, f_scale=f_scale, intr_w=intr_w,
+                                 loss_semantics=loss_semantics)
 
         cost = jnp.sum(g[:, a + bwidth, a + bwidth])
         cmask2 = cmask_b[:, :, None] * cmask_b[:, None, :]

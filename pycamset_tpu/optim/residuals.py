@@ -170,7 +170,8 @@ def build_grouped_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
 
 
 def make_grouped_neq_fn(op_fun: OptimFunction, loss: str = "linear",
-                        f_scale: float = 1.0):
+                        f_scale: float = 1.0,
+                        loss_semantics: str = "observation"):
     """Normal-equation builder over the (U, M) grouped grid.
 
     neq(params_full, u_rows, tpl, uv, mask) -> (JtJ, grad, cost): parameters
@@ -198,7 +199,13 @@ def make_grouped_neq_fn(op_fun: OptimFunction, loss: str = "linear",
         per_m = jax.vmap(rj, in_axes=(None, 0, 0))
         r, jac = jax.vmap(per_m)(local_u, tpl, uv)     # (U,M,2), (U,M,2,L)
         r = r * mask[..., None]
-        if robust:
+        if robust and loss_semantics == "component":
+            s = r * r
+            cost = jnp.sum(rho_fn(s) * mask[..., None])
+            sw = jnp.sqrt(weight_fn(s)) * mask[..., None]
+            r = r * sw
+            jac = jac * sw[..., None]
+        elif robust:
             s = jnp.sum(r * r, axis=-1)
             cost = jnp.sum(rho_fn(s) * mask)
             sw = jnp.sqrt(weight_fn(s)) * mask
@@ -265,7 +272,8 @@ def make_local_jac_fn(op_fun: OptimFunction):
 
 
 def make_neq_fn(op_fun: OptimFunction, loss: str = "linear",
-                f_scale: float = 1.0):
+                f_scale: float = 1.0,
+                loss_semantics: str = "observation"):
     """Normal-equation builder.
 
     neq(params_full, cols, tpl, uv, mask) ->
@@ -293,7 +301,13 @@ def make_neq_fn(op_fun: OptimFunction, loss: str = "linear",
 
         r, jac = jax.vmap(rj)(local, tpl, uv)          # (N,2), (N,2,L)
         r = r * mask[:, None]
-        if robust:
+        if robust and loss_semantics == "component":
+            s = r * r
+            robust_cost = jnp.sum(rho_fn(s) * mask[:, None])
+            sw = jnp.sqrt(weight_fn(s)) * mask[:, None]
+            r = r * sw
+            jac = jac * sw[..., None]
+        elif robust:
             s = jnp.sum(r * r, axis=-1)
             robust_cost = jnp.sum(rho_fn(s) * mask)
             sw = jnp.sqrt(weight_fn(s)) * mask

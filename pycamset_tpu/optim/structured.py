@@ -215,11 +215,16 @@ def make_block_point_fn(op_fun: OptimFunction, widths: GroupWidths):
 
 
 def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
-                     loss: str = "linear", f_scale: float = 1.0):
+                     loss: str = "linear", f_scale: float = 1.0,
+                     loss_semantics: str = "observation"):
     """Per-block gram builder — the shardable inner kernel.
 
     :param loss: robust loss name (optim.losses); IRLS weights fold into the
         normal equations, the returned cost is the robust cost.
+    :param loss_semantics: "observation" applies rho per 2-D observation
+        (||r_i||^2, the Ceres/BA convention); "component" applies it per
+        residual component — bitwise scipy.least_squares objective
+        semantics on the device backend.
     :return: grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask)
         over a (possibly local shard of the) block axis, returning
         (r-derived) per-block tensors plus key-axis partial sums:
@@ -261,7 +266,12 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
 
         m = mask[..., None]
         r = r * m
-        if robust:
+        if robust and loss_semantics == "component":
+            s = r * r                                      # (B,K,2) per comp
+            cost = jnp.sum(rho_fn(s) * m)
+            sw = jnp.sqrt(weight_fn(s)) * m
+            r = r * sw
+        elif robust:
             s = jnp.sum(r * r, axis=-1)                    # (B,K) ||r_i||^2
             cost = jnp.sum(rho_fn(s) * mask)
             sw = jnp.sqrt(weight_fn(s))[..., None] * m     # sqrt IRLS weight
@@ -304,7 +314,8 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         n_cams: int, n_ims: int, loss: str = "linear",
                         f_scale: float = 1.0,
                         group_of_key: np.ndarray | None = None,
-                        n_groups: int | None = None):
+                        n_groups: int | None = None,
+                        loss_semantics: str = "observation"):
     """Structured normal-equation builder over the (B, K) grid.
 
     :param group_of_key: (k_pad,) int key->group map, required iff the chain
@@ -320,7 +331,8 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     import os
 
     a, b, c = widths.a, widths.b, widths.c
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                             loss_semantics=loss_semantics)
     # fused Pallas kernels cover the template / self-cal / free-point chains
     # on TPU (16x the XLA gram path), with robust-loss IRLS weights folded
     # in-kernel; PYCAMSET_NO_PALLAS=1 disables
@@ -335,19 +347,22 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted"):
             grams = make_pallas_template_grams(widths, loss=loss,
-                                               f_scale=f_scale)
+                                               f_scale=f_scale,
+                                               loss_semantics=loss_semantics)
         elif (b, c) == (6, 3) and a in (15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted"):
             grams = make_pallas_selfcal_grams(widths, loss=loss,
-                                              f_scale=f_scale)
+                                              f_scale=f_scale,
+                                              loss_semantics=loss_semantics)
         elif (b, c) == (0, 3) and a in (15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted"):
             grams = make_pallas_freepoint_grams(widths, loss=loss,
-                                                f_scale=f_scale)
+                                                f_scale=f_scale,
+                                                loss_semantics=loss_semantics)
 
     grouped = widths.key_link == key_type.PER_GROUP
     if grouped:

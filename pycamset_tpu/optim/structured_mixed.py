@@ -133,7 +133,8 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
                               n_cams: int, n_ims: int,
                               group_of_key: np.ndarray,
                               n_groups: int, loss: str = "linear",
-                              f_scale: float = 1.0):
+                              f_scale: float = 1.0,
+                              loss_semantics: str = "observation"):
     """Mixed normal-equation builder over the (B, K) grid.
 
     :param group_of_key: (k_pad,) key -> group map (pad keys may map to any
@@ -145,7 +146,8 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
     grams = make_block_grams(
-        op_fun, GroupWidths(a, b, widths.c), loss=loss, f_scale=f_scale)
+        op_fun, GroupWidths(a, b, widths.c), loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
     gok = np.asarray(group_of_key, dtype=np.int64)
     onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
     onehot_np[np.arange(gok.size), gok] = 1.0

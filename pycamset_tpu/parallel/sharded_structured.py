@@ -62,7 +62,8 @@ def _group_onehot(widths: GroupWidths, group_of_key, n_groups):
 def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                                 n_cams: int, n_ims: int, mesh: Mesh,
                                 loss: str = "linear", f_scale: float = 1.0,
-                                group_of_key=None, n_groups=None):
+                                group_of_key=None, n_groups=None,
+                                loss_semantics: str = "observation"):
     """neq with the camera axis of (uv, mask) sharded over the mesh.
 
     uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on axis 0;
@@ -75,7 +76,8 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     """
     a, b, c = widths.a, widths.b, widths.c
     onehot_kg = _group_onehot(widths, group_of_key, n_groups)
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                             loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
     if n_cams % n_dev != 0:
         raise ValueError(f"{n_cams} cameras not divisible by {n_dev} devices")
@@ -156,7 +158,8 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
                                      n_ims: int, mesh: Mesh,
                                      loss: str = "linear",
                                      f_scale: float = 1.0,
-                                     group_of_key=None, n_groups=None):
+                                     group_of_key=None, n_groups=None,
+                                     loss_semantics: str = "observation"):
     """neq with the POSE (image) axis of (uv, mask) sharded over the mesh.
 
     uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on AXIS 1;
@@ -170,7 +173,8 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
     """
     a, b, c = widths.a, widths.b, widths.c
     onehot_kg = _group_onehot(widths, group_of_key, n_groups)
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                             loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
     if n_ims % n_dev != 0:
         raise ValueError(f"{n_ims} images not divisible by {n_dev} devices")
@@ -251,7 +255,8 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
                                     widths: GroupWidths, n_cams: int,
                                     n_ims: int, mesh: Mesh,
                                     loss: str = "linear",
-                                    f_scale: float = 1.0):
+                                    f_scale: float = 1.0,
+                                    loss_semantics: str = "observation"):
     """neq with the KEY (structure) axis sharded over the mesh.
 
     The scaling axis for SfM-like problems: at >=100k free points the
@@ -280,7 +285,8 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
                          "chains (use cam/pose sharding)")
     if c == 0:
         raise ValueError("key-axis sharding needs key-linked parameters")
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale)
+    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                             loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
 
     def _check_divisible(k_pad: int):
@@ -421,7 +427,8 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
                                    loss: str = "linear", f_scale: float = 1.0,
                                    reduced_solver: str = "dense",
                                    shard_axis: str = "cam",
-                                   group_of_key=None, n_groups=None):
+                                   group_of_key=None, n_groups=None,
+                                   loss_semantics: str = "observation"):
     """A jitted multi-device LM solve on the structured backend.
 
     :return: solve(pieces, uv, mask, tpl) -> SLMResult; uv/mask are
@@ -430,13 +437,14 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
     """
     if shard_axis == "key":
         neq = make_key_sharded_structured_neq(
-            op_fun, widths, n_cams, n_ims, mesh, loss=loss, f_scale=f_scale)
+            op_fun, widths, n_cams, n_ims, mesh, loss=loss, f_scale=f_scale,
+            loss_semantics=loss_semantics)
     else:
         make = (make_pose_sharded_structured_neq if shard_axis == "pose"
                 else make_sharded_structured_neq)
         neq = make(op_fun, widths, n_cams, n_ims, mesh, loss=loss,
                    f_scale=f_scale, group_of_key=group_of_key,
-                   n_groups=n_groups)
+                   n_groups=n_groups, loss_semantics=loss_semantics)
 
     @jax.jit
     def solve(pieces: ParamPieces, uv, mask, tpl) -> SLMResult:

@@ -141,8 +141,10 @@ def test_pallas_grams_match_xla(monkeypatch):
         assert np.abs(r - g).max() / scale < 1e-6, name
 
 
-@pytest.mark.parametrize("loss", ["huber", "cauchy"])
-def test_pallas_template_grams_robust_match_xla(monkeypatch, loss):
+@pytest.mark.parametrize("loss,semantics", [
+    ("huber", "observation"), ("cauchy", "observation"),
+    ("huber", "component"), ("cauchy", "component")])
+def test_pallas_template_grams_robust_match_xla(monkeypatch, loss, semantics):
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
@@ -179,9 +181,11 @@ def test_pallas_template_grams_robust_match_xla(monkeypatch, loss):
     args = (jnp.zeros((k_pad, 0)), jnp.asarray(tpl_pad), uv, mask,
             cmask, imask, jnp.ones((k_pad, 0)))
 
-    ref = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0)(
+    ref = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0,
+                           loss_semantics=semantics)(
         pieces.cam[blk_cam], pieces.im[blk_im], *args)
-    got = pg.make_pallas_template_grams(widths, loss=loss, f_scale=2.0)(
+    got = pg.make_pallas_template_grams(widths, loss=loss, f_scale=2.0,
+                                        loss_semantics=semantics)(
         pieces.cam[blk_cam], pieces.im[blk_im], *args)
     names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
              "gc_b", "gi_b", "gk", "cost"]
@@ -257,8 +261,10 @@ def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
         assert np.abs(r - g).max() / scale < 1e-6, name
 
 
-@pytest.mark.parametrize("loss", ["huber", "soft_l1"])
-def test_pallas_selfcal_grams_robust_match_xla(monkeypatch, loss):
+@pytest.mark.parametrize("loss,semantics", [
+    ("huber", "observation"), ("soft_l1", "observation"),
+    ("huber", "component")])
+def test_pallas_selfcal_grams_robust_match_xla(monkeypatch, loss, semantics):
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
@@ -294,9 +300,11 @@ def test_pallas_selfcal_grams_robust_match_xla(monkeypatch, loss):
     kmask = jnp.ones((k_pad, 3)).at[n_keys:].set(0.0).at[0].set(0.0)
     args = (keyp, jnp.zeros((k_pad, 3)), uv, mask, cmask, imask, kmask)
 
-    ref = make_block_grams(op_fun, widths, loss=loss, f_scale=1.5)(
+    ref = make_block_grams(op_fun, widths, loss=loss, f_scale=1.5,
+                           loss_semantics=semantics)(
         pieces.cam[blk_cam], pieces.im[blk_im], *args)
-    got = pg.make_pallas_selfcal_grams(widths, loss=loss, f_scale=1.5)(
+    got = pg.make_pallas_selfcal_grams(widths, loss=loss, f_scale=1.5,
+                                       loss_semantics=semantics)(
         pieces.cam[blk_cam], pieces.im[blk_im], *args)
     names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
              "gc_b", "gi_b", "gk", "cost"]

@@ -111,6 +111,42 @@ def test_device_vs_scipy_robust_semantics_bounded(loss):
         f"{loss}: device solution worse under scipy's objective")
 
 
+@pytest.mark.parametrize("loss", ["huber", "cauchy"])
+def test_per_component_semantics_match_scipy_objective(loss):
+    """options={'loss_semantics': 'component'} gives BITWISE scipy
+    objective semantics on the device backend: the structured cost at any
+    parameter vector equals sum(rho(r_i^2)) over residual COMPONENTS."""
+    from pycamset_tpu.optim.driver import (
+        make_optimisation_function, run_bundle_adjustment)
+
+    h, _ = _handler_with_outliers(loss)
+    h.problem_opts["loss_semantics"] = "component"
+    h.problem_opts["max_nfev"] = 8
+    res, _ = run_bundle_adjustment(h, backend="structured")
+
+    h2, _ = _handler_with_outliers(loss)
+    loss_fn, _, _ = make_optimisation_function(h2)
+    r = loss_fn(res["x"])
+    z = r ** 2
+    rho = (np.where(z <= 1, z, 2 * np.sqrt(z) - 1) if loss == "huber"
+           else np.log1p(z))
+    # res['cost'] is scipy-convention 0.5 * sum rho
+    np.testing.assert_allclose(2.0 * res["cost"], np.sum(rho),
+                               rtol=1e-9)
+
+
+def test_per_component_solve_still_beats_linear():
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    h_lin, rig = _handler_with_outliers("linear")
+    res_lin, _ = run_bundle_adjustment(h_lin)
+    err_lin = _intrinsic_error(h_lin, rig, res_lin["x"])
+    h, rig = _handler_with_outliers("huber")
+    h.problem_opts["loss_semantics"] = "component"
+    res, _ = run_bundle_adjustment(h)
+    err = _intrinsic_error(h, rig, res["x"])
+    assert err < err_lin * 0.6
+
+
 def test_loss_functions_shapes():
     import jax.numpy as jnp
     from pycamset_tpu.optim.losses import LOSSES, make_loss

@@ -115,6 +115,36 @@ def test_compiled_pallas_gram_parity(model, chain):
         assert rel < 5e-4, (name, rel)  # f32 accumulation-order tolerance
 
 
+@pytest.mark.parametrize("semantics", ["observation", "component"])
+def test_compiled_pallas_robust_gram_parity(semantics):
+    """Compiled robust-loss kernels (IRLS weights folded in-kernel, both
+    semantics) match the XLA closed form on the chip."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.pallas_grams import make_pallas_template_grams
+    from pycamset_tpu.optim.structured import make_block_grams
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, blocks,
+     rig) = _rig_problem(noise=3.0)
+    n_cams, n_ims = rig["n_cams"], rig["n_ims"]
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+    imask_b = jnp.tile(colmask.im, (n_cams, 1))
+    args = (pieces.cam[blk_cam], pieces.im[blk_im], pieces.key, tpl,
+            uv, mask, cmask_b, imask_b, colmask.key)
+    kw = dict(loss="huber", f_scale=2.0, loss_semantics=semantics)
+    ref = make_block_grams(op_fun, widths, **kw)(*args)
+    got = make_pallas_template_grams(widths, **kw)(*args)
+    for name, r, g in zip(["gcc_b", "gii_b", "wci_b", "hkk", "wck_b",
+                           "wik_b", "gc_b", "gi_b", "gk", "cost"], ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        if r.size == 0:
+            continue
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 5e-4, name
+
+
 @pytest.mark.parametrize("chain", ["template", "selfcal"])
 def test_solve_converges_and_matches_xla_path(chain):
     """A full LM solve on the chip reaches the injected noise floor, and the

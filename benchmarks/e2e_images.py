@@ -95,17 +95,19 @@ def render_views(target, cams, poses, out_dir: Path):
 
 
 def main():
+    import argparse
+
     import jax
     jax.config.update("jax_platforms", "cpu")
     from pycamset_tpu import calibrate_cameras
     from pycamset_tpu.models.charuco import ChArUco
 
-    n_cams = (int(sys.argv[sys.argv.index("--cams") + 1])
-              if "--cams" in sys.argv else 16)
-    n_poses = (int(sys.argv[sys.argv.index("--poses") + 1])
-               if "--poses" in sys.argv else 100)
-    out = Path(sys.argv[sys.argv.index("--out") + 1]
-               if "--out" in sys.argv else "/tmp/e2e_images")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cams", type=int, default=16)
+    ap.add_argument("--poses", type=int, default=100)
+    ap.add_argument("--out", type=Path, default=Path("/tmp/e2e_images"))
+    cli = ap.parse_args()
+    n_cams, n_poses, out = cli.cams, cli.poses, cli.out
 
     target = ChArUco(14, 14, 25)  # 0.35 m board
     cams = make_ring_cameras(n_cams)

@@ -32,6 +32,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 LOSSES = ("linear", "huber", "soft_l1", "cauchy")
+LOSS_SEMANTICS = ("observation", "component")
+
+
+def check_loss_semantics(value: str) -> str:
+    """Validate a loss_semantics option (typos must raise, not silently
+    fall back to the default convention)."""
+    if value not in LOSS_SEMANTICS:
+        raise ValueError(
+            f"unknown loss_semantics {value!r}; options: {LOSS_SEMANTICS}")
+    return value
 
 
 def make_loss(loss: str = "linear", f_scale: float = 1.0):

@@ -120,8 +120,8 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
     where ju/jv hold the a+6 camera+pose columns (row-mask NOT applied),
     mu/mv carry the per-row IRLS sqrt-weights when the loss is robust
     (identical under per-observation semantics, distinct per component), and
-    col/rot_apply/du_xc/dv_xc/xw/xt let callers build extra columns
-    (e.g. the self-cal chain's per-key Jk)."""
+    col/du_xc/dv_xc let callers build extra columns (e.g. the self-cal
+    chain's per-key Jk)."""
 
     def col(off):                             # (8, 1) scalar-per-block column
         return prm[:, off:off + 1]

@@ -154,7 +154,7 @@ def build_grouped_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
     tpl = np.zeros((u, m, 3))
     uv = np.zeros((u, m, 2))
     mask = np.zeros((u, m))
-    slot = np.concatenate([np.arange(c) for c in counts]) if n else np.zeros(0, int)
+    slot = np.concatenate([np.arange(c) for c in counts])
     gi = inv[order]
     tpl[gi, slot] = flat.template[:n][order]
     uv[gi, slot] = flat.uv[:n][order]
@@ -177,11 +177,13 @@ def make_grouped_neq_fn(op_fun: OptimFunction, loss: str = "linear",
     neq(params_full, u_rows, tpl, uv, mask) -> (JtJ, grad, cost): parameters
     gather ONCE per group, residual/Jacobian vectorise over the dense grid,
     grams contract over the M axis on the MXU, and only the (U, L, L) /
-    (U, L) group results scatter into the global system. Same semantics as
-    make_neq_fn (IRLS robust weights per 2-D observation).
+    (U, L) group results scatter into the global system. Same robust-loss
+    handling as make_neq_fn (IRLS weights; loss_semantics selects the
+    per-observation or per-component convention).
     """
-    from pycamset_tpu.optim.losses import make_loss
+    from pycamset_tpu.optim.losses import check_loss_semantics, make_loss
 
+    check_loss_semantics(loss_semantics)
     point_fn = op_fun.make_point_fn()
     rho_fn, weight_fn = make_loss(loss, f_scale)
     robust = loss != "linear"
@@ -283,8 +285,9 @@ def make_neq_fn(op_fun: OptimFunction, loss: str = "linear",
     Robust losses apply IRLS weights per 2D observation, like the
     structured backend.
     """
-    from pycamset_tpu.optim.losses import make_loss
+    from pycamset_tpu.optim.losses import check_loss_semantics, make_loss
 
+    check_loss_semantics(loss_semantics)
     point_fn = op_fun.make_point_fn()
     rho_fn, weight_fn = make_loss(loss, f_scale)
     robust = loss != "linear"

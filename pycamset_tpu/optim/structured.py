@@ -234,7 +234,8 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
     """
     point_fn = op_fun.make_point_fn()
     from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
-    from pycamset_tpu.optim.losses import make_loss
+    from pycamset_tpu.optim.losses import check_loss_semantics, make_loss
+    check_loss_semantics(loss_semantics)
     analytic_rj = analytic_block_rj_for_chain(op_fun)
     rho_fn, weight_fn = make_loss(loss, f_scale)
     robust = loss != "linear"

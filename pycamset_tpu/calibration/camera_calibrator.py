@@ -9,8 +9,8 @@ validate_detections, outlier_rejection, sanitise_input_images.
 """
 from __future__ import annotations
 
+import inspect
 import logging
-from functools import reduce
 from pathlib import Path
 
 import cv2
@@ -27,11 +27,27 @@ from pycamset_tpu.utils.saving import load_CameraSet, load_pickle, save_pickle
 
 try:
     from tqdm import tqdm
-except ImportError:  # tqdm is available in this environment; belt and braces
-    def tqdm(x, **kw):
-        return x
+except ImportError:  # tqdm ships in this environment; degrade to identity
+    def tqdm(seq, **_kw):
+        return seq
 
 logging.basicConfig(level=logging.INFO)
+
+# an image can only seed a shared pose if every camera saw at least this
+# many target features in it
+MIN_SHARED_POSE_FEATURES = 6
+# validate_detections warning thresholds, in percent
+DETECTION_RATE_WARN_PCT = 90.0
+BOARD_COMPLETENESS_WARN_PCT = 50.0
+
+
+def _cache_tail(camera_model: str) -> str:
+    """Per-camera-model .camset cache suffix.
+
+    A cached 5-coefficient seed is also a valid (zero k4..k6) rational seed,
+    so without a model-specific name it would silently shadow the real one.
+    """
+    return ".camset" if camera_model == "standard" else f"_{camera_model}.camset"
 
 
 def calibrate_cameras(
@@ -63,47 +79,53 @@ def calibrate_cameras(
     :param problem_options: options dict merged over the handler defaults.
     :param initial_cams: skip initial calibration and use these cameras.
     """
-    if isinstance(f_loc, str):
-        f_loc = Path(f_loc)
-    if save_loc is None:
-        save_loc = f_loc
+    root = Path(f_loc)
+    out_dir = root if save_loc is None else save_loc
     camera_model = (problem_options or {}).get("camera_model", "standard")
+    tail = _cache_tail(camera_model)
 
-    detections, camera_res = detect_datapoints_in_imfile(
-        f_loc=f_loc, caching=save, calibration_target=calibration_target,
-        draw=draw, n_lim=n_lim)
-
+    detections, camera_res = detect_datapoints_in_imfile(f_loc=root,
+        caching=save, calibration_target=calibration_target, draw=draw,
+        n_lim=n_lim)
     validate_detections(detections, calibration_target)
 
-    # distinct cache per camera model: a cached 5-coef seed is a valid (zero
-    # k4..k6) rational seed but would silently shadow a real rational one
-    string_tail = (".camset" if camera_model == "standard"
-                   else f"_{camera_model}.camset")
-    if initial_cams is None:
-        initial_cams = run_initial_calibration(
-            detections, calibration_target, camera_res, save=save,
-            save_loc=save_loc / ("initial_cameras" + string_tail),
+    if initial_cams is not None:
+        logging.info("Seeding the bundle adjustment from the cameras "
+                     "passed by the caller.")
+    else:
+        initial_cams = run_initial_calibration(detections,
+            calibration_target, camera_res, save=save,
+            save_loc=out_dir / f"initial_cameras{tail}",
             fixed_params=fixed_params, camera_model=camera_model)
-
         if high_distortion:
-            detections, _ = detect_datapoints_in_imfile(
-                f_loc=f_loc, calibration_target=calibration_target, draw=draw,
+            # second detection pass: the seed cameras undistort each image
+            # before detection, recovering corners a raw pass misses
+            detections, _ = detect_datapoints_in_imfile(f_loc=root,
+                calibration_target=calibration_target, draw=draw,
                 n_lim=n_lim, camset=initial_cams)
-            initial_cams = run_initial_calibration(
-                detections, calibration_target, camera_res, save=save,
-                save_loc=save_loc / ("initial_cameras_high_distortion" + string_tail),
+            initial_cams = run_initial_calibration(detections,
+                calibration_target, camera_res, save=save,
+                save_loc=out_dir / f"initial_cameras_high_distortion{tail}",
                 camera_model=camera_model)
             initial_cams.draw_camera_distortions()
-    else:
-        logging.info("Using the provided initial cameras.")
 
-    initial_cams.set_resolutions_from_file(floc=f_loc)
-    calibrated_cameras = run_stereo_calibration(
+    initial_cams.set_resolutions_from_file(floc=root)
+    return run_stereo_calibration(
         initial_cams, detections, calibration_target, save=save,
-        save_loc=save_loc / ("optimised_cameras" + string_tail),
+        save_loc=out_dir / f"optimised_cameras{tail}",
         fixed_params=fixed_params, threads=threads,
         problem_options=problem_options)
-    return calibrated_cameras
+
+
+def _pick_shared_pose_image(detection: TargetDetection) -> int:
+    """The image index every camera can seed a pose from.
+
+    Chooses the image maximising the total corner count, restricted to
+    images where each camera found at least MIN_SHARED_POSE_FEATURES.
+    """
+    per_im_counts = detection.features_per_im_per_cam()
+    usable = np.all(per_im_counts >= MIN_SHARED_POSE_FEATURES, axis=1)
+    return int(np.argmax(per_im_counts.sum(axis=1) * usable))
 
 
 def run_initial_calibration(detection: TargetDetection,
@@ -115,35 +137,33 @@ def run_initial_calibration(detection: TargetDetection,
                             camera_model: str = "standard") -> CameraSet:
     """Per-camera initial calibration via the target's calibration method
     (cv2.calibrateCamera by default), with .camset caching."""
-    if save_loc.exists() and save:
-        logging.info(f"Loading a previously saved initial calib from {save_loc}")
+    if save and save_loc.exists():
+        logging.info(f"Reusing the cached initial calibration at {save_loc}")
         return load_CameraSet(save_loc)
 
-    # pick the best shared pose image (most features, >=6 in every camera)
-    c_m = detection.features_per_im_per_cam()
-    mask = ~np.any(c_m < 6, axis=1)
-    pose_im = int(np.argmax(np.sum(c_m, axis=1) * mask))
+    pose_im = _pick_shared_pose_image(detection)
+    logging.info("Seeding each camera with the target's own "
+                 "initial-calibration method")
 
-    logging.info("Pulling calibration method from target")
-    cam_names = detection.cam_names
-    cam_detections = detection.get_cam_list()
     # custom targets may override initial_calibration without the
-    # camera_model kwarg; only pass it when the signature accepts it
-    import inspect
-    kw = {}
-    sig = inspect.signature(calibration_target.initial_calibration)
-    if "camera_model" in sig.parameters:
-        kw["camera_model"] = camera_model
+    # camera_model kwarg; only forward it when the override accepts it
+    seed_fn = calibration_target.initial_calibration
+    extra_kw = {}
+    if "camera_model" in inspect.signature(seed_fn).parameters:
+        extra_kw["camera_model"] = camera_model
     elif camera_model != "standard":
         logging.warning(
             f"Target {type(calibration_target).__name__}.initial_calibration "
             f"does not accept camera_model={camera_model!r}; seeding with its "
             "default model (extra coefficients start at zero).")
-    raw = [calibration_target.initial_calibration(
-        cam_name=name, detection=det, res=res, pose_im=pose_im,
-        fixed_params=fixed_params, **kw)
-        for name, det, res in zip(cam_names, cam_detections, cam_res)]
-    cams = CameraSet(camera_dict={n: c for n, c in zip(cam_names, raw)})
+
+    seeded = {
+        name: seed_fn(cam_name=name, detection=per_cam, res=res,
+                      pose_im=pose_im, fixed_params=fixed_params, **extra_kw)
+        for name, per_cam, res in zip(
+            detection.cam_names, detection.get_cam_list(), cam_res)
+    }
+    cams = CameraSet(camera_dict=seeded)
     if save:
         cams.save(save_loc)
     return cams
@@ -155,23 +175,22 @@ def run_stereo_calibration(
         fixed_params: dict | None = None, floc: Path | None = None,
         threads: int = 1, problem_options: dict | None = None) -> CameraSet:
     """The full multiview calibration: a target-pose bundle adjustment."""
-    logging.info("Running the full multiview calibration")
-    if save_loc is None:
-        save_loc = Path("optimised_cameras.camset")
+    logging.info("Starting the joint multiview bundle adjustment")
     if param_handler is None:
-        param_handler = TemplateBundleHandler(
-            detection=detections, target=target, camset=cams,
+        param_handler = TemplateBundleHandler(camset=cams,
+            detection=detections, target=target,
             fixed_params=fixed_params, options=problem_options)
 
-    optimisation, optimised_cams = run_bundle_adjustment(
+    _opt_result, solved_cams = run_bundle_adjustment(
         param_handler=param_handler, threads=threads)
-    param_handler.camset = optimised_cams
+    param_handler.camset = solved_cams
 
     if save:
         if floc is not None:
-            optimised_cams.set_resolutions_from_file(floc)
-        optimised_cams.save(save_loc)
-    return optimised_cams
+            solved_cams.set_resolutions_from_file(floc)
+        solved_cams.save(save_loc if save_loc is not None
+                         else Path("optimised_cameras.camset"))
+    return solved_cams
 
 
 def detect_datapoints_in_imfile(
@@ -181,108 +200,113 @@ def detect_datapoints_in_imfile(
         subfolder_string: str | None = None
 ) -> tuple[TargetDetection, list[tuple]]:
     """Detect the target in every camera subfolder, with pickle caching."""
-    logging.info("starting image detection")
     if camset is not None:
+        # undistorting detections get their own cache file
         cache_name = cache_name.split(".")[0] + "_with_calib.pickle"
+    cache_path = f_loc / cache_name
 
-    if not (f_loc / cache_name).exists() or not caching:
-        logging.info("Not caching, starting detection")
-        detected_sub_folders = get_subfolder_names(f_loc, return_full_path=True)
-        if not detected_sub_folders:
-            raise ValueError(f"no subfolders were found in {f_loc}")
-        sanitise_input_images(detected_sub_folders)
-        cam_names = get_subfolder_names(f_loc=f_loc)
+    if caching and cache_path.exists():
+        logging.info(f"Reusing cached detections from {cache_path}")
+        return load_pickle(cache_path)
 
-        def work_fn(file, cam=None):
-            return calibration_target.find_in_imfolder(
-                file if subfolder_string is None else file / subfolder_string,
-                cam_names=cam_names, draw=draw, n_lim=n_lim, camera=cam)
+    logging.info("Scanning the camera folders for target detections")
+    cam_folders = get_subfolder_names(f_loc, return_full_path=True)
+    if not cam_folders:
+        raise ValueError(f"no subfolders were found in {f_loc}")
+    sanitise_input_images(cam_folders)
+    cam_names = get_subfolder_names(f_loc=f_loc)
 
-        if camset is not None:
-            cam_zip = [camset[f.parts[-1]] for f in detected_sub_folders]
-            detections = [work_fn(f, cam) for f, cam
-                          in zip(tqdm(detected_sub_folders), cam_zip)]
-        else:
-            detections = [work_fn(f) for f in tqdm(detected_sub_folders)]
-        detected = reduce(lambda x, y: x + y, detections)
-        cam_res = [cv2.imread(str(glob_ims(f_loc / c)[0])).shape[:2]
-                   for c in cam_names]
-        if caching:
-            save_pickle((detected, cam_res), f_loc / cache_name)
-    else:
-        logging.info("loading cached detection")
-        detected, cam_res = load_pickle(f_loc / cache_name)
-    return detected, cam_res
+    seed_cams = ([camset[folder.parts[-1]] for folder in cam_folders]
+                 if camset is not None else [None] * len(cam_folders))
+    merged: TargetDetection | None = None
+    for folder, seed_cam in zip(tqdm(cam_folders), seed_cams):
+        im_dir = folder if subfolder_string is None else folder / subfolder_string
+        found = calibration_target.find_in_imfolder(
+            im_dir, cam_names=cam_names, draw=draw, n_lim=n_lim,
+            camera=seed_cam)
+        merged = found if merged is None else merged + found
+
+    resolutions = [cv2.imread(str(glob_ims(f_loc / name)[0])).shape[:2]
+                   for name in cam_names]
+    if caching:
+        save_pickle((merged, resolutions), cache_path)
+    return merged, resolutions
 
 
 def validate_detections(detected: TargetDetection, target: AbstractTarget):
     """Per-camera detection-rate and board-completeness warnings."""
-    n_detected = {}
-    board_fraction: dict = {}
-    corners_per_face = target.point_data.shape[-2]
     cam_names = detected.cam_names
+    face_corners = target.point_data.shape[-2]
+    hit_rate: dict[str, float] = {}
+    completeness: dict[str, list[float]] = {}
 
-    for cam_list in detected.get_cam_list():
-        data = cam_list.get_data()
-        if data is None:
+    for per_cam in detected.get_cam_list():
+        rows = per_cam.get_data()
+        if rows is None:
             continue
-        cam_name = cam_names[int(data[0, 0])]
-        board_detected = 0
-        for im_list in cam_list.get_image_list():
-            datum = im_list.get_data()
-            if datum is not None:
-                total_seen = datum.shape[0]
-                board_detected += 1
-                n_keys = datum.shape[1] - 4
-                seen = board_fraction.setdefault(cam_name, [])
-                if n_keys == 1:
-                    seen.append(total_seen / corners_per_face)
-                else:
-                    n_boards = len(np.unique(datum[:, 2:-3], axis=0))
-                    seen.append(total_seen / corners_per_face / n_boards)
-        n_detected[cam_name] = board_detected / detected.max_ims
+        name = cam_names[int(rows[0, 0])]
+        fractions = completeness.setdefault(name, [])
+        images_with_board = 0
+        for per_im in per_cam.get_image_list():
+            im_rows = per_im.get_data()
+            if im_rows is None:
+                continue
+            images_with_board += 1
+            key_width = im_rows.shape[1] - 4
+            if key_width == 1:
+                # planar board: fraction of the single face's corners
+                fractions.append(im_rows.shape[0] / face_corners)
+            else:
+                # faceted target: normalise by the number of faces seen
+                faces_seen = len(np.unique(im_rows[:, 2:-3], axis=0))
+                fractions.append(
+                    im_rows.shape[0] / face_corners / faces_seen)
+        hit_rate[name] = images_with_board / detected.max_ims
 
-    for cam in cam_names:
-        metric0 = n_detected.get(cam, 0) * 100
-        metric1 = np.mean(board_fraction.get(cam, [0])) * 100
-        logging.info(f'\tCamera "{cam}" detected boards: {metric0: .1f}%, '
-                     f'board completeness: {metric1: .1f}%')
-        if metric0 < 90:
-            logging.warning(f'\tCamera "{cam}" has a high number of failed detections')
-        if metric1 < 50:
-            logging.warning(f'\tCamera "{cam}" struggled to detect full complete boards')
+    for name in cam_names:
+        found_pct = 100.0 * hit_rate.get(name, 0)
+        complete_pct = 100.0 * float(np.mean(completeness.get(name, [0])))
+        logging.info(f'\tCamera "{name}" detected boards: {found_pct: .1f}%, '
+                     f'board completeness: {complete_pct: .1f}%')
+        if found_pct < DETECTION_RATE_WARN_PCT:
+            logging.warning(
+                f'\tCamera "{name}" failed to detect the target in many images')
+        if complete_pct < BOARD_COMPLETENESS_WARN_PCT:
+            logging.warning(
+                f'\tCamera "{name}" rarely saw the complete board')
 
 
 def outlier_rejection(results, params) -> tuple[TargetDetection | None, bool]:
     """Per-image MAD outlier rejection on residuals, with boxplots."""
     from matplotlib import pyplot as plt
-    detection = params.get_detection_data()
-    d_list: list[list] = [[] for _ in range(params.detection.max_ims)]
-    for im_num, errs in zip(detection[:, 1], results):
-        d_list[int(im_num)].append(errs)
+    rows = params.get_detection_data()
+    per_image: list[list] = [[] for _ in range(params.detection.max_ims)]
+    for im_idx, err in zip(rows[:, 1], results):
+        per_image[int(im_idx)].append(err)
 
     # indices into the compacted (non-empty) list map back to image numbers
-    im_ids = np.array([i for i, d in enumerate(d_list) if d])
-    per_im_outliers = mad_outlier_detection(
-        [np.mean(d_list[i]) for i in im_ids], draw=False, out_thresh=5)
-    plt.boxplot([d for d in d_list if d])
-    plt.ylabel("Average Pixels Reprojection error")
-    if per_im_outliers is not None:
-        outlier_ims = im_ids[per_im_outliers[0]]
-        plt.title(f"Images {list(outlier_ims)} are likely outliers")
-    else:
-        plt.title("Reprojection error per image")
-    plt.show()
+    populated = np.array([i for i, errs in enumerate(per_image) if errs])
+    flagged = mad_outlier_detection(
+        [np.mean(per_image[i]) for i in populated], draw=False, out_thresh=5)
 
-    if per_im_outliers is None:
+    plt.boxplot([errs for errs in per_image if errs])
+    plt.ylabel("Average Pixels Reprojection error")
+    if flagged is None:
+        plt.title("Reprojection error per image")
+        plt.show()
         return None, False
-    logging.info("deleting datum associated with the above outliers")
-    return params.detection.delete_row(im_num=outlier_ims), True
+
+    bad_images = populated[flagged[0]]
+    plt.title(f"Images {list(bad_images)} are likely outliers")
+    plt.show()
+    logging.info(f"Dropping the detections of outlier images {list(bad_images)}")
+    return params.detection.delete_row(im_num=bad_images), True
 
 
 def sanitise_input_images(detected_sub_folders: list[Path], optmode: str = "na"):
     """Require the same number of images per camera folder."""
-    equal_ims = [len(glob_ims(fol)) for fol in detected_sub_folders]
-    if not len(set(equal_ims)) <= 1:
+    counts = {len(glob_ims(folder)) for folder in detected_sub_folders}
+    if len(counts) > 1:
         raise ValueError(
-            "An unequal number of calibration images were passed in the input folders.")
+            "The camera folders hold differing numbers of calibration "
+            f"images ({sorted(counts)}); every camera must see every pose.")

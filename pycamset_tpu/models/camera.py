@@ -28,10 +28,22 @@ from pycamset_tpu.utils.general_utils import (
     distort_points, h_tform, sensor_map, vector_cam_points)
 
 DEFAULT_RES = [1000, 1000]
-DEFAULT_CAMERA_MATRIX = np.array(
-    [[1000.0, 0.0, DEFAULT_RES[0] / 2],
-     [0.0, 1000.0, DEFAULT_RES[1] / 2],
-     [0.0, 0.0, 1.0]])
+DEFAULT_FOCAL_PX = 1000.0
+
+# vector-mode rays are returned as short segments so downstream consumers
+# (viz, nearest-point queries) get a point near the camera, not at unit range
+VECTOR_RAY_SEGMENT = 0.1
+# the focal point marker is drawn this many world units per 1000 focal px
+FOCAL_MARKER_PER_KPX = 1.0 / 1000.0
+
+
+def _default_intrinsic() -> np.ndarray:
+    k = np.eye(3)
+    k[0, 0] = k[1, 1] = DEFAULT_FOCAL_PX
+    k[0, 2] = DEFAULT_RES[0] / 2
+    k[1, 2] = DEFAULT_RES[1] / 2
+    return k
+
 
 _distort_pixels_j = jax.jit(distort_pixels)
 _undistort_pixels_j = jax.jit(undistort_pixels, static_argnames=("iters",))
@@ -70,16 +82,18 @@ class Camera:
         :param minimal: skip eager sensor-map generation (lazy for hi-res cams).
         """
         self.res = DEFAULT_RES if res is None else res
-        self.extrinsic = np.eye(4) if extrinsic is None else np.asarray(extrinsic, dtype=float)
-        self.intrinsic = (DEFAULT_CAMERA_MATRIX.copy() if intrinsic is None
+        self.extrinsic = (np.eye(4) if extrinsic is None
+                          else np.asarray(extrinsic, dtype=float))
+        self.intrinsic = (_default_intrinsic() if intrinsic is None
                           else np.asarray(intrinsic, dtype=float))
         self.original_matrix = deepcopy(self.intrinsic)
         self.distortion_coefs = (np.zeros(5) if distortion_coefs is None
-                                 else np.asarray(distortion_coefs, dtype=float).reshape(-1))
-        self.cam_to_world = None
-        self.down_scale_factor = 0
+                                 else np.ravel(np.asarray(distortion_coefs,
+                                                          dtype=float)))
+        self.cam_to_world: np.ndarray | None = None
+        self.down_scale_factor: int = 0
         self.name = name
-        self.minimal = minimal
+        self.minimal = bool(minimal)
         self._update_state()
 
     # ------------------------------------------------------------ equality
@@ -87,47 +101,50 @@ class Camera:
     def __eq__(self, other):
         if not isinstance(other, Camera):
             return False
-        return bool(
-            np.allclose(self.intrinsic, other.intrinsic)
-            and np.allclose(self.extrinsic, other.extrinsic)
-            and np.allclose(np.reshape(self.distortion_coefs, -1),
-                            np.reshape(other.distortion_coefs, -1)))
+        same = (np.allclose(self.intrinsic, other.intrinsic)
+                and np.allclose(self.extrinsic, other.extrinsic)
+                and np.allclose(np.ravel(self.distortion_coefs),
+                                np.ravel(other.distortion_coefs)))
+        return bool(same)
 
     # ------------------------------------------------------- derived state
 
     def _update_state(self):
         """Recalculate all state derived from the camera parameters."""
-        self.cam_to_world = np.linalg.inv(self.extrinsic)
-        self.position = (self.cam_to_world @ [0, 0, 0, 1])[:3]
-        self.view = (self.cam_to_world @ [0, 0, 1, 0])[:3]
-        self.u_axis = (self.cam_to_world @ [0, -1, 0, 0])[:3]
-        if not self.minimal:
-            self._make_sensormap()
+        c2w = np.linalg.inv(self.extrinsic)
+        self.cam_to_world = c2w
+        # columns of the rotation part are the camera axes in world space
+        self.position = c2w[:3, 3]
+        self.view = c2w[:3, 2]
+        self.u_axis = -c2w[:3, 1]
+        if self.minimal:
+            self.sensor_map = self.world_sensor_map = None
         else:
-            self.sensor_map = None
-            self.world_sensor_map = None
-        self.focal_point = self.position + self.intrinsic[0, 0] / 1000 * self.view
+            self._make_sensormap()
+        focal_px = self.intrinsic[0, 0]
+        self.focal_point = (self.position
+                            + FOCAL_MARKER_PER_KPX * focal_px * self.view)
         self.fov = self._cam_fov()
         self.proj = self._calc_projection_matrix()
 
     def _cam_fov(self):
-        return 180 / math.pi * (2 * np.arctan2(self.res[1] / 2, self.intrinsic[0, 0]))
+        half_height = self.res[1] / 2
+        return math.degrees(2.0 * np.arctan2(half_height, self.intrinsic[0, 0]))
 
     def _calc_projection_matrix(self):
-        return self.intrinsic @ self.extrinsic[:3, :4]
+        return self.intrinsic @ self.extrinsic[:3]
 
     def set_extrinsic(self, new_extrinsic):
         self.extrinsic = np.asarray(new_extrinsic, dtype=float)
         self._update_state()
 
     def set_distortion_coefs(self, dist_coefs):
-        self.distortion_coefs = np.asarray(dist_coefs, dtype=float).reshape(-1)
+        self.distortion_coefs = np.ravel(np.asarray(dist_coefs, dtype=float))
         self._update_state()
 
     def set_minimal(self, minimal: bool):
-        self.minimal = minimal
-        self.sensor_map = None
-        self.world_sensor_map = None
+        self.minimal = bool(minimal)
+        self.sensor_map = self.world_sensor_map = None
         self._update_state()
 
     # ----------------------------------------------------------- projection
@@ -139,43 +156,36 @@ class Camera:
         :param mode: 'opencv' returns (u,v); 'image' returns (v,u).
         :param distort: apply the lens distortion model.
         """
-        centered = h_tform(np.asarray(points, dtype=float), self.proj)
-        if centered.ndim == 1:
-            centered = centered[None, ...]
-        if distort and not np.allclose(self.distortion_coefs, 0):
-            centered = np.array(_distort_pixels_j(
-                jnp.asarray(centered), jnp.asarray(self.intrinsic),
-                jnp.asarray(np.reshape(self.distortion_coefs, -1))))
-        if mode == "image":
-            return centered[:, ::-1]
-        return centered
+        uv = np.atleast_2d(h_tform(np.asarray(points, dtype=float), self.proj))
+        if distort and np.any(self.distortion_coefs):
+            uv = np.array(_distort_pixels_j(
+                jnp.asarray(uv), jnp.asarray(self.intrinsic),
+                jnp.asarray(np.ravel(self.distortion_coefs))))
+        return uv[:, ::-1] if mode == "image" else uv
 
     def undistort_points(self, uv, iters: int = 8):
         """Invert lens distortion on pixel coordinates (n,2)."""
         return np.array(_undistort_pixels_j(
             jnp.asarray(uv, dtype=float), jnp.asarray(self.intrinsic),
-            jnp.asarray(np.reshape(self.distortion_coefs, -1)), iters=iters))
+            jnp.asarray(np.ravel(self.distortion_coefs)), iters=iters))
 
     def _is_in_image(self, cords) -> bool:
-        truths = []
-        for cord, res in zip(np.asarray(cords).squeeze(), self.res):
-            truths.append(0 < cord < res)
-        return bool(np.all(truths))
+        uv = np.ravel(np.asarray(cords))
+        wh = np.asarray(self.res, dtype=float)
+        return bool(np.all((uv > 0) & (uv < wh)))
 
     def can_image(self, pt) -> bool:
         """True if a world point projects inside the image bounds."""
-        uv = self.project_points(np.asarray(pt)[None, ...])
-        return self._is_in_image(uv)
+        return self._is_in_image(self.project_points(np.asarray(pt)[None]))
 
     # ------------------------------------------------------------ ray casts
 
     def _compute_world_sensor_map(self):
-        pts = np.ones(tuple(self.res))[..., np.newaxis]
-        temp_ext = self.cam_to_world[np.newaxis, np.newaxis, ...]
-        temp_map = np.concatenate((self.sensor_map, pts), axis=-1)[..., np.newaxis]
-        s_map = (temp_ext @ temp_map)[:, :, :3, 0]
-        s_map -= self.position
-        return s_map
+        # pixel rays live in camera space; the world map is the same field
+        # rotated into world axes (translation cancels: the map is stored
+        # relative to the camera centre)
+        rot_c2w = self.cam_to_world[:3, :3]
+        return np.einsum("ij,uvj->uvi", rot_c2w, self.sensor_map)
 
     def _make_sensormap(self, mode="linear", distort=True):
         self.sensor_map = sensor_map(
@@ -185,32 +195,29 @@ class Camera:
 
     def get_image_cord_sensor_map(self):
         """Sensor map in image (v,u) order rather than opencv (u,v)."""
-        return np.transpose(self.world_sensor_map, (1, 0, 2))
+        return self.world_sensor_map.transpose(1, 0, 2)
 
     def im_to_world_ray(self, cord, depth_im=None, distort=True, use_vector=False):
         """Pixel coordinate(s) (n,2) -> world-space ray endpoints.
 
         With a depth image the ray length is set from the depth at the pixel.
         """
-        if isinstance(cord, list):
-            cord = np.array(cord)
-        if cord.ndim == 1:
-            cord = cord[None, ...]
+        px = np.atleast_2d(np.asarray(cord))
 
         if use_vector:
-            if distort:
-                cord = self.undistort_points(cord)
-            rays = vector_cam_points("linear", cord, self.intrinsic, self.cam_to_world)
-            return rays / 10 + self.position
+            src = self.undistort_points(px) if distort else px
+            dirs = vector_cam_points("linear", src, self.intrinsic,
+                                     self.cam_to_world)
+            return self.position + VECTOR_RAY_SEGMENT * dirs
 
         self._make_sensormap(distort=distort)
-        rays = self.world_sensor_map[cord[:, 0], cord[:, 1], :]
+        dirs = self.world_sensor_map[px[:, 0], px[:, 1]]
         if depth_im is not None:
-            length = depth_im[cord[:, 1], cord[:, 0]]
-            if np.any(np.isnan(length)):
+            depth = depth_im[px[:, 1], px[:, 0]]
+            if np.any(np.isnan(depth)):
                 logging.warning("Nan length found in depth image used for ray")
-            rays = rays * length[:, None]
-        return rays + self.position
+            dirs = depth[:, None] * dirs
+        return self.position + dirs
 
     # ----------------------------------------------------------- image edit
 
@@ -222,111 +229,114 @@ class Camera:
     def view_sensor_distortion(self, ax=None):
         """Quiver plot of the sensor distortion field."""
         from matplotlib import pyplot as plt
-        grid = np.meshgrid(np.arange(0, self.res[0], 100),
-                           np.arange(0, self.res[1], 100))
-        grid = np.c_[grid[0].ravel(), grid[1].ravel()]
-        n_grid = np.array([distort_points(g, self.intrinsic, self.distortion_coefs)
-                           for g in grid])
-        shift = n_grid - grid
-        target = ax if ax is not None else plt.gca()
-        target.quiver(grid[:, 0], grid[:, 1], shift[:, 0], shift[:, 1],
-                      angles="xy", scale_units="xy", scale=1)
-        target.set_aspect("equal")
-        target.set_title(f"Distortion in camera {self.name}")
+        uu, vv = np.meshgrid(np.arange(0, self.res[0], 100),
+                             np.arange(0, self.res[1], 100))
+        ideal = np.column_stack([uu.ravel(), vv.ravel()])
+        warped = np.array([distort_points(p, self.intrinsic,
+                                          self.distortion_coefs)
+                           for p in ideal])
+        delta = warped - ideal
+        axis = plt.gca() if ax is None else ax
+        axis.quiver(ideal[:, 0], ideal[:, 1], delta[:, 0], delta[:, 1],
+                    angles="xy", scale_units="xy", scale=1)
+        axis.set_aspect("equal")
+        axis.set_title(f"Distortion in camera {self.name}")
         if ax is None:
             plt.show()
 
     def scale_self_2n(self, down_scale_factor: int = 1):
         """Downscale the intrinsics by a power of two."""
         self.down_scale_factor = down_scale_factor
-        sf = float(-down_scale_factor)
-        scale_mat = np.array(
-            [[2.0 ** sf, 0.0, 2.0 ** (sf - 1.0) - 0.5],
-             [0.0, 2.0 ** sf, 2.0 ** (sf - 1.0) - 0.5],
-             [0.0, 0.0, 1.0]])
-        self.res = [int(self.res[0] * 2 ** sf), int(self.res[1] * 2 ** sf)]
-        self.intrinsic = scale_mat @ self.intrinsic
+        shrink = 0.5 ** down_scale_factor
+        # averaging 1/shrink pixels moves the pixel-centre origin: the new
+        # principal point picks up a (shrink/2 - 1/2) px offset
+        centre_shift = (shrink - 1.0) / 2.0
+        rescale = np.diag([shrink, shrink, 1.0])
+        rescale[:2, 2] = centre_shift
+        self.res = [int(n * shrink) for n in self.res]
+        self.intrinsic = rescale @ self.intrinsic
         self._update_state()
 
     def crop_to_roi(self, roi):
         """Alter intrinsics to mimic a cropped sensor. roi=[ymin,xmin,xmax,ymax]."""
-        [ymin, xmin, xmax, ymax] = roi
+        ymin, xmin, xmax, ymax = roi
         if xmax > self.res[0] or ymax > self.res[1]:
             raise ValueError("crop bounds outside of camera viewpoint")
-        self.intrinsic = self.intrinsic - np.array(
-            [[0, 0, xmin], [0, 0, ymin], [0, 0, 0]], dtype=float)
+        self.intrinsic = self.intrinsic.copy()
+        self.intrinsic[0, 2] -= xmin
+        self.intrinsic[1, 2] -= ymin
         self._update_state()
 
     def reset_to_original_params(self):
-        self.intrinsic = self.original_matrix
+        self.intrinsic = np.asarray(self.original_matrix)
         self._update_state()
 
     def transform(self, transformation_matrix):
         """Post-multiply the extrinsic by a 4x4 homogeneous transform."""
-        self.extrinsic = self.extrinsic @ transformation_matrix
-        self._update_state()
+        self.set_extrinsic(self.extrinsic @ np.asarray(transformation_matrix))
 
     # -------------------------------------------------------------- exports
 
     def to_MVSnet_txt(self, f_loc: Path, depth_range: tuple[float, float],
                       depth_steps: int, crop=None) -> None:
         """Write the camera to the MVSNet cam.txt format."""
-        with open(f_loc, "w") as f:
-            f.write("extrinsic\n")
-            for row in self.extrinsic:
-                f.write(f"{row[0]} {row[1]} {row[2]} {row[3]}\n")
-            f.write("\nintrinsic\n")
-            if crop is None:
-                for row in self.intrinsic:
-                    f.write(f"{row[0]} {row[1]} {row[2]}\n")
-            else:
-                row = self.intrinsic[0]
-                f.write(f"{row[0]} {row[1]} {row[2] - crop[1, 0]}\n")
-                row = self.intrinsic[1]
-                f.write(f"{row[0]} {row[1]} {row[2] - crop[0, 0]}\n")
-                row = self.intrinsic[2]
-                f.write(f"{row[0]} {row[1]} {row[2]}\n")
-            f.write(f"\n{depth_range[0]} "
-                    f"{(depth_range[1] - depth_range[0]) / depth_steps} "
-                    f"{depth_steps} {depth_range[1]}\n")
+        k = self.intrinsic.copy()
+        if crop is not None:
+            k[0, 2] -= crop[1, 0]
+            k[1, 2] -= crop[0, 0]
+        near, far = depth_range
+        step = (far - near) / depth_steps
+
+        def block(mat):
+            return "\n".join(" ".join(str(v) for v in row) for row in mat)
+
+        text = (f"extrinsic\n{block(self.extrinsic)}\n\n"
+                f"intrinsic\n{block(k)}\n\n"
+                f"{near} {step} {depth_steps} {far}\n")
+        Path(f_loc).write_text(text)
 
     # ------------------------------------------------------------ viz meshes
 
+    def _corner_rays(self) -> np.ndarray:
+        """World-space unit rays through the four sensor corners."""
+        w, h = self.res[0], self.res[1]
+        corners = np.array([[0, 0], [0, h], [w, 0], [w, h]])
+        return vector_cam_points("linear", corners, self.intrinsic,
+                                 self.cam_to_world)
+
     def get_mesh(self, scale: float = 0.025):
         """A wireframe camera glyph mesh in world coordinates."""
-        cam_len = max(scale, 0.03)
-        p1 = self.position
-        pts = np.array([[0, 0], [0, self.res[1]],
-                        [self.res[0], 0], [self.res[0], self.res[1]]])
-        pt_100 = np.array([[0, 0], [100, 0], [0, 100], [100, 100]])
-        vs = vector_cam_points("linear", pts, self.intrinsic, self.cam_to_world)
-        v100 = vector_cam_points("linear", pt_100, self.intrinsic, self.cam_to_world)
-        [p2, p3, p4, p5] = vs * cam_len + p1
-        [p6, p7, p8, p9] = v100 * cam_len + p1
-        pn = p2 + (p2 - p3) / 3 + (p4 - p2) / 2
-        verts = np.stack((p1, p2, p3, p4, p5, pn, p6, p7, p8, p9))
-        faces = np.array([[3, 0, 1, 2], [3, 0, 2, 4], [3, 0, 4, 3],
-                          [3, 0, 3, 1], [3, 1, 3, 5], [3, 6, 7, 8], [3, 7, 8, 9]])
+        body_len = max(scale, 0.03)
+        centre = self.position
+        # frustum corners, plus a small 100x100-px patch marking sensor origin
+        frustum = centre + body_len * self._corner_rays()
+        patch_px = np.array([[0, 0], [100, 0], [0, 100], [100, 100]])
+        patch = centre + body_len * vector_cam_points(
+            "linear", patch_px, self.intrinsic, self.cam_to_world)
+        c00, c01, c10, c11 = frustum
+        # the "up" fin above the top edge of the frustum
+        fin = c00 + (c00 - c01) / 3 + (c10 - c00) / 2
+        verts = np.vstack([centre[None], frustum, fin[None], patch])
+        tris = [(0, 1, 2), (0, 2, 4), (0, 4, 3), (0, 3, 1), (1, 3, 5),
+                (6, 7, 8), (7, 8, 9)]
+        faces = np.array([[3, *t] for t in tris])
         return _make_mesh(verts, faces)
 
     def get_viewcone(self, view_len: float = 1, triangle: bool = False):
         """A mesh of the region that projects onto the camera sensor."""
-        p1 = self.position
-        pts = np.array([[0, 0], [0, self.res[1]],
-                        [self.res[0], 0], [self.res[0], self.res[1]]])
-        vs = vector_cam_points("linear", pts, self.intrinsic, self.cam_to_world)
+        rays = self._corner_rays()
+        far_plane = self.position + view_len * rays
         if triangle:
-            [p6, p7, p8, p9] = vs * view_len + p1
-            verts = np.stack((p6, p7, p8, p9, p1))
-            faces = np.array([[3, 0, 1, 2], [3, 2, 3, 0], [3, 4, 1, 0],
-                              [3, 4, 2, 1], [3, 4, 3, 2], [3, 4, 0, 3]])
+            verts = np.vstack([far_plane, self.position[None]])
+            tris = [(0, 1, 2), (2, 3, 0), (4, 1, 0), (4, 2, 1), (4, 3, 2),
+                    (4, 0, 3)]
+            faces = np.array([[3, *t] for t in tris])
         else:
-            cam_len = 0.025
-            [p2, p3, p4, p5] = vs * cam_len + p1
-            [p6, p7, p8, p9] = vs * view_len + p1
-            verts = np.stack((p2, p3, p4, p5, p6, p7, p8, p9))
-            faces = np.array([[3, 0, 1, 2], [3, 2, 3, 0], [3, 4, 5, 6],
-                              [3, 6, 7, 4], [3, 0, 1, 5], [3, 5, 4, 0],
-                              [3, 1, 2, 6], [3, 6, 5, 1], [3, 2, 3, 7],
-                              [3, 7, 6, 2], [3, 3, 0, 4], [3, 4, 7, 3]])
+            near_len = 0.025
+            near_plane = self.position + near_len * rays
+            verts = np.vstack([near_plane, far_plane])
+            tris = [(0, 1, 2), (2, 3, 0), (4, 5, 6), (6, 7, 4), (0, 1, 5),
+                    (5, 4, 0), (1, 2, 6), (6, 5, 1), (2, 3, 7), (7, 6, 2),
+                    (3, 0, 4), (4, 7, 3)]
+            faces = np.array([[3, *t] for t in tris])
         return _make_mesh(verts, faces)

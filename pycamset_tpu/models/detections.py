@@ -24,21 +24,19 @@ class ImageDetection:
     def __init__(self, keys=None, image_points=None):
         keys = np.array([] if keys is None else keys)
         image_points = np.array([] if image_points is None else image_points)
-        kp = keys.size != 0
-        ip = image_points.size != 0
-        if kp and ip:
-            if len(keys) != len(image_points):
-                raise ValueError(
-                    "Detected keys must be the same length as detected points")
-            self.keys = keys
-            self.image_points = image_points
-            self.has_data = True
-            self.data_len = len(keys)
-        elif not kp and not ip:
+        if keys.size == 0 and image_points.size == 0:
             self.has_data = False
-        else:
+            return
+        if keys.size == 0 or image_points.size == 0:
             raise ValueError(
                 "A detection requires both identifying keys and detected image points.")
+        if len(keys) != len(image_points):
+            raise ValueError(
+                "Detected keys must be the same length as detected points")
+        self.has_data = True
+        self.keys = keys
+        self.image_points = image_points
+        self.data_len = len(keys)
 
 
 class TargetDetection:
@@ -53,17 +51,18 @@ class TargetDetection:
         if len(set(self.cam_names)) != len(self.cam_names):
             raise ValueError("input camera names must be unique")
         self._data = copy(data)
-        self._update_buffer: list = []
+        self._pending: list = []
         self._max_ims = int(max_ims)
-        self._glomp_buffer()
+        self._absorb_pending()
 
     # ------------------------------------------------------------ properties
 
     @property
     def max_ims(self) -> int:
-        self._glomp_buffer()  # buffered appends count towards the image range
+        self._absorb_pending()  # buffered appends count towards the image range
         if self._data is not None and self._data.shape[0]:
-            self._max_ims = max(int(np.max(self._data[:, 1])) + 1, self._max_ims)
+            highest = int(self._data[:, 1].max()) + 1
+            self._max_ims = max(highest, self._max_ims)
         return self._max_ims
 
     @max_ims.setter
@@ -71,49 +70,52 @@ class TargetDetection:
         self._max_ims = int(val)
 
     def has_data(self) -> bool:
-        self._glomp_buffer()
+        self._absorb_pending()
         return self._data is not None
 
     def get_data(self) -> np.ndarray | None:
-        self._glomp_buffer()
+        self._absorb_pending()
         return self._data
 
     # ---------------------------------------------------------------- writes
 
     def add_detection(self, cam_name, im_num, detection: ImageDetection) -> None:
         """Append one image's detection to the internal buffer."""
-        ind = self.cam_names.index(cam_name)
-        if detection.has_data:
-            keys = detection.keys
-            if keys.ndim == 1:
-                keys = keys[..., None]
-            obs = np.concatenate(
-                [np.full((detection.data_len, 1), ind, dtype=float),
-                 np.full((detection.data_len, 1), im_num, dtype=float),
-                 keys.astype(float), detection.image_points], axis=1)
-            self._update_buffer.append(obs)
+        cam_idx = self.cam_names.index(cam_name)
+        if not detection.has_data:
+            return
+        keys2d = np.atleast_2d(detection.keys.astype(float))
+        if detection.keys.ndim == 1:
+            keys2d = keys2d.T
+        n = detection.data_len
+        head = np.empty((n, 2))
+        head[:, 0] = cam_idx
+        head[:, 1] = im_num
+        self._pending.append(
+            np.hstack([head, keys2d, detection.image_points]))
 
-    def _glomp_buffer(self) -> None:
-        if self._update_buffer:
-            chunk = np.concatenate(self._update_buffer, axis=0)
-            self._data = (chunk if self._data is None
-                          else np.concatenate([self._data, chunk], axis=0))
-            self._max_ims = max(self._max_ims, int(np.amax(self._data[:, 1])) + 1)
-            self._update_buffer.clear()
+    def _absorb_pending(self) -> None:
+        """Fold any buffered appends into the table (amortised O(1) appends)."""
+        if not self._pending:
+            return
+        fresh = np.concatenate(self._pending, axis=0)
+        self._pending.clear()
+        self._data = (fresh if self._data is None
+                      else np.concatenate([self._data, fresh], axis=0))
+        self._max_ims = max(self._max_ims, int(self._data[:, 1].max()) + 1)
 
     def __add__(self, other: "TargetDetection") -> "TargetDetection":
         if self.cam_names != other.cam_names:
             raise ValueError("To add detections, they must have consistent camera names")
-        self._glomp_buffer()
-        other._glomp_buffer()
-        parts = [d for d in (self._data, other._data)
-                 if d is not None and d.shape[0]]
-        if not parts:
+        tables = [t for t in (self.get_data(), other.get_data())
+                  if t is not None and t.shape[0]]
+        if not tables:
             return self
-        new = TargetDetection(self.cam_names, np.concatenate(parts, axis=0)
-                              if len(parts) > 1 else parts[0])
-        new.max_ims = max(self.max_ims, other.max_ims)
-        return new
+        merged = TargetDetection(
+            self.cam_names,
+            tables[0] if len(tables) == 1 else np.concatenate(tables, axis=0))
+        merged.max_ims = max(self.max_ims, other.max_ims)
+        return merged
 
     # ----------------------------------------------------------------- reads
 
@@ -134,34 +136,36 @@ class TargetDetection:
         raise ValueError(f'{key} is not a gettable item: accepted are '
                          f'"cam", "key", "im_num" or "index"')
 
-    def get(self, **direction) -> "TargetDetection":
-        """Subset of detections by cam=<name>, key=<key>, or im_num=<int>."""
-        self._glomp_buffer()
+    @staticmethod
+    def _single_selector(direction: dict) -> tuple[str, object]:
         if len(direction) > 1:
             raise ValueError("Can only get one item at a time")
-        key, target = next(iter(direction.items()))
+        return next(iter(direction.items()))
+
+    def get(self, **direction) -> "TargetDetection":
+        """Subset of detections by cam=<name>, key=<key>, or im_num=<int>."""
+        self._absorb_pending()
+        key, target = self._single_selector(direction)
         if key not in ("cam", "key", "im_num"):
             raise ValueError(f'{key} is not a gettable item: accepted are '
                              f'"cam", "key", or "im_num"')
-        if self._data is None:
-            return TargetDetection(cam_names=self.cam_names, data=None,
-                                   max_ims=self.max_ims)
-        data = self._data[self._mask_for(key, target), :]
-        if data.shape[0] == 0:
-            data = None
-        return TargetDetection(cam_names=self.cam_names, data=data, max_ims=self.max_ims)
+        subset = None
+        if self._data is not None:
+            subset = self._data[self._mask_for(key, target)]
+            if not subset.shape[0]:
+                subset = None
+        return TargetDetection(cam_names=self.cam_names, data=subset,
+                               max_ims=self.max_ims)
 
     def delete_row(self, **direction) -> "TargetDetection":
         """Detection without the rows matching cam/key/im_num/index values."""
-        self._glomp_buffer()
-        if len(direction) > 1:
-            raise ValueError("Can only get one item at a time")
-        key, target = next(iter(direction.items()))
+        self._absorb_pending()
+        key, target = self._single_selector(direction)
         if not isinstance(target, (list, np.ndarray)):
             target = [target]
-        mask = reduce(np.logical_or, [self._mask_for(key, t) for t in target])
+        drop = reduce(np.logical_or, [self._mask_for(key, t) for t in target])
         return TargetDetection(cam_names=self.cam_names, max_ims=self.max_ims,
-                               data=self._data[~mask])
+                               data=self._data[~drop])
 
     def delete_col(self, col_id) -> "TargetDetection":
         return TargetDetection(cam_names=self.cam_names, max_ims=self.max_ims,
@@ -174,60 +178,59 @@ class TargetDetection:
         return [self.get(im_num=i) for i in range(int(self.max_ims))]
 
     def get_key_list(self) -> list["TargetDetection"]:
-        unique_keys = np.unique(self.get_data()[:, 2:-2], axis=0)
-        return [self.get(key=k) for k in unique_keys]
+        distinct = np.unique(self.get_data()[:, 2:-2], axis=0)
+        return [self.get(key=k) for k in distinct]
 
     # ------------------------------------------------------------- reshaping
 
+    def _flat_key_column(self, rows: np.ndarray) -> np.ndarray:
+        """Collapse the (possibly multi-dim) key columns to one ravel index."""
+        key_cols = rows[:, 2:-2]
+        if key_cols.shape[1] == 1:
+            return key_cols[:, 0]
+        extents = key_cols.max(axis=0) + 1
+        strides = np.append(np.cumprod(extents[::-1])[::-1], 1)[1:]
+        return key_cols @ strides
+
     def sort(self, keys_to_sort, inplace: bool = False):
         """Lexsort by any of 'cam', 'im_num', 'key' (list order = priority)."""
-        if not isinstance(keys_to_sort, list):
-            keys_to_sort = [keys_to_sort]
-        data = self.get_data()
-        lex_target = []
-        for item in keys_to_sort[::-1]:
-            if item == "cam":
-                lex_target.append(data[:, 0])
-            elif item == "im_num":
-                lex_target.append(data[:, 1])
-            elif item == "key":
-                if data.shape[1] == 5:
-                    lex_target.append(data[:, 2])
-                else:
-                    hi = np.amax(data[:, 2:-2], axis=0) + 1
-                    factor = np.append(np.cumprod(hi[::-1])[::-1], 1)
-                    lex_target.append(np.sum(factor[1:] * data[:, 2:-2], axis=1))
-            else:
-                raise ValueError(f"{item} is not an accepted sort key.\n"
-                                 "Accepted keys are: 'cam', 'key', or 'im_num'")
-        new_data = data[np.lexsort(lex_target)]
-        if not inplace:
-            return TargetDetection(self.cam_names, new_data, self.max_ims)
-        self._data = new_data
-        return None
+        wanted = keys_to_sort if isinstance(keys_to_sort, list) else [keys_to_sort]
+        rows = self.get_data()
+        column_of = {
+            "cam": lambda: rows[:, 0],
+            "im_num": lambda: rows[:, 1],
+            "key": lambda: self._flat_key_column(rows),
+        }
+        try:
+            # np.lexsort keys are least-significant first
+            criteria = [column_of[name]() for name in reversed(wanted)]
+        except KeyError as bad:
+            raise ValueError(f"{bad.args[0]} is not an accepted sort key.\n"
+                             "Accepted keys are: 'cam', 'key', or 'im_num'")
+        ordered = rows[np.lexsort(criteria)]
+        if inplace:
+            self._data = ordered
+            return None
+        return TargetDetection(self.cam_names, ordered, self.max_ims)
 
     def return_flattened_keys(self, keydims) -> "TargetDetection":
         """Flatten multi-dim keys into a single ravel index (numpy order)."""
-        data = self.get_data()
-        if data.shape[1] == 5:
+        rows = self.get_data()
+        if rows.shape[1] == 5:
             return self
-        data = data.copy()
-        padded = np.append(np.asarray(keydims)[1:], 1)
-        prods = np.cumprod(padded[::-1])[::-1]
-        flat = np.sum(data[:, 2:-2] * prods, axis=1).reshape((-1, 1))
-        new_data = np.concatenate([data[:, :2], flat, data[:, -2:]], axis=1)
-        return TargetDetection(self.cam_names, new_data, self.max_ims)
+        strides = np.cumprod(np.append(np.asarray(keydims)[1:], 1)[::-1])[::-1]
+        flat = (rows[:, 2:-2] @ strides)[:, None]
+        packed = np.hstack([rows[:, :2], flat, rows[:, -2:]])
+        return TargetDetection(self.cam_names, packed, self.max_ims)
 
     # ------------------------------------------------------------- analytics
 
     def features_per_im_per_cam(self) -> np.ndarray:
         """(n_ims, n_cams) count of detected features."""
-        data = self.get_data()
-        n_cams = len(self.cam_names)
-        n_ims = int(self.max_ims)
-        block = np.zeros((n_ims, n_cams))
-        np.add.at(block, (data[:, 1].astype(int), data[:, 0].astype(int)), 1)
-        return block
+        rows = self.get_data()
+        counts = np.zeros((int(self.max_ims), len(self.cam_names)))
+        np.add.at(counts, (rows[:, 1].astype(int), rows[:, 0].astype(int)), 1)
+        return counts
 
     def parse_detections_to_reconstructable(self, draw_distribution: bool = False):
         """Identify features triangulable (seen >=2x) at each time point.
@@ -237,29 +240,36 @@ class TargetDetection:
         :return per_feature_count: images in which each feature is visible.
         :return reconstructable_data: the viable subset of the data table.
         """
-        data = self.sort(["key", "im_num"]).get_data()
-        _, unique_key_inv, per_feature_count = np.unique(
-            data[:, 1:-2], axis=0, return_inverse=True, return_counts=True)
-        viable_mask = per_feature_count > 1
-        data_recon_subset = data[viable_mask[unique_key_inv]]
+        rows = self.sort(["key", "im_num"]).get_data()
 
-        _, task_start_index, task_count = np.unique(
-            data_recon_subset[:, 1:-2], axis=0, return_index=True, return_counts=True)
-        sorted_task_count = task_count[np.argsort(task_start_index)]
-        task_start_points = np.append(0, np.cumsum(sorted_task_count))
+        # keep only (im, key) groups observed by at least two cameras
+        _, group_of_row, group_sizes = np.unique(
+            rows[:, 1:-2], axis=0, return_inverse=True, return_counts=True)
+        viable = rows[(group_sizes > 1)[group_of_row]]
 
-        _, feature_index = np.unique(data_recon_subset[:, 2:-2], axis=0,
-                                     return_index=True)
-        feature_inds = np.append(np.sort(feature_index), data_recon_subset.shape[0])
+        # per-(im,key) observation counts, in table order
+        _, first_row, obs_counts = np.unique(
+            viable[:, 1:-2], axis=0, return_index=True, return_counts=True)
+        order = np.argsort(first_row)
+        counts_in_order = obs_counts[order]
+        group_starts = first_row[order]
+
+        # where each feature's row-range begins, plus a terminating sentinel
+        _, feature_first = np.unique(viable[:, 2:-2], axis=0, return_index=True)
+        feature_inds = np.append(np.sort(feature_first), viable.shape[0])
+
+        # scatter each (im,key) group's count into its feature's row of
+        # im_dst, packed left-to-right in image order (vectorised equivalent
+        # of walking the groups feature by feature)
         im_dst = np.zeros((len(feature_inds) - 1, self.max_ims))
-        idx = 0
-        for i in range(len(feature_inds) - 1):
-            j = 0
-            while task_start_points[idx] < feature_inds[i + 1]:
-                im_dst[i, j] = sorted_task_count[idx]
-                idx += 1
-                j += 1
-        per_feature_count = np.sum(im_dst > 0, axis=1)
+        if len(group_starts):
+            feature_of_group = np.searchsorted(
+                feature_inds, group_starts, side="right") - 1
+            # rank of each group within its feature's contiguous run
+            _, run_start = np.unique(feature_of_group, return_index=True)
+            within = np.arange(len(group_starts)) - run_start[feature_of_group]
+            im_dst[feature_of_group, within] = counts_in_order
+        per_feature_count = (im_dst > 0).sum(axis=1)
 
         if draw_distribution:
             from matplotlib import pyplot as plt
@@ -270,4 +280,4 @@ class TargetDetection:
             ax[1].set_title("number visible images.")
             plt.show()
 
-        return feature_inds, im_dst, per_feature_count, data_recon_subset
+        return feature_inds, im_dst, per_feature_count, viable

@@ -876,7 +876,10 @@ class SelfBundleHandler(TemplateBundleHandler):
             # empty selection used to NaN the whole gauge transform)
             pos = ref_map[ref_map > 0]
             if pos.size:
-                sel = np.isclose(ref_map, pos.min(), rtol=1e-6)
+                # a relative band (not exact equality) so measured/jittered
+                # grids still average over every nearest-neighbour pair
+                # instead of collapsing the anchor onto one noisy pair
+                sel = (ref_map > 0) & (ref_map <= pos.min() * (1.0 + 1e-3))
                 new_map, ref_map = new_map[sel], ref_map[sel]
         elif isinstance(valid_map, np.ndarray):
             pairs = valid_map[:, :2].astype(int)

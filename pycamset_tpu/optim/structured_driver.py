@@ -216,8 +216,15 @@ def build_mixed_structured_problem(param_handler, dtype,
                                 k_pad_multiple=k_pad_multiple)
     k_pad = blocks.uv.shape[1]
 
-    n_groups = int(param_handler.n_groups())
-    gok = np.asarray(param_handler.group_of_key(), dtype=np.int64)
+    from pycamset_tpu.optim.structured import UnsupportedChain
+    raw_gok = param_handler.group_of_key()
+    n_groups = int(param_handler.n_groups() or 0)
+    if raw_gok is None or n_groups <= 0:
+        raise UnsupportedChain(
+            "mixed PER_KEY + PER_GROUP chain needs the handler to implement "
+            "group_of_key() -> (n_keys,) int array and n_groups() -> int "
+            f"(got group_of_key()={raw_gok!r}, n_groups()={n_groups})")
+    gok = np.asarray(raw_gok, dtype=np.int64)
     if gok.shape != (n_keys,) or gok.min() < 0 or gok.max() >= n_groups:
         raise ValueError("group_of_key() must map every key into "
                          f"[0, {n_groups})")

@@ -30,9 +30,10 @@ from pycamset_tpu.utils.general_utils import (
 def get_keys(data: np.ndarray) -> np.ndarray:
     """Key columns of a detection table; 1-d keys are padded with a 0 face."""
     keys = data[:, 2:-2]
-    if keys.shape[1] == 1:
-        keys = np.concatenate((np.zeros_like(keys), keys), axis=1)
-    return keys
+    if keys.shape[1] > 1:
+        return keys
+    face0 = np.zeros_like(keys)
+    return np.hstack([face0, keys])
 
 
 def undistort_for_detection(image, camera):
@@ -76,16 +77,17 @@ class AbstractTarget(ABC):
     """
 
     def __init__(self, inputs: dict):
-        inputs.pop("self", None)
-        inputs.pop("__class__", None)
-        for k, v in inputs.items():
-            if isinstance(v, np.ndarray):
-                inputs[k] = v.tolist()
+        # record the constructor args (arrays as lists) so persistence can
+        # re-instantiate the target reflectively
+        ctor_args = {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in inputs.items() if k not in ("self", "__class__")
+        }
         self.point_data: np.ndarray | None = None
         self.point_local: np.ndarray | None = None
         self.original_points: np.ndarray | None = None
-        self.input_args = inputs
-        self.valid_map = True
+        self.input_args = ctor_args
+        self.valid_map: bool | np.ndarray = True
 
     def _process_data(self):
         """Call at the end of any inheriting __init__."""
@@ -120,31 +122,29 @@ class AbstractTarget(ABC):
                          camera: Camera | None = None) -> TargetDetection:
         """Detect the target in every image of one camera's folder."""
         cam_name = file.parts[-1]
-        im_locs = natsorted([str(x) for x in glob_ims(file)])
-        if len(im_locs) == 0:
+        frames = natsorted(str(p) for p in glob_ims(file))
+        if not frames:
             raise ValueError(f"No images were found in the given folder {file}")
-        if n_lim is not None:
-            im_locs = im_locs[:n_lim]
-        if cam_names is None:
-            cam_names = [cam_name]
+        frames = frames[:n_lim] if n_lim is not None else frames
 
-        detections = TargetDetection(cam_names=cam_names)
-
-        def detect_one(im_file):
-            im = cv2.imread(im_file)
-            if im.ndim == 3:
-                im = im[:, :, 0]
-            return self.find_in_image(im, draw=draw, camera=camera)
+        def detect_one(frame_path):
+            grey = cv2.imread(frame_path)
+            if grey.ndim == 3:
+                grey = grey[..., 0]
+            return self.find_in_image(grey, draw=draw, camera=camera)
 
         # thread-pooled per-image detection (the serial loop dominated the
         # end-to-end wall time); OpenCV detector const methods are
         # thread-safe and release the GIL. draw mode stays serial (imshow).
         from pycamset_tpu.utils.general_utils import thread_map
-        results = thread_map(detect_one, im_locs,
-                             n_threads=1 if draw else None)
-        for idx, detection in enumerate(results):
-            detections.add_detection(cam_name, idx, detection)
-        return detections
+        per_frame = thread_map(detect_one, frames,
+                               n_threads=1 if draw else None)
+
+        table = TargetDetection(
+            cam_names=[cam_name] if cam_names is None else cam_names)
+        for frame_idx, found in enumerate(per_frame):
+            table.add_detection(cam_name, frame_idx, found)
+        return table
 
     # ------------------------------------------------------- local geometry
 
@@ -158,24 +158,25 @@ class AbstractTarget(ABC):
             raise AttributeError(
                 "The self.point_data variable should be set during initialisation")
         if self.point_data.ndim == 2:
-            self.point_data = self.point_data[None, ...]
-        init_shape = self.point_data.shape
-        n = init_shape[-2]
-        local_view = np.reshape(self.point_data, (-1, n, 3))
-        if local_view.shape[0] == 1:
+            self.point_data = self.point_data[None]
+        full_shape = self.point_data.shape
+        faces = self.point_data.reshape(-1, full_shape[-2], 3)
+        if len(faces) == 1:
             return copy(self.point_data)
 
-        ref_point = local_view[:, 0, :]
-        init_dir = local_view[:, 1, :] - ref_point
-        normals = np.array([plane_fit(face.T)[1] for face in local_view])
-        v3 = np.cross(init_dir, normals)
-        v3 /= np.linalg.norm(v3, axis=1, keepdims=True)
-        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
-        init_dir /= np.linalg.norm(init_dir, axis=1, keepdims=True)
-        cob = np.linalg.inv(
-            np.stack((v3, init_dir, normals)).transpose((1, 0, 2)))
-        local_coords = (local_view - ref_point[:, None, :]) @ cob
-        return np.reshape(local_coords, init_shape)
+        def unit(v):
+            return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+        # per-face frame: the first edge, the fitted plane normal, and their
+        # cross product span the face; inverting the frame takes each face's
+        # points into a z=0 local system anchored at its first point
+        anchor = faces[:, 0]
+        edge = faces[:, 1] - anchor
+        normal = np.stack([plane_fit(f.T)[1] for f in faces])
+        frame = np.stack(
+            [unit(np.cross(edge, normal)), unit(edge), unit(normal)], axis=1)
+        flattened = (faces - anchor[:, None]) @ np.linalg.inv(frame)
+        return flattened.reshape(full_shape)
 
     # ------------------------------------------------------------- seeding
 
@@ -192,62 +193,62 @@ class AbstractTarget(ABC):
         (12) — the reference carries these flags only as commented-out dead
         code (abstract_target.py initial_calibration).
         """
-        detections_in_image = detection.get(cam=cam_name).get_image_list()
-        object_points: list = []
-        image_points: list = []
-
-        fixed_param = {}
-        if fixed_params is not None:
-            fixed_param = fixed_params.get(cam_name, {})
-            if "int" in fixed_param and "dst" in fixed_param:
-                logging.info(f"Camera {cam_name} was pre determined. "
-                             "Skipping opencv calibration")
-                return Camera(intrinsic=fixed_param["int"],
-                              distortion_coefs=fixed_param["dst"],
-                              res=res, name=cam_name)
-
-        for im_detect in detections_in_image:
-            data = im_detect.get_data()
-            if data is None:
-                continue
-            keys = get_keys(data)
-            boards, b_counts = np.unique(keys[:, :-1], return_counts=True)
-            mask = b_counts > np.prod(self.point_local.shape[:-2])
-            for board in boards[mask]:
-                key_mask = np.squeeze(keys[:, :-1] == board)
-                if np.sum(key_mask) > 12:
-                    board_obj = self.point_local[
-                        tuple(keys[key_mask].astype(int).T)][None, ...].astype("float32")
-                    board_im = data[key_mask, -2:][None, ...].astype("float32")
-                    object_points.append(board_obj)
-                    image_points.append(board_im)
-
-        start = time.time()
-        flags = {"standard": 0, "rational": cv2.CALIB_RATIONAL_MODEL,
-                 "thin_prism": (cv2.CALIB_RATIONAL_MODEL
-                                | cv2.CALIB_THIN_PRISM_MODEL),
-                 "tilted": (cv2.CALIB_RATIONAL_MODEL
-                            | cv2.CALIB_THIN_PRISM_MODEL
-                            | cv2.CALIB_TILTED_MODEL),
-                 }.get(camera_model, 0)
-        ic = cv2.calibrateCamera(object_points, image_points,
-                                 tuple(res[::-1]), None, None, flags=flags)
-        logging.info(f"{cam_name} took {time.time() - start:.1f} seconds, "
-                     f"leftover error of {ic[0]:.2f} pixels")
-
-        init_cam = Camera(intrinsic=ic[1], distortion_coefs=np.array(ic[2]),
+        pinned = (fixed_params or {}).get(cam_name, {})
+        if "int" in pinned and "dst" in pinned:
+            logging.info(f"Camera {cam_name} was pre determined. "
+                         "Skipping opencv calibration")
+            return Camera(intrinsic=pinned["int"],
+                          distortion_coefs=pinned["dst"],
                           res=res, name=cam_name)
-        if fixed_params is not None:
-            if "int" in fixed_param:
-                init_cam.intrinsic = np.asarray(fixed_param["int"], dtype=float)
-            if "dst" in fixed_param:
-                init_cam.distortion_coefs = np.asarray(
-                    fixed_param["dst"], dtype=float).reshape(-1)
-            if "ext" in fixed_param:
-                init_cam.set_extrinsic(np.asarray(fixed_param["ext"], dtype=float))
-                return init_cam
-            init_cam._update_state()
-        return init_cam
+
+        # gather one (local 2D object points, image points) pair per board
+        # with more than 12 well-spread corners
+        world_pts: list = []
+        pixel_pts: list = []
+        min_board_rows = np.prod(self.point_local.shape[:-2])
+        for per_im in detection.get(cam=cam_name).get_image_list():
+            rows = per_im.get_data()
+            if rows is None:
+                continue
+            keys = get_keys(rows)
+            face_ids, face_rows = np.unique(keys[:, :-1], return_counts=True)
+            for face in face_ids[face_rows > min_board_rows]:
+                on_face = np.squeeze(keys[:, :-1] == face)
+                if on_face.sum() <= 12:
+                    continue
+                gathered = self.point_local[tuple(keys[on_face].astype(int).T)]
+                world_pts.append(gathered[None].astype("float32"))
+                pixel_pts.append(rows[on_face, -2:][None].astype("float32"))
+
+        model_flags = {
+            "standard": 0,
+            "rational": cv2.CALIB_RATIONAL_MODEL,
+            "thin_prism": (cv2.CALIB_RATIONAL_MODEL
+                           | cv2.CALIB_THIN_PRISM_MODEL),
+            "tilted": (cv2.CALIB_RATIONAL_MODEL
+                       | cv2.CALIB_THIN_PRISM_MODEL
+                       | cv2.CALIB_TILTED_MODEL),
+        }
+        tic = time.time()
+        rms, k_seed, dist_seed, *_ = cv2.calibrateCamera(
+            world_pts, pixel_pts, tuple(res[::-1]), None, None,
+            flags=model_flags.get(camera_model, 0))
+        logging.info(f"{cam_name} took {time.time() - tic:.1f} seconds, "
+                     f"leftover error of {rms:.2f} pixels")
+
+        seed = Camera(intrinsic=k_seed, distortion_coefs=np.array(dist_seed),
+                      res=res, name=cam_name)
+        # a partial pin (only int, dst, or ext fixed) overrides the seed
+        if "int" in pinned:
+            seed.intrinsic = np.asarray(pinned["int"], dtype=float)
+        if "dst" in pinned:
+            seed.distortion_coefs = np.ravel(
+                np.asarray(pinned["dst"], dtype=float))
+        if "ext" in pinned:
+            seed.set_extrinsic(np.asarray(pinned["ext"], dtype=float))
+        elif pinned:
+            seed._update_state()
+        return seed
 
     def target_pose_in_cam_image(self, detection: TargetDetection, cam: Camera,
                                  refine: bool = False, mode: str = "throw") -> np.ndarray:
@@ -257,36 +258,38 @@ class AbstractTarget(ABC):
         """
         def fail(msg):
             if mode == "nan":
-                return np.ones((4, 4)) * np.nan
+                return np.full((4, 4), np.nan)
             raise ValueError(msg)
 
         if not detection.has_data():
             return fail(f"The detection had no data at all, including for "
                         f"camera {cam.name}")
-        datum = detection.get(cam=cam.name).get_data()
-        if datum is None:
+        rows = detection.get(cam=cam.name).get_data()
+        if rows is None:
             return fail(f"The detection had no data for camera {cam.name}")
         # one image only; the reference checked column 0 (the camera column,
         # always unique after get(cam=...)), so its guard never fired
-        if len(np.unique(datum[:, 1])) > 1:
+        if len(np.unique(rows[:, 1])) > 1:
             return fail("passed detection contained info from multiple "
                         "cameras; pose estimation only works with 1 image")
 
-        keys = get_keys(datum)
-        object_points = self.point_data[tuple(keys.astype(int).T)]
-        image_points = datum[:, -2:]
-        if len(object_points) < 6:
+        keys = get_keys(rows).astype(int)
+        seen_model_pts = self.point_data[tuple(keys.T)]
+        if len(seen_model_pts) < 6:
             return fail("Inadequate number of corners for pose estimation")
 
-        _, rvec, tvec, err_list = cv2.solvePnPGeneric(
-            object_points.astype("float32"), image_points.astype("float32"),
+        _n_sols, rvecs, tvecs, per_sol_err = cv2.solvePnPGeneric(
+            seen_model_pts.astype("float32"),
+            rows[:, -2:].astype("float32"),
             cam.intrinsic, np.asarray(cam.distortion_coefs, dtype=float))
-        min_err = int(np.argmin(err_list))
-        if (err := np.squeeze(err_list[min_err])) > 5:
-            logging.warning(f"Initial error of {err: .2f} found for a pose detection.")
+        best = int(np.argmin(per_sol_err))
+        best_err = float(np.squeeze(per_sol_err[best]))
+        if best_err > 5:
+            logging.warning(
+                f"Initial error of {best_err: .2f} found for a pose detection.")
         if refine:
             raise NotImplementedError
-        return make_4x4h_tform(rvec[min_err], tvec[min_err])
+        return make_4x4h_tform(rvecs[best], tvecs[best])
 
     # ------------------------------------------------------- pose utilities
 
@@ -300,46 +303,42 @@ class AbstractTarget(ABC):
         :return poses: list of found 4x4 poses.
         :return p_detected: boolean array — was a pose found in each image.
         """
-        other_cams = set(range(camset.get_n_cams())) - {ref_cam}
-        cam = camset[ref_cam]
-        poses = []
-        for im_list in detections.get_image_list():
-            try:
-                pose = cam.cam_to_world @ self.target_pose_in_cam_image(im_list, cam)
-            except Exception:
-                for other_cam in other_cams:
-                    try:
-                        pose = (camset[other_cam].cam_to_world
-                                @ self.target_pose_in_cam_image(im_list, camset[other_cam]))
-                        break
-                    except Exception:
-                        continue
-                else:
-                    pose = None
-            poses.append(pose)
+        cam_order = [ref_cam] + sorted(
+            set(range(camset.get_n_cams())) - {ref_cam})
 
-        p_detected = np.array([p is not None for p in poses])
-        poses = [p for p in poses if p is not None]
-        mloc = np.mean([p[:3, 3] for p in poses], axis=0)
+        def world_pose_of(im_rows):
+            # PnP from the reference camera, falling back to any other camera
+            # that saw the target in this image
+            for idx in cam_order:
+                viewer = camset[idx]
+                try:
+                    local = self.target_pose_in_cam_image(im_rows, viewer)
+                    return viewer.cam_to_world @ local
+                except Exception:
+                    continue
+            return None
 
-        num_loops = 0
+        maybe_poses = [world_pose_of(im_rows)
+                       for im_rows in detections.get_image_list()]
+        p_detected = np.array([p is not None for p in maybe_poses])
+        poses = [p for p in maybe_poses if p is not None]
+        centre = np.mean([p[:3, 3] for p in poses], axis=0)
+
         logging.info("Beginning outlier detection")
-        while num_loops < 10:
-            ans = mad_outlier_detection(
-                [np.linalg.norm(p[:3, 3] - mloc) for p in poses],
+        for sweep in range(10):
+            flagged = mad_outlier_detection(
+                [np.linalg.norm(p[:3, 3] - centre) for p in poses],
                 out_thresh=5, draw=False)
-            if ans is None:
-                logging.info(f"No outliers detected in iteration {num_loops}.")
+            if flagged is None:
+                logging.info(f"No outliers detected in iteration {sweep}.")
                 break
-            user_in = outliers
-            while user_in not in ("y", "n"):
-                print(f"Outliers detected in iteration {num_loops}.")
-                user_in = input("Drop these outlier detections? [y/n]: ")
-            if user_in == "y":
-                inds = np.arange(len(p_detected))[p_detected][ans]
-                poses = list(np.delete(np.array(poses), ans, axis=0))
-                p_detected[inds] = False
-            else:
+            choice = outliers
+            while choice not in ("y", "n"):
+                print(f"Outliers detected in iteration {sweep}.")
+                choice = input("Drop these outlier detections? [y/n]: ")
+            if choice != "y":
                 break
-            num_loops += 1
+            original_rows = np.flatnonzero(p_detected)[flagged]
+            p_detected[original_rows] = False
+            poses = list(np.delete(np.array(poses), flagged, axis=0))
         return poses, p_detected

@@ -53,21 +53,19 @@ class CameraSet:
     def __init__(self, camera_names=None, extrinsic_matrices=None,
                  intrinsic_matrices=None, distortion_coefs=None, res=None,
                  camera_dict: dict | None = None):
-        self.calibration_result = None
-        self.calibration_handler = None
-        self.calibration_jac = None
-        self.calibration_params = None
+        self.calibration_result = self.calibration_handler = None
+        self.calibration_jac = self.calibration_params = None
         self._cam_list: list | None = None
         self._cam_dict: dict | None = None
-        self.n_cams = None
-        self.ind = 0
+        self.n_cams: int | None = None
+        self.ind = 0  # legacy iteration cursor, kept for API parity
 
-        args = [camera_names, extrinsic_matrices, res, intrinsic_matrices,
-                distortion_coefs]
-        if camera_dict is None and all(v is None for v in args):
-            return
+        per_cam_args = (camera_names, extrinsic_matrices, res,
+                        intrinsic_matrices, distortion_coefs)
         if camera_dict is None:
-            if any(v is None for v in args):
+            if all(a is None for a in per_cam_args):
+                return  # an empty set, to be filled by make_subset et al.
+            if any(a is None for a in per_cam_args):
                 raise ValueError(
                     "Initialising a CameraSet requires names, extrinsic, "
                     "intrinsic, distortion coefficients and resolutions")
@@ -78,8 +76,9 @@ class CameraSet:
         self.__update()
 
     def __update(self):
-        self._cam_list = list(self._cam_dict.values())
-        self.n_cams = len(self._cam_list)
+        cams = list(self._cam_dict.values())
+        self._cam_list = cams
+        self.n_cams = len(cams)
 
     # ----------------------------------------------------------- collections
 
@@ -100,32 +99,30 @@ class CameraSet:
 
     def make_subset(self, inp, cam_key=None) -> "CameraSet":
         """A new CameraSet containing a subset of this one's cameras."""
-        new_camset = CameraSet()
         if cam_key is None:
-            names = self.get_names()
-            if isinstance(inp, np.ndarray):
-                if not np.issubdtype(inp.dtype, np.integer):
-                    raise ValueError("Camera indexing is only supported with int arrays")
-                inp = inp.tolist()
-            if isinstance(inp, slice):
-                picked = names[inp]
-            elif isinstance(inp, list):
-                picked = [names[idx] for idx in inp]
-            else:
-                raise ValueError(f"{inp} is not a valid subset identifier")
+            pool = self.get_names()
         else:
-            matching = [k for k in self._cam_dict if cam_key in str(k)]
-            if not matching:
+            # cam_key narrows the candidate pool to names containing it
+            pool = [k for k in self._cam_dict if cam_key in str(k)]
+            if not pool:
                 raise ValueError(f"{cam_key} found no matching camera names")
-            if isinstance(inp, slice):
-                picked = matching[inp]
-            elif isinstance(inp, list):
-                picked = [matching[idx] for idx in inp]
-            else:
-                raise ValueError(f"{inp} is not a valid subset identifier")
-        new_camset._cam_dict = {k: self._cam_dict[k] for k in picked}
-        new_camset._CameraSet__update()
-        return new_camset
+
+        if isinstance(inp, np.ndarray):
+            if not np.issubdtype(inp.dtype, np.integer):
+                raise ValueError(
+                    "Camera subsets accept only integer index arrays")
+            inp = inp.tolist()
+        if isinstance(inp, slice):
+            picked = pool[inp]
+        elif isinstance(inp, list):
+            picked = [pool[idx] for idx in inp]
+        else:
+            raise ValueError(f"{inp} is not a valid subset identifier")
+
+        subset = CameraSet()
+        subset._cam_dict = {k: self._cam_dict[k] for k in picked}
+        subset._CameraSet__update()
+        return subset
 
     def __getitem__(self, inp):
         if isinstance(inp, (list, slice, np.ndarray)):
@@ -155,7 +152,7 @@ class CameraSet:
             raise ValueError("Can only add together camera sets")
         if self._cam_dict.keys() & other._cam_dict.keys():
             raise ValueError("Camera sets share camera names so cannot be added")
-        self._cam_dict = {**self._cam_dict, **other._cam_dict}
+        self._cam_dict.update(other._cam_dict)
         self.__update()
         return self
 
@@ -167,18 +164,14 @@ class CameraSet:
         :return: a list (one per point) of {cam_name: uv} dicts, or a single
             dict for a single input point.
         """
-        single_flag = False
         points = np.asarray(points, dtype=float)
-        if points.ndim == 1:
-            points = points[None, ...]
-            single_flag = True
-        all_proj = [cam.project_points(points, distort=distort)
-                    for cam in self._cam_list]
-        out = [{} for _ in range(points.shape[0])]
-        for cam_proj, cam_name in zip(all_proj, self._cam_dict.keys()):
-            for d, uv in zip(out, cam_proj):
-                d[cam_name] = uv
-        return out[0] if single_flag else out
+        one_point = points.ndim == 1
+        points = np.atleast_2d(points)
+        by_cam = {name: cam.project_points(points, distort=distort)
+                  for name, cam in self._cam_dict.items()}
+        per_point = [{name: uvs[i] for name, uvs in by_cam.items()}
+                     for i in range(points.shape[0])]
+        return per_point[0] if one_point else per_point
 
     def multi_cam_triangulate(self, to_reconstruct, return_used=False,
                               distort=True):
@@ -275,34 +268,32 @@ class CameraSet:
 
     def set_resolutions_from_file(self, floc: Path):
         """Read per-camera resolutions from the first image in each subfolder."""
-        file_names = get_subfolder_names(f_loc=floc)
-        cam_names = self.get_names()
-        if set(file_names) != set(cam_names):
+        folders = get_subfolder_names(f_loc=floc)
+        if set(folders) != set(self.get_names()):
             raise ValueError(f"Subfolders of the file {floc} do not match the "
                              "current camera names")
-        for cam_name in cam_names:
-            im_locs = glob_ims_local(Path(floc) / cam_name)
-            temp_im = cv2.imread(str(im_locs[0]))
-            self[cam_name].res = np.array((temp_im.shape[1], temp_im.shape[0]))
+        for name in self.get_names():
+            sample = cv2.imread(str(glob_ims_local(Path(floc) / name)[0]))
+            h, w = sample.shape[:2]
+            self[name].res = np.array((w, h))
 
     def scale_set_2n(self, d_factor):
-        for cam in self._cam_list:
+        for cam in self:
             cam.scale_self_2n(d_factor)
 
     def transform(self, transformation_matrix, in_place=True):
         """Transform all cameras by a 4x4 homogeneous matrix."""
         if not in_place:
-            temp = deepcopy(self)
-            temp.transform(transformation_matrix)
-            return temp
-        for cam in self._cam_list:
+            moved = deepcopy(self)
+            moved.transform(transformation_matrix)
+            return moved
+        for cam in self:
             cam.transform(transformation_matrix)
         return None
 
     def set_reference_cam(self, cam_id):
         """Re-centre world coordinates on a reference camera."""
-        ref_tform = np.linalg.inv(self[cam_id].extrinsic)
-        self.transform(ref_tform)
+        self.transform(np.linalg.inv(self[cam_id].extrinsic))
 
     def set_calibration_history(self, optimisation_results, param_handler):
         """Attach the optimisation outputs so the set can be re-derived."""
@@ -334,32 +325,35 @@ class CameraSet:
         reconstructed, recon_subset, _, _ = self.multi_cam_triangulate(
             to_reconstruct, return_used=True)
 
-        inv = np.sort(np.unique(recon_subset[:, 1:-2], axis=0, return_index=True)[1])
-        im_nums = recon_subset[inv, 1]
-        mean_dist = np.mean(np.linalg.norm(
+        group_starts = np.sort(np.unique(
+            recon_subset[:, 1:-2], axis=0, return_index=True)[1])
+        group_im = recon_subset[group_starts, 1].astype(int)
+
+        # pull each point into its image's target frame; anything further
+        # than 3x the model's own mean radius is a triangulation outlier
+        model_radius = np.mean(np.linalg.norm(
             self.calibration_handler.target.point_data, axis=-1))
-        mask = []
-        for point, im in zip(reconstructed, im_nums):
-            pose = poses[int(im)].reshape(3, 4)
-            obj_point = pose[:, :3].T @ (point - pose[:, 3])
-            mask.append(np.linalg.norm(obj_point) < 3 * mean_dist)
-        return reconstructed[np.array(mask)]
+        pose_rt = np.asarray(poses)[group_im].reshape(-1, 3, 4)
+        in_target = np.einsum("nij,nj->ni", pose_rt[:, :, :3].transpose(0, 2, 1),
+                              reconstructed - pose_rt[:, :, 3])
+        keep = np.linalg.norm(in_target, axis=-1) < 3 * model_radius
+        return reconstructed[keep]
 
     def get_similar_angles(self, test_cam_num, n):
         """Indices of the n cameras with the closest view direction."""
-        c_vec = np.array([cam.extrinsic[:3, :3] @ [0, 0, 1] for cam in self])
-        c_vec /= np.linalg.norm(c_vec, axis=1, keepdims=True)
-        ang = np.arccos(np.clip(np.sum(c_vec[test_cam_num] * c_vec, axis=-1), -1, 1))
-        ang[test_cam_num] = np.inf
-        return np.argsort(ang)[:n]
+        gaze = np.array([cam.extrinsic[:3, 2] for cam in self])
+        gaze /= np.linalg.norm(gaze, axis=1, keepdims=True)
+        separation = np.arccos(np.clip(gaze @ gaze[test_cam_num], -1, 1))
+        separation[test_cam_num] = np.inf  # never "similar" to itself
+        return np.argsort(separation)[:n]
 
     def draw_camera_distortions(self):
         """Quiver plots of each camera's distortion field."""
         from matplotlib import pyplot as plt
-        to_draw = get_close_square_tuple(self.n_cams)
-        fig, axes = plt.subplots(*to_draw)
-        for ax, cam in zip(np.atleast_1d(axes).flatten(), self):
-            cam.view_sensor_distortion(ax)
+        rows_cols = get_close_square_tuple(self.n_cams)
+        _fig, panels = plt.subplots(*rows_cols)
+        for panel, cam in zip(np.atleast_1d(panels).ravel(), self):
+            cam.view_sensor_distortion(panel)
         plt.show()
 
     # --------------------------------------------------------------- plotting
@@ -367,28 +361,31 @@ class CameraSet:
     def get_camera_meshes(self, viewcone=None, scale=None):
         """Camera glyph meshes (and optionally viewcones) for every camera."""
         if scale is None:
-            scale = np.max([np.linalg.norm(cam.position) for cam in self]) * 0.1
-        cam_meshes = [cam.get_mesh(scale) for cam in self]
+            # glyphs sized to a tenth of the rig's spatial extent
+            scale = 0.1 * max(np.linalg.norm(cam.position) for cam in self)
+        glyphs = [cam.get_mesh(scale) for cam in self]
         if viewcone is None:
-            return cam_meshes
-        return cam_meshes, [cam.get_viewcone(view_len=viewcone) for cam in self]
+            return glyphs
+        cones = [cam.get_viewcone(view_len=viewcone) for cam in self]
+        return glyphs, cones
 
     def get_scene(self, scale_factor=0.3 / 8, view_cones=None, scene=None,
                   labels=True):
         """A pyvista scene of the rig (requires pyvista)."""
         import pyvista as pv
-        cam_meshes, v_cones = self.get_camera_meshes(viewcone=0.15, scale=scale_factor)
-        positions = np.array([cam.position for cam in self])
         pv.set_plot_theme("Document")
-        if scene is None:
-            scene = pv.Plotter()
-        for mesh in cam_meshes:
-            scene.add_mesh(mesh, style="wireframe", reset_camera=True, color="k")
+        scene = pv.Plotter() if scene is None else scene
+        glyphs, cones = self.get_camera_meshes(viewcone=0.15,
+                                               scale=scale_factor)
+        for glyph in glyphs:
+            scene.add_mesh(glyph, style="wireframe", reset_camera=True,
+                           color="k")
         if view_cones is not None:
-            for v_con in v_cones:
-                scene.add_mesh(v_con, opacity=0.05, color="g")
+            for cone in cones:
+                scene.add_mesh(cone, opacity=0.05, color="g")
         if labels:
-            scene.add_point_labels(positions, self.get_names())
+            scene.add_point_labels(
+                np.array([cam.position for cam in self]), self.get_names())
         self._add_origin_axes(scene, pv)
         return scene
 
@@ -405,19 +402,15 @@ class CameraSet:
         import pyvista as pv
         scene = self.get_scene(scale_factor=scale_factor or 0.3 / 8,
                                view_cones=0.15 if view_cones else None)
-        if additional_mesh is not None:
-            if not isinstance(additional_mesh, list):
-                additional_mesh = [additional_mesh]
-            for mesh in additional_mesh:
-                if isinstance(mesh, np.ndarray):
-                    mesh = pv.PolyData(mesh)
-                scene.add_mesh(mesh, opacity=0.3)
+        extras = additional_mesh if additional_mesh is not None else []
+        for mesh in (extras if isinstance(extras, list) else [extras]):
+            scene.add_mesh(pv.PolyData(mesh) if isinstance(mesh, np.ndarray)
+                           else mesh, opacity=0.3)
         scene.show()
 
     def plot_np_array(self, points):
-        if not isinstance(points, list):
-            points = [points]
-        self.plot(additional_mesh=[np.asarray(p) for p in points])
+        point_sets = points if isinstance(points, list) else [points]
+        self.plot(additional_mesh=[np.asarray(p) for p in point_sets])
 
     # ----------------------------------------------------------------- export
 
@@ -427,24 +420,26 @@ class CameraSet:
         from pycamset_tpu.reconstruction.acmmp_utils import calc_pairs, write_pair_file
         if mode != "MVSnet":
             raise NotImplementedError
-        if crop is None:
-            crop = {}
+        crop = crop or {}
         for cam_n, cam in enumerate(self):
             cam.to_MVSnet_txt(loc / f"{cam_n:08}_cam.txt",
                               (r.mindist, r.maxdist), r.steps,
                               crop.get(cam.name, None))
+
         if ims is not None:
-            im_loc = loc.parent / "images"
-            im_loc.mkdir(exist_ok=True)
-            for idx, im in enumerate(ims):
-                local_crop = crop.get(self[idx].name, None)
-                im_temp = self[idx].undistort(im)
-                if local_crop is not None:
-                    im_temp = im_temp[local_crop[0, 0]:local_crop[0, 1],
-                                      local_crop[1, 0]:local_crop[1, 1]]
-                cv2.imwrite(str(im_loc / f"{idx:08}.jpg"), im_temp,
+            im_dir = loc.parent / "images"
+            im_dir.mkdir(exist_ok=True)
+            for idx, raw in enumerate(ims):
+                cam = self[idx]
+                frame = cam.undistort(raw)
+                window = crop.get(cam.name, None)
+                if window is not None:
+                    (r0, r1), (c0, c1) = window
+                    frame = frame[r0:r1, c0:c1]
+                cv2.imwrite(str(im_dir / f"{idx:08}.jpg"), frame,
                             [cv2.IMWRITE_JPEG_QUALITY, 100])
-        cvwc = np.array([cam.view for cam in self])
-        pairs = calc_pairs(cvwc, r, pick_closest=use_closest_cams)
+
+        view_dirs = np.array([cam.view for cam in self])
+        pairs = calc_pairs(view_dirs, r, pick_closest=use_closest_cams)
         with open(loc.parent / "pair.txt", "w") as f:
             write_pair_file(f, pairs)

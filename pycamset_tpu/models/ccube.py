@@ -46,13 +46,15 @@ NET_FORMS = [
 
 def make_blank_square(draw_res, line_fraction, border_fraction):
     """A blank white face with a black edge line; returns (canvas, offset)."""
-    canvas = np.ones(draw_res) * 255
-    int_line = int(draw_res[0] * line_fraction)
-    canvas[:, :int_line] = 0
-    canvas[:int_line, :] = 0
-    canvas[:, -int_line:] = 0
-    canvas[-int_line:, :] = 0
-    return canvas, int(border_fraction * draw_res[0] / 2)
+    rim_px = int(draw_res[0] * line_fraction)
+    rows, cols = np.indices(draw_res)
+    # distance of each pixel to the nearest canvas edge; the rim is black
+    to_edge = np.minimum(np.minimum(rows, cols),
+                         np.minimum(draw_res[0] - 1 - rows,
+                                    draw_res[1] - 1 - cols))
+    face = np.where(to_edge < rim_px, 0.0, 255.0)
+    half_margin_px = int(border_fraction * draw_res[0] / 2)
+    return face, half_margin_px
 
 
 class Ccube(AbstractTarget):
@@ -71,64 +73,56 @@ class Ccube(AbstractTarget):
         :param legacy: use the legacy charuco pattern layout.
         """
         super().__init__(inputs=locals())
+        edge_m = length / 1000          # the cube edge, metres
+        self.length = edge_m
+        self.n_points = n_points
         self.input_border_fraction = border_fraction
         self.actual_border_fraction = None
         self.line_fraction = line_fraction
         self.aruco_dict = aruco_dict
-        self.length = length / 1000
-        self.square_size = self.length * (1 - border_fraction) / n_points
-        if n_points % 2 == 0:
-            split = int(n_points ** 2 / 2)
-        else:
-            split = int((n_points - 1) * (n_points + 1) / 2)
-        self.markers_per_face = split
-        self.a_dicts = split_aruco_dictionary(split, self.aruco_dict)
+        self.square_size = edge_m * (1 - border_fraction) / n_points
+
+        # a charuco face carries one marker per white square: half the board
+        # for even n, (n-1)(n+1)/2 for odd n
+        per_face = (n_points ** 2 if n_points % 2 == 0
+                    else (n_points - 1) * (n_points + 1)) // 2
+        self.markers_per_face = per_face
+        self.a_dicts = split_aruco_dictionary(per_face, self.aruco_dict)
         if len(self.a_dicts) < 6:
             raise ValueError("Input dictionary of marker didn't contain "
                              "enough markers for this cube")
 
-        def make_boards(flipped):
-            bs = [aruco.CharucoBoard((n_points, n_points), self.square_size,
-                                     markerLength=0.75 * self.square_size,
-                                     dictionary=a_dict)
-                  for a_dict in self.a_dicts[:6]]
-            for b in bs:
-                b.setLegacyPattern(bool(flipped))
-            return bs
+        def build_face_boards(use_legacy):
+            made = []
+            for sub_dict in self.a_dicts[:6]:
+                b = aruco.CharucoBoard((n_points, n_points), self.square_size,
+                                       markerLength=0.75 * self.square_size,
+                                       dictionary=sub_dict)
+                b.setLegacyPattern(bool(use_legacy))
+                made.append(b)
+            return made
 
         # both pattern layouts built up front: the version-drift fallback
         # must never mutate a shared board (detection runs on a thread pool)
-        self.boards = make_boards(legacy)
-        self._alt_boards = make_boards(not legacy)
+        self.boards = build_face_boards(legacy)
+        self._alt_boards = build_face_boards(not legacy)
 
-        self.n_points = n_points
         self.draw_res = draw_res
-        self.dpi = self.draw_res[0] / self.length / 39.3701  # px/inch
-        blank_face, board_offset = make_blank_square(
-            draw_res, line_fraction, border_fraction)
-        blank_face = blank_face.astype(np.uint8)  # cv2 5.0 putText wants 8U
-        sub_res = (draw_res[0] - 2 * board_offset, draw_res[1] - 2 * board_offset)
-        self.textures = [blank_face.copy() for _ in range(6)]
-        for idb, (t, board) in enumerate(zip(self.textures, self.boards)):
-            t[board_offset:-board_offset,
-              board_offset:-board_offset] = board.generateImage(sub_res)
-            font = cv2.FONT_HERSHEY_SIMPLEX
-            thickness = int(t.shape[0] / 500)
-            cv2.putText(t, f"{idb}",
-                        (t.shape[0] // 100, t.shape[0] // 100 * 99),
-                        font, 1.5, 0, thickness)
+        self.dpi = draw_res[0] / edge_m / 39.3701  # px per inch at true scale
+        self.textures = self._render_face_textures()
 
-        bd = np.array([board.getChessboardCorners() for board in self.boards])
-        coord_bump = self.length * border_fraction / 2
-        board_coords = bd + np.array([coord_bump, coord_bump, 0])
-        self.base_face = np.array([
-            [0, self.length, 0], [self.length, self.length, 0],
-            [self.length, 0, 0], [0, 0, 0]])
-
+        # world model: per-face chessboard corners, shifted into the bordered
+        # face frame, placed onto the cube by the face transforms
+        margin_m = edge_m * border_fraction / 2
+        corner_grids = np.array(
+            [b.getChessboardCorners() for b in self.boards]
+        ) + [margin_m, margin_m, 0]
+        self.base_face = edge_m * np.array(
+            [[0, 1, 0], [1, 1, 0], [1, 0, 0], [0, 0, 0]], dtype=float)
         self.faceData = FaceToShape(
-            face_local_coords=board_coords,
+            face_local_coords=corner_grids,
             face_transforms=[make_4x4h_tform(*t) for t in TFORMS],
-            scale_factor=self.length)
+            scale_factor=edge_m)
         self.point_data = self.faceData.point_data
         self._process_data()
 
@@ -136,6 +130,22 @@ class Ccube(AbstractTarget):
         self._alt_detectors = None
         self._preferred = [0] * 6   # sticky per-face pattern (atomic writes)
         self._given_legacy_warning = False
+
+    def _render_face_textures(self) -> list[np.ndarray]:
+        """Six face images: bordered board patterns with an index label."""
+        blank, inset = make_blank_square(
+            self.draw_res, self.line_fraction, self.input_border_fraction)
+        blank = blank.astype(np.uint8)  # cv2 5.0 putText wants 8U
+        board_px = tuple(r - 2 * inset for r in self.draw_res)
+        faces = []
+        for face_idx, board in enumerate(self.boards):
+            tex = blank.copy()
+            tex[inset:-inset, inset:-inset] = board.generateImage(board_px)
+            side = tex.shape[0]
+            cv2.putText(tex, str(face_idx), (side // 100, side // 100 * 99),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.5, 0, int(side / 500))
+            faces.append(tex)
+        return faces
 
     def plot(self, return_scene=False):
         """3D model of the cube (requires pyvista)."""
@@ -149,29 +159,27 @@ class Ccube(AbstractTarget):
         """Write a printable net (PDF/PNG) or per-face PNGs at true scale."""
         from PIL import Image
 
-        def pad_and_save(im_board, out):
-            blank_f = int(border_width * 0.0393701 * self.dpi)
-            dims = np.array(im_board.shape) + blank_f * 2
-            full_im = np.ones(tuple(dims)) * 255
-            full_im[blank_f:-blank_f, blank_f:-blank_f] = im_board
-            with Image.fromarray(full_im.astype(np.uint8)) as im:
-                im.save(fp=out, resolution=self.dpi)
+        def default_name(suffix):
+            return (f"Ccube_length_{self.length * 1000:.2f}mm"
+                    f"_{self.n_points}_points_at"
+                    f"_{self.square_size * 1000:.2f}mm{suffix}")
+
+        def surround_and_save(artwork, destination):
+            pad_px = int(border_width * 0.0393701 * self.dpi)  # mm -> px
+            page = np.full(tuple(np.array(artwork.shape) + 2 * pad_px), 255.0)
+            page[pad_px:-pad_px, pad_px:-pad_px] = artwork
+            with Image.fromarray(page.astype(np.uint8)) as sheet:
+                sheet.save(fp=destination, resolution=self.dpi)
 
         if individual_faces:
-            for idf, face in enumerate(self.textures):
-                out = f_out or Path(
-                    f"Ccube_length_{self.length * 1000:.2f}mm"
-                    f"_{self.n_points}_points_at"
-                    f"_{self.square_size * 1000:.2f}mm_face_{idf}.png")
-                pad_and_save(face, out)
+            for face_idx, face in enumerate(self.textures):
+                surround_and_save(
+                    face, f_out or Path(default_name(f"_face_{face_idx}.png")))
                 f_out = None
             return
 
-        im_board = self.faceData.draw_net(self.textures, NET_FORMS)
-        out = f_out or (f"Ccube_length_{self.length * 1000:.2f}mm"
-                        f"_{self.n_points}_points_at"
-                        f"_{self.square_size * 1000:.2f}mm.pdf")
-        pad_and_save(im_board, out)
+        net = self.faceData.draw_net(self.textures, NET_FORMS)
+        surround_and_save(net, f_out or default_name(".pdf"))
 
     def find_in_image(self, image, draw=False, camera: Camera | None = None,
                       wait_len=1) -> ImageDetection:
@@ -193,44 +201,45 @@ class Ccube(AbstractTarget):
                                    for b in self._alt_boards]
 
         if draw:
-            im_idea = image.copy()
-            target_size = [480, 640]  # (h, w) to match the image shape order
-            d_f = int(max(min(np.array(im_idea.shape[:2]) / target_size), 1))
-            im_idea = downsample_valid(im_idea, d_f).astype(np.uint8)
-            if im_idea.ndim == 2:
-                im_idea = np.tile(im_idea[..., None], (1, 1, 3))
+            preview_hw = [480, 640]  # (h, w) to match the image shape order
+            shrink = int(max(min(np.array(image.shape[:2]) / preview_hw), 1))
+            preview = downsample_valid(image.copy(), shrink).astype(np.uint8)
+            if preview.ndim == 2:
+                preview = np.repeat(preview[..., None], 3, axis=-1)
 
-        seen_keys = []
-        seen_data = []
-        det_sets = (self.board_detectors, self._alt_detectors)
-        for idb in range(len(self.boards)):
-            pref = self._preferred[idb]
-            bd = det_sets[pref][idb]
-            c_corners, c_ids, mloc, mid = bd.detectBoard(image)
-            if c_corners is None and mloc is not None:
+        found_keys: list = []
+        found_px: list = []
+        detector_sets = (self.board_detectors, self._alt_detectors)
+        for face_idx in range(len(self.boards)):
+            pattern = self._preferred[face_idx]
+            corners, corner_ids, marker_px, marker_ids = (
+                detector_sets[pattern][face_idx].detectBoard(image))
+            if corners is None and marker_px is not None:
+                # markers matched but corner interpolation failed: the board
+                # was likely generated with the other charuco pattern layout
                 if not self._given_legacy_warning:
                     logging.warning("Found markers, but no corners, trying "
                                     "using alternative board detection")
                     self._given_legacy_warning = True
-                c_corners, c_ids, mloc, mid = (
-                    det_sets[1 - pref][idb].detectBoard(
-                        image, markerCorners=mloc, markerIds=mid))
-                if c_corners is not None:
-                    self._preferred[idb] = 1 - pref
-            if c_ids is not None:
-                c_corners = np.asarray(c_corners).reshape(-1, 2)
-                c_ids = np.asarray(c_ids).reshape(-1)
-                for cid, corner in zip(c_ids, c_corners):
-                    seen_keys.append([idb, cid])
-                    seen_data.append(corner)
-                if draw:
-                    aruco.drawDetectedCornersCharuco(
-                        im_idea, c_corners[:, None, :] / d_f, c_ids[:, None])
+                corners, corner_ids, marker_px, marker_ids = (
+                    detector_sets[1 - pattern][face_idx].detectBoard(
+                        image, markerCorners=marker_px, markerIds=marker_ids))
+                if corners is not None:
+                    self._preferred[face_idx] = 1 - pattern
+            if corner_ids is None:
+                continue
+            corners = np.asarray(corners).reshape(-1, 2)
+            corner_ids = np.asarray(corner_ids).reshape(-1)
+            found_keys.extend([face_idx, cid] for cid in corner_ids)
+            found_px.extend(corners)
+            if draw:
+                aruco.drawDetectedCornersCharuco(
+                    preview, corners[:, None, :] / shrink, corner_ids[:, None])
 
         if draw:
-            cv2.imshow("detections", im_idea)
+            cv2.imshow("detections", preview)
             cv2.waitKey(wait_len)
 
-        if redistort is not None and seen_data:
-            seen_data = list(redistort(np.asarray(seen_data)))
-        return ImageDetection(keys=seen_keys, image_points=seen_data)
+        if redistort is not None and found_px:
+            found_px = list(redistort(np.asarray(found_px)))
+        return ImageDetection(keys=found_keys, image_points=found_px)

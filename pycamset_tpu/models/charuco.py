@@ -35,8 +35,8 @@ class ChArUco(AbstractTarget):
         """
         super().__init__(inputs=locals())
         self.square_size = square_size
-        squares_length = square_size / 1000  # to metres
-        marker_length = marker_fraction * square_size / 1000
+        square_m = square_size / 1000  # mm -> metres
+        marker_m = marker_fraction * square_m
 
         self.a_dict = cv2.aruco.getPredefinedDictionary(a_dict)
         # both pattern layouts are built up front so the version-drift
@@ -44,11 +44,11 @@ class ChArUco(AbstractTarget):
         # thread pool; cv2 detectBoard is const/thread-safe, board mutation
         # is not) — index 0 is the requested layout, 1 the flipped one
         self.boards = []
-        for flipped in (legacy, not legacy):
+        for use_legacy in (legacy, not legacy):
             b = cv2.aruco.CharucoBoard(
-                (num_squares_x, num_squares_y), squares_length,
-                marker_length, self.a_dict)
-            b.setLegacyPattern(bool(flipped))
+                (num_squares_x, num_squares_y), square_m, marker_m,
+                self.a_dict)
+            b.setLegacyPattern(bool(use_legacy))
             self.boards.append(b)
         self.board = self.boards[0]
         self.point_data = self.board.getChessboardCorners().squeeze().astype(np.float64)
@@ -74,42 +74,43 @@ class ChArUco(AbstractTarget):
         """
         from pycamset_tpu.models.abstract_target import undistort_for_detection
         image, redistort = undistort_for_detection(image, camera)
-        pref = self._preferred
-        c_corners, c_ids, mloc, mid = (
-            self.board_detectors[pref].detectBoard(image))
-        if c_corners is None and mloc is not None:
+        pattern = self._preferred
+        corners, corner_ids, marker_px, marker_ids = (
+            self.board_detectors[pattern].detectBoard(image))
+        if corners is None and marker_px is not None:
+            # markers matched but corner interpolation failed: the board was
+            # likely generated with the other charuco pattern layout
             if not self._given_legacy_warning:
                 logging.warning("Found markers, but no corners, trying using "
                                 "alternative board detection")
                 self._given_legacy_warning = True
-            c_corners, c_ids, mloc, mid = (
-                self.board_detectors[1 - pref].detectBoard(
-                    image, markerCorners=mloc, markerIds=mid))
-            if c_corners is not None:
-                self._preferred = 1 - pref  # sticky, like the old board flip
+            corners, corner_ids, marker_px, marker_ids = (
+                self.board_detectors[1 - pattern].detectBoard(
+                    image, markerCorners=marker_px, markerIds=marker_ids))
+            if corners is not None:
+                self._preferred = 1 - pattern  # sticky, like the old board flip
 
-        if c_corners is None:
+        if corners is None:
             return ImageDetection()
 
         # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
-        c_corners = np.asarray(c_corners).reshape(-1, 2)
-        c_ids = np.asarray(c_ids).reshape(-1)
+        corners = np.asarray(corners).reshape(-1, 2)
+        corner_ids = np.asarray(corner_ids).reshape(-1)
         if redistort is not None:
-            c_corners = redistort(c_corners)
+            corners = redistort(corners)
 
         if draw:
-            display_im = image.copy()
-            target_size = [480, 640]
-            d_f = int(max(min(np.array(display_im.shape[:2]) / target_size), 1))
-            display_im = downsample_valid(display_im, d_f).astype(np.uint8)
-            if display_im.ndim == 2:
-                display_im = np.tile(display_im[..., None], (1, 1, 3))
+            preview_hw = [480, 640]
+            shrink = int(max(min(np.array(image.shape[:2]) / preview_hw), 1))
+            preview = downsample_valid(image.copy(), shrink).astype(np.uint8)
+            if preview.ndim == 2:
+                preview = np.repeat(preview[..., None], 3, axis=-1)
             aruco.drawDetectedCornersCharuco(
-                display_im, c_corners[:, None, :] / d_f, c_ids[:, None])
-            cv2.imshow("detections", display_im)
+                preview, corners[:, None, :] / shrink, corner_ids[:, None])
+            cv2.imshow("detections", preview)
             cv2.waitKey(wait_len)
 
-        return ImageDetection(c_ids, c_corners)
+        return ImageDetection(corner_ids, corners)
 
     def plot(self, imres=(1000, 1000)):
         """Draw the board as a matplotlib image."""

@@ -41,32 +41,29 @@ def _cube_faces(size: float):
 def make_tforms(base_face: np.ndarray, shape: str):
     """Recover (rvec, t) transforms mapping a base face onto each face of a
     named solid ('cube'; 'Icosahedron' requires pyvista)."""
-    size = np.max(base_face[:, 1]) - np.min(base_face[:, 1])
+    edge = base_face[:, 1].max() - base_face[:, 1].min()
     if shape == "cube":
-        verts, faces = _cube_faces(size)
+        verts, faces = _cube_faces(edge)
     else:
         import pyvista as pv
-        poly = {"Icosahedron": pv.Icosahedron}[shape]()
-        verts, faces = poly.points, poly.regular_faces
-    tforms = []
-    for face in faces:
-        local_face = np.array([verts[f] for f in face])
-        rmat, t = _rigid_fit_np(base_face, local_face)
-        rvec, _ = cv2.Rodrigues(rmat)
-        tforms.append((rvec, t))
-    return tforms
+        solid = {"Icosahedron": pv.Icosahedron}[shape]()
+        verts, faces = solid.points, solid.regular_faces
+
+    def fit_one(face):
+        rmat, t = _rigid_fit_np(base_face, verts[np.asarray(face)])
+        return cv2.Rodrigues(rmat)[0], t
+
+    return [fit_one(face) for face in faces]
 
 
 def print_formatted_transforms(tforms):
     """Print (rvec, t) tuples as pasteable python source."""
-    print("TFORMS = [")
-    for tform in tforms:
-        s0 = np.array2string(np.asarray(tform[0]).squeeze(), precision=3,
-                             separator=",")
-        s1 = np.array2string(np.asarray(tform[1]).squeeze(), precision=3,
-                             separator=",")
-        print(f"\t({s0},{s1}),")
-    print("]")
+    def fmt(arr):
+        return np.array2string(np.asarray(arr).squeeze(), precision=3,
+                               separator=",")
+
+    body = "".join(f"\t({fmt(r)},{fmt(t)}),\n" for r, t in tforms)
+    print("TFORMS = [\n" + body + "]")
 
 
 class FaceToShape:
@@ -142,33 +139,36 @@ class FaceToShape:
         :param net_transforms: 3x3 2D homogeneous transforms (unit-square
             coordinates) placing each face on the net.
         """
-        net_tforms = []
-        canvas_locs = []
-        for im, base_form in zip(net_images, net_transforms):
-            new_tform = (np.diag([im.shape[0], im.shape[1], 1.0])
-                         @ np.asarray(base_form, dtype=float)
-                         @ np.diag([1 / im.shape[0], 1 / im.shape[1], 1.0]))
-            net_tforms.append(new_tform)
-            canvas_locs.append(h_tform_2d(np.zeros(2), new_tform))
-            canvas_locs.append(h_tform_2d(np.array(im.shape, dtype=float), new_tform))
+        # unit-square transforms -> pixel transforms, tracking the bounding
+        # box each placed face covers
+        px_tforms = []
+        extents = []
+        for im, unit_tform in zip(net_images, net_transforms):
+            h, w = im.shape[:2]
+            in_px = (np.diag([h, w, 1.0])
+                     @ np.asarray(unit_tform, dtype=float)
+                     @ np.diag([1.0 / h, 1.0 / w, 1.0]))
+            px_tforms.append(in_px)
+            extents.append(h_tform_2d(np.zeros(2), in_px))
+            extents.append(h_tform_2d(np.array([h, w], dtype=float), in_px))
 
-        canvas_locs = np.array(canvas_locs)
-        offset = -np.amin(canvas_locs, axis=0).astype(int)
-        canvas_shape = (np.amax(canvas_locs, axis=0) + offset).astype(int)
+        extents = np.array(extents)
+        shift = -extents.min(axis=0).astype(int)
+        page_shape = (extents.max(axis=0) + shift).astype(int)
 
-        blank_canvas = np.ones(canvas_shape) * 255
-        fo_tform = np.eye(3)
-        fo_tform[:2, -1] = offset.T
-        permute = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]], dtype=float)
+        shift_h = np.eye(3)
+        shift_h[:2, 2] = shift
+        swap_uv = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]], dtype=float)
 
-        for im, tform in zip(net_images, net_tforms):
-            applied = permute @ fo_tform @ tform @ permute
-            unwarped = np.zeros(canvas_shape)
-            unwarped[: im.shape[0], : im.shape[1]] = 255 - im  # subtractive
-            warped = cv2.warpAffine(unwarped, applied[:2],
-                                    dsize=tuple(canvas_shape[::-1]))
-            blank_canvas -= warped
-        return blank_canvas.clip(0, 255)
+        # compose faces subtractively: ink accumulates where any face is dark
+        page = np.full(tuple(page_shape), 255.0)
+        for im, in_px in zip(net_images, px_tforms):
+            placement = swap_uv @ shift_h @ in_px @ swap_uv
+            ink = np.zeros(tuple(page_shape))
+            ink[: im.shape[0], : im.shape[1]] = 255 - im
+            page -= cv2.warpAffine(ink, placement[:2],
+                                   dsize=tuple(page_shape[::-1]))
+        return page.clip(0, 255)
 
 
 def h_tform_2d(points: np.ndarray, transform: np.ndarray) -> np.ndarray:
@@ -218,41 +218,43 @@ def make_net_tforms(base_shape, face_connectivity, connections):
         [n_connected, base_face, connected..., n_connected, base_face, ...].
     :return: per-face 3x3 net transforms.
     """
-    ragged = make_ragged_faces(face_connectivity)
-    tforms: list = [None] * len(ragged)
-    added = set()
-    cpoint = 0
+    face_points = make_ragged_faces(face_connectivity)
+    tforms: list = [None] * len(face_points)
+    placed: set = set()
     base_shape = np.asarray(base_shape, dtype=float)
 
-    while cpoint < len(connections):
-        num_connect = connections[cpoint]
-        base_face = connections[cpoint + 1]
-        bfp = list(ragged[base_face])
-        if cpoint == 0:
-            added.add(base_face)
-            tforms[base_face] = np.eye(3)
-        if base_face not in added:
+    def edge_coords(point_ids, shared_pair):
+        """Base-face coordinates of a face's two shared-edge corners."""
+        return np.array([base_shape[point_ids.index(pid)]
+                         for pid in shared_pair])
+
+    cursor = 0
+    while cursor < len(connections):
+        fan_out, parent = connections[cursor], connections[cursor + 1]
+        if cursor == 0:
+            # the first parent anchors the net at the origin
+            placed.add(parent)
+            tforms[parent] = np.eye(3)
+        if parent not in placed:
             raise ValueError(
-                f"Attempted to add faces to {base_face} without first "
-                f"defining the location of {base_face}.")
-        cpoint += 2
-        for _ in range(num_connect):
-            connected_face = connections[cpoint]
-            cfp = list(ragged[connected_face])
-            shared = list(set(bfp).intersection(set(cfp)))
+                f"Attempted to add faces to {parent} without first "
+                f"defining the location of {parent}.")
+        parent_pts = list(face_points[parent])
+        cursor += 2
+
+        for child in connections[cursor:cursor + fan_out]:
+            child_pts = list(face_points[child])
+            shared = sorted(set(parent_pts) & set(child_pts))
             if len(shared) != 2:
                 raise ValueError(
-                    f"faces {base_face} and {connected_face} do not share "
+                    f"faces {parent} and {child} do not share "
                     "enough points to estimate the transformation between them")
-            if connected_face in added:
+            if child in placed:
                 raise ValueError(
-                    f"Face {connected_face} was added to the tree multiple times.")
-            added.add(connected_face)
-            pb = np.array([base_shape[bfp.index(shared[0])],
-                           base_shape[bfp.index(shared[1])]])
-            cb = np.array([base_shape[cfp.index(shared[0])],
-                           base_shape[cfp.index(shared[1])]])
-            rot, t = _rigid_fit_2d(cb, pb)
-            tforms[connected_face] = tforms[base_face] @ make_h(rot, t)
-            cpoint += 1
+                    f"Face {child} was added to the tree multiple times.")
+            placed.add(child)
+            rot, t = _rigid_fit_2d(edge_coords(child_pts, shared),
+                                   edge_coords(parent_pts, shared))
+            tforms[child] = tforms[parent] @ make_h(rot, t)
+        cursor += fan_out
     return tforms

@@ -11,8 +11,6 @@ when pyvista is available).
 from __future__ import annotations
 
 import logging
-from functools import reduce
-
 import cv2
 import numpy as np
 
@@ -39,11 +37,9 @@ def undistort_im(image, cam: Camera) -> np.ndarray:
 
 def depth_image_ptcloud_mask(depth_im, mind, maxd) -> np.ndarray:
     """Validity mask for a reprojected cloud: finite and inside [mind, maxd]."""
-    t_nan = np.any(np.isnan(depth_im), axis=-1)
-    t_inf = np.any(np.isinf(depth_im), axis=-1)
-    t_hgh = depth_im[:, -1] > maxd
-    t_low = depth_im[:, -1] < mind
-    return ~reduce(np.logical_or, [t_nan, t_inf, t_hgh, t_low])
+    z = depth_im[:, -1]
+    finite = np.all(np.isfinite(depth_im), axis=-1)
+    return finite & (z >= mind) & (z <= maxd)
 
 
 def remap_im(im, cam: Camera, new_rot, new_proj, new_size) -> np.ndarray:
@@ -59,16 +55,21 @@ def rectify_camera_pair(cam_0: Camera, cam_1: Camera, zero_flag: bool = False):
 
     :return: (p0, p1, q, r0, r1, roi0)
     """
-    rot_t = cam_1.extrinsic @ cam_0.cam_to_world
-    rot = np.ascontiguousarray(rot_t[:3, :3])
-    trans = np.ascontiguousarray(rot_t[:3, 3]).reshape(3, 1)
-    d0 = np.zeros(5) if zero_flag else np.asarray(cam_0.distortion_coefs, dtype=float)
-    d1 = np.zeros(5) if zero_flag else np.asarray(cam_1.distortion_coefs, dtype=float)
-    r0, r1, p0, p1, q, s0, s1 = cv2.stereoRectify(
-        cam_0.intrinsic, d0, cam_1.intrinsic, d1, tuple(cam_0.res),
-        rot, trans, flags=cv2.CALIB_ZERO_DISPARITY, alpha=1,
-        newImageSize=tuple(cam_0.res))
-    return p0, p1, q, r0, r1, s0
+    cam0_to_cam1 = cam_1.extrinsic @ cam_0.cam_to_world
+    rel_rot = np.ascontiguousarray(cam0_to_cam1[:3, :3])
+    rel_t = np.ascontiguousarray(cam0_to_cam1[:3, 3]).reshape(3, 1)
+
+    def dist_of(cam):
+        if zero_flag:  # images are pre-undistorted by the caller
+            return np.zeros(5)
+        return np.asarray(cam.distortion_coefs, dtype=float)
+
+    size = tuple(cam_0.res)
+    r0, r1, p0, p1, q, roi0, _roi1 = cv2.stereoRectify(
+        cam_0.intrinsic, dist_of(cam_0), cam_1.intrinsic, dist_of(cam_1),
+        size, rel_rot, rel_t, flags=cv2.CALIB_ZERO_DISPARITY, alpha=1,
+        newImageSize=size)
+    return p0, p1, q, r0, r1, roi0
 
 
 def rectify_camera_images(cam_0: Camera, cam_1: Camera, im_0, im_1):
@@ -76,13 +77,12 @@ def rectify_camera_images(cam_0: Camera, cam_1: Camera, im_0, im_1):
 
     :return: (rectified im_0, rectified im_1, q reprojection matrix)
     """
-    zero_flag = True
-    p0, p1, q, r0, r1, _ = rectify_camera_pair(cam_0, cam_1, zero_flag=zero_flag)
-    new_im0 = remap_im(undistort_im(im_0, cam_0) if zero_flag else im_0,
-                       cam_0, r0, p0, cam_0.res)
-    new_im1 = remap_im(undistort_im(im_1, cam_1) if zero_flag else im_1,
-                       cam_1, r1, p1, cam_1.res)
-    return new_im0, new_im1, q
+    # undistort first, then rectify with zeroed coefficients: one resample
+    # path for arbitrary distortion models
+    p0, p1, q, r0, r1, _ = rectify_camera_pair(cam_0, cam_1, zero_flag=True)
+    rect0 = remap_im(undistort_im(im_0, cam_0), cam_0, r0, p0, cam_0.res)
+    rect1 = remap_im(undistort_im(im_1, cam_1), cam_1, r1, p1, cam_1.res)
+    return rect0, rect1, q
 
 
 def disparity_to_ptcld(disp, q, mind: float = 0.5, maxd: float = 2.5):
@@ -90,10 +90,10 @@ def disparity_to_ptcld(disp, q, mind: float = 0.5, maxd: float = 2.5):
 
     :return: (cloud, mask)
     """
-    pts = cv2.reprojectImageTo3D((disp / 16).astype("float32"), q)
-    flat = np.reshape(pts, (-1, 3))
-    mask = depth_image_ptcloud_mask(flat, mind, maxd)
-    return _as_cloud(flat[mask]), mask
+    xyz = cv2.reprojectImageTo3D((disp / 16).astype("float32"), q)
+    xyz = xyz.reshape(-1, 3)
+    keep = depth_image_ptcloud_mask(xyz, mind, maxd)
+    return _as_cloud(xyz[keep]), keep
 
 
 def matlab_stereo(im0, im1, disp_range=(128, 256), uniqueness_thresh=25,
@@ -101,12 +101,12 @@ def matlab_stereo(im0, im1, disp_range=(128, 256), uniqueness_thresh=25,
     """MATLAB disparitySGM, if a matlab engine is installed."""
     try:
         from matlab.engine import start_matlab
-    except ImportError as e:
+    except ImportError:
         logging.info("matlab engine not installed")
-        raise e
-    m = start_matlab()
-    disp = np.array(m.disparitySGM(
-        im0, im1, "DisparityRange", np.array(disp_range).astype("int32"),
+        raise
+    engine = start_matlab()
+    disp = np.asarray(engine.disparitySGM(
+        im0, im1, "DisparityRange", np.asarray(disp_range, dtype="int32"),
         "UniquenessThreshold", uniqueness_thresh)) - 1
     if plot:
         from matplotlib import pyplot as plt
@@ -121,23 +121,23 @@ def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
                        matlab: bool = False, plot: bool = False,
                        mind: float = 0.0, maxd: float = 2.0):
     """Dense stereo point cloud via rectify -> block matching -> reproject."""
-    r0, r1, q = rectify_camera_images(cam_0, cam_1, im_0, im_1)
+    rect0, rect1, q = rectify_camera_images(cam_0, cam_1, im_0, im_1)
     if matlab:
-        disp = matlab_stereo(r0, r1, disp_range=(num_disp - 128, num_disp),
-                             plot=plot)
+        disp = matlab_stereo(rect0, rect1,
+                             disp_range=(num_disp - 128, num_disp), plot=plot)
     else:
-        stereo = cv2.StereoBM_create(numDisparities=num_disp,
-                                     blockSize=blockSize)
-        disp = stereo.compute(r0.astype(np.uint8), r1.astype(np.uint8)) / 16
+        matcher = cv2.StereoBM_create(numDisparities=num_disp,
+                                      blockSize=blockSize)
+        disp = matcher.compute(rect0.astype(np.uint8),
+                               rect1.astype(np.uint8)) / 16
         if plot:
             from matplotlib import pyplot as plt
             plt.imshow(disp)
             plt.show()
 
-    pts = cv2.reprojectImageTo3D(disp.astype("float32"), q)
-    flat = np.reshape(pts, (-1, 3))
-    mask = depth_image_ptcloud_mask(flat, mind, maxd)
-    cloud = _as_cloud(flat[mask], scalars=np.asarray(r0).flatten()[mask])
+    xyz = cv2.reprojectImageTo3D(disp.astype("float32"), q).reshape(-1, 3)
+    keep = depth_image_ptcloud_mask(xyz, mind, maxd)
+    cloud = _as_cloud(xyz[keep], scalars=np.asarray(rect0).ravel()[keep])
     if plot and not isinstance(cloud, np.ndarray):
         import pyvista as pv
         pv.set_plot_theme("Document")

@@ -1,0 +1,279 @@
+"""Pure-Python decoder for c-blosc1 frames (reference `.camset` compat).
+
+The reference persists detection tables with
+``blosc.compress_ptr(..., cname='lz4', shuffle=1)``
+(/root/reference/pyCamSet/utils/saving.py:240-332). blosc is not available
+in this environment, so this module re-implements just enough of the
+c-blosc1 container to READ those frames:
+
+- the 16-byte blosc1 header (flags carry codec id / shuffle / memcpy bits),
+- per-block int32 start offsets,
+- optional block splitting into `typesize` streams (c-blosc "forward
+  compatible" split policy — handled by trying split first, then unsplit),
+- LZ4 block-format decompression (pure Python),
+- zlib-coded frames (stdlib inflate),
+- byte-shuffle reversal via numpy reshape/transpose.
+
+Write support is intentionally absent: new files use the package's own zlib
+container (utils/saving.py). Only decode paths are needed for migration.
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+import zlib
+
+import numpy as np
+
+
+def _load_native():
+    """Bind the system libblosc via ctypes when present (python-blosc is
+    not installed, but the shared library ships with the image)."""
+    name = ctypes.util.find_library("blosc")
+    if name is None:
+        return None
+    try:
+        lib = ctypes.CDLL(name)
+        lib.blosc_init()
+        lib.blosc_decompress.restype = ctypes.c_int
+        lib.blosc_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.blosc_compress.restype = ctypes.c_int
+        lib.blosc_compress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.blosc_set_compressor.restype = ctypes.c_int
+        lib.blosc_set_compressor.argtypes = [ctypes.c_char_p]
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
+
+
+def native_blosc_available() -> bool:
+    return _NATIVE is not None
+
+
+def blosc_decompress_native(frame: bytes) -> bytes:
+    """Decompress through the system libblosc (raises if unavailable)."""
+    if _NATIVE is None:
+        raise BloscDecodeError("system libblosc is not available")
+    if len(frame) < HEADER_LEN:
+        raise BloscDecodeError("frame shorter than a blosc header")
+    (nbytes,) = struct.unpack_from("<i", frame, 4)
+    out = ctypes.create_string_buffer(max(nbytes, 1))
+    rc = _NATIVE.blosc_decompress(frame, out, nbytes)
+    if rc != nbytes:
+        raise BloscDecodeError(f"libblosc returned {rc}, wanted {nbytes}")
+    return out.raw[:nbytes]
+
+
+def blosc_compress_native(data: bytes, typesize: int, clevel: int = 3,
+                          cname: bytes = b"lz4", shuffle: int = 1) -> bytes:
+    """Compress through the system libblosc (test oracle / migration aid)."""
+    if _NATIVE is None:
+        raise BloscDecodeError("system libblosc is not available")
+    _NATIVE.blosc_set_compressor(cname)
+    out = ctypes.create_string_buffer(len(data) + HEADER_LEN)
+    rc = _NATIVE.blosc_compress(clevel, shuffle, typesize, len(data),
+                                data, out, len(out))
+    if rc <= 0:
+        raise BloscDecodeError(f"libblosc compress failed ({rc})")
+    return out.raw[:rc]
+
+# header flag bits (c-blosc blosc.h)
+_FLAG_BYTE_SHUFFLE = 0x1
+_FLAG_MEMCPYED = 0x2
+_FLAG_BIT_SHUFFLE = 0x4
+_CODEC_SHIFT = 5  # codec id lives in flag bits 5-7
+
+_CODEC_BLOSCLZ = 0
+_CODEC_LZ4 = 1
+_CODEC_SNAPPY = 2
+_CODEC_ZLIB = 3
+_CODEC_ZSTD = 4
+
+# c-blosc split policy constants
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
+
+HEADER_LEN = 16
+
+
+class BloscDecodeError(ValueError):
+    """The byte string is not a decodable blosc1 frame."""
+
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one raw LZ4 block (no frame header) of known output size."""
+    out = bytearray()
+    pos, end = 0, len(src)
+    while pos < end:
+        token = src[pos]
+        pos += 1
+        # literals
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                extra = src[pos]
+                pos += 1
+                lit_len += extra
+                if extra != 255:
+                    break
+        out += src[pos:pos + lit_len]
+        pos += lit_len
+        if pos >= end:
+            break  # the final sequence is literals-only
+        # match copy
+        offset = src[pos] | (src[pos + 1] << 8)
+        pos += 2
+        if offset == 0:
+            raise BloscDecodeError("lz4: zero match offset")
+        match_len = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                extra = src[pos]
+                pos += 1
+                match_len += extra
+                if extra != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise BloscDecodeError("lz4: match before start of output")
+        # overlapping copies replicate recent output byte-by-byte
+        for i in range(match_len):
+            out.append(out[start + i])
+    if len(out) != dst_size:
+        raise BloscDecodeError(
+            f"lz4: expected {dst_size} bytes, produced {len(out)}")
+    return bytes(out)
+
+
+def _unshuffle(block: bytes, typesize: int) -> bytes:
+    """Invert the blosc byte-shuffle filter on one block."""
+    if typesize <= 1:
+        return block
+    n = len(block)
+    body = n - n % typesize
+    planes = np.frombuffer(block[:body], dtype=np.uint8)
+    restored = planes.reshape(typesize, -1).T.tobytes()
+    return restored + block[body:]  # the remainder is stored unshuffled
+
+
+def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
+    if codec == _CODEC_LZ4:
+        return lz4_block_decompress(payload, out_size)
+    if codec == _CODEC_ZLIB:
+        plain = zlib.decompress(payload)
+        if len(plain) != out_size:
+            raise BloscDecodeError("zlib stream size mismatch")
+        return plain
+    raise BloscDecodeError(
+        f"codec id {codec} is not supported by the pure-Python reader "
+        "(lz4 and zlib are)")
+
+
+def _decode_block(codec: int, src: bytes, out_size: int, nsplits: int) -> bytes:
+    """Decode one compressed block laid out as nsplits size-prefixed streams."""
+    per_stream = out_size // nsplits
+    sizes = [per_stream] * nsplits
+    sizes[-1] += out_size - per_stream * nsplits
+    pieces = []
+    pos = 0
+    for want in sizes:
+        if pos + 4 > len(src):
+            raise BloscDecodeError("truncated stream header")
+        (csize,) = struct.unpack_from("<i", src, pos)
+        pos += 4
+        if csize < 0 or pos + csize > len(src):
+            raise BloscDecodeError("stream overruns block")
+        chunk = src[pos:pos + csize]
+        pos += csize
+        if csize == want:
+            pieces.append(chunk)  # stored uncompressed
+        else:
+            pieces.append(_decode_stream(codec, chunk, want))
+    return b"".join(pieces)
+
+
+def blosc_decompress(frame: bytes) -> bytes:
+    """Decompress a c-blosc1 frame: native libblosc when present, else the
+    pure-Python reader."""
+    if _NATIVE is not None:
+        return blosc_decompress_native(frame)
+    return blosc_decompress_pure(frame)
+
+
+def blosc_decompress_pure(frame: bytes) -> bytes:
+    """Decompress a complete c-blosc1 frame to its original bytes."""
+    if len(frame) < HEADER_LEN:
+        raise BloscDecodeError("frame shorter than a blosc header")
+    _version, _versionlz, flags, typesize = frame[:4]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", frame, 4)
+    if cbytes != len(frame):
+        raise BloscDecodeError(
+            f"header says {cbytes} bytes, frame has {len(frame)}")
+    if flags & _FLAG_BIT_SHUFFLE:
+        raise BloscDecodeError("bit-shuffled frames are not supported")
+    if nbytes == 0:
+        return b""
+
+    if flags & _FLAG_MEMCPYED:
+        body = frame[HEADER_LEN:HEADER_LEN + nbytes]
+        if len(body) != nbytes:
+            raise BloscDecodeError("memcpy frame truncated")
+        return body
+
+    codec = flags >> _CODEC_SHIFT
+    n_blocks = (nbytes + blocksize - 1) // blocksize
+    starts = struct.unpack_from(f"<{n_blocks}i", frame, HEADER_LEN)
+
+    # the writer's split policy is not recorded in the frame; mirror
+    # c-blosc's forward-compatible default and fall back to the other choice
+    may_split = (typesize > 1 and typesize <= _MAX_SPLITS
+                 and blocksize // typesize >= _MIN_BUFFERSIZE
+                 and blocksize % typesize == 0)
+    split_orders = (typesize, 1) if may_split else (1,)
+
+    last_err: Exception | None = None
+    for nsplits in split_orders:
+        try:
+            blocks = []
+            for bi in range(n_blocks):
+                out_size = min(blocksize, nbytes - bi * blocksize)
+                # a short trailing block is never split (c-blosc blosc_d)
+                block_splits = nsplits if out_size == blocksize else 1
+                # streams are size-prefixed, so the block bounds itself;
+                # starts need not be ordered
+                raw = _decode_block(codec, frame[starts[bi]:], out_size,
+                                    block_splits)
+                if flags & _FLAG_BYTE_SHUFFLE:
+                    raw = _unshuffle(raw, typesize)
+                blocks.append(raw)
+            return b"".join(blocks)
+        except BloscDecodeError as err:
+            last_err = err
+    raise BloscDecodeError(f"could not decode frame: {last_err}")
+
+
+def decompress_reference_dict(save_dict: dict) -> np.ndarray:
+    """Decode the reference's chunked-blosc array dict
+    (/root/reference/pyCamSet/utils/saving.py:295-332 layout:
+    shape/size/dtype/f/num_chunk/max_num/data/sizes)."""
+    import base64
+
+    dtype = np.dtype(save_dict["dtype"])
+    flat = np.empty(save_dict["size"], dtype)
+    max_num = save_dict["max_num"]
+    view = flat.view(np.uint8)
+    for ci, chunk_b64 in enumerate(save_dict["data"]):
+        plain = blosc_decompress(base64.b64decode(chunk_b64))
+        lo = ci * max_num * dtype.itemsize
+        view[lo:lo + len(plain)] = np.frombuffer(plain, dtype=np.uint8)
+    shape = save_dict["shape"]
+    if save_dict.get("f"):
+        return flat.reshape(list(shape)[::-1]).T
+    return flat.reshape(shape)

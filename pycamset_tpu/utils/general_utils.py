@@ -11,12 +11,10 @@ implemented locally.
 """
 from __future__ import annotations
 
-import functools
 import logging
 import math
 import re
 import time
-from itertools import chain
 from pathlib import Path
 
 import cv2
@@ -81,27 +79,25 @@ def get_subfolder_names(f_loc: Path, return_full_path: bool = False):
     return [p.parts[-1] for p in subs]
 
 
+def _convert_nested(d, from_type, converter):
+    """In-place recursive conversion of from_type values in a nested dict."""
+    if isinstance(d, dict):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                _convert_nested(v, from_type, converter)
+            elif isinstance(v, from_type):
+                d[k] = converter(v)
+    return d
+
+
 def list_dict_to_np_array(d):
     """Recursively convert lists in a nested dict to numpy arrays (in place)."""
-    if isinstance(d, dict):
-        for key, val in d.items():
-            if isinstance(val, dict):
-                list_dict_to_np_array(val)
-            elif isinstance(val, list):
-                d[key] = np.array(val)
-    return d
+    return _convert_nested(d, list, np.array)
 
 
 def numpy_dict_to_list(d):
     """Recursively convert numpy arrays in a nested dict to lists (in place)."""
-    if not isinstance(d, dict):
-        return d
-    for key, value in d.items():
-        if isinstance(value, dict):
-            numpy_dict_to_list(value)
-        elif isinstance(value, np.ndarray):
-            d[key] = value.tolist()
-    return d
+    return _convert_nested(d, np.ndarray, lambda a: a.tolist())
 
 
 # ---------------------------------------------------------------- geometry
@@ -157,16 +153,17 @@ def ext_4x4_to_rod(h4: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def flatten_pose_list(pose_list) -> np.ndarray:
     """Flatten a list of 4x4 poses to a single [rvec,t,rvec,t,...] vector."""
-    params = [ext_4x4_to_rod(t) for t in pose_list]
-    return np.concatenate(list(chain(*params)), axis=0)
+    return np.concatenate(
+        [part for pose in pose_list for part in ext_4x4_to_rod(pose)])
 
 
 def plane_fit(points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Fit a plane to (d, n) points; returns (centroid, unit normal)."""
     points = np.reshape(points, (np.shape(points)[0], -1))
-    ctr = points.mean(axis=1)
-    x = points - ctr[:, None]
-    return ctr, np.linalg.svd(x @ x.T)[0][:, -1]
+    centroid = points.mean(axis=1)
+    spread = points - centroid[:, None]
+    # the normal is the least-significant principal axis of the scatter
+    return centroid, np.linalg.svd(spread @ spread.T)[0][:, -1]
 
 
 def approx_average_quaternion(quats) -> np.ndarray:
@@ -179,18 +176,17 @@ def approx_average_quaternion(quats) -> np.ndarray:
 def average_tforms(tforms: list[np.ndarray]) -> np.ndarray:
     """Average a list of 4x4 rigid transforms (quaternion mean + mean trans)."""
     from scipy.spatial.transform import Rotation as R
-    tforms = [t for t in tforms if not np.any(np.isnan(t))]
-    if len(tforms) == 0:
-        return np.ones((4, 4)) * np.nan
-    if len(tforms) == 1:
-        return tforms[0]
-    avg_t = np.mean([t[:3, -1] for t in tforms], axis=0)
-    quats = [R.from_matrix(t[:3, :3]).as_quat(canonical=True) for t in tforms]
-    avg_r = R.from_quat(approx_average_quaternion(quats)).as_matrix()
-    out = np.eye(4)
-    out[:3, :3] = avg_r
-    out[:3, 3] = avg_t
-    return out
+    finite = [t for t in tforms if np.all(np.isfinite(t))]
+    if not finite:
+        return np.full((4, 4), np.nan)
+    if len(finite) == 1:
+        return finite[0]
+    mean_quat = approx_average_quaternion(
+        [R.from_matrix(t[:3, :3]).as_quat(canonical=True) for t in finite])
+    mean = np.eye(4)
+    mean[:3, :3] = R.from_quat(mean_quat).as_matrix()
+    mean[:3, 3] = np.mean([t[:3, -1] for t in finite], axis=0)
+    return mean
 
 
 def get_close_square_tuple(n) -> tuple[int, int]:
@@ -201,8 +197,8 @@ def get_close_square_tuple(n) -> tuple[int, int]:
 def grouper(iterable, n, fillvalue=None):
     """Iterate n items at a time (last group padded with fillvalue)."""
     from itertools import zip_longest
-    args = [iter(iterable)] * n
-    return zip_longest(*args, fillvalue=fillvalue)
+    # n references to ONE iterator: zip_longest pulls n consecutive items
+    return zip_longest(*([iter(iterable)] * n), fillvalue=fillvalue)
 
 
 def colourmap_to_colour_list(length, colourmap):
@@ -219,42 +215,43 @@ def mad_outlier_detection(data, out_thresh: float = 3, draw: bool = True):
     Returns the outlier indices (as from np.nonzero) or None if there are none.
     """
     data = np.asarray(data, dtype=float)
-    n_mdn = np.median(data)
-    n_mad = np.median(np.absolute(data - n_mdn))
-    if n_mad == 0:
+    centre = np.median(data)
+    mad = np.median(np.abs(data - centre))
+    if mad == 0:
         return None
-    outliers = np.abs(data - n_mdn) / n_mad > out_thresh
-    if np.any(outliers):
-        w_out = np.nonzero(outliers)
-        listout = functools.reduce(lambda x, y: x + y, [f" {w}" for w in w_out])
-        logging.critical(f"found outliers in indicies:{listout}")
-        logging.critical("These may prevent calibration conversion")
-        if draw:
-            from matplotlib import pyplot as plt
-            fig, ax = plt.subplots(1, 1)
-            ax.plot(np.abs(data - n_mdn) / n_mad, ".")
-            ax.set_title("Found outliers: displaying mad outlier threshold as red line")
-            ax.axhline(out_thresh, color="r")
-            plt.show()
-        return w_out
-    return None
+    deviation = np.abs(data - centre) / mad
+    if not np.any(deviation > out_thresh):
+        return None
+
+    flagged = np.nonzero(deviation > out_thresh)
+    logging.critical("found outliers in indicies:"
+                     + "".join(f" {idx}" for idx in flagged))
+    logging.critical("These may prevent calibration conversion")
+    if draw:
+        from matplotlib import pyplot as plt
+        _fig, ax = plt.subplots(1, 1)
+        ax.plot(deviation, ".")
+        ax.set_title("Found outliers: displaying mad outlier threshold as red line")
+        ax.axhline(out_thresh, color="r")
+        plt.show()
+    return flagged
 
 
 def benchmark(func, repeats: int = 100, mode: str = "ms",
               timer=time.perf_counter_ns, max_runtime: float = 100):
     """Time a callable; prints mean/median/stdev and a terminal histogram."""
-    ranges = {"us": 1e-3, "ms": 1e-6, "s": 1e-9}
+    ns_to = {"us": 1e-3, "ms": 1e-6, "s": 1e-9}
     times = []
-    loop_start = timer()
+    budget_end = timer() + max_runtime / ns_to["s"]
     for _ in range(repeats):
-        start = timer()
+        t0 = timer()
         func()
-        end = timer()
-        times.append(end - start)
-        if (end - loop_start) * ranges["s"] > max_runtime:
+        t1 = timer()
+        times.append(t1 - t0)
+        if t1 > budget_end:
             print(f"Exceeded given max_runtime of {max_runtime} seconds.")
             break
-    times = np.array(times, dtype=float) * ranges[mode]
+    times = np.array(times, dtype=float) * ns_to[mode]
     mean, stdev, median = np.mean(times), np.std(times), np.median(times)
     print(f"Mean: {mean:.2f} {mode}, median: {median:.2f} {mode}, stdev: {stdev:.2f} {mode}")
     # terminal histogram (uniplot is unavailable; ascii fallback)
@@ -276,16 +273,17 @@ def split_aruco_dictionary(split_size: int, a_dict=None):
     from cv2 import aruco
     if a_dict is None:
         a_dict = aruco.DICT_6X6_250
-    base = aruco.getPredefinedDictionary(a_dict) if isinstance(a_dict, int) else a_dict
-    markers = base.bytesList
-    n_markers = markers.shape[0]
-    n_out = n_markers // split_size
-    out = []
-    for i in range(n_out):
-        sub = aruco.Dictionary(0, base.markerSize)
-        sub.bytesList = np.array(markers[i * split_size:(i + 1) * split_size])
-        out.append(sub)
-    return out
+    base = (aruco.getPredefinedDictionary(a_dict)
+            if isinstance(a_dict, int) else a_dict)
+    codes = base.bytesList
+
+    def carve(lo):
+        piece = aruco.Dictionary(0, base.markerSize)
+        piece.bytesList = np.array(codes[lo:lo + split_size])
+        return piece
+
+    return [carve(lo) for lo in
+            range(0, (len(codes) // split_size) * split_size, split_size)]
 
 
 def downsample_valid(inp: np.ndarray, d_factor: int, invalid=None) -> np.ndarray:
@@ -325,12 +323,14 @@ def distort_points(pts: np.ndarray, intrinsics: np.ndarray,
 def px_array(res=(32, 32), startZero: bool = False):
     """Index grid helper for sensor-map construction."""
     if startZero:
-        x = range(res[0])
-        y = range(res[1])
+        xs, ys = np.arange(res[0]), np.arange(res[1])
     else:
-        x = range(res[0] // 2, -res[0] // 2, -1)
-        y = range(-res[1] // 2, res[1] // 2)
-    y, x = np.meshgrid(y, x)
+        # centred grids: x runs high-to-low, y low-to-high, both length res
+        first_x = res[0] // 2
+        xs = np.arange(first_x, first_x - res[0], -1)
+        first_y = -((res[1] + 1) // 2)
+        ys = np.arange(first_y, first_y + res[1])
+    y, x = np.meshgrid(ys, xs)
     return x, y, np.ones(tuple(res))
 
 
@@ -338,31 +338,29 @@ def vector_cam_points(map_type, pts, intrinsics, cam_to_world):
     """Back-project pixel points to world-frame ray directions."""
     if map_type not in ("normalised", "linear"):
         raise ValueError("Invalid sensor map type")
-    c_int = np.linalg.inv(intrinsics)
-    cords = np.concatenate(
-        [pts, np.ones_like(np.asarray(pts, dtype=float)[:, :1])], axis=-1).T
-    s_map = (c_int @ cords).T
+    px = np.asarray(pts, dtype=float)
+    homog = np.hstack([px, np.ones((len(px), 1))])
+    rays = homog @ np.linalg.inv(intrinsics).T
     if map_type == "normalised":
-        s_map /= np.linalg.norm(s_map, axis=-1, keepdims=True)
-    return h_tform(s_map, cam_to_world, fill=0)
+        rays = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+    return h_tform(rays, cam_to_world, fill=0)
 
 
 def sensor_map(map_type, intrinsics, res=(1600, 1200), dist_coefs=None):
     """Per-pixel ray directions for a camera (precomputed ray cast)."""
     if map_type not in ("normalised", "linear"):
         raise ValueError("Invalid sensor map type")
-    c_int = np.linalg.inv(intrinsics)
-    u, v, h = px_array(res=res, startZero=True)
-    c = np.stack((u.flatten(), v.flatten())).astype(float)
+    u, v, _ = px_array(res=res, startZero=True)
+    px = np.stack([u.ravel(), v.ravel()], axis=1).astype(float)
     if dist_coefs is not None:
-        c = cv2.undistortImagePoints(
-            c.T, np.asarray(intrinsics, dtype=float),
-            np.asarray(dist_coefs, dtype=float)).squeeze().T
-    cords = np.stack((c[0], c[1], h.flatten()))
-    s_map = (c_int @ cords).T.reshape(res[0], res[1], 3)
+        px = cv2.undistortImagePoints(
+            px, np.asarray(intrinsics, dtype=float),
+            np.asarray(dist_coefs, dtype=float)).reshape(-1, 2)
+    homog = np.hstack([px, np.ones((len(px), 1))])
+    rays = (homog @ np.linalg.inv(intrinsics).T).reshape(res[0], res[1], 3)
     if map_type == "normalised":
-        s_map /= np.linalg.norm(s_map, axis=-1, keepdims=True)
-    return s_map
+        rays = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+    return rays
 
 
 def adaptive_decimated_charuco_detection_stereo(
@@ -395,12 +393,12 @@ def adaptive_decimated_charuco_detection_stereo(
 
 def write_colour_ply(f_name, verts, cols):
     """Write an ascii colour point cloud."""
-    with open(f_name, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(verts)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
-        f.write("end_header\n")
-        for vert, col in zip(verts, cols):
-            f.write(f"{vert[0]:.8f} {vert[1]:.8f} {vert[2]:.8f} "
-                    f"{col[0]} {col[1]} {col[2]} \n")
+    header = "\n".join([
+        "ply", "format ascii 1.0", f"element vertex {len(verts)}",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        "end_header", ""])
+    rows = "".join(
+        f"{v[0]:.8f} {v[1]:.8f} {v[2]:.8f} {c[0]} {c[1]} {c[2]} \n"
+        for v, c in zip(verts, cols))
+    Path(f_name).write_text(header + rows)

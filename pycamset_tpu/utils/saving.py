@@ -6,11 +6,12 @@ CameraSet, TargetDetection, target and handler from saved module/class names,
 with graceful degradation to a bare CameraSet on any failure; array compression
 embedded in the JSON.
 
-blosc is unavailable in this environment, so arrays are compressed with zlib
-(stdlib); the compression dict carries a 'codec' field. Files written by the
-reference (blosc codec) degrade gracefully: cameras load, the detection table
-does not. Module names from the reference namespace ('pyCamSet.*') are remapped
-onto this package so reference-written files resolve to our classes.
+New files compress arrays with zlib (stdlib); the compression dict carries a
+'codec' field. Files written by the REFERENCE (chunked blosc lz4+shuffle
+dicts) are read through utils/blosc_compat (ctypes libblosc, pure-Python
+fallback), and module names from the reference namespace ('pyCamSet.*') are
+remapped onto this package — a reference-written .camset loads completely,
+detection table included (tests/test_blosc_compat.py).
 """
 from __future__ import annotations
 
@@ -72,7 +73,11 @@ def compress(arr: np.ndarray, clevel: int = 3) -> dict:
 
 
 def decompress(save_dict: dict) -> np.ndarray:
-    """Invert :func:`compress`. Raises on unknown codecs (e.g. blosc files)."""
+    """Invert :func:`compress`; also reads the reference's chunked-blosc
+    array dicts (lz4+shuffle frames) via utils/blosc_compat."""
+    if "num_chunk" in save_dict:  # the reference's blosc layout
+        from pycamset_tpu.utils.blosc_compat import decompress_reference_dict
+        return decompress_reference_dict(save_dict)
     codec = save_dict.get("codec", "blosc")
     if codec != "zlib":
         raise ValueError(f"Unsupported array codec {codec!r} "
@@ -84,74 +89,71 @@ def decompress(save_dict: dict) -> np.ndarray:
 
 def save_camset(cams, f_name: Path = Path("cams.camset")) -> None:
     """Save a CameraSet (+ calibration history if present) to JSON."""
-    save_dict: dict = {}
-    cam_dict = save_dict.setdefault("cams", {})
-    cam_config = save_dict.setdefault("cam_config", {})
-    cam_config["camset_module"] = cams.__class__.__module__
-    cam_config["camset_name"] = cams.__class__.__name__
-    cam_config["cam_name"] = cams[0].__class__.__name__
+    def type_record(obj, prefix):
+        cls = type(obj)
+        return {f"{prefix}_module": cls.__module__, f"{prefix}_name": cls.__name__}
 
-    for cam in cams:
-        cam_dict[cam.name] = {
-            "int": np.asarray(cam.intrinsic).tolist(),
-            "ext": np.asarray(cam.extrinsic).tolist(),
-            "dst": np.asarray(cam.distortion_coefs).reshape(-1).tolist(),
-            "res": np.asarray(cam.res).tolist(),
-        }
-
-    optim_dict = save_dict.setdefault("optim", {})
+    doc: dict = {
+        "cams": {
+            cam.name: {
+                "int": np.asarray(cam.intrinsic).tolist(),
+                "ext": np.asarray(cam.extrinsic).tolist(),
+                "dst": np.ravel(np.asarray(cam.distortion_coefs)).tolist(),
+                "res": np.asarray(cam.res).tolist(),
+            } for cam in cams
+        },
+        "cam_config": {**type_record(cams, "camset"),
+                       "cam_name": type(cams[0]).__name__},
+        "optim": {},
+    }
+    optim = doc["optim"]
     if getattr(cams, "calibration_params", None) is not None:
-        optim_dict["params"] = np.asarray(cams.calibration_params).tolist()
+        optim["params"] = np.asarray(cams.calibration_params).tolist()
 
     handler = getattr(cams, "calibration_handler", None)
-    handler_config = optim_dict.setdefault("handler_config", {})
+    optim["handler_config"] = {}
     if handler is not None:
-        handler_config["handler_module"] = handler.__class__.__module__
-        handler_config["handler_name"] = handler.__class__.__name__
-        handler_config["fixed_params"] = numpy_dict_to_list(copy(handler.fixed_params))
-        handler_config["options"] = handler.problem_opts
+        optim["handler_config"] = type_record(handler, "handler") | {
+            "fixed_params": numpy_dict_to_list(copy(handler.fixed_params)),
+            "options": handler.problem_opts,
+        }
         if handler.missing_poses is not None:
-            handler_config["missing_poses"] = (
+            optim["handler_config"]["missing_poses"] = (
                 np.asarray(handler.missing_poses).astype(int).tolist())
 
-        target_config = optim_dict.setdefault("target_config", {})
         target = handler.target
-        target_config["target_name"] = target.__class__.__name__
-        target_config["target_module"] = target.__class__.__module__
+        optim["target_config"] = type_record(target, "target")
         if hasattr(target, "input_args"):
-            target_config["input"] = target.input_args
+            optim["target_config"]["input"] = target.input_args
 
-        dtct_config = optim_dict.setdefault("dtct_config", {})
-        dtct = handler.detection
-        dtct_config["dtct_name"] = dtct.__class__.__name__
-        dtct_config["dtct_module"] = dtct.__class__.__module__
-        dtct_config["cam_names"] = dtct.cam_names
-        dtct_config["max_ims"] = int(dtct.max_ims)
-        dtct_config["compressed_data"] = compress(dtct.get_data())
+        table = handler.detection
+        optim["dtct_config"] = type_record(table, "dtct") | {
+            "cam_names": table.cam_names,
+            "max_ims": int(table.max_ims),
+            "compressed_data": compress(table.get_data()),
+        }
 
     if getattr(cams, "calibration_result", None) is not None:
-        optim_dict["results"] = compress(np.asarray(cams.calibration_result))
+        optim["results"] = compress(np.asarray(cams.calibration_result))
     if getattr(cams, "calibration_jac", None) is not None:
-        optim_dict["jac"] = compress(np.asarray(cams.calibration_jac))
+        optim["jac"] = compress(np.asarray(cams.calibration_jac))
 
-    with open(f_name, "w") as f:
-        json.dump(save_dict, fp=f, indent=4)
+    Path(f_name).write_text(json.dumps(doc, indent=4))
 
 
 def load_CameraSet(f_loc: Path | str):
     """Load a CameraSet from JSON, reflectively rebuilding the calibration
     history (detection, target, handler) and degrading gracefully on failure.
     """
-    with open(f_loc) as f:
-        saved = json.load(fp=f)
+    saved = json.loads(Path(f_loc).read_text())
 
-    cam_dict = {}
-    for cam_name, data in saved["cams"].items():
-        cam_dict[cam_name] = instance_obj(
-            "pycamset_tpu.models.camera", "Camera",
-            extrinsic=np.array(data["ext"]), intrinsic=np.array(data["int"]),
-            distortion_coefs=np.array(data["dst"]), res=np.array(data["res"]),
-            name=cam_name)
+    cam_dict = {
+        name: instance_obj(
+            "pycamset_tpu.models.camera", "Camera", name=name,
+            extrinsic=np.array(rec["ext"]), intrinsic=np.array(rec["int"]),
+            distortion_coefs=np.array(rec["dst"]), res=np.array(rec["res"]))
+        for name, rec in saved["cams"].items()
+    }
     camset = instance_obj(
         "pycamset_tpu.models.camera_set", "CameraSet", camera_dict=cam_dict)
 

@@ -11,8 +11,6 @@ Rendering is matplotlib-first (pyvista is optional in this environment); the
 """
 from __future__ import annotations
 
-from copy import copy
-
 import numpy as np
 
 from pycamset_tpu.utils.general_utils import get_close_square_tuple
@@ -29,20 +27,20 @@ def fancy_confidence_contours(x, y, ax, ranges=None):
     :return: the largest semi-axis of the 1-sigma ellipse.
     """
     from matplotlib.patches import Ellipse
-    cov = np.cov(x, y)
-    eigenvalues, eigenvectors = np.linalg.eigh(cov)
-    angle = np.degrees(np.arctan2(*eigenvectors[:, 0][::-1]))
-    width, height = 2 * np.sqrt(np.clip(eigenvalues, 0, None))
+    evals, evecs = np.linalg.eigh(np.cov(x, y))
+    tilt_deg = np.degrees(np.arctan2(evecs[1, 0], evecs[0, 0]))
+    ax_w, ax_h = 2 * np.sqrt(np.clip(evals, 0, None))
     for k in (1, 2, 3):
-        ax.add_patch(Ellipse((0, 0), k * width, k * height, angle=angle,
+        ax.add_patch(Ellipse((0, 0), k * ax_w, k * ax_h, angle=tilt_deg,
                              edgecolor="firebrick", facecolor="none", lw=1))
-    phi = np.radians(angle)
-    x_text = width / 2 * np.cos(phi)
-    y_text = width / 2 * np.sin(phi)
-    for k, lab in zip((1.3, 2.3, 3.3), (r"$\sigma$", r"$2\sigma$", r"$3\sigma$")):
-        ax.text(k * x_text, k * y_text, lab, fontsize=12, color="firebrick",
+    # sigma labels sit just outside each ring, along the tilted major axis
+    tilt = np.radians(tilt_deg)
+    along = 0.5 * ax_w * np.array([np.cos(tilt), np.sin(tilt)])
+    for k, lab in zip((1.3, 2.3, 3.3),
+                      (r"$\sigma$", r"$2\sigma$", r"$3\sigma$")):
+        ax.text(*(k * along), lab, fontsize=12, color="firebrick",
                 ha="center", va="center")
-    return max(height, width) / 2
+    return max(ax_h, ax_w) / 2
 
 
 def cluster_plot(data_list, ranges=None, titles=None, alphas=None,
@@ -113,31 +111,36 @@ def visualise_calibration(o_results: dict, param_handler, show: bool = True):
     windows = get_close_square_tuple(n_cams)
     fig, axes = plt.subplots(*windows[::-1])
     ax = np.atleast_1d(axes).ravel()
-    err_buff = copy(euclidean_err)
-    full_err = copy(np.reshape(o_results["err"], (-1, 2)))
+    # residual rows are stored camera-major, so each camera consumes the
+    # next len(datum) entries of the residual tables
+    cursor = 0
+    vec_err = np.reshape(o_results["err"], (-1, 2))
     im = None
-
     for cam_detection in detection.get_cam_list():
         datum = cam_detection.get_data()
         if datum is None:
             continue
         cam_n = int(datum[0, 0])
-        p_x = cams[cam_n].intrinsic[0, 2]
-        p_y = cams[cam_n].intrinsic[1, 2]
-        loc_x, loc_y = datum[:, -2], datum[:, -1]
-        error, err_buff = err_buff[: len(datum)], err_buff[len(datum):]
-        err, full_err = full_err[: len(datum)], full_err[len(datum):]
-        away_vec = np.copysign(
-            np.ones(datum.shape[0]),
-            (loc_x - p_x) * err[:, 0] + (loc_y - p_y) * err[:, 1])
-        im = ax[cam_n].scatter(loc_x, loc_y, c=error * away_vec, vmin=-e_lim,
-                               vmax=e_lim, s=2, alpha=0.4, cmap="coolwarm")
-        ax[cam_n].set_title(
-            f"{detection.cam_names[cam_n]} mean error {np.mean(error):.2f}",
+        rows = slice(cursor, cursor + len(datum))
+        cursor += len(datum)
+        cam_err = euclidean_err[rows]
+
+        # sign each residual by whether it points away from the principal
+        # point (radial over/under-shoot reads as colour polarity)
+        principal = cams[cam_n].intrinsic[:2, 2]
+        outward = datum[:, -2:] - principal
+        polarity = np.copysign(1.0, np.sum(outward * vec_err[rows], axis=1))
+
+        panel = ax[cam_n]
+        im = panel.scatter(datum[:, -2], datum[:, -1], c=cam_err * polarity,
+                           vmin=-e_lim, vmax=e_lim, s=2, alpha=0.4,
+                           cmap="coolwarm")
+        panel.set_title(
+            f"{detection.cam_names[cam_n]} mean error {np.mean(cam_err):.2f}",
             fontsize=8)
-        ax[cam_n].set_xlim([0, cams[cam_n].res[0]])
-        ax[cam_n].set_ylim([0, cams[cam_n].res[1]])
-        ax[cam_n].set_aspect("equal")
+        panel.set_xlim([0, cams[cam_n].res[0]])
+        panel.set_ylim([0, cams[cam_n].res[1]])
+        panel.set_aspect("equal")
 
     if n_cams > 15:
         for axs_ in ax:
@@ -161,26 +164,29 @@ def visualise_calibration(o_results: dict, param_handler, show: bool = True):
     keys = recon_subset[inv, 2:-2]
     mean_dist = np.mean(np.linalg.norm(param_handler.target.point_data, axis=-1))
 
-    mask = []
-    point_locs: dict = {}
-    col_locs: dict = {}
-    raw_obj_points = []
-    errors = []
-    bad_points = 0
-    for point, im_n, key, c in zip(reconstructed, im_nums, keys, error_subset):
-        pose = poses[int(im_n)].reshape(3, 4)
-        obj_point = pose[:, :3].T @ (point - pose[:, 3])
-        ok = np.linalg.norm(obj_point) < 3 * mean_dist
-        mask.append(ok)
-        if not ok:
-            bad_points += 1
-        else:
-            raw_obj_points.append(obj_point)
-            point_locs.setdefault(tuple(key.astype(int)), []).append(obj_point)
-            col_locs.setdefault(tuple(key.astype(int)), []).append(c)
-            errors.append(c)
+    # pull every reconstruction into its image's target frame; points far
+    # outside the model radius are triangulation failures
+    in_target: list = []
+    by_feature: dict = {}
+    err_by_feature: dict = {}
+    errors: list = []
+    mask = np.zeros(len(reconstructed), dtype=bool)
+    for row, (point, im_n, key, c) in enumerate(
+            zip(reconstructed, im_nums, keys, error_subset)):
+        rt = poses[int(im_n)].reshape(3, 4)
+        local = rt[:, :3].T @ (point - rt[:, 3])
+        if np.linalg.norm(local) >= 3 * mean_dist:
+            continue
+        mask[row] = True
+        in_target.append(local)
+        feature = tuple(key.astype(int))
+        by_feature.setdefault(feature, []).append(local)
+        err_by_feature.setdefault(feature, []).append(c)
+        errors.append(c)
+    bad_points = int(len(reconstructed) - mask.sum())
+    raw_obj_points = in_target
 
-    m = np.array(mask)
+    m = mask
     fig3 = plt.figure(figsize=(10, 5))
     ax_w = fig3.add_subplot(1, 2, 1, projection="3d")
     sc = ax_w.scatter(*reconstructed[m].T, c=error_subset[m], s=2,
@@ -203,20 +209,22 @@ def visualise_calibration(o_results: dict, param_handler, show: bool = True):
         s = d / mdev if mdev else np.zeros_like(d)
         return data[s < m_]
 
-    raw_data = []
-    err_buff2 = []
-    for (key, point_loc), err in zip(point_locs.items(), col_locs.values()):
-        if len(point_loc) > 2:
-            if len(key) == 1:
-                key = (0, key[0])
-            obj_point = param_handler.target.original_points[key]
-            data_array = np.array(point_loc)
-            dif = data_array - obj_point
-            mean_err = np.mean(np.linalg.norm(dif, axis=1))
-            obj_scatter = np.mean(reject_outliers(
-                np.linalg.norm(dif - np.mean(dif, axis=0), axis=1)))
-            raw_data.append([mean_err, obj_scatter])
-            err_buff2.append(np.mean(err))
+    acc_prec = []
+    feature_errs = []
+    for (feature, sightings), errs in zip(by_feature.items(),
+                                          err_by_feature.values()):
+        if len(sightings) <= 2:
+            continue
+        if len(feature) == 1:
+            feature = (0, feature[0])
+        expected = param_handler.target.original_points[feature]
+        offsets = np.array(sightings) - expected
+        accuracy = np.mean(np.linalg.norm(offsets, axis=1))
+        precision = np.mean(reject_outliers(
+            np.linalg.norm(offsets - offsets.mean(axis=0), axis=1)))
+        acc_prec.append([accuracy, precision])
+        feature_errs.append(np.mean(errs))
+    raw_data, err_buff2 = acc_prec, feature_errs
 
     fig4, ax4 = plt.subplots()
     if raw_data:

@@ -1,0 +1,134 @@
+"""The reference `.camset` blosc decode path (utils/blosc_compat.py).
+
+The reference compresses arrays with blosc lz4+shuffle
+(/root/reference/pyCamSet/utils/saving.py:240-332); this environment has no
+python-blosc, so the repo ships a ctypes binding of the system libblosc plus
+a pure-Python frame reader. The system library doubles as the test oracle:
+every frame here is produced by real c-blosc.
+"""
+import base64
+import json
+
+import numpy as np
+import pytest
+
+from pycamset_tpu.utils import blosc_compat as bc
+
+pytestmark = pytest.mark.skipif(
+    not bc.native_blosc_available(),
+    reason="system libblosc not present to act as the oracle")
+
+
+def _cases():
+    rng = np.random.default_rng(7)
+    return [
+        np.arange(10000, dtype=np.float64),          # highly compressible
+        rng.normal(size=(321, 7)),                   # incompressible -> raw
+        rng.integers(0, 50, 300000).astype(float),   # multi-block
+        np.zeros(5),                                 # tiny
+    ]
+
+
+@pytest.mark.parametrize("cname", [b"lz4", b"zlib"])
+@pytest.mark.parametrize("shuffle", [0, 1])
+def test_pure_reader_matches_native(cname, shuffle):
+    for arr in _cases():
+        raw = arr.tobytes()
+        frame = bc.blosc_compress_native(raw, arr.dtype.itemsize,
+                                         clevel=3, cname=cname,
+                                         shuffle=shuffle)
+        assert bc.blosc_decompress_native(frame) == raw
+        assert bc.blosc_decompress_pure(frame) == raw
+
+
+def test_lz4_known_vector():
+    # token 0x54: 5 literals then a 4+4-byte match at offset 5 -> "hello" * ~2
+    src = bytes([0x54]) + b"hello" + bytes([0x05, 0x00])
+    assert bc.lz4_block_decompress(src, 13) == b"hellohellohel"
+
+
+def test_memcpy_frame():
+    # incompressible bytes land in a verbatim (memcpy) frame
+    rng = np.random.default_rng(3)
+    raw = rng.bytes(4096)
+    frame = bc.blosc_compress_native(raw, 1, clevel=9, cname=b"lz4", shuffle=0)
+    assert bc.blosc_decompress_pure(frame) == raw
+
+
+def _reference_chunked_dict(arr: np.ndarray, max_num: int | None = None):
+    """Re-create the reference's chunked compress() layout
+    (ref utils/saving.py:240-293) using real blosc frames."""
+    flat = np.ascontiguousarray(arr).reshape(-1)
+    if max_num is None:
+        max_num = 100_000_000 // flat.dtype.itemsize
+    n_chunks = max(1, -(-flat.size // max_num))
+    payloads, sizes = [], []
+    for ci in range(n_chunks):
+        piece = flat[ci * max_num:(ci + 1) * max_num].tobytes()
+        frame = bc.blosc_compress_native(piece, flat.dtype.itemsize,
+                                         clevel=3, cname=b"lz4", shuffle=1)
+        payloads.append(base64.b64encode(frame).decode())
+        sizes.append(len(frame))
+    return {"shape": list(arr.shape), "size": flat.size,
+            "dtype": str(flat.dtype), "f": False, "num_chunk": n_chunks,
+            "max_num": max_num, "data": payloads, "sizes": sizes}
+
+
+def test_reference_chunked_dict_roundtrip():
+    arr = np.random.default_rng(0).normal(size=(400, 5))
+    for max_num in (None, 512):  # single- and multi-chunk
+        out = bc.decompress_reference_dict(_reference_chunked_dict(arr, max_num))
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_reference_written_camset_loads_fully(tmp_path):
+    """A .camset in the REFERENCE's on-disk dialect (pyCamSet module names,
+    blosc-chunked arrays) must load including the detection table."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget, TemplateBundleHandler
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.saving import load_CameraSet, save_camset
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=2, n_ims=3, grid=4, visibility=1.0,
+                             noise_px=0.0, seed=1)
+    k_mats = [np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]], [0, 0, 1]])
+              for i9 in rig["intr"]]
+    exts = [make_4x4h_tform(e[:3], e[3:]) for e in rig["extr"]]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b"], exts, k_mats, [i9[4:] for i9 in rig["intr"]],
+        [[1600, 1200]] * 2))
+    det = TargetDetection(cam_names=["a", "b"], data=rig["dd"])
+    handler = TemplateBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)), det,
+        options={"outliers": "n"})
+    x0 = handler.get_initial_params()
+    cams.set_calibration_history(
+        {"x": x0, "fun": np.zeros(2 * det.get_data().shape[0])}, handler)
+
+    ours = tmp_path / "ours.camset"
+    save_camset(cams, ours)
+    doc = json.loads(ours.read_text())
+
+    # rewrite in the reference dialect: its module names, its array encoding
+    doc["optim"]["dtct_config"]["dtct_module"] = (
+        "pyCamSet.calibration_targets.target_detections")
+    doc["cam_config"]["camset_module"] = "pyCamSet.cameras.camera_set"
+    doc["optim"]["handler_config"]["handler_module"] = (
+        "pyCamSet.optimisation.template_handler")
+    doc["optim"]["dtct_config"]["compressed_data"] = (
+        _reference_chunked_dict(det.get_data()))
+    doc["optim"]["results"] = _reference_chunked_dict(
+        np.asarray(cams.calibration_result))
+
+    theirs = tmp_path / "reference_dialect.camset"
+    theirs.write_text(json.dumps(doc))
+
+    loaded = load_CameraSet(theirs)
+    assert loaded.calibration_handler is not None, (
+        "reference-dialect file degraded to a bare CameraSet")
+    np.testing.assert_allclose(
+        loaded.calibration_handler.detection.get_data(), det.get_data())
+    np.testing.assert_allclose(loaded.calibration_params, np.asarray(x0))
+    assert loaded == cams

@@ -406,26 +406,21 @@ class TemplateBundleHandler:
             raise ValueError(
                 "missing poses should be initialised before calling this function")
         self.missing_poses = np.asarray(self.missing_poses, dtype=bool)
-        num_loops = 0
         logging.info("Beginning outlier detection")
-        user_in = self.problem_opts["outliers"]
-        while num_loops < 10:
-            not_missing = np.where(~self.missing_poses)[0]
-            condensed = gu.mad_outlier_detection(
-                per_im_error[not_missing], out_thresh=20,
-                draw=not user_in == "n")
-            if condensed is None:
-                logging.info(f"No outliers detected in iteration {num_loops}.")
+        choice = self.problem_opts["outliers"]
+        for sweep in range(10):
+            live = np.flatnonzero(~self.missing_poses)
+            flagged = gu.mad_outlier_detection(
+                per_im_error[live], out_thresh=20, draw=choice != "n")
+            if flagged is None:
+                logging.info(f"No outliers detected in iteration {sweep}.")
                 break
-            outlier_inds = not_missing[condensed]
-            while user_in not in ("y", "n"):
-                print(f"Outliers detected in iteration {num_loops}.")
-                user_in = input("Drop these outlier poses from the problem? [y/n]: ")
-            if user_in == "y":
-                self.missing_poses[outlier_inds] = True
-            else:
+            while choice not in ("y", "n"):
+                print(f"Outliers detected in iteration {sweep}.")
+                choice = input("Drop these outlier poses from the problem? [y/n]: ")
+            if choice != "y":
                 break
-            num_loops += 1
+            self.missing_poses[live[flagged]] = True
 
     # ------------------------------------------------------------ extraction
 
@@ -916,21 +911,21 @@ class SelfBundleHandler(TemplateBundleHandler):
             logging.critical(f"Gave error: {e}")
             update_tform = np.eye(4)
 
-        inv_update = np.linalg.inv(update_tform)
+        undo = np.linalg.inv(update_tform)
         new_points = gu.h_tform(new_points, update_tform)
 
-        for i in range(len(poses)):
-            poses[i][3:] = poses[i][3:] * s
-            pose = gu.make_4x4h_tform(poses[i][:3], poses[i][3:])
-            new_pose = update_tform @ pose @ inv_update
-            rvec, tvec = gu.ext_4x4_to_rod(new_pose)
-            poses[i][:3], poses[i][3:] = rvec, tvec
-        for i in range(len(extr)):
-            extr[i][3:] = extr[i][3:] * s
-            og = gu.make_4x4h_tform(extr[i][:3], extr[i][3:])
-            new_t = og @ inv_update
-            rvec, tvec = gu.ext_4x4_to_rod(new_t)
-            extr[i][:3], extr[i][3:] = rvec, tvec
+        def as_rod6(mat4):
+            return np.concatenate(gu.ext_4x4_to_rod(mat4))
+
+        # conjugating each pose keeps projections invariant while the world
+        # frame (points + scale) moves onto the reference model; extrinsics
+        # only absorb the inverse on the right
+        for i, rod6 in enumerate(poses):
+            scaled = gu.make_4x4h_tform(rod6[:3], s * rod6[3:])
+            poses[i] = as_rod6(update_tform @ scaled @ undo)
+        for i, rod6 in enumerate(extr):
+            scaled = gu.make_4x4h_tform(rod6[:3], s * rod6[3:])
+            extr[i] = as_rod6(scaled @ undo)
         return proj, extr, poses, new_points
 
     def special_plots(self, x):

@@ -36,31 +36,30 @@ def calc_pairs(c_vec: np.ndarray, r_param: ReconParams, rng=None,
     more than max_n_view qualify, picks the closest-angle subset (or a random
     one).
     """
-    if rng is None:
-        rng = np.random.default_rng()
-    c_vec = np.asarray(c_vec, dtype=float)
-    c_vec = c_vec / np.linalg.norm(c_vec, axis=1, keepdims=True)
-    cosang = np.clip(np.sum(c_vec[None, ...] * c_vec[:, None], axis=-1), -1, 1)
-    ang = np.arccos(cosang) * 180 / np.pi
-    mask = np.logical_and(ang > r_param.minangle, ang < r_param.maxangle)
-    pairs = []
-    for idx, masklet in enumerate(mask):
-        valid = np.where(masklet)[0]
-        if len(valid) < r_param.max_n_view:
-            pairs.append(valid)
-        elif not pick_closest:
-            pairs.append(rng.choice(valid, r_param.max_n_view, replace=False))
-        else:
-            order = np.argsort(ang[idx, valid])
-            pairs.append(valid[order][: r_param.max_n_view])
-    return pairs
+    rng = np.random.default_rng() if rng is None else rng
+    gaze = np.asarray(c_vec, dtype=float)
+    gaze = gaze / np.linalg.norm(gaze, axis=1, keepdims=True)
+    separation_deg = np.degrees(np.arccos(np.clip(gaze @ gaze.T, -1, 1)))
+    usable = (separation_deg > r_param.minangle) & \
+             (separation_deg < r_param.maxangle)
+
+    def pick(ref_idx):
+        candidates = np.flatnonzero(usable[ref_idx])
+        if len(candidates) < r_param.max_n_view:
+            return candidates
+        if pick_closest:
+            by_angle = np.argsort(separation_deg[ref_idx, candidates])
+            return candidates[by_angle[:r_param.max_n_view]]
+        return rng.choice(candidates, r_param.max_n_view, replace=False)
+
+    return [pick(i) for i in range(len(gaze))]
 
 
 def write_pair_file(f, pair_list) -> None:
     """Write a pair list in the MVSNet pair.txt format."""
-    f.write(f"{int(len(pair_list))}\n")
-    for idi, list_vals in enumerate(pair_list):
-        f.write(f"{idi}\n")
-        line = f"{len(list_vals)} " + " ".join(
-            f"{cam_id} 1" for cam_id in list_vals)
-        f.write(line + "\n")
+    lines = [str(len(pair_list))]
+    for ref_idx, partners in enumerate(pair_list):
+        lines.append(str(ref_idx))
+        lines.append(f"{len(partners)} "
+                     + " ".join(f"{cam_id} 1" for cam_id in partners))
+    f.write("\n".join(lines) + "\n")

@@ -157,48 +157,48 @@ def load_CameraSet(f_loc: Path | str):
     camset = instance_obj(
         "pycamset_tpu.models.camera_set", "CameraSet", camera_dict=cam_dict)
 
-    try:
-        optim = saved["optim"]
-        dtct = optim["dtct_config"]
-        detection = instance_obj(
-            dtct["dtct_module"], dtct["dtct_name"],
-            data=decompress(dtct["compressed_data"]),
-            cam_names=dtct["cam_names"], max_ims=dtct["max_ims"])
-    except Exception:
-        logging.warning("Failed to load detections, returning just the CameraSet")
-        return camset
+    # each stage of the calibration history rebuilds reflectively; the
+    # first stage that fails downgrades the load to a bare CameraSet
+    def rebuild_detection():
+        rec = saved["optim"]["dtct_config"]
+        return instance_obj(rec["dtct_module"], rec["dtct_name"],
+                            data=decompress(rec["compressed_data"]),
+                            cam_names=rec["cam_names"],
+                            max_ims=rec["max_ims"])
+
+    def rebuild_target():
+        rec = saved["optim"]["target_config"]
+        return instance_obj(rec["target_module"], rec["target_name"],
+                            **rec["input"])
+
+    def rebuild_handler(detection, target):
+        rec = saved["optim"]["handler_config"]
+        kwargs = dict(camset=camset, target=target, detection=detection,
+                      fixed_params=rec["fixed_params"],
+                      options=rec["options"])
+        if "missing_poses" in rec:
+            kwargs["missing_poses"] = np.array(
+                rec["missing_poses"]).astype(bool)
+        return instance_obj(rec["handler_module"], rec["handler_name"],
+                            **kwargs)
+
+    def attach_results():
+        camset.calibration_result = decompress(saved["optim"]["results"])
+        camset.calibration_params = np.array(saved["optim"]["params"])
 
     try:
-        target_config = optim["target_config"]
-        target = instance_obj(
-            target_config["target_module"], target_config["target_name"],
-            **target_config["input"])
-    except Exception:
-        logging.warning("Failed to load calibration target, returning just the CameraSet")
-        return camset
-
-    try:
-        handler_config = optim["handler_config"]
-        input_args = dict(
-            camset=camset, target=target, detection=detection,
-            fixed_params=handler_config["fixed_params"],
-            options=handler_config["options"])
-        if "missing_poses" in handler_config:
-            input_args["missing_poses"] = np.array(
-                handler_config["missing_poses"]).astype(bool)
-        handler = instance_obj(
-            handler_config["handler_module"], handler_config["handler_name"],
-            **input_args)
-    except Exception as e:
-        logging.warning(f"Failed to initialise the parameter handler ({e}), "
-                        "returning just the CameraSet")
-        return camset
-
-    try:
-        camset.calibration_result = decompress(optim["results"])
-        camset.calibration_params = np.array(optim["params"])
-    except Exception:
-        logging.warning("Failed to load calibration data, returning just the CameraSet")
+        stage = "detection table"
+        detection = rebuild_detection()
+        stage = "calibration target"
+        target = rebuild_target()
+        stage = "parameter handler"
+        handler = rebuild_handler(detection, target)
+        stage = "optimisation results"
+        attach_results()
+    except Exception as err:
+        logging.warning(
+            f"Could not rebuild the {stage} from {f_loc} ({err}); "
+            "loading the bare CameraSet without calibration history")
         return camset
 
     camset.calibration_handler = handler

@@ -35,6 +35,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: needs the real TPU chip "
         "(run: PYCAMSET_TPU_TESTS=1 pytest -m tpu)")
+    config.addinivalue_line(
+        "markers", "slow: spawns subprocesses / takes minutes")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -588,6 +588,271 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
     return grams
 
 
+# ------------------------------------------------- mixed / grouped chains
+#
+# Multi-target chains put a per-GROUP SE(3) between the image pose and the
+# 3D point:  Xc = Re (Rp (Rg Xp + tg) + tp) + te.  The per-key group data
+# (Rg, dRg, the point, and the pre-transformed point Xg = Rg Xp + tg) is
+# PER_KEY-constant, so — like the per-block rotations — it is precomputed
+# in plain jnp and streamed in as a (KD_ROWS, K) operand.
+
+_KD_XG = 0      # rows 0-2:   Xg = Rg @ Xp + tg  (the chain's input point)
+_KD_RG = 3      # rows 3-11:  Rg
+_KD_DRG = 12    # rows 12-38: dRg/drvg (3 x 3x3)
+_KD_XP = 39     # rows 39-41: the raw point Xp (free key or template)
+KD_ROWS = 48    # padded to a lane multiple
+
+
+def pack_key_group_data(grp6_per_key: jnp.ndarray,
+                        pts_per_key: jnp.ndarray) -> jnp.ndarray:
+    """(K, 6) per-key group poses + (K, 3) points -> (KD_ROWS, K) operand."""
+
+    def one(g6, p):
+        rg = rodrigues_to_matrix(g6[:3])
+        drg = jnp.moveaxis(jax.jacfwd(rodrigues_to_matrix)(g6[:3]), -1, 0)
+        xg = rg @ p + g6[3:]
+        row = jnp.concatenate([xg, rg.reshape(-1), drg.reshape(-1), p])
+        return jnp.pad(row, (0, KD_ROWS - row.shape[0]))
+
+    return jax.vmap(one)(grp6_per_key, pts_per_key).T
+
+
+def _make_mixed_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
+                       semantics: str = "observation",
+                       with_key_cols: bool = True):
+    def _mixed_kernel(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
+                      imask_ref, ckmask_ref, out_ref, wcc_ref, wic_ref,
+                      acc_ref):
+        _mixed_kernel_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
+                           imask_ref, ckmask_ref, out_ref, wcc_ref, wic_ref,
+                           acc_ref, rho_fn, weight_fn, intr_w, semantics,
+                           with_key_cols)
+
+    return _mixed_kernel
+
+
+def _mixed_kernel_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
+                       imask_ref, ckmask_ref, out_ref, wcc_ref, wic_ref,
+                       acc_ref, rho_fn, weight_fn, intr_w,
+                       semantics="observation", with_key_cols=True):
+    """Mixed multi-target chain: per-block grams + 9-wide c-axis pieces.
+
+    The c-axis is chain-ordered [group rvec 3 | group t 3 | point 3]
+    (point columns dropped when with_key_cols=False — the pure grouped
+    template chain). Reuses _projection_columns with the pre-transformed
+    per-key point Xg standing in for the template."""
+    offs, _ = _layout(intr_w)
+    a = intr_w + 6
+    cw = 9 if with_key_cols else 6
+    gram_w = a + 6 + 1
+    prm = params_ref[:]
+    kd = kd_ref[:]
+    cmask = cmask_ref[:]
+    imask = imask_ref[:]
+    ckmask = ckmask_ref[:]                    # (cw, K)
+    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col) = _projection_columns(
+        prm, kd[_KD_XG:_KD_XG + 3, :], uv_ref[:], mask_ref[:], offs, intr_w,
+        rho_fn, weight_fn, semantics)
+
+    colm = ([cmask[:, i:i + 1] for i in range(a)]
+            + [imask[:, i:i + 1] for i in range(6)])
+    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
+    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+
+    def kd_row(i):                            # (1, K) per-key constant row
+        return kd[i:i + 1, :]
+
+    def chain_dxc(dxc, j):
+        """(du.dxc, dv.dxc) for one world-space direction triple."""
+        km = ckmask[j:j + 1, :]
+        u = (du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
+        v = (dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
+        return u * mu * km, v * mv * km
+
+    jcu, jcv = [], []
+    # group rotation: dXc/drvg[j] = (Re Rp) (dRg[j] Xp)
+    for j in range(3):
+        w = [kd_row(_KD_DRG + 9 * j + 3 * b_ + 0) * kd_row(_KD_XP + 0)
+             + kd_row(_KD_DRG + 9 * j + 3 * b_ + 1) * kd_row(_KD_XP + 1)
+             + kd_row(_KD_DRG + 9 * j + 3 * b_ + 2) * kd_row(_KD_XP + 2)
+             for b_ in range(3)]
+        dxc = [col(offs["rerp"] + 3 * a_ + 0) * w[0]
+               + col(offs["rerp"] + 3 * a_ + 1) * w[1]
+               + col(offs["rerp"] + 3 * a_ + 2) * w[2] for a_ in range(3)]
+        u, v = chain_dxc(dxc, j)
+        jcu.append(u)
+        jcv.append(v)
+    # group translation: dXc/dtg = Re Rp (per-block columns)
+    for j in range(3):
+        dxc = [col(offs["rerp"] + 3 * a_ + j) for a_ in range(3)]
+        u, v = chain_dxc(dxc, 3 + j)
+        jcu.append(u)
+        jcv.append(v)
+    if with_key_cols:
+        # point: dXc/dXp = (Re Rp) Rg (columns vary per key)
+        for j in range(3):
+            dxc = [col(offs["rerp"] + 3 * a_ + 0) * kd_row(_KD_RG + 0 + j)
+                   + col(offs["rerp"] + 3 * a_ + 1) * kd_row(_KD_RG + 3 + j)
+                   + col(offs["rerp"] + 3 * a_ + 2) * kd_row(_KD_RG + 6 + j)
+                   for a_ in range(3)]
+            u, v = chain_dxc(dxc, 6 + j)
+            jcu.append(u)
+            jcv.append(v)
+
+    # per-block extended gram over [cam | im | r]
+    gvals = [[None] * gram_w for _ in range(gram_w)]
+    for i in range(gram_w):
+        for j in range(i, gram_w):
+            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
+            gvals[i][j] = g
+            gvals[j][i] = g
+    if weight_fn is not None:
+        gvals[gram_w - 1][gram_w - 1] = rcost
+    rows = [jnp.stack(gvals[i], axis=-1) for i in range(gram_w)]
+    out_ref[:] = jnp.stack(rows, axis=1)
+
+    # per-(block, key) couplings against the c columns
+    wcc_ref[:] = jnp.stack([ju[i] * jcu[j] + jv[i] * jcv[j]
+                            for i in range(a) for j in range(cw)], axis=1)
+    wic_ref[:] = jnp.stack([ju[a + i] * jcu[j] + jv[a + i] * jcv[j]
+                            for i in range(6) for j in range(cw)], axis=1)
+
+    # per-key c-gram + c-gradient, accumulated across the sequential grid
+    hk_rows = [jnp.sum(jcu[i] * jcu[j] + jcv[i] * jcv[j], axis=0)
+               for i in range(cw) for j in range(cw)]
+    gk_rows = [jnp.sum(jcu[i] * r_u + jcv[i] * r_v, axis=0)
+               for i in range(cw)]
+    body = hk_rows + gk_rows
+    acc_rows = acc_ref.shape[0]
+    pad = [jnp.zeros_like(body[0])] * (acc_rows - len(body))
+    update = jnp.stack(body + pad, axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += update
+
+
+def _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
+                         with_key_cols):
+    """Shared builder behind the mixed (c=9) and grouped (c=6) chains."""
+    from pycamset_tpu.optim.losses import make_loss
+    a, bw = widths.a, widths.b
+    cw = 9 if with_key_cols else 6
+    assert a in (15, 18, 22, 24) and bw == 6 and widths.c == cw
+    intr_w = a - 6
+    gram_w = a + 6 + 1
+    _, ppb = _layout(intr_w)
+    acc_rows = -(-(cw * cw + cw) // 8) * 8
+    if loss != "linear":
+        rho_fn, weight_fn = make_loss(loss, f_scale)
+        kernel = _make_mixed_kernel(rho_fn, weight_fn, intr_w,
+                                    semantics=loss_semantics,
+                                    with_key_cols=with_key_cols)
+    else:
+        kernel = _make_mixed_kernel(intr_w=intr_w,
+                                    with_key_cols=with_key_cols)
+
+    def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
+        dtype = uv.dtype
+        bb, k = mask.shape
+        b_pad = ((bb + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
+        packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
+        # chain order: keyp = [group pose 6 | free point 3]; the grouped
+        # template chain (no key columns) takes the point from tpl
+        pts = keyp[:, 6:9] if with_key_cols else tpl[:, :3]
+        kd = pack_key_group_data(keyp[:, :6], pts).astype(dtype)
+        uv_t = uv.transpose(0, 2, 1)
+        cm, im_, mk = cmask_b, imask_b, mask
+        if b_pad != bb:
+            reps = b_pad - bb
+            packed = jnp.concatenate([packed, jnp.tile(packed[:1], (reps, 1))])
+            uv_t = jnp.concatenate([uv_t, jnp.zeros((reps, 2, k), dtype)])
+            mk = jnp.concatenate([mk, jnp.zeros((reps, k), dtype)])
+            cm = jnp.concatenate([cm, jnp.zeros((reps, a), dtype)])
+            im_ = jnp.concatenate([im_, jnp.zeros((reps, 6), dtype)])
+
+        grid = (b_pad // BLOCK_TILE,)
+        g, wcc_r, wic_r, acc = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BLOCK_TILE, ppb), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KD_ROWS, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, 2, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, k), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, a), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cw, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BLOCK_TILE, gram_w, gram_w),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, a * cw, k),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_TILE, 6 * cw, k),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((acc_rows, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_pad, gram_w, gram_w), dtype),
+                jax.ShapeDtypeStruct((b_pad, a * cw, k), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6 * cw, k), dtype),
+                jax.ShapeDtypeStruct((acc_rows, k), dtype),
+            ),
+        )(packed, kd, uv_t, mk, cm, im_, kmask.T)
+
+        g = g[:bb]
+        cost = jnp.sum(g[:, a + 6, a + 6])
+        gcc_b = g[:, :a, :a]
+        gii_b = g[:, a:a + 6, a:a + 6]
+        wci_b = g[:, :a, a:a + 6]
+        gc_b = g[:, :a, a + 6]
+        gi_b = g[:, a:a + 6, a + 6]
+        wck_b = wcc_r[:bb].transpose(0, 2, 1).reshape(bb, k, a, cw)
+        wik_b = wic_r[:bb].transpose(0, 2, 1).reshape(bb, k, 6, cw)
+        hkk = acc[:cw * cw].T.reshape(k, cw, cw)
+        gk = acc[cw * cw:cw * cw + cw].T
+        return gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost
+
+    return grams
+
+
+def make_pallas_mixed_grams(widths, loss: str = "linear",
+                            f_scale: float = 1.0,
+                            loss_semantics: str = "observation"):
+    """Per-block gram builder for the MIXED multi-target self-cal chain
+    (Projection* + Extrinsic3D + RigidTform3d + GroupRigidTform3d +
+    FreePoint): c-axis = [group pose 6 | free point 3]. Same contract as
+    make_block_grams with GroupWidths(a, 6, 9)."""
+    return _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
+                                with_key_cols=True)
+
+
+def make_pallas_grouped_grams(widths, loss: str = "linear",
+                              f_scale: float = 1.0,
+                              loss_semantics: str = "observation"):
+    """Per-block gram builder for the pure grouped template chain
+    (Projection* + Extrinsic3D + RigidTform3d + GroupTemplatePoints):
+    c-axis = the 6 group-pose columns, the 3D point comes from the
+    template table. Same contract as make_block_grams with
+    GroupWidths(a, 6, 6)."""
+    return _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
+                                with_key_cols=False)
+
+
 def make_pallas_template_grams(widths, loss: str = "linear",
                                f_scale: float = 1.0,
                                loss_semantics: str = "observation"):

@@ -364,6 +364,18 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             grams = make_pallas_freepoint_grams(widths, loss=loss,
                                                 f_scale=f_scale,
                                                 loss_semantics=loss_semantics)
+        elif (b, c) == (6, 6) and a in (15, 18, 22, 24) and names[1:] == (
+                "Extrinsic3D", "RigidTform3d", "GroupTemplatePoints"
+                ) and names[0] in (
+                "Projection", "ProjectionRational", "ProjectionThinPrism",
+                "ProjectionTilted"):
+            # grouped multi-target template chain: the group pose columns
+            # ride the key grid, the 3D point comes from the template
+            from pycamset_tpu.optim.pallas_grams import (
+                make_pallas_grouped_grams)
+            grams = make_pallas_grouped_grams(widths, loss=loss,
+                                              f_scale=f_scale,
+                                              loss_semantics=loss_semantics)
 
     grouped = widths.key_link == key_type.PER_GROUP
     if grouped:

@@ -316,3 +316,98 @@ def test_pallas_selfcal_grams_robust_match_xla(monkeypatch, loss, semantics):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def _mixed_chain_fixture(with_key_cols):
+    """A small multi-target problem on the (B, K) grid, with the c-axis
+    keyp/kmask laid out exactly as make_[mixed_]structured_neq builds them."""
+    import jax.numpy as jnp
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, FreePoint, GroupRigidTform3d, ParamSpec, Projection,
+        RigidTform3d, TemplatePoints, key_type)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        GroupWidths, build_block_arrays)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    class GroupTemplatePoints(TemplatePoints):
+        params = ParamSpec(key_type.PER_GROUP, 6)
+
+    n_cams, n_ims, n_groups = 3, 5, 2
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
+                             visibility=0.85, noise_px=0.4, seed=5)
+    n_keys = rig["n_keys"]
+    if with_key_cols:
+        op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                                GroupRigidTform3d(), FreePoint()])
+        cw = 9
+    else:
+        op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                                GroupTemplatePoints()])
+        cw = 6
+    widths = GroupWidths(15, 6, cw)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+
+    gok = (np.arange(k_pad) >= n_keys // 2).astype(np.int64)
+    gok[n_keys:] = 0
+    grp = np.array([[0.0] * 6,
+                    [0.04, -0.02, 0.06, 0.01, -0.02, 0.03]])
+    grp_per_key = jnp.asarray(grp)[gok]
+    gmask_per_key = jnp.asarray(
+        np.ones((n_groups, 6)), dtype=jnp.float64)[gok]
+
+    cam_rows = np.concatenate([rig["intr"], rig["extr"]], axis=1)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    cam_b = jnp.asarray(cam_rows)[blk_cam]
+    im_b = jnp.asarray(rig["poses"])[blk_im]
+    bb = n_cams * n_ims
+    cmask = jnp.ones((bb, 15)).at[:, 2].set(0.0)
+    imask = jnp.ones((bb, 6)).at[:, 4].set(0.0)
+
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]
+    if with_key_cols:
+        keyp = jnp.concatenate([grp_per_key,
+                                jnp.asarray(tpl_pad)], axis=1)
+        kmask = jnp.concatenate(
+            [gmask_per_key,
+             jnp.ones((k_pad, 3)).at[n_keys:].set(0.0).at[1, 2].set(0.0)],
+            axis=1)
+        tpl = jnp.zeros((k_pad, 3))
+    else:
+        keyp = grp_per_key
+        kmask = gmask_per_key.at[n_keys:].set(0.0)
+        tpl = jnp.asarray(tpl_pad)
+    return (op_fun, widths, cam_b, im_b, keyp, tpl, uv, mask, cmask,
+            imask, kmask)
+
+
+@pytest.mark.parametrize("with_key_cols,loss", [
+    (True, "linear"), (True, "huber"), (False, "linear")])
+def test_pallas_mixed_grouped_grams_match_xla(monkeypatch, with_key_cols,
+                                              loss):
+    from pycamset_tpu.optim.structured import make_block_grams
+
+    pg = _interp_shim(monkeypatch)
+    (op_fun, widths, cam_b, im_b, keyp, tpl, uv, mask, cmask, imask,
+     kmask) = _mixed_chain_fixture(with_key_cols)
+
+    ref = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0)(
+        cam_b, im_b, keyp, tpl, uv, mask, cmask, imask, kmask)
+    make = (pg.make_pallas_mixed_grams if with_key_cols
+            else pg.make_pallas_grouped_grams)
+    got = make(widths, loss=loss, f_scale=2.0)(
+        cam_b, im_b, keyp, tpl, uv, mask, cmask, imask, kmask)
+
+    names = ["gcc_b", "gii_b", "wci_b", "hkk", "wck_b", "wik_b",
+             "gc_b", "gi_b", "gk", "cost"]
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, (name, r.shape, g.shape)
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name

@@ -255,3 +255,249 @@ def test_rigid_fit_planar_rank2_on_chip():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def _mixed_rig(n_cams=3, n_ims=5, grid=4, seed=5, dtype_name="float32"):
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, FreePoint, GroupRigidTform3d, Projection, RigidTform3d)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import build_block_arrays
+    from pycamset_tpu.optim.structured_mixed import (
+        MixedPieces, mixed_chain_widths)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    dtype = getattr(jnp, dtype_name)
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.85, noise_px=0.4, seed=seed)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                            GroupRigidTform3d(), FreePoint()])
+    widths = mixed_chain_widths(op_fun)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(dtype)
+    gok = np.zeros(k_pad, np.int64)
+    gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
+    grp = np.array([[0.0] * 6, [0.04, -0.02, 0.06, 0.01, -0.02, 0.03]])
+    key_pad = np.concatenate(
+        [rig["template"], np.repeat(rig["template"][:1], k_pad - n_keys, 0)])
+    pieces = MixedPieces(
+        jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], 1), dtype),
+        jnp.asarray(rig["poses"], dtype),
+        jnp.asarray(key_pad, dtype),
+        jnp.asarray(grp, dtype))
+    kmask = jnp.ones((k_pad, 3), dtype).at[n_keys:].set(0.0)
+    kmask = kmask.at[0].set(0.0).at[1].set(0.0).at[2, 0].set(0.0)  # gauge
+    colmask = MixedPieces(
+        jnp.ones((n_cams, 15), dtype),
+        jnp.ones((n_ims, 6), dtype).at[0].set(0.0),
+        kmask,
+        jnp.ones((2, 6), dtype).at[0].set(0.0))
+    tpl = jnp.zeros((k_pad, 3), dtype)
+    return op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig, blocks
+
+
+def test_compiled_mixed_gram_parity():
+    """The compiled (Mosaic) mixed multi-target kernel matches the XLA
+    closed form on the chip — every normal-equation piece, float32."""
+    from pycamset_tpu.optim.structured_mixed import make_mixed_structured_neq
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     _b) = _mixed_rig()
+
+    def build(no_pallas):
+        if no_pallas:
+            os.environ["PYCAMSET_NO_PALLAS"] = "1"
+        try:
+            return make_mixed_structured_neq(
+                op_fun, widths, rig["n_cams"], rig["n_ims"], gok, 2)
+        finally:
+            os.environ.pop("PYCAMSET_NO_PALLAS", None)
+
+    ref = build(True)(pieces, uv, mask, tpl, colmask)
+    got = build(False)(pieces, uv, mask, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, name
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 5e-4, name
+
+
+def test_compiled_grouped_gram_parity():
+    """The compiled grouped-template kernel (PER_GROUP c-axis, template
+    points) matches the XLA path on the chip."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, ParamSpec, Projection, RigidTform3d, TemplatePoints,
+        key_type)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        ParamPieces, build_block_arrays, chain_widths, make_structured_neq)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    class GroupTemplatePoints(TemplatePoints):
+        params = ParamSpec(key_type.PER_GROUP, 6)
+
+    dtype = jnp.float32
+    n_cams, n_ims, n_groups = 3, 5, 2
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
+                             visibility=0.85, noise_px=0.4, seed=6)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                            GroupTemplatePoints()])
+    widths = chain_widths(op_fun)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(dtype)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]
+    gok = np.zeros(k_pad, np.int64)
+    gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
+    grp = np.array([[0.0] * 6, [0.04, -0.02, 0.06, 0.01, -0.02, 0.03]])
+    pieces = ParamPieces(
+        jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], 1), dtype),
+        jnp.asarray(rig["poses"], dtype),
+        jnp.asarray(grp, dtype))
+    colmask = ParamPieces(
+        jnp.ones((n_cams, widths.a), dtype),
+        jnp.ones((n_ims, 6), dtype).at[0].set(0.0),
+        jnp.ones((n_groups, 6), dtype).at[0].set(0.0))
+    tpl = jnp.asarray(tpl_pad, dtype)
+
+    def build(no_pallas):
+        if no_pallas:
+            os.environ["PYCAMSET_NO_PALLAS"] = "1"
+        try:
+            return make_structured_neq(op_fun, widths, n_cams, n_ims,
+                                       group_of_key=gok, n_groups=n_groups)
+        finally:
+            os.environ.pop("PYCAMSET_NO_PALLAS", None)
+
+    ref = build(True)(pieces, uv, mask, tpl, colmask)
+    got = build(False)(pieces, uv, mask, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, name
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 5e-4, name
+
+
+def test_mixed_solve_pallas_matches_xla_minimum():
+    """A full mixed multi-target LM solve on the chip: the Pallas-served
+    solve lands on the XLA path's minimum and reaches the noise floor."""
+    import jax
+
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+    from pycamset_tpu.optim.structured_mixed import (
+        make_mixed_ops, make_mixed_structured_neq)
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     blocks) = _mixed_rig(n_cams=4, n_ims=8, grid=8, seed=7)
+
+    def run(no_pallas):
+        if no_pallas:
+            os.environ["PYCAMSET_NO_PALLAS"] = "1"
+        try:
+            neq = make_mixed_structured_neq(
+                op_fun, widths, rig["n_cams"], rig["n_ims"], gok, 2)
+        finally:
+            os.environ.pop("PYCAMSET_NO_PALLAS", None)
+        ops = make_mixed_ops(neq.onehot)
+
+        @jax.jit
+        def solve(p):
+            return structured_lm_solve(
+                lambda q: neq(q, uv, mask, tpl, colmask), p,
+                max_nfev=40, ops=ops)
+
+        res = solve(pieces)
+        jax.block_until_ready(res.cost)
+        return res
+
+    res_p = run(False)
+    res_x = run(True)
+    n_obs = blocks.n_real
+    rms_p = float(np.sqrt(float(res_p.cost) / (2 * n_obs)))
+    rms_x = float(np.sqrt(float(res_x.cost) / (2 * n_obs)))
+    assert rms_p < 0.4 * 1.25, rms_p
+    assert abs(rms_p - rms_x) < 5e-3, (rms_p, rms_x)
+
+
+def test_generic_backend_solve_on_chip():
+    """The generic (gather-grouped) fallback backend solves a custom chain
+    on the chip — the path non-structured user chains take."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (
+        FreePointTarget, TemplateBundleHandler)
+    import pycamset_tpu.utils.general_utils as gu
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=5, visibility=0.9,
+                             noise_px=0.3, seed=8)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                       rig["extr"][c][3:]))
+    names = ["a", "b", "c"]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, dists, [[1600, 1200]] * 3))
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+    handler = TemplateBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)), det,
+        options={"outliers": "n", "max_nfev": 30})
+    _res, solved = run_bundle_adjustment(handler, backend="generic")
+    rms = float(np.mean(np.linalg.norm(
+        solved.calibration_result.reshape(-1, 2), axis=1)))
+    assert rms < 0.5, rms
+
+
+def test_tracker_batch_throughput():
+    """Tracker batch mode on the chip: many frames in one device call,
+    sane per-frame latency once compiled."""
+    import time
+
+    import pycamset_tpu.utils.general_utils as gu
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.tracking import TargetTracker
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=4, n_ims=32, grid=6, visibility=0.9,
+                             noise_px=0.3, seed=9)
+    k_mats, exts, dists = [], [], []
+    for c in range(4):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                       rig["extr"][c][3:]))
+    names = [f"c{i}" for i in range(4)]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, dists, [[1600, 1200]] * 4))
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+    tracker = TargetTracker(cams, FreePointTarget(
+        rig["template"].reshape(1, -1, 3)))
+    poses, info = tracker.track_batch(det)       # compile + run
+    t0 = time.perf_counter()
+    poses, info = tracker.track_batch(det)       # warm
+    dt = time.perf_counter() - t0
+    assert poses.shape == (32, 4, 4)
+    assert float(np.max(info["rms"])) < 0.5
+    per_frame_ms = dt / 32 * 1e3
+    assert per_frame_ms < 250.0, per_frame_ms    # generous chip bound

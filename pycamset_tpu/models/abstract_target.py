@@ -36,6 +36,70 @@ def get_keys(data: np.ndarray) -> np.ndarray:
     return np.hstack([face0, keys])
 
 
+# ---------------------------------------------------- fast detection path
+#
+# Per-image corner detection is the end-to-end wall-time sink (the solve is
+# tens of ms; a default-parameter aruco scan is ~0.3 s). Profiling shows the
+# cost is CANDIDATE processing, not pixels: the chessboard squares
+# themselves are quad candidates, and the default detector runs a 3-window
+# adaptive-threshold sweep (3/13/23) whose win=3 pass contributes nothing
+# but whose candidates all get warped and matched against the dictionary.
+# The fast pass therefore thresholds at ONE window size with error
+# correction off (~3x, equal recall on the reference datasets); any frame
+# where it underperforms falls back to the default-parameter detector.
+# Very large images additionally detect on a decimated view and
+# re-localise every corner on the full-res image with cv2.cornerSubPix
+# (the reference carried the decimation idea as an unused utility,
+# pyCamSet/utils/general_utils.py:486-523).
+FAST_DETECTION_EDGE_PX = 2400
+# accept a fast-pass detection outright only when it found at least this
+# many corners; below it, rerun with the default detector and keep
+# whichever found more
+FAST_DETECTION_MIN_CORNERS = 20
+_REFINE_STOP = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 0.01)
+
+
+def fast_detector_params():
+    """Single-threshold-window aruco parameters for the fast first pass."""
+    from cv2 import aruco
+    dp = aruco.DetectorParameters()
+    dp.adaptiveThreshWinSizeMin = 23
+    dp.adaptiveThreshWinSizeMax = 23
+    dp.errorCorrectionRate = 0.0
+    # calibration boards fill a good fraction of the frame; tiny quads are
+    # noise for the fast pass (the default-parameter fallback still sees
+    # genuinely small boards)
+    dp.minMarkerPerimeterRate = 0.04
+    return dp
+
+
+def detection_scale(im_shape) -> int:
+    """The factor that brings the long image edge near the fast-path size."""
+    return max(1, -(-max(im_shape[:2]) // FAST_DETECTION_EDGE_PX))
+
+
+def decimate_for_detection(image: np.ndarray, scale: int) -> np.ndarray:
+    """Anti-aliased downscale for the fast detection pass (INTER_AREA box
+    filter; plain striding aliases the marker patterns). Low-res pixel
+    centre c maps back to full-res (c + 0.5) * scale - 0.5."""
+    h, w = image.shape[:2]
+    return cv2.resize(image, (w // scale, h // scale),
+                      interpolation=cv2.INTER_AREA)
+
+
+def refine_corners_full_res(image: np.ndarray, approx_px: np.ndarray,
+                            scale: int) -> np.ndarray:
+    """Subpixel-refine approximate corner locations on the full-res image.
+
+    The search window scales with the decimation stride so the true corner
+    (at most ~scale px away from the upsampled estimate) stays inside it.
+    """
+    win = max(5, 2 * scale + 1)
+    pts = np.ascontiguousarray(approx_px, dtype=np.float32).reshape(-1, 1, 2)
+    cv2.cornerSubPix(image, pts, (win, win), (-1, -1), _REFINE_STOP)
+    return pts.reshape(-1, 2).astype(float)
+
+
 def undistort_for_detection(image, camera):
     """Board-aware detection preprocessing (goes beyond the reference: every
     reference find_in_image accepts `camera` but never uses it).

@@ -128,8 +128,11 @@ class Ccube(AbstractTarget):
 
         self.board_detectors = None
         self._alt_detectors = None
+        self._fast_detectors = None
+        self._alt_fast_detectors = None
         self._preferred = [0] * 6   # sticky per-face pattern (atomic writes)
         self._given_legacy_warning = False
+        self.fast_detection = True  # fast first pass + fallback ladder
 
     def _render_face_textures(self) -> list[np.ndarray]:
         """Six face images: bordered board patterns with an index label."""
@@ -188,7 +191,8 @@ class Ccube(AbstractTarget):
         When a camera model is given, detection runs on the undistorted view
         and corners are mapped back (board-aware detection).
         """
-        from pycamset_tpu.models.abstract_target import undistort_for_detection
+        from pycamset_tpu.models.abstract_target import (
+            fast_detector_params, undistort_for_detection)
         image, redistort = undistort_for_detection(image, camera)
         if self.board_detectors is None or self._alt_detectors is None:
             params = aruco.CharucoParameters()
@@ -199,6 +203,12 @@ class Ccube(AbstractTarget):
                                     for b in self.boards]
             self._alt_detectors = [aruco.CharucoDetector(b, params)
                                    for b in self._alt_boards]
+            self._fast_detectors = [
+                aruco.CharucoDetector(b, params, fast_detector_params())
+                for b in self.boards]
+            self._alt_fast_detectors = [
+                aruco.CharucoDetector(b, params, fast_detector_params())
+                for b in self._alt_boards]
 
         if draw:
             preview_hw = [480, 640]  # (h, w) to match the image shape order
@@ -209,9 +219,28 @@ class Ccube(AbstractTarget):
 
         found_keys: list = []
         found_px: list = []
+        from pycamset_tpu.models.abstract_target import (
+            FAST_DETECTION_MIN_CORNERS)
         detector_sets = (self.board_detectors, self._alt_detectors)
+        fast_sets = (self._fast_detectors, self._alt_fast_detectors)
         for face_idx in range(len(self.boards)):
             pattern = self._preferred[face_idx]
+            corners = corner_ids = None
+            if self.fast_detection:
+                # fast single-threshold-window pass; per-face fallback below
+                corners, corner_ids, _mp, _mi = (
+                    fast_sets[pattern][face_idx].detectBoard(image))
+            if (corners is not None
+                    and len(corners) >= FAST_DETECTION_MIN_CORNERS):
+                corners = np.asarray(corners).reshape(-1, 2)
+                corner_ids = np.asarray(corner_ids).reshape(-1)
+                found_keys.extend([face_idx, cid] for cid in corner_ids)
+                found_px.extend(corners)
+                if draw:
+                    aruco.drawDetectedCornersCharuco(
+                        preview, corners[:, None, :] / shrink,
+                        corner_ids[:, None])
+                continue
             corners, corner_ids, marker_px, marker_ids = (
                 detector_sets[pattern][face_idx].detectBoard(image))
             if corners is None and marker_px is not None:

@@ -53,49 +53,97 @@ class ChArUco(AbstractTarget):
         self.board = self.boards[0]
         self.point_data = self.board.getChessboardCorners().squeeze().astype(np.float64)
 
+        from pycamset_tpu.models.abstract_target import fast_detector_params
         self.detection_params = aruco.CharucoParameters()
         self.detection_params.tryRefineMarkers = True
         self.board_detectors = [aruco.CharucoDetector(b, self.detection_params)
                                 for b in self.boards]
         self.board_detector = self.board_detectors[0]
+        # single-threshold-window first-pass detectors (~3x, see
+        # abstract_target fast-detection notes); default detectors above
+        # remain the fallback
+        self.fast_detectors = [
+            aruco.CharucoDetector(b, self.detection_params,
+                                  fast_detector_params())
+            for b in self.boards]
         self._preferred = 0        # sticky pattern choice (int write: atomic)
         self._given_legacy_warning = False
+        self.fast_detection = True  # fast first pass + fallback ladder
 
         self._process_data()
 
-    def find_in_image(self, image, draw=False, camera: Camera | None = None,
-                      wait_len=1) -> ImageDetection:
-        """Detect the board corners in an image.
+    def _detect_with_fallback(self, image, allow_flip=True, fast=False):
+        """One detection pass at the given resolution, with the flipped
+        legacy-pattern retry (OpenCV version drift produces boards whose
+        markers match but whose corners will not interpolate).
 
-        Falls back to the flipped legacy-pattern layout when markers are found
-        but no corners interpolate (OpenCV version drift produces this).
-        When a camera model is given, detection runs on the undistorted view
-        and the corners are mapped back (board-aware detection).
+        The flip is disabled on fast passes (allow_flip=False): a marginal
+        fast-pass interpolation failure must fall through to the default
+        pass, not flip the pattern on corrupted evidence — the flipped
+        layout indexes DIFFERENT physical corners.
+
+        :return: (corners (n,2) or None, corner ids (n,) or None).
         """
-        from pycamset_tpu.models.abstract_target import undistort_for_detection
-        image, redistort = undistort_for_detection(image, camera)
+        detectors = self.fast_detectors if fast else self.board_detectors
         pattern = self._preferred
         corners, corner_ids, marker_px, marker_ids = (
-            self.board_detectors[pattern].detectBoard(image))
-        if corners is None and marker_px is not None:
-            # markers matched but corner interpolation failed: the board was
-            # likely generated with the other charuco pattern layout
+            detectors[pattern].detectBoard(image))
+        if corners is None and marker_px is not None and allow_flip:
             if not self._given_legacy_warning:
                 logging.warning("Found markers, but no corners, trying using "
                                 "alternative board detection")
                 self._given_legacy_warning = True
             corners, corner_ids, marker_px, marker_ids = (
-                self.board_detectors[1 - pattern].detectBoard(
+                detectors[1 - pattern].detectBoard(
                     image, markerCorners=marker_px, markerIds=marker_ids))
             if corners is not None:
                 self._preferred = 1 - pattern  # sticky, like the old board flip
+        if corners is None:
+            return None, None
+        # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
+        return (np.asarray(corners).reshape(-1, 2),
+                np.asarray(corner_ids).reshape(-1))
+
+    def find_in_image(self, image, draw=False, camera: Camera | None = None,
+                      wait_len=1) -> ImageDetection:
+        """Detect the board corners in an image.
+
+        Large images take the fast path: detect on a decimated view, then
+        subpixel-refine every corner at full resolution (falling back to a
+        full-res pass when the decimated one underperforms). When a camera
+        model is given, detection runs on the undistorted view and the
+        corners are mapped back (board-aware detection).
+        """
+        from pycamset_tpu.models.abstract_target import (
+            FAST_DETECTION_MIN_CORNERS, detection_scale,
+            refine_corners_full_res, undistort_for_detection)
+        image, redistort = undistort_for_detection(image, camera)
+
+        from pycamset_tpu.models.abstract_target import decimate_for_detection
+        corners = corner_ids = None
+        if self.fast_detection:
+            scale = detection_scale(image.shape)
+            if scale > 1:
+                # huge image: fast pass on a decimated view, corners
+                # re-localised at full res
+                small = decimate_for_detection(image, scale)
+                corners, corner_ids = self._detect_with_fallback(
+                    small, allow_flip=False, fast=True)
+                if corners is not None:
+                    corners = refine_corners_full_res(
+                        image, (corners + 0.5) * scale - 0.5, scale)
+            else:
+                corners, corner_ids = self._detect_with_fallback(
+                    image, allow_flip=False, fast=True)
+        if corners is None or len(corners) < FAST_DETECTION_MIN_CORNERS:
+            full_c, full_ids = self._detect_with_fallback(image)
+            if full_c is not None and (corners is None
+                                       or len(full_c) > len(corners)):
+                corners, corner_ids = full_c, full_ids
 
         if corners is None:
             return ImageDetection()
 
-        # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
-        corners = np.asarray(corners).reshape(-1, 2)
-        corner_ids = np.asarray(corner_ids).reshape(-1)
         if redistort is not None:
             corners = redistort(corners)
 

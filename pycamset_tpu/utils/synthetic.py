@@ -31,7 +31,8 @@ def look_at_extrinsic(position: np.ndarray, to: np.ndarray) -> np.ndarray:
 def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        visibility: float = 0.85, noise_px: float = 0.3,
                        seed: int = 0, res=(1600, 1200),
-                       camera_model: str = "standard"):
+                       camera_model: str = "standard",
+                       pose_scale: tuple = (0.4, 0.15)):
     """Generate a rig + observations.
 
     Cameras sit on a ring of radius ~1 m looking at the origin; the target
@@ -79,9 +80,11 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         rvec, tvec = ext_4x4_to_rod(look_at_extrinsic(pos, np.zeros(3)))
         extr[c] = np.concatenate([rvec, tvec])
 
+    # pose_scale = (rotation rad, translation m) spread; tiny values give
+    # near-degenerate geometry (barely-moving target) for stress tests
     poses = np.zeros((n_ims, 6))
-    poses[:, :3] = rng.normal(size=(n_ims, 3)) * 0.4
-    poses[:, 3:] = rng.normal(size=(n_ims, 3)) * 0.15
+    poses[:, :3] = rng.normal(size=(n_ims, 3)) * pose_scale[0]
+    poses[:, 3:] = rng.normal(size=(n_ims, 3)) * pose_scale[1]
     poses[0] = 0.0  # gauge reference
 
     # project everything (host numpy; mirrors the device projection model)

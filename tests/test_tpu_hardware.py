@@ -501,3 +501,22 @@ def test_tracker_batch_throughput():
     assert float(np.max(info["rms"])) < 0.5
     per_frame_ms = dt / 32 * 1e3
     assert per_frame_ms < 250.0, per_frame_ms    # generous chip bound
+
+
+def test_adversarial_robust_cell_on_chip():
+    """One adversarial battery cell on the real chip: 10% outliers with
+    huber/component semantics, device f32 LM vs scipy f64 TRF."""
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_lm_adversarial import _build_pair, _final_costs
+
+    h_dev, h_sp = _build_pair(
+        outlier_frac=0.10, seed=43,
+        options={"loss": "huber", "f_scale": 2.0,
+                 "loss_semantics": "component"})
+    c_dev, c_sp = _final_costs(h_dev, h_sp, dtype=jnp.float32)
+    assert c_dev <= c_sp * 1.01 + 1e-12, (c_dev, c_sp)

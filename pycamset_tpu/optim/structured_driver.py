@@ -196,9 +196,20 @@ def build_mixed_structured_problem(param_handler, dtype,
     (optim/structured_mixed.py). Same contract as build_structured_problem;
     raises UnsupportedChain when the chain is not mixed.
     """
+    from pycamset_tpu.optim.structured import UnsupportedChain
     from pycamset_tpu.optim.structured_mixed import (
         MixedPieces, make_mixed_ops, make_mixed_structured_neq,
         mixed_chain_widths)
+
+    # a mixed chain is unusable without the key->group map; check before
+    # any other handler access so the diagnostic names the actual gap
+    raw_gok = param_handler.group_of_key()
+    n_groups = int(param_handler.n_groups() or 0)
+    if raw_gok is None or n_groups <= 0:
+        raise UnsupportedChain(
+            "mixed PER_KEY + PER_GROUP chain needs the handler to implement "
+            "group_of_key() -> (n_keys,) int array and n_groups() -> int "
+            f"(got group_of_key()={raw_gok!r}, n_groups()={n_groups})")
 
     op_fun: OptimFunction = param_handler.op_fun
     widths = mixed_chain_widths(op_fun)
@@ -216,14 +227,6 @@ def build_mixed_structured_problem(param_handler, dtype,
                                 k_pad_multiple=k_pad_multiple)
     k_pad = blocks.uv.shape[1]
 
-    from pycamset_tpu.optim.structured import UnsupportedChain
-    raw_gok = param_handler.group_of_key()
-    n_groups = int(param_handler.n_groups() or 0)
-    if raw_gok is None or n_groups <= 0:
-        raise UnsupportedChain(
-            "mixed PER_KEY + PER_GROUP chain needs the handler to implement "
-            "group_of_key() -> (n_keys,) int array and n_groups() -> int "
-            f"(got group_of_key()={raw_gok!r}, n_groups()={n_groups})")
     gok = np.asarray(raw_gok, dtype=np.int64)
     if gok.shape != (n_keys,) or gok.min() < 0 or gok.max() >= n_groups:
         raise ValueError("group_of_key() must map every key into "

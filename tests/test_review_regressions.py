@@ -198,3 +198,31 @@ def test_max_ims_flushes_buffer():
     det.add_detection("x", 5, ImageDetection([0], [[1.0, 2.0]]))
     assert det.max_ims == 6
     assert len(det.get_image_list()) == 6
+
+
+def test_mixed_chain_without_group_map_raises_clear_diagnostic():
+    """A mixed PER_KEY+PER_GROUP chain whose handler never implements
+    group_of_key()/n_groups() must raise UnsupportedChain (caught by
+    run_bundle_adjustment's generic fallback), not an opaque TypeError
+    from np.asarray(None) (advisor r2 finding)."""
+    import pytest
+
+    from pycamset_tpu.optim.structured import UnsupportedChain
+    from pycamset_tpu.optim.structured_driver import (
+        build_mixed_structured_problem)
+
+    class NoGroupsHandler:
+        def group_of_key(self):
+            return None
+
+        def n_groups(self):
+            return 0
+
+        # build_mixed_structured_problem must fail on the group check
+        # BEFORE touching any of these
+        def __getattr__(self, name):
+            raise AssertionError(f"reached {name} before the group check")
+
+    import jax.numpy as jnp
+    with pytest.raises(UnsupportedChain, match="group_of_key"):
+        build_mixed_structured_problem(NoGroupsHandler(), jnp.float64)

@@ -227,9 +227,20 @@ class Ccube(AbstractTarget):
             pattern = self._preferred[face_idx]
             corners = corner_ids = None
             if self.fast_detection:
-                # fast single-threshold-window pass; per-face fallback below
-                corners, corner_ids, _mp, _mi = (
+                # fast single-threshold-window pass; the flip retry
+                # re-interpolates the SAME markers, so the outcome is
+                # independent of the sticky pattern order (threaded scans
+                # stay identical to serial); per-face fallback below
+                corners, corner_ids, marker_px, marker_ids = (
                     fast_sets[pattern][face_idx].detectBoard(image))
+                if corners is None and marker_px is not None:
+                    corners, corner_ids, marker_px, marker_ids = (
+                        fast_sets[1 - pattern][face_idx].detectBoard(
+                            image, markerCorners=marker_px,
+                            markerIds=marker_ids))
+                    if corners is not None:
+                        self._preferred[face_idx] = 1 - pattern
+                        pattern = 1 - pattern
             if (corners is not None
                     and len(corners) >= FAST_DETECTION_MIN_CORNERS):
                 corners = np.asarray(corners).reshape(-1, 2)

@@ -77,10 +77,14 @@ class ChArUco(AbstractTarget):
         legacy-pattern retry (OpenCV version drift produces boards whose
         markers match but whose corners will not interpolate).
 
-        The flip is disabled on fast passes (allow_flip=False): a marginal
-        fast-pass interpolation failure must fall through to the default
-        pass, not flip the pattern on corrupted evidence — the flipped
-        layout indexes DIFFERENT physical corners.
+        Marker detection is pattern-independent (both layouts share the
+        dictionary), so the flip retry re-interpolates the SAME markers —
+        the result does not depend on which pattern was tried first, and
+        the sticky preference only saves the wasted first attempt (this
+        keeps threaded and serial folder scans identical). The flip is
+        disabled on decimated views (allow_flip=False): a marginal low-res
+        interpolation failure must fall through to the full-res ladder,
+        not flip the pattern on aliased evidence.
 
         :return: (corners (n,2) or None, corner ids (n,) or None).
         """
@@ -134,7 +138,7 @@ class ChArUco(AbstractTarget):
                         image, (corners + 0.5) * scale - 0.5, scale)
             else:
                 corners, corner_ids = self._detect_with_fallback(
-                    image, allow_flip=False, fast=True)
+                    image, fast=True)
         if corners is None or len(corners) < FAST_DETECTION_MIN_CORNERS:
             full_c, full_ids = self._detect_with_fallback(image)
             if full_c is not None and (corners is None

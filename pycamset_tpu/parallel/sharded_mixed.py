@@ -1,0 +1,213 @@
+"""Mesh-sharded normal equations for the MIXED PER_KEY+PER_GROUP chain.
+
+Completes the parallelism matrix: multi-target SELF-calibration
+(optim/structured_mixed.py arrow structure) sharded over the camera or the
+pose axis of the detection grid — the same slab placement + one-psum
+pattern as parallel/sharded_structured.py, with the c-axis split into
+per-key and (one-hot-reduced) per-group pieces happening on the LOCAL
+partial tensors before the reduction (the group one-hot commutes with the
+block sum).
+
+On TPU the local gram call is served by the fused mixed Pallas kernel
+(optim/pallas_grams.py); on the CPU validation mesh it runs the XLA closed
+form — either way the body is identical SPMD code, so the multi-host
+runtime (parallel/multihost.py) runs it unchanged.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from pycamset_tpu.optim.chain import OptimFunction
+from pycamset_tpu.optim.structured import GroupWidths
+from pycamset_tpu.optim.structured_mixed import (
+    MixedNormalEq, MixedPieces, MixedWidths, make_mixed_ops)
+from pycamset_tpu.parallel.mesh import DETECTION_AXIS
+
+
+def _mixed_local_grams(op_fun, widths: MixedWidths, loss, f_scale,
+                       loss_semantics):
+    """The per-slab gram builder (Pallas on TPU, XLA closed form elsewhere),
+    resolved exactly as make_mixed_structured_neq does."""
+    import os
+
+    from pycamset_tpu.optim.structured import make_block_grams
+    gw = GroupWidths(widths.a, widths.b, widths.c)
+    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PYCAMSET_NO_PALLAS")
+            and widths.a in (15, 18, 22, 24) and widths.b == 6
+            and (widths.ck, widths.cg) == (3, 6)
+            and widths.grp_cols == (0, 1, 2, 3, 4, 5)
+            and widths.key_cols == (6, 7, 8)
+            and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                              "GroupRigidTform3d", "FreePoint")
+            and names[0] in ("Projection", "ProjectionRational",
+                             "ProjectionThinPrism", "ProjectionTilted")):
+        from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams
+        return make_pallas_mixed_grams(gw, loss=loss, f_scale=f_scale,
+                                       loss_semantics=loss_semantics)
+    return make_block_grams(op_fun, gw, loss=loss, f_scale=f_scale,
+                            loss_semantics=loss_semantics)
+
+
+def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
+                           n_cams: int, n_ims: int, mesh: Mesh,
+                           group_of_key, n_groups: int,
+                           loss: str = "linear", f_scale: float = 1.0,
+                           shard_axis: str = "cam",
+                           loss_semantics: str = "observation"):
+    """Mixed neq with the camera ('cam') or image ('pose') axis of the
+    (C, I, K[, 2]) detection tensors sharded over the mesh.
+
+    :return: neq(pieces: MixedPieces, uv, mask, tpl, colmask) ->
+        replicated MixedNormalEq; carries .onehot for make_mixed_ops.
+    """
+    a, b, cw = widths.a, widths.b, widths.c
+    kk = np.asarray(widths.key_cols)
+    gg_ = np.asarray(widths.grp_cols)
+    grams = _mixed_local_grams(op_fun, widths, loss, f_scale, loss_semantics)
+    gok = np.asarray(group_of_key, dtype=np.int64)
+    onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
+    onehot_np[np.arange(gok.size), gok] = 1.0
+
+    n_dev = mesh.devices.size
+    if shard_axis == "cam":
+        if n_cams % n_dev != 0:
+            raise ValueError(
+                f"{n_cams} cameras not divisible by {n_dev} devices")
+        c_loc, i_loc = n_cams // n_dev, n_ims
+        data_spec = P(DETECTION_AXIS)
+    elif shard_axis == "pose":
+        if n_ims % n_dev != 0:
+            raise ValueError(
+                f"{n_ims} images not divisible by {n_dev} devices "
+                "(pad_pose_axis pads non-divisible rigs)")
+        c_loc, i_loc = n_cams, n_ims // n_dev
+        data_spec = P(None, DETECTION_AXIS)
+    else:
+        raise ValueError(f"unknown shard_axis {shard_axis!r}")
+
+    piece_spec = MixedPieces(P(), P(), P(), P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(piece_spec, data_spec, data_spec, P(), piece_spec),
+             out_specs=MixedNormalEq(*([P()] * 15)))
+    def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
+        dtype = uv.dtype
+        d = jax.lax.axis_index(DETECTION_AXIS)
+        k_pad = mask.shape[-1]
+        oh = jnp.asarray(onehot_np, dtype=dtype)
+
+        if shard_axis == "cam":
+            cam_off, im_off = d * c_loc, 0 * d
+        else:
+            cam_off, im_off = 0 * d, d * i_loc
+        cam_loc = jax.lax.dynamic_slice_in_dim(pieces.cam, cam_off, c_loc)
+        cmask_loc = jax.lax.dynamic_slice_in_dim(colmask.cam, cam_off, c_loc)
+        im_loc = jax.lax.dynamic_slice_in_dim(pieces.im, im_off, i_loc)
+        imask_loc = jax.lax.dynamic_slice_in_dim(colmask.im, im_off, i_loc)
+
+        bb = c_loc * i_loc
+        cam_b = jnp.repeat(cam_loc, i_loc, axis=0)
+        im_b = jnp.tile(im_loc, (c_loc, 1))
+        cmask_b = jnp.repeat(cmask_loc, i_loc, axis=0)
+        imask_b = jnp.tile(imask_loc, (c_loc, 1))
+
+        # chain-ordered c-axis rows: [group pose expanded per key | points]
+        keyp = jnp.zeros((k_pad, cw), dtype)
+        keyp = keyp.at[:, kk].set(pieces.key)
+        keyp = keyp.at[:, gg_].set(oh @ pieces.grp)
+        kmask = jnp.zeros((k_pad, cw), dtype)
+        kmask = kmask.at[:, kk].set(colmask.key)
+        kmask = kmask.at[:, gg_].set(oh @ colmask.grp)
+
+        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
+         cost) = grams(cam_b, im_b, keyp, tpl,
+                       uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
+                       cmask_b, imask_b, kmask)
+
+        # local reductions over this device's slab
+        hcc_loc = gcc_b.reshape(c_loc, i_loc, a, a).sum(axis=1)
+        gc_loc = gc_b.reshape(c_loc, i_loc, a).sum(axis=1)
+        wck_f = wck_b.reshape(c_loc, i_loc, k_pad, a, cw).sum(axis=1)
+        hii_loc = gii_b.reshape(c_loc, i_loc, b, b).sum(axis=0)
+        gi_loc = gi_b.reshape(c_loc, i_loc, b).sum(axis=0)
+        wik_f = wik_b.reshape(c_loc, i_loc, k_pad, b, cw).sum(axis=0)
+        wci_loc = wci_b.reshape(c_loc, i_loc, a, b)
+
+        # split the c-axis into per-key and (one-hot-reduced) per-group
+        # pieces; every term is a partial sum the psum completes
+        hkk = hkk_f[:, kk][:, :, kk]
+        wkg = hkk_f[:, kk][:, :, gg_]
+        hgg = jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, gg_][:, :, gg_])
+        wck_loc = wck_f[:, :, :, kk]
+        wcg_loc = jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, gg_])
+        wik_loc = wik_f[:, :, :, kk]
+        wig_loc = jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_])
+        gk = gk_f[:, kk]
+        gg = jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_])
+
+        # place the slabs into the global tensors; one psum replicates
+        def place_cam(loc, shape):
+            return jax.lax.dynamic_update_slice_in_dim(
+                jnp.zeros(shape, dtype), loc, cam_off, 0)
+
+        def place_im(loc, shape):
+            return jax.lax.dynamic_update_slice_in_dim(
+                jnp.zeros(shape, dtype), loc, im_off, 0)
+
+        hcc = place_cam(hcc_loc, (n_cams, a, a))
+        gc = place_cam(gc_loc, (n_cams, a))
+        wck = place_cam(wck_loc, (n_cams, k_pad, a, len(kk)))
+        wcg = place_cam(wcg_loc, (n_cams, n_groups, a, len(gg_)))
+        hii = place_im(hii_loc, (n_ims, b, b))
+        gi = place_im(gi_loc, (n_ims, b))
+        wik = place_im(wik_loc, (n_ims, k_pad, b, len(kk)))
+        wig = place_im(wig_loc, (n_ims, n_groups, b, len(gg_)))
+        wci = jax.lax.dynamic_update_slice(
+            jnp.zeros((n_cams, n_ims, a, b), dtype), wci_loc,
+            (cam_off, im_off, 0 * d, 0 * d))
+
+        out = MixedNormalEq(hcc, hii, hkk, hgg, wci, wck, wik, wcg, wig,
+                            wkg, gc, gi, gk, gg, cost)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, DETECTION_AXIS), out)
+
+    neq.onehot = onehot_np
+    return neq
+
+
+def make_sharded_mixed_solver(op_fun: OptimFunction, widths: MixedWidths,
+                              n_cams: int, n_ims: int, mesh: Mesh,
+                              colmask: MixedPieces, group_of_key,
+                              n_groups: int, max_nfev: int = 100,
+                              loss: str = "linear", f_scale: float = 1.0,
+                              shard_axis: str = "cam",
+                              loss_semantics: str = "observation"):
+    """A jitted multi-device LM solve of the mixed multi-target system.
+
+    :return: solve(pieces: MixedPieces, uv, mask, tpl) -> SLMResult, with
+        uv/mask camera-major tensors sharded on the chosen axis (see
+        parallel.sharded_structured.shard_block_arrays).
+    """
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+
+    neq = make_sharded_mixed_neq(
+        op_fun, widths, n_cams, n_ims, mesh, group_of_key, n_groups,
+        loss=loss, f_scale=f_scale, shard_axis=shard_axis,
+        loss_semantics=loss_semantics)
+    ops = make_mixed_ops(neq.onehot)
+
+    @jax.jit
+    def solve(pieces: MixedPieces, uv, mask, tpl):
+        return structured_lm_solve(
+            lambda p: neq(p, uv, mask, tpl, colmask), pieces,
+            max_nfev=max_nfev, ops=ops)
+
+    return solve

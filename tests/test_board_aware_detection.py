@@ -118,3 +118,35 @@ def test_zero_distortion_camera_is_noop(heavy_setup):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_decimated_fast_path_matches_full_res_on_large_image():
+    """Images over FAST_DETECTION_EDGE_PX detect on a decimated view with
+    full-res cornerSubPix re-localisation; corners must agree with the
+    non-fast detector to subpixel level."""
+    import cv2
+    import numpy as np
+
+    from pycamset_tpu.models.abstract_target import detection_scale
+    from pycamset_tpu.models.charuco import ChArUco
+
+    target = ChArUco(8, 8, 40)
+    board_px = 2800
+    canvas = np.full((3000, 3200), 255, np.uint8)
+    art = target.board.generateImage((board_px, board_px))
+    canvas[100:100 + board_px, 200:200 + board_px] = art
+    assert detection_scale(canvas.shape) > 1  # the decimated path engages
+
+    det_fast = target.find_in_image(canvas)
+    target.fast_detection = False
+    det_full = target.find_in_image(canvas)
+    assert det_fast.has_data and det_full.has_data
+
+    kf = np.asarray(det_fast.keys)
+    kl = np.asarray(det_full.keys)
+    shared, fi, li = np.intersect1d(kf, kl, return_indices=True)
+    assert len(shared) >= 0.99 * len(kl)  # count parity
+    dist = np.linalg.norm(np.asarray(det_fast.image_points)[fi]
+                          - np.asarray(det_full.image_points)[li], axis=1)
+    assert np.median(dist) < 0.1, np.median(dist)
+    assert dist.max() < 1.0, dist.max()

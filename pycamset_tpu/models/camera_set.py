@@ -185,7 +185,7 @@ class CameraSet:
         if isinstance(to_reconstruct, dict):
             to_reconstruct = [to_reconstruct]
         if isinstance(to_reconstruct, list):
-            data = []
+            data: list = []
             for idx, group in enumerate(to_reconstruct):
                 for cam_name, datum in group.items():
                     data.append([names.index(cam_name), 0, idx,
@@ -243,11 +243,11 @@ class CameraSet:
         uv[gid, slot] = recon[:, -2:]
         mask[gid, slot] = 1.0
 
-        proj = np.array([cam.proj for cam in self])
-        dists = np.array([np.reshape(cam.distortion_coefs, -1) for cam in self])
+        proj = np.stack([cam.proj for cam in self])
+        intr = np.stack([cam.intrinsic for cam in self])
+        dists = np.stack([np.ravel(cam.distortion_coefs) for cam in self])
         if not distort:
             dists = np.zeros_like(dists)
-        intr = np.array([cam.intrinsic for cam in self])
 
         reconstructed = np.array(_triangulate_j(
             jnp.asarray(proj), jnp.asarray(intr), jnp.asarray(dists),

@@ -66,10 +66,6 @@ def fast_detector_params():
     dp.adaptiveThreshWinSizeMin = 23
     dp.adaptiveThreshWinSizeMax = 23
     dp.errorCorrectionRate = 0.0
-    # calibration boards fill a good fraction of the frame; tiny quads are
-    # noise for the fast pass (the default-parameter fallback still sees
-    # genuinely small boards)
-    dp.minMarkerPerimeterRate = 0.04
     return dp
 
 
@@ -94,10 +90,60 @@ def refine_corners_full_res(image: np.ndarray, approx_px: np.ndarray,
     The search window scales with the decimation stride so the true corner
     (at most ~scale px away from the upsampled estimate) stays inside it.
     """
+    if image.ndim == 3:  # cornerSubPix wants single-channel
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
     win = max(5, 2 * scale + 1)
     pts = np.ascontiguousarray(approx_px, dtype=np.float32).reshape(-1, 1, 2)
     cv2.cornerSubPix(image, pts, (win, win), (-1, -1), _REFINE_STOP)
     return pts.reshape(-1, 2).astype(float)
+
+
+def detect_board_with_flip(image, detectors, pattern, on_flip=None):
+    """One charuco detectBoard pass with the flipped-pattern retry.
+
+    `detectors` is a [layout0, layout1] pair; marker detection is
+    pattern-independent (both layouts share the dictionary), so the retry
+    re-interpolates the SAME markers and the outcome does not depend on
+    which layout was tried first — the sticky preference only saves the
+    wasted first attempt.
+
+    :return: (corners (n,2) or None, ids (n,) or None, pattern).
+    """
+    corners, ids, marker_px, marker_ids = detectors[pattern].detectBoard(image)
+    if corners is None and marker_px is not None:
+        if on_flip is not None:
+            on_flip()
+        corners, ids, marker_px, marker_ids = (
+            detectors[1 - pattern].detectBoard(
+                image, markerCorners=marker_px, markerIds=marker_ids))
+        if corners is not None:
+            pattern = 1 - pattern
+    if corners is None:
+        return None, None, pattern
+    # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
+    return (np.asarray(corners).reshape(-1, 2),
+            np.asarray(ids).reshape(-1), pattern)
+
+
+def ladder_detect_board(image, full_detectors, fast_detectors, pattern,
+                        min_corners, use_fast=True, on_flip=None):
+    """Fast-first board detection: the single-threshold-window fast pass,
+    then the default-parameter detectors whenever it underperforms, keeping
+    whichever pass found more corners.
+
+    :return: (corners (n,2) or None, ids (n,) or None, pattern).
+    """
+    corners = ids = None
+    if use_fast:
+        corners, ids, pattern = detect_board_with_flip(
+            image, fast_detectors, pattern, on_flip=on_flip)
+    if corners is None or len(corners) < min_corners:
+        full_c, full_i, pattern = detect_board_with_flip(
+            image, full_detectors, pattern, on_flip=on_flip)
+        if full_c is not None and (corners is None
+                                   or len(full_c) > len(corners)):
+            corners, ids = full_c, full_i
+    return corners, ids, pattern
 
 
 def undistort_for_detection(image, camera):

@@ -132,7 +132,11 @@ class Ccube(AbstractTarget):
         self._alt_fast_detectors = None
         self._preferred = [0] * 6   # sticky per-face pattern (atomic writes)
         self._given_legacy_warning = False
-        self.fast_detection = True  # fast first pass + fallback ladder
+        # measured on the reference cube dataset the single-window fast
+        # pass loses corners (small faces, 6x6 markers) and the per-face
+        # fallback doubles the work — the ladder stays opt-in here, unlike
+        # the planar board where it is a 1.5-2.7x win at equal counts
+        self.fast_detection = False
 
     def _render_face_textures(self) -> list[np.ndarray]:
         """Six face images: bordered board patterns with an index label."""
@@ -149,6 +153,12 @@ class Ccube(AbstractTarget):
                         cv2.FONT_HERSHEY_SIMPLEX, 1.5, 0, int(side / 500))
             faces.append(tex)
         return faces
+
+    def _warn_flip_once(self):
+        if not self._given_legacy_warning:
+            logging.warning("Found markers, but no corners, trying "
+                            "using alternative board detection")
+            self._given_legacy_warning = True
 
     def plot(self, return_scene=False):
         """3D model of the cube (requires pyvista)."""
@@ -217,59 +227,26 @@ class Ccube(AbstractTarget):
             if preview.ndim == 2:
                 preview = np.repeat(preview[..., None], 3, axis=-1)
 
+        from pycamset_tpu.models.abstract_target import (
+            FAST_DETECTION_MIN_CORNERS, ladder_detect_board)
         found_keys: list = []
         found_px: list = []
-        from pycamset_tpu.models.abstract_target import (
-            FAST_DETECTION_MIN_CORNERS)
-        detector_sets = (self.board_detectors, self._alt_detectors)
-        fast_sets = (self._fast_detectors, self._alt_fast_detectors)
+        # a cube face carries at most (n-1)^2 corners — the fast-pass
+        # acceptance threshold must fit inside that
+        max_per_face = (self.n_points - 1) ** 2
+        face_min = max(6, min(FAST_DETECTION_MIN_CORNERS, max_per_face // 2))
         for face_idx in range(len(self.boards)):
-            pattern = self._preferred[face_idx]
-            corners = corner_ids = None
-            if self.fast_detection:
-                # fast single-threshold-window pass; the flip retry
-                # re-interpolates the SAME markers, so the outcome is
-                # independent of the sticky pattern order (threaded scans
-                # stay identical to serial); per-face fallback below
-                corners, corner_ids, marker_px, marker_ids = (
-                    fast_sets[pattern][face_idx].detectBoard(image))
-                if corners is None and marker_px is not None:
-                    corners, corner_ids, marker_px, marker_ids = (
-                        fast_sets[1 - pattern][face_idx].detectBoard(
-                            image, markerCorners=marker_px,
-                            markerIds=marker_ids))
-                    if corners is not None:
-                        self._preferred[face_idx] = 1 - pattern
-                        pattern = 1 - pattern
-            if (corners is not None
-                    and len(corners) >= FAST_DETECTION_MIN_CORNERS):
-                corners = np.asarray(corners).reshape(-1, 2)
-                corner_ids = np.asarray(corner_ids).reshape(-1)
-                found_keys.extend([face_idx, cid] for cid in corner_ids)
-                found_px.extend(corners)
-                if draw:
-                    aruco.drawDetectedCornersCharuco(
-                        preview, corners[:, None, :] / shrink,
-                        corner_ids[:, None])
-                continue
-            corners, corner_ids, marker_px, marker_ids = (
-                detector_sets[pattern][face_idx].detectBoard(image))
-            if corners is None and marker_px is not None:
-                # markers matched but corner interpolation failed: the board
-                # was likely generated with the other charuco pattern layout
-                if not self._given_legacy_warning:
-                    logging.warning("Found markers, but no corners, trying "
-                                    "using alternative board detection")
-                    self._given_legacy_warning = True
-                corners, corner_ids, marker_px, marker_ids = (
-                    detector_sets[1 - pattern][face_idx].detectBoard(
-                        image, markerCorners=marker_px, markerIds=marker_ids))
-                if corners is not None:
-                    self._preferred[face_idx] = 1 - pattern
+            full_pair = (self.board_detectors[face_idx],
+                         self._alt_detectors[face_idx])
+            fast_pair = (self._fast_detectors[face_idx],
+                         self._alt_fast_detectors[face_idx])
+            corners, corner_ids, self._preferred[face_idx] = (
+                ladder_detect_board(
+                    image, full_pair, fast_pair, self._preferred[face_idx],
+                    face_min, use_fast=self.fast_detection,
+                    on_flip=self._warn_flip_once))
             if corner_ids is None:
                 continue
-            corners = np.asarray(corners).reshape(-1, 2)
-            corner_ids = np.asarray(corner_ids).reshape(-1)
             found_keys.extend([face_idx, cid] for cid in corner_ids)
             found_px.extend(corners)
             if draw:

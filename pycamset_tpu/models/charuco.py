@@ -72,75 +72,48 @@ class ChArUco(AbstractTarget):
 
         self._process_data()
 
-    def _detect_with_fallback(self, image, allow_flip=True, fast=False):
-        """One detection pass at the given resolution, with the flipped
-        legacy-pattern retry (OpenCV version drift produces boards whose
-        markers match but whose corners will not interpolate).
-
-        Marker detection is pattern-independent (both layouts share the
-        dictionary), so the flip retry re-interpolates the SAME markers —
-        the result does not depend on which pattern was tried first, and
-        the sticky preference only saves the wasted first attempt (this
-        keeps threaded and serial folder scans identical). The flip is
-        disabled on decimated views (allow_flip=False): a marginal low-res
-        interpolation failure must fall through to the full-res ladder,
-        not flip the pattern on aliased evidence.
-
-        :return: (corners (n,2) or None, corner ids (n,) or None).
-        """
-        detectors = self.fast_detectors if fast else self.board_detectors
-        pattern = self._preferred
-        corners, corner_ids, marker_px, marker_ids = (
-            detectors[pattern].detectBoard(image))
-        if corners is None and marker_px is not None and allow_flip:
-            if not self._given_legacy_warning:
-                logging.warning("Found markers, but no corners, trying using "
-                                "alternative board detection")
-                self._given_legacy_warning = True
-            corners, corner_ids, marker_px, marker_ids = (
-                detectors[1 - pattern].detectBoard(
-                    image, markerCorners=marker_px, markerIds=marker_ids))
-            if corners is not None:
-                self._preferred = 1 - pattern  # sticky, like the old board flip
-        if corners is None:
-            return None, None
-        # OpenCV returns (N,1,2)/(N,1) pre-5.0 and (N,2)/(N,) from 5.0 on
-        return (np.asarray(corners).reshape(-1, 2),
-                np.asarray(corner_ids).reshape(-1))
+    def _warn_flip_once(self):
+        if not self._given_legacy_warning:
+            logging.warning("Found markers, but no corners, trying using "
+                            "alternative board detection")
+            self._given_legacy_warning = True
 
     def find_in_image(self, image, draw=False, camera: Camera | None = None,
                       wait_len=1) -> ImageDetection:
         """Detect the board corners in an image.
 
-        Large images take the fast path: detect on a decimated view, then
-        subpixel-refine every corner at full resolution (falling back to a
-        full-res pass when the decimated one underperforms). When a camera
-        model is given, detection runs on the undistorted view and the
-        corners are mapped back (board-aware detection).
+        Fast-first ladder (abstract_target.ladder_detect_board): the
+        single-threshold-window pass, then the default detectors whenever
+        it underperforms. Large images additionally detect on a decimated
+        view with corners subpixel-refined at full resolution. When a
+        camera model is given, detection runs on the undistorted view and
+        the corners are mapped back (board-aware detection).
         """
         from pycamset_tpu.models.abstract_target import (
-            FAST_DETECTION_MIN_CORNERS, detection_scale,
+            FAST_DETECTION_MIN_CORNERS, decimate_for_detection,
+            detection_scale, ladder_detect_board,
             refine_corners_full_res, undistort_for_detection)
         image, redistort = undistort_for_detection(image, camera)
 
-        from pycamset_tpu.models.abstract_target import decimate_for_detection
         corners = corner_ids = None
-        if self.fast_detection:
-            scale = detection_scale(image.shape)
-            if scale > 1:
-                # huge image: fast pass on a decimated view, corners
-                # re-localised at full res
-                small = decimate_for_detection(image, scale)
-                corners, corner_ids = self._detect_with_fallback(
-                    small, allow_flip=False, fast=True)
-                if corners is not None:
-                    corners = refine_corners_full_res(
-                        image, (corners + 0.5) * scale - 0.5, scale)
-            else:
-                corners, corner_ids = self._detect_with_fallback(
-                    image, fast=True)
+        scale = detection_scale(image.shape) if self.fast_detection else 1
+        if scale > 1:
+            # huge image: fast pass on a decimated view (no pattern flip on
+            # aliased evidence), corners re-localised at full res
+            small = decimate_for_detection(image, scale)
+            corners, corner_ids, _, _ = (
+                self.fast_detectors[self._preferred].detectBoard(small))[:4]
+            if corners is not None:
+                corners = np.asarray(corners).reshape(-1, 2)
+                corner_ids = np.asarray(corner_ids).reshape(-1)
+                corners = refine_corners_full_res(
+                    image, (corners + 0.5) * scale - 0.5, scale)
         if corners is None or len(corners) < FAST_DETECTION_MIN_CORNERS:
-            full_c, full_ids = self._detect_with_fallback(image)
+            full_c, full_ids, self._preferred = ladder_detect_board(
+                image, self.board_detectors, self.fast_detectors,
+                self._preferred, FAST_DETECTION_MIN_CORNERS,
+                use_fast=self.fast_detection and scale == 1,
+                on_flip=self._warn_flip_once)
             if full_c is not None and (corners is None
                                        or len(full_c) > len(corners)):
                 corners, corner_ids = full_c, full_ids

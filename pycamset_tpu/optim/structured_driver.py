@@ -203,8 +203,11 @@ def build_mixed_structured_problem(param_handler, dtype,
 
     # a mixed chain is unusable without the key->group map; check before
     # any other handler access so the diagnostic names the actual gap
-    raw_gok = param_handler.group_of_key()
-    n_groups = int(param_handler.n_groups() or 0)
+    # (getattr: duck-typed handlers may not define the group methods at
+    # all — that must read as UnsupportedChain, not AttributeError, so the
+    # driver's generic-backend fallback still engages)
+    raw_gok = getattr(param_handler, "group_of_key", lambda: None)()
+    n_groups = int(getattr(param_handler, "n_groups", lambda: 0)() or 0)
     if raw_gok is None or n_groups <= 0:
         raise UnsupportedChain(
             "mixed PER_KEY + PER_GROUP chain needs the handler to implement "

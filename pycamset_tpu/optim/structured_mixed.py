@@ -129,6 +129,36 @@ class MixedNormalEq(NamedTuple):
     cost: jnp.ndarray
 
 
+def resolve_mixed_grams(op_fun: OptimFunction, widths: MixedWidths,
+                        loss: str = "linear", f_scale: float = 1.0,
+                        loss_semantics: str = "observation"):
+    """The per-block gram builder for a mixed chain: the fused Pallas
+    kernel on TPU when the canonical multi-target self-cal chain matches
+    (same speed class as the pure-keyed kernels), else the XLA closed
+    form. The single dispatch point for both the single-device and the
+    sharded backends."""
+    import os
+
+    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PYCAMSET_NO_PALLAS")
+            and widths.a in (15, 18, 22, 24) and widths.b == 6
+            and (widths.ck, widths.cg) == (3, 6)
+            and widths.grp_cols == (0, 1, 2, 3, 4, 5)
+            and widths.key_cols == (6, 7, 8)
+            and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                              "GroupRigidTform3d", "FreePoint")
+            and names[0] in ("Projection", "ProjectionRational",
+                             "ProjectionThinPrism", "ProjectionTilted")):
+        from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams
+        return make_pallas_mixed_grams(
+            GroupWidths(widths.a, widths.b, widths.c), loss=loss,
+            f_scale=f_scale, loss_semantics=loss_semantics)
+    return make_block_grams(
+        op_fun, GroupWidths(widths.a, widths.b, widths.c), loss=loss,
+        f_scale=f_scale, loss_semantics=loss_semantics)
+
+
 def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
                               n_cams: int, n_ims: int,
                               group_of_key: np.ndarray,
@@ -142,31 +172,11 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
     :return: neq(pieces: MixedPieces, uv, mask, tpl, colmask) ->
         MixedNormalEq.
     """
-    import os
-
     a, b = widths.a, widths.b
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
-    grams = make_block_grams(
-        op_fun, GroupWidths(a, b, widths.c), loss=loss, f_scale=f_scale,
-        loss_semantics=loss_semantics)
-    # the fused Pallas kernel serves the canonical multi-target self-cal
-    # chain on TPU (same speed class as the pure-keyed kernels)
-    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("PYCAMSET_NO_PALLAS")
-            and a in (15, 18, 22, 24) and b == 6
-            and (widths.ck, widths.cg) == (3, 6)
-            and widths.grp_cols == (0, 1, 2, 3, 4, 5)
-            and widths.key_cols == (6, 7, 8)
-            and names[1:] == ("Extrinsic3D", "RigidTform3d",
-                              "GroupRigidTform3d", "FreePoint")
-            and names[0] in ("Projection", "ProjectionRational",
-                             "ProjectionThinPrism", "ProjectionTilted")):
-        from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams
-        grams = make_pallas_mixed_grams(
-            GroupWidths(a, b, widths.c), loss=loss, f_scale=f_scale,
-            loss_semantics=loss_semantics)
+    grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
     gok = np.asarray(group_of_key, dtype=np.int64)
     onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
     onehot_np[np.arange(gok.size), gok] = 1.0

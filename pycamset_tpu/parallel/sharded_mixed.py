@@ -24,36 +24,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from pycamset_tpu.optim.chain import OptimFunction
-from pycamset_tpu.optim.structured import GroupWidths
 from pycamset_tpu.optim.structured_mixed import (
-    MixedNormalEq, MixedPieces, MixedWidths, make_mixed_ops)
+    MixedNormalEq, MixedPieces, MixedWidths, make_mixed_ops,
+    resolve_mixed_grams)
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
-
-
-def _mixed_local_grams(op_fun, widths: MixedWidths, loss, f_scale,
-                       loss_semantics):
-    """The per-slab gram builder (Pallas on TPU, XLA closed form elsewhere),
-    resolved exactly as make_mixed_structured_neq does."""
-    import os
-
-    from pycamset_tpu.optim.structured import make_block_grams
-    gw = GroupWidths(widths.a, widths.b, widths.c)
-    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("PYCAMSET_NO_PALLAS")
-            and widths.a in (15, 18, 22, 24) and widths.b == 6
-            and (widths.ck, widths.cg) == (3, 6)
-            and widths.grp_cols == (0, 1, 2, 3, 4, 5)
-            and widths.key_cols == (6, 7, 8)
-            and names[1:] == ("Extrinsic3D", "RigidTform3d",
-                              "GroupRigidTform3d", "FreePoint")
-            and names[0] in ("Projection", "ProjectionRational",
-                             "ProjectionThinPrism", "ProjectionTilted")):
-        from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams
-        return make_pallas_mixed_grams(gw, loss=loss, f_scale=f_scale,
-                                       loss_semantics=loss_semantics)
-    return make_block_grams(op_fun, gw, loss=loss, f_scale=f_scale,
-                            loss_semantics=loss_semantics)
 
 
 def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
@@ -71,7 +45,8 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b, cw = widths.a, widths.b, widths.c
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
-    grams = _mixed_local_grams(op_fun, widths, loss, f_scale, loss_semantics)
+    grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
     gok = np.asarray(group_of_key, dtype=np.int64)
     onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
     onehot_np[np.arange(gok.size), gok] = 1.0

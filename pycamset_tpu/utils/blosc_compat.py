@@ -109,6 +109,15 @@ class BloscDecodeError(ValueError):
 
 def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
     """Decode one raw LZ4 block (no frame header) of known output size."""
+    try:
+        return _lz4_block_decompress(src, dst_size)
+    except IndexError:
+        # a read past the payload end means a truncated/garbled stream (or
+        # the wrong split-mode guess); keep the documented error contract
+        raise BloscDecodeError("lz4: truncated stream")
+
+
+def _lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
     out = bytearray()
     pos, end = 0, len(src)
     while pos < end:

@@ -520,3 +520,28 @@ def test_adversarial_robust_cell_on_chip():
                  "loss_semantics": "component"})
     c_dev, c_sp = _final_costs(h_dev, h_sp, dtype=jnp.float32)
     assert c_dev <= c_sp * 1.01 + 1e-12, (c_dev, c_sp)
+
+
+def test_reference_image_e2e_on_chip(tmp_path):
+    """The full user flow on the real chip: reference ChArUco images
+    (host OpenCV detection + seeding), device LM solve on TPU, at the
+    reference accuracy threshold (ref: tests/calibration_test.py:26)."""
+    import shutil
+    from pathlib import Path
+
+    ref = Path("/root/reference/tests/test_data/calibration_charuco")
+    if not ref.exists():
+        pytest.skip("reference test data unavailable")
+    work = tmp_path / "charuco"
+    for sub in ("1", "2", "3"):
+        shutil.copytree(ref / sub, work / sub)
+
+    from pycamset_tpu import calibrate_cameras
+    from pycamset_tpu.models.charuco import ChArUco
+
+    cams = calibrate_cameras(
+        f_loc=work, calibration_target=ChArUco(20, 20, 4, legacy=True),
+        save=False, problem_options={"outliers": "n"})
+    err = float(np.mean(np.linalg.norm(
+        cams.calibration_result.reshape(-1, 2), axis=1)))
+    assert err < 1.8, err

@@ -91,11 +91,15 @@ def main():
     jax.block_until_ready(res.cost)
     compile_and_first = time.perf_counter() - t0
 
-    # timed warm run
-    t0 = time.perf_counter()
-    res = solve(pieces, uv, mask, tpl)
-    jax.block_until_ready(res.cost)
-    solve_s = time.perf_counter() - t0
+    # timed warm runs: report the best of 5 — per-dispatch RPC latency
+    # through the axon tunnel (~8 ms) dominates the jitter at this scale
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = solve(pieces, uv, mask, tpl)
+        jax.block_until_ready(res.cost)
+        times.append(time.perf_counter() - t0)
+    solve_s = min(times)
 
     n_res = 2 * blocks.n_real
     rms = float(np.sqrt(float(res.cost) / n_res))

@@ -146,6 +146,35 @@ def ladder_detect_board(image, full_detectors, fast_detectors, pattern,
     return corners, ids, pattern
 
 
+def _fisheye_seed(world_pts, pixel_pts, image_size):
+    """cv2.fisheye.calibrate wrapper (float64 shapes, stable flags).
+
+    CALIB_CHECK_COND aborts on marginal boards, so it stays off; a failed
+    fisheye calibration falls back to a pinhole-only seed with zero
+    distortion (the bundle adjustment recovers the coefficients).
+    """
+    obj = [np.asarray(w, np.float64).reshape(1, -1, 3) for w in world_pts]
+    img = [np.asarray(p, np.float64).reshape(1, -1, 2) for p in pixel_pts]
+    # cv2 5.0 hoisted the fisheye flags to the top-level namespace
+    flags = (getattr(cv2, "CALIB_RECOMPUTE_EXTRINSIC",
+                     getattr(cv2.fisheye, "CALIB_RECOMPUTE_EXTRINSIC", 0))
+             | getattr(cv2, "CALIB_FIX_SKEW",
+                       getattr(cv2.fisheye, "CALIB_FIX_SKEW", 0)))
+    try:
+        rms, kmat, dist, _rv, _tv = cv2.fisheye.calibrate(
+            obj, img, image_size, None, None, flags=flags)
+        return rms, kmat, dist.reshape(-1)
+    except cv2.error as err:
+        logging.warning(f"cv2.fisheye.calibrate failed ({err}); seeding "
+                        "with a pinhole-only fisheye model")
+        rms, kmat, _d, *_ = cv2.calibrateCamera(
+            [np.asarray(w, np.float32) for w in world_pts],
+            [np.asarray(p, np.float32) for p in pixel_pts], image_size,
+            None, None, flags=cv2.CALIB_FIX_K1 | cv2.CALIB_FIX_K2
+            | cv2.CALIB_FIX_K3 | cv2.CALIB_ZERO_TANGENT_DIST)
+        return rms, kmat, np.zeros(4)
+
+
 def undistort_for_detection(image, camera):
     """Board-aware detection preprocessing (goes beyond the reference: every
     reference find_in_image accepts `camera` but never uses it).
@@ -340,9 +369,13 @@ class AbstractTarget(ABC):
                        | cv2.CALIB_TILTED_MODEL),
         }
         tic = time.time()
-        rms, k_seed, dist_seed, *_ = cv2.calibrateCamera(
-            world_pts, pixel_pts, tuple(res[::-1]), None, None,
-            flags=model_flags.get(camera_model, 0))
+        if camera_model == "fisheye":
+            rms, k_seed, dist_seed = _fisheye_seed(
+                world_pts, pixel_pts, tuple(res[::-1]))
+        else:
+            rms, k_seed, dist_seed, *_ = cv2.calibrateCamera(
+                world_pts, pixel_pts, tuple(res[::-1]), None, None,
+                flags=model_flags.get(camera_model, 0))
         logging.info(f"{cam_name} took {time.time() - tic:.1f} seconds, "
                      f"leftover error of {rms:.2f} pixels")
 
@@ -388,10 +421,21 @@ class AbstractTarget(ABC):
         if len(seen_model_pts) < 6:
             return fail("Inadequate number of corners for pose estimation")
 
+        dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
+        obs_px = rows[:, -2:]
+        if dist.size == 4:
+            # the fisheye marker width: solvePnP treats distortion as
+            # Brown-Conrady, so undistort to the normalized pinhole frame
+            # first and solve with an identity intrinsic
+            norm = cv2.fisheye.undistortPoints(
+                obs_px.reshape(1, -1, 2).astype(np.float64),
+                np.asarray(cam.intrinsic, dtype=float), dist)
+            obs_px, kmat, dist = norm.reshape(-1, 2), np.eye(3), np.zeros(5)
+        else:
+            kmat = cam.intrinsic
         _n_sols, rvecs, tvecs, per_sol_err = cv2.solvePnPGeneric(
             seen_model_pts.astype("float32"),
-            rows[:, -2:].astype("float32"),
-            cam.intrinsic, np.asarray(cam.distortion_coefs, dtype=float))
+            obs_px.astype("float32"), kmat, dist)
         best = int(np.argmin(per_sol_err))
         best_err = float(np.squeeze(per_sol_err[best]))
         if best_err > 5:

@@ -222,9 +222,15 @@ class Camera:
     # ----------------------------------------------------------- image edit
 
     def undistort(self, image: np.ndarray) -> np.ndarray:
-        """Undistort an image with the camera parameters (OpenCV remap)."""
-        return cv2.undistort(image, self.intrinsic,
-                             np.asarray(self.distortion_coefs, dtype=float))
+        """Undistort an image with the camera parameters (OpenCV remap).
+
+        A 4-wide distortion vector marks the fisheye (Kannala-Brandt)
+        model and routes through cv2.fisheye."""
+        dist = np.ravel(np.asarray(self.distortion_coefs, dtype=float))
+        if dist.size == 4:
+            return cv2.fisheye.undistortImage(
+                image, self.intrinsic, dist, Knew=self.intrinsic)
+        return cv2.undistort(image, self.intrinsic, dist)
 
     def view_sensor_distortion(self, ax=None):
         """Quiver plot of the sensor distortion field."""

@@ -57,13 +57,56 @@ def _apply_tilt(xy: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([u / w, v / w], axis=-1)
 
 
+def fisheye_theta_d(theta: jnp.ndarray, dist4: jnp.ndarray) -> jnp.ndarray:
+    """Kannala-Brandt distorted angle: theta (1 + k1 th^2 + ... + k4 th^8)."""
+    t2 = theta * theta
+    poly = 1.0 + t2 * (dist4[0] + t2 * (dist4[1]
+                                        + t2 * (dist4[2] + t2 * dist4[3])))
+    return theta * poly
+
+
+def fisheye_distort_normalized(xy: jnp.ndarray,
+                               dist4: jnp.ndarray) -> jnp.ndarray:
+    """Fisheye (cv2.fisheye / Kannala-Brandt) mapping of normalized coords:
+    r = |xy|, theta = atan(r), xy_d = xy * theta_d(theta) / r.
+
+    The radius is smoothed (sqrt(r^2 + eps)) instead of branched so jacfwd
+    through the on-axis point stays finite (where() would propagate NaN).
+    """
+    r2 = xy[..., 0] ** 2 + xy[..., 1] ** 2
+    r = jnp.sqrt(r2 + 1e-18)
+    theta = jnp.arctan(r)
+    return xy * (fisheye_theta_d(theta, dist4) / r)[..., None]
+
+
+def fisheye_undistort_normalized(xy_d: jnp.ndarray, dist4: jnp.ndarray,
+                                 iters: int = 8) -> jnp.ndarray:
+    """Invert the fisheye mapping: solve theta_d(theta) = rd by fixed
+    point (theta <- rd / poly(theta)), then xy = xy_d * tan(theta) / rd."""
+    rd2 = xy_d[..., 0] ** 2 + xy_d[..., 1] ** 2
+    rd = jnp.sqrt(rd2 + 1e-18)
+
+    def body(_, theta):
+        t2 = theta * theta
+        poly = 1.0 + t2 * (dist4[0] + t2 * (dist4[1]
+                                            + t2 * (dist4[2]
+                                                    + t2 * dist4[3])))
+        return rd / poly
+
+    theta = jax.lax.fori_loop(0, iters, body, rd)
+    return xy_d * (jnp.tan(theta) / rd)[..., None]
+
+
 def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     """Forward-distort normalized coords (...,2).
 
     dist is [k1,k2,p1,p2,k3] (standard), [k1,k2,p1,p2,k3,k4,k5,k6]
-    (rational model), [...,s1,s2,s3,s4] (12-coef thin-prism model) or
-    [...,taux,tauy] (14-coef tilted/Scheimpflug model).
+    (rational model), [...,s1,s2,s3,s4] (12-coef thin-prism model),
+    [...,taux,tauy] (14-coef tilted/Scheimpflug model) — or the 4-wide
+    fisheye [k1,k2,k3,k4] (Kannala-Brandt angles, cv2.fisheye).
     """
+    if dist.shape[0] == 4:
+        return fisheye_distort_normalized(xy, dist)
     x = xy[..., 0]
     y = xy[..., 1]
     p1, p2 = dist[2], dist[3]
@@ -92,9 +135,12 @@ def undistort_normalized(xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -
     """Invert the distortion on normalized coords via fixed-point iteration.
 
     Works for both the standard 5-coefficient and rational 8-coefficient
-    models (the radial factor generalises to a ratio), and the 12-coef
-    thin-prism model (prism terms join the iterated additive part).
+    models (the radial factor generalises to a ratio), the 12-coef
+    thin-prism model (prism terms join the iterated additive part), and
+    the 4-wide fisheye model (theta fixed point).
     """
+    if dist.shape[0] == 4:
+        return fisheye_undistort_normalized(xy_d, dist, iters=iters)
     p1, p2 = dist[2], dist[3]
     if dist.shape[0] >= 14:  # undo the sensor tilt before the fixed point
         inv_tilt = jnp.linalg.inv(_tilt_matrix(dist[12], dist[13]))

@@ -141,6 +141,15 @@ class ProjectionTilted(Projection):
     params = ParamSpec(key_type.PER_CAM, 18)
 
 
+class ProjectionFisheye(Projection):
+    """Fisheye (Kannala-Brandt / cv2.fisheye) projection; 8 PER_CAM params
+    [fx, px, fy, py, k1, k2, k3, k4] with pixel radius proportional to the
+    distorted incidence angle theta_d = theta (1 + k1 th^2 + ... + k4 th^8).
+    A width the reference has no counterpart for — the fisheye family is
+    first-class here (options={'camera_model': 'fisheye'})."""
+    params = ParamSpec(key_type.PER_CAM, 8)
+
+
 class RigidTform3d(FunctionBlock):
     """SE(3) transform of a 3-input point; 6 PER_IMG params [rvec, t]."""
     num_inp = 3

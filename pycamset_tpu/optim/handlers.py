@@ -32,8 +32,9 @@ from pycamset_tpu.models.abstract_target import AbstractTarget
 from pycamset_tpu.models.camera_set import CameraSet
 from pycamset_tpu.models.detections import TargetDetection
 from pycamset_tpu.optim.blocks import (
-    Extrinsic3D, FreePoint, Projection, ProjectionRational,
-    ProjectionThinPrism, ProjectionTilted, RigidTform3d, TemplatePoints)
+    Extrinsic3D, FreePoint, Projection, ProjectionFisheye,
+    ProjectionRational, ProjectionThinPrism, ProjectionTilted, RigidTform3d,
+    TemplatePoints)
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.residuals import build_detection_arrays
 from pycamset_tpu.ops import rigid_fit
@@ -48,15 +49,19 @@ DEFAULT_OPTIONS = {
     # "standard" = Brown-Conrady 5-coef (intr 9/cam, the reference model);
     # "rational" = OpenCV CALIB_RATIONAL_MODEL 8-coef (intr 12/cam);
     # "thin_prism" = rational + CALIB_THIN_PRISM_MODEL 12-coef (intr 16/cam);
-    # "tilted" = + CALIB_TILTED_MODEL taux/tauy 14-coef (intr 18/cam)
+    # "tilted" = + CALIB_TILTED_MODEL taux/tauy 14-coef (intr 18/cam);
+    # "fisheye" = cv2.fisheye Kannala-Brandt 4-coef (intr 8/cam; the
+    # 4-wide distortion vector is the fisheye marker throughout)
     "camera_model": "standard",
 }
 
 _CAMERA_MODELS = {"standard": 9, "rational": 12, "thin_prism": 16,
-                  "tilted": 18}
+                  "tilted": 18, "fisheye": 8}
 
 
 def _projection_block(camera_model: str) -> Projection:
+    if camera_model == "fisheye":
+        return ProjectionFisheye()
     if camera_model == "rational":
         return ProjectionRational()
     if camera_model == "thin_prism":
@@ -573,6 +578,16 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
     c = np.stack([ints[cam, 0, 2], ints[cam, 1, 2]], axis=1)
     xy = (uv - c) / f
     x, y = xy[:, 0], xy[:, 1]
+    if dists.shape[1] == 4:  # the fisheye marker width (Kannala-Brandt)
+        r = np.sqrt(x * x + y * y + 1e-18)
+        theta = np.arctan(r)
+        t2 = theta * theta
+        kf = [dists[cam, i] for i in range(4)]
+        theta_d = theta * (1 + t2 * (kf[0] + t2 * (kf[1]
+                                                   + t2 * (kf[2]
+                                                           + t2 * kf[3]))))
+        pred = xy * (theta_d / r)[:, None] * f + c
+        return pred - dd[:, 3:5]
     k1, k2, p1, p2, k3 = (dists[cam, i] for i in range(5))
     r2 = x * x + y * y
     radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
@@ -654,7 +669,9 @@ def estimate_camera_relative_poses(
     mat_rt_ac = mac_rt[:, None] @ mat_ac                        # (C,I,4,4)
 
     dlists = [np.reshape(c.distortion_coefs, -1) for c in cams]
-    n_dist = max(5, max((d.size for d in dlists), default=5))
+    widest = max((d.size for d in dlists), default=5)
+    # width 4 marks the fisheye model; every other family is 5+ wide
+    n_dist = 4 if widest == 4 else max(5, widest)
     dists = np.array([_pack_dist(d, n_dist) for d in dlists])
     ints = np.array([c.intrinsic for c in cams])
     proj = ints @ mrt_ac[:, :3, :]

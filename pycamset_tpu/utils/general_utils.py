@@ -302,12 +302,20 @@ def downsample_valid(inp: np.ndarray, d_factor: int, invalid=None) -> np.ndarray
 
 def distort_points(pts: np.ndarray, intrinsics: np.ndarray,
                    dist_coef: np.ndarray) -> np.ndarray:
-    """Distort pixel points with Brown–Conrady (host-side numpy version)."""
+    """Distort pixel points (host-side numpy): Brown–Conrady, or the
+    fisheye (Kannala-Brandt) model when the vector is 4 wide."""
     centre = intrinsics[:2, -1]
     focal = np.diag(intrinsics)[:2]
     x, y = (np.asarray(pts, dtype=float) - centre) / focal
     r2 = x ** 2 + y ** 2
     d = np.reshape(dist_coef, (-1,))
+    if d.size == 4:
+        r = np.sqrt(r2 + 1e-18)
+        theta = np.arctan(r)
+        t2 = theta * theta
+        theta_d = theta * (1 + t2 * (d[0] + t2 * (d[1] + t2 * (d[2]
+                                                               + t2 * d[3]))))
+        return np.array([x, y]) * (theta_d / r) * focal + centre
     k1, k2, p1, p2, k3 = d[:5]
     radial = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
     if d.size >= 8:  # rational model: radial becomes a polynomial ratio
@@ -353,9 +361,14 @@ def sensor_map(map_type, intrinsics, res=(1600, 1200), dist_coefs=None):
     u, v, _ = px_array(res=res, startZero=True)
     px = np.stack([u.ravel(), v.ravel()], axis=1).astype(float)
     if dist_coefs is not None:
-        px = cv2.undistortImagePoints(
-            px, np.asarray(intrinsics, dtype=float),
-            np.asarray(dist_coefs, dtype=float)).reshape(-1, 2)
+        kmat = np.asarray(intrinsics, dtype=float)
+        dist = np.ravel(np.asarray(dist_coefs, dtype=float))
+        if dist.size == 4:  # the fisheye marker width
+            norm = cv2.fisheye.undistortPoints(
+                px.reshape(1, -1, 2), kmat, dist).reshape(-1, 2)
+            px = norm * np.diag(kmat)[:2] + kmat[:2, 2]
+        else:
+            px = cv2.undistortImagePoints(px, kmat, dist).reshape(-1, 2)
     homog = np.hstack([px, np.ones((len(px), 1))])
     rays = (homog @ np.linalg.inv(intrinsics).T).reshape(res[0], res[1], 3)
     if map_type == "normalised":

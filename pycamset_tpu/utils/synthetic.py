@@ -48,11 +48,12 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         template (K,3), dd (N,5) observation table, and metadata.
     """
     rng = np.random.default_rng(seed)
+    fisheye = camera_model == "fisheye"
     rational = camera_model in ("rational", "thin_prism", "tilted")
     prism = camera_model in ("thin_prism", "tilted")
     tilted = camera_model == "tilted"
     intr_w = {"standard": 9, "rational": 12, "thin_prism": 16,
-              "tilted": 18}[camera_model]
+              "tilted": 18, "fisheye": 8}[camera_model]
     k = grid * grid
     tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
     tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
@@ -61,6 +62,21 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     extr = np.zeros((n_cams, 6))
     for c in range(n_cams):
         f = rng.uniform(1400, 1600)
+        if fisheye:
+            # wide lens: shorter focal, Kannala-Brandt angle polynomial
+            f = rng.uniform(550, 650)
+            intr[c, :8] = [f, res[0] / 2 + rng.normal() * 5,
+                           f * rng.uniform(0.99, 1.01),
+                           res[1] / 2 + rng.normal() * 5,
+                           rng.uniform(-0.08, -0.02),
+                           rng.uniform(0.0, 0.03),
+                           rng.normal() * 2e-3, rng.normal() * 5e-4]
+            ang = 2 * np.pi * c / n_cams
+            pos = np.array([np.cos(ang), np.sin(ang),
+                            rng.uniform(0.3, 0.8)]) * rng.uniform(0.9, 1.1)
+            rvec, tvec = ext_4x4_to_rod(look_at_extrinsic(pos, np.zeros(3)))
+            extr[c] = np.concatenate([rvec, tvec])
+            continue
         intr[c, :9] = [f, res[0] / 2 + rng.normal() * 5,
                        f * rng.uniform(0.99, 1.01), res[1] / 2 + rng.normal() * 5,
                        rng.uniform(-0.25, -0.05), rng.uniform(0.0, 0.08),
@@ -90,6 +106,19 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     # project everything (host numpy; mirrors the device projection model)
     def project(c, pts):
         fx, px, fy, py = intr[c, :4]
+        if fisheye:
+            t = make_4x4h_tform(extr[c, :3], extr[c, 3:])
+            xc = pts @ t[:3, :3].T + t[:3, 3]
+            xy = xc[:, :2] / xc[:, 2:3]
+            r = np.sqrt(np.sum(xy * xy, axis=1) + 1e-18)
+            theta = np.arctan(r)
+            t2 = theta * theta
+            k1f, k2f, k3f, k4f = intr[c, 4:8]
+            theta_d = theta * (1 + t2 * (k1f + t2 * (k2f + t2 * (k3f
+                                                                 + t2 * k4f))))
+            xy_d = xy * (theta_d / r)[:, None]
+            return (np.stack([xy_d[:, 0] * fx + px, xy_d[:, 1] * fy + py], 1),
+                    xc[:, 2])
         k1, k2, p1, p2, k3 = intr[c, 4:9]
         t = make_4x4h_tform(extr[c, :3], extr[c, 3:])
         xc = pts @ t[:3, :3].T + t[:3, 3]

@@ -187,7 +187,7 @@ def test_unknown_camera_model_raises():
         from pycamset_tpu.optim.handlers import TemplateBundleHandler
         h, _ = _make_handler()
         TemplateBundleHandler(h.camset, h.target, h.detection,
-                              options={"camera_model": "fisheye"})
+                              options={"camera_model": "omnidirectional"})
 
 
 if __name__ == "__main__":

@@ -545,3 +545,21 @@ def test_reference_image_e2e_on_chip(tmp_path):
     err = float(np.mean(np.linalg.norm(
         cams.calibration_result.reshape(-1, 2), axis=1)))
     assert err < 1.8, err
+
+
+def test_fisheye_solve_on_chip():
+    """The fisheye (Kannala-Brandt) chain solves on the real chip via the
+    structured backend's jacfwd gram path (no Pallas kernel serves the
+    8-wide intrinsics; the fallback must compile and converge in f32)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_fisheye_model import _fisheye_handler
+
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    handler, rig = _fisheye_handler()
+    res, _cams = run_bundle_adjustment(handler, backend="structured")
+    rms = float(np.sqrt(np.mean(res["fun"] ** 2)))
+    assert rms < 2.0 * rig["noise_px"], rms

@@ -187,5 +187,44 @@ def test_fisheye_camset_persistence_roundtrip(tmp_path):
     assert back == cams
 
 
+def test_fisheye_analytic_chain_matches_jacfwd():
+    """The registered closed form for the fisheye template chain matches
+    the jacfwd oracle (same pattern as tests/test_analytic.py)."""
+    import jax
+    import jax.numpy as jnp
+    from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, ProjectionFisheye, TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+
+    op_fun = OptimFunction([ProjectionFisheye(), Extrinsic3D(),
+                            TemplatePoints()])
+    rj = analytic_block_rj_for_chain(op_fun)
+    assert rj is not None, "fisheye chain missing from the analytic registry"
+
+    rng = np.random.default_rng(2)
+    cam = jnp.asarray(np.concatenate(
+        [[600.0, 640, 610.0, 480], K4, [0.02, -0.03, 0.01, 0.05, 0.02, 1.1]]))
+    pose = jnp.asarray([0.1, -0.05, 0.2, 0.01, 0.02, 0.3])
+    tpl = jnp.asarray(rng.normal(size=(24, 3)) * 0.1)
+    uv = jnp.asarray(rng.normal(size=(24, 2)) * 100 + 500)
+
+    r, jc, ji, jk = rj(cam, pose, jnp.zeros((24, 0)), tpl, uv)
+
+    point_fn = op_fun.make_point_fn()
+
+    def slot(cam_p, pose_p, t, u):
+        return point_fn(jnp.concatenate([cam_p, pose_p]), t) - u
+
+    r_ref = jax.vmap(slot, in_axes=(None, None, 0, 0))(cam, pose, tpl, uv)
+    jc_ref, ji_ref = jax.vmap(
+        jax.jacfwd(slot, argnums=(0, 1)), in_axes=(None, None, 0, 0))(
+            cam, pose, tpl, uv)
+    np.testing.assert_allclose(np.array(r), np.array(r_ref), atol=1e-9)
+    np.testing.assert_allclose(np.array(jc), np.array(jc_ref), atol=1e-7)
+    np.testing.assert_allclose(np.array(ji), np.array(ji_ref), atol=1e-7)
+    assert jk.shape[-1] == 0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -110,41 +110,65 @@ def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
     return _gram_kernel
 
 
-def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
-                        semantics="observation"):
-    """Shared projection math: residuals + camera/pose Jacobian columns.
+# Mosaic lowers neither atan nor atan2; the fisheye kernel needs arctan on
+# [0, inf). Branchless reduction atan(r) = pi/2 - atan(1/r) for r > 1, with
+# a 12-term even-polynomial minimax fit of atan(z)/z on [0, 1] (max abs
+# error 5.3e-11 — far below the f32 kernel noise floor).
+_ATAN_COEFS = (
+    0.99999999994739608, -0.33333331721055626, 0.19999918070479689,
+    -0.14284074982722841, 0.11093997231858699, -0.089837756280694986,
+    0.072560280218021633, -0.054472057202362319, 0.034441516800498333,
+    -0.016284717861245711, 0.0049238824145839645, -0.00069807067691300792)
 
-    pts3 is the (3, K) 3D point table (the constant template for the
-    template chain, the free PER_KEY points for self-cal). Returns
-    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col)
-    where ju/jv hold the a+6 camera+pose columns (row-mask NOT applied),
-    mu/mv carry the per-row IRLS sqrt-weights when the loss is robust
-    (identical under per-observation semantics, distinct per component), and
-    col/du_xc/dv_xc let callers build extra columns (e.g. the self-cal
-    chain's per-key Jk)."""
 
-    def col(off):                             # (8, 1) scalar-per-block column
-        return prm[:, off:off + 1]
+def _kernel_atan(r):
+    """arctan for r >= 0, in primitives Mosaic can lower."""
+    big = r > 1.0
+    z = jnp.where(big, 1.0 / r, r)
+    z2 = z * z
+    acc = jnp.full_like(z, _ATAN_COEFS[-1])
+    for c in _ATAN_COEFS[-2::-1]:
+        acc = acc * z2 + c
+    atan_z = z * acc
+    return jnp.where(big, jnp.pi / 2 - atan_z, atan_z)
 
-    xt = [pts3[i:i + 1, :] for i in range(3)]  # 3 x (1, K)
 
-    # Xw = Rp @ Xt + tp ; per-component (8, K)
-    def rot_apply(base, vecs):
-        return [col(base + 3 * a + 0) * vecs[0] + col(base + 3 * a + 1) * vecs[1]
-                + col(base + 3 * a + 2) * vecs[2] for a in range(3)]
+def _fisheye_columns(col, offs, x, y, r2):
+    """Kannala-Brandt distorted-normalized coords + partials for the kernel
+    core (intr layout [fx,px,fy,py,k1..k4]); mirrors
+    analytic._fisheye_partials_tail on the (8, K) grid."""
+    k1, k2, k3, k4 = (col(offs["intr"] + 4 + i) for i in range(4))
+    r = jnp.sqrt(r2 + 1e-18)
+    inv_r = 1.0 / r
+    theta = _kernel_atan(r)
+    t2 = theta * theta
+    poly = 1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))
+    s_ = theta * poly * inv_r
+    xd = s_ * x
+    yd = s_ * y
+    jxd, jyd = [], []
+    tp = t2 * theta
+    for _ in range(4):
+        jxd.append(x * tp * inv_r)
+        jyd.append(y * tp * inv_r)
+        tp = tp * t2
+    dtheta_d = poly + 2.0 * t2 * (k1 + t2 * (2.0 * k2
+                                             + t2 * (3.0 * k3
+                                                     + t2 * 4.0 * k4)))
+    g = (dtheta_d / (1.0 + r2) - s_) * inv_r * inv_r
+    dxd_dx = s_ + x * x * g
+    dxd_dy = x * y * g
+    dyd_dx = dxd_dy
+    dyd_dy = s_ + y * y * g
+    return xd, yd, jxd, jyd, dxd_dx, dxd_dy, dyd_dx, dyd_dy
 
-    xw = rot_apply(offs["rp"], xt)
-    xw = [xw[a] + col(offs["tp"] + a) for a in range(3)]
-    xc = rot_apply(offs["re"], xw)
-    xc = [xc[a] + col(offs["te"] + a) for a in range(3)]
 
-    fx, px, fy, py = (col(offs["intr"] + i) for i in range(4))
+def _brown_columns(col, offs, intr_w, x, y, r2):
+    """Brown-family distorted-normalized coords + partials for the kernel
+    core (standard/rational/thin-prism/tilted intr layouts)."""
     k1, k2, p1, p2, k3 = (col(offs["intr"] + 4 + i) for i in range(5))
-
-    inv_z = 1.0 / xc[2]
-    x = xc[0] * inv_z
-    y = xc[1] * inv_z
-    r2 = x * x + y * y
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
     num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
     dnum = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
     if intr_w >= 12:  # rational model: radial is a polynomial ratio
@@ -223,6 +247,51 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
             a00 * dxd_dx + a01 * dyd_dx, a00 * dxd_dy + a01 * dyd_dy,
             a10 * dxd_dx + a11 * dyd_dx, a10 * dxd_dy + a11 * dyd_dy)
         xd, yd = xtl, ytl
+    return xd, yd, jxd, jyd, dxd_dx, dxd_dy, dyd_dx, dyd_dy
+
+
+def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
+                        semantics="observation"):
+    """Shared projection math: residuals + camera/pose Jacobian columns.
+
+    pts3 is the (3, K) 3D point table (the constant template for the
+    template chain, the free PER_KEY points for self-cal). Returns
+    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col)
+    where ju/jv hold the a+6 camera+pose columns (row-mask NOT applied),
+    mu/mv carry the per-row IRLS sqrt-weights when the loss is robust
+    (identical under per-observation semantics, distinct per component), and
+    col/du_xc/dv_xc let callers build extra columns (e.g. the self-cal
+    chain's per-key Jk)."""
+
+    def col(off):                             # (8, 1) scalar-per-block column
+        return prm[:, off:off + 1]
+
+    xt = [pts3[i:i + 1, :] for i in range(3)]  # 3 x (1, K)
+
+    # Xw = Rp @ Xt + tp ; per-component (8, K)
+    def rot_apply(base, vecs):
+        return [col(base + 3 * a + 0) * vecs[0] + col(base + 3 * a + 1) * vecs[1]
+                + col(base + 3 * a + 2) * vecs[2] for a in range(3)]
+
+    xw = rot_apply(offs["rp"], xt)
+    xw = [xw[a] + col(offs["tp"] + a) for a in range(3)]
+    xc = rot_apply(offs["re"], xw)
+    xc = [xc[a] + col(offs["te"] + a) for a in range(3)]
+
+    fx, px, fy, py = (col(offs["intr"] + i) for i in range(4))
+
+    inv_z = 1.0 / xc[2]
+    x = xc[0] * inv_z
+    y = xc[1] * inv_z
+    r2 = x * x + y * y
+    if intr_w == 8:
+        (xd, yd, jxd, jyd, dxd_dx, dxd_dy, dyd_dx,
+         dyd_dy) = _fisheye_columns(col, offs, x, y, r2)
+    else:
+        (xd, yd, jxd, jyd, dxd_dx, dxd_dy, dyd_dx,
+         dyd_dy) = _brown_columns(col, offs, intr_w, x, y, r2)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
 
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
@@ -468,7 +537,7 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
     tilted (a=24) camera models."""
     from pycamset_tpu.optim.losses import make_loss
     a, bw, c = widths.a, widths.b, widths.c
-    assert a in (15, 18, 22, 24) and (bw, c) == (6, 3)
+    assert a in (14, 15, 18, 22, 24) and (bw, c) == (6, 3)
     intr_w = a - 6
     gram_w = a + 6 + 1
     _, ppb = _layout(intr_w)
@@ -566,7 +635,7 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
     """
     from pycamset_tpu.optim.structured import GroupWidths
     a, bw, c = widths.a, widths.b, widths.c
-    assert a in (15, 18, 22, 24) and (bw, c) == (0, 3)
+    assert a in (14, 15, 18, 22, 24) and (bw, c) == (0, 3)
     inner = make_pallas_selfcal_grams(GroupWidths(a, 6, 3), loss=loss,
                                       f_scale=f_scale,
                                       loss_semantics=loss_semantics)
@@ -740,7 +809,7 @@ def _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
     from pycamset_tpu.optim.losses import make_loss
     a, bw = widths.a, widths.b
     cw = 9 if with_key_cols else 6
-    assert a in (15, 18, 22, 24) and bw == 6 and widths.c == cw
+    assert a in (14, 15, 18, 22, 24) and bw == 6 and widths.c == cw
     intr_w = a - 6
     gram_w = a + 6 + 1
     _, ppb = _layout(intr_w)
@@ -865,7 +934,7 @@ def make_pallas_template_grams(widths, loss: str = "linear",
     (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk, cost).
     """
     a, bwidth = widths.a, widths.b
-    assert (bwidth, widths.c) == (6, 0) and a in (15, 18, 22, 24)
+    assert (bwidth, widths.c) == (6, 0) and a in (14, 15, 18, 22, 24)
     intr_w = a - 6
 
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):

@@ -343,32 +343,32 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             make_pallas_freepoint_grams, make_pallas_selfcal_grams,
             make_pallas_template_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-        if (b, c) == (6, 0) and a in (15, 18, 22, 24) and names[1:] == (
+        if (b, c) == (6, 0) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "TemplatePoints") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted"):
+                "ProjectionTilted", "ProjectionFisheye"):
             grams = make_pallas_template_grams(widths, loss=loss,
                                                f_scale=f_scale,
                                                loss_semantics=loss_semantics)
-        elif (b, c) == (6, 3) and a in (15, 18, 22, 24) and names[1:] == (
+        elif (b, c) == (6, 3) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted"):
+                "ProjectionTilted", "ProjectionFisheye"):
             grams = make_pallas_selfcal_grams(widths, loss=loss,
                                               f_scale=f_scale,
                                               loss_semantics=loss_semantics)
-        elif (b, c) == (0, 3) and a in (15, 18, 22, 24) and names[1:] == (
+        elif (b, c) == (0, 3) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted"):
+                "ProjectionTilted", "ProjectionFisheye"):
             grams = make_pallas_freepoint_grams(widths, loss=loss,
                                                 f_scale=f_scale,
                                                 loss_semantics=loss_semantics)
-        elif (b, c) == (6, 6) and a in (15, 18, 22, 24) and names[1:] == (
+        elif (b, c) == (6, 6) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "RigidTform3d", "GroupTemplatePoints"
                 ) and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted"):
+                "ProjectionTilted", "ProjectionFisheye"):
             # grouped multi-target template chain: the group pose columns
             # ride the key grid, the 3D point comes from the template
             from pycamset_tpu.optim.pallas_grams import (

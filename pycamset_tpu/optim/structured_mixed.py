@@ -142,14 +142,15 @@ def resolve_mixed_grams(op_fun: OptimFunction, widths: MixedWidths,
     names = tuple(type(bk).__name__ for bk in op_fun.blocks)
     if (jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")
-            and widths.a in (15, 18, 22, 24) and widths.b == 6
+            and widths.a in (14, 15, 18, 22, 24) and widths.b == 6
             and (widths.ck, widths.cg) == (3, 6)
             and widths.grp_cols == (0, 1, 2, 3, 4, 5)
             and widths.key_cols == (6, 7, 8)
             and names[1:] == ("Extrinsic3D", "RigidTform3d",
                               "GroupRigidTform3d", "FreePoint")
             and names[0] in ("Projection", "ProjectionRational",
-                             "ProjectionThinPrism", "ProjectionTilted")):
+                             "ProjectionThinPrism", "ProjectionTilted",
+                             "ProjectionFisheye")):
         from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams
         return make_pallas_mixed_grams(
             GroupWidths(widths.a, widths.b, widths.c), loss=loss,

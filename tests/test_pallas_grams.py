@@ -23,14 +23,15 @@ def _interp_shim(monkeypatch):
 
 
 @pytest.mark.parametrize("model", ["standard", "rational", "thin_prism",
-                                   "tilted"])
+                                   "tilted", "fisheye"])
 def test_pallas_selfcal_grams_match_xla(monkeypatch, model):
     import jax.numpy as jnp
 
     pg = _interp_shim(monkeypatch)
     from pycamset_tpu.optim.blocks import (
-        Extrinsic3D, FreePoint, Projection, ProjectionRational,
-        ProjectionThinPrism, ProjectionTilted, RigidTform3d)
+        Extrinsic3D, FreePoint, Projection, ProjectionFisheye,
+        ProjectionRational, ProjectionThinPrism, ProjectionTilted,
+        RigidTform3d)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         build_block_arrays, chain_widths, make_block_grams,
@@ -38,7 +39,8 @@ def test_pallas_selfcal_grams_match_xla(monkeypatch, model):
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     proj = {"standard": Projection, "rational": ProjectionRational,
-            "thin_prism": ProjectionThinPrism, "tilted": ProjectionTilted}[model]
+            "thin_prism": ProjectionThinPrism, "tilted": ProjectionTilted,
+            "fisheye": ProjectionFisheye}[model]
     rig = make_synthetic_rig(n_cams=3, n_ims=5, grid=4, visibility=0.8,
                              noise_px=0.5, seed=2, camera_model=model)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
@@ -202,7 +204,9 @@ def test_pallas_template_grams_robust_match_xla(monkeypatch, loss, semantics):
                                         ("thin_prism", "linear"),
                                         ("thin_prism", "huber"),
                                         ("tilted", "linear"),
-                                        ("tilted", "huber")])
+                                        ("tilted", "huber"),
+                                        ("fisheye", "linear"),
+                                        ("fisheye", "huber")])
 def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
     """The parametrized kernel serves the RATIONAL (a=18), THIN-PRISM
     (a=22) and TILTED (a=24) models: ratio radial, 1/den numerator columns,
@@ -212,8 +216,8 @@ def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
 
     pg = _interp_shim(monkeypatch)
     from pycamset_tpu.optim.blocks import (
-        Extrinsic3D, ProjectionRational, ProjectionThinPrism,
-        ProjectionTilted, TemplatePoints)
+        Extrinsic3D, ProjectionFisheye, ProjectionRational,
+        ProjectionThinPrism, ProjectionTilted, TemplatePoints)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         build_block_arrays, chain_widths, make_block_grams,
@@ -224,10 +228,12 @@ def test_pallas_extended_template_grams_match_xla(monkeypatch, model, loss):
                              noise_px=2.0, seed=6, camera_model=model)
     n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
     proj = {"rational": ProjectionRational, "thin_prism": ProjectionThinPrism,
+            "fisheye": ProjectionFisheye,
             "tilted": ProjectionTilted}[model]()
     op_fun = OptimFunction([proj, Extrinsic3D(), TemplatePoints()])
     widths = chain_widths(op_fun)
-    assert widths.a == {"rational": 18, "thin_prism": 22, "tilted": 24}[model]
+    assert widths.a == {"rational": 18, "thin_prism": 22,
+                        "tilted": 24, "fisheye": 14}[model]
     struct = op_fun.param_struct(n_cams, n_ims, n_keys)
     blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
                                 k_pad_multiple=8)

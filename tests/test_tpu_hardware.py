@@ -28,16 +28,17 @@ def _rig_problem(model="standard", chain="template", n_cams=3, n_ims=5,
     import jax.numpy as jnp
 
     from pycamset_tpu.optim.blocks import (
-        Extrinsic3D, FreePoint, Projection, ProjectionRational,
-        ProjectionThinPrism, ProjectionTilted, RigidTform3d, TemplatePoints)
+        Extrinsic3D, FreePoint, Projection, ProjectionFisheye,
+        ProjectionRational, ProjectionThinPrism, ProjectionTilted,
+        RigidTform3d, TemplatePoints)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         ParamPieces, build_block_arrays, chain_widths, split_full_params)
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     proj = {"standard": Projection, "rational": ProjectionRational,
-            "thin_prism": ProjectionThinPrism,
-            "tilted": ProjectionTilted}[model]
+            "thin_prism": ProjectionThinPrism, "tilted": ProjectionTilted,
+            "fisheye": ProjectionFisheye}[model]
     rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
                              visibility=0.85, noise_px=noise, seed=seed,
                              camera_model=model)
@@ -79,7 +80,8 @@ def _rig_problem(model="standard", chain="template", n_cams=3, n_ims=5,
 @pytest.mark.parametrize("model,chain", [
     ("standard", "template"), ("rational", "template"),
     ("thin_prism", "template"), ("tilted", "template"),
-    ("standard", "selfcal"), ("tilted", "selfcal")])
+    ("standard", "selfcal"), ("tilted", "selfcal"),
+    ("fisheye", "template"), ("fisheye", "selfcal")])
 def test_compiled_pallas_gram_parity(model, chain):
     """COMPILED (Mosaic, not interpret) Pallas grams match the XLA closed
     form on the chip in float32 for every served intrinsic width."""

@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-MODELS = ["standard", "rational", "thin_prism", "tilted"]
+MODELS = ["standard", "rational", "thin_prism", "tilted", "fisheye"]
 CHAINS = ["template", "selfcal"]
 
 
@@ -29,8 +29,9 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
 
     from pycamset_tpu.config import default_device_dtype
     from pycamset_tpu.optim.blocks import (
-        Extrinsic3D, FreePoint, Projection, ProjectionRational,
-        ProjectionThinPrism, ProjectionTilted, RigidTform3d, TemplatePoints)
+        Extrinsic3D, FreePoint, Projection, ProjectionFisheye,
+        ProjectionRational, ProjectionThinPrism, ProjectionTilted,
+        RigidTform3d, TemplatePoints)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         ParamPieces, build_block_arrays, chain_widths, make_structured_neq,
@@ -39,8 +40,8 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     proj = {"standard": Projection, "rational": ProjectionRational,
-            "thin_prism": ProjectionThinPrism,
-            "tilted": ProjectionTilted}[model]
+            "thin_prism": ProjectionThinPrism, "tilted": ProjectionTilted,
+            "fisheye": ProjectionFisheye}[model]
     dtype = default_device_dtype()
     rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
                              visibility=0.85, noise_px=0.3, seed=0,

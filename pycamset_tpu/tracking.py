@@ -52,7 +52,9 @@ class TargetTracker:
         # CPU = f64, TPU = f32 (+highest matmul precision), like the solver
         self._dtype = default_device_dtype()
         dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
-        n_dist = max(5, max(d.size for d in dists))
+        widest = max(d.size for d in dists)
+        # width 4 marks the fisheye model; every other family is 5+ wide
+        n_dist = 4 if widest == 4 else max(5, widest)
         self._intr = jnp.asarray(np.stack([
             np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
             for n, d in zip(names, dists)]), dtype=self._dtype)

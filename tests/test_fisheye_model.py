@@ -224,6 +224,38 @@ def test_fisheye_analytic_chain_matches_jacfwd():
     np.testing.assert_allclose(np.array(jc), np.array(jc_ref), atol=1e-7)
     np.testing.assert_allclose(np.array(ji), np.array(ji_ref), atol=1e-7)
     assert jk.shape[-1] == 0
+def test_fisheye_target_tracking():
+    """TargetTracker projects through the fisheye model when the rig's
+    distortion vectors are 4 wide."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.tracking import TargetTracker
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=6, visibility=0.9,
+                             noise_px=0.2, seed=12, camera_model="fisheye")
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i8 = rig["intr"][c]
+        k_mats.append(np.array([[i8[0], 0, i8[1]], [0, i8[2], i8[3]],
+                                [0, 0, 1]]))
+        dists.append(i8[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        [f"c{i}" for i in range(3)], exts, k_mats, dists, [[1600, 1200]] * 3))
+    det = TargetDetection(cam_names=[f"c{i}" for i in range(3)],
+                          data=rig["dd"])
+    tracker = TargetTracker(cams, FreePointTarget(
+        rig["template"].reshape(1, -1, 3)))
+    poses, info = tracker.track_batch(det)
+    assert float(np.max(info["rms"])) < 0.4
+    for i in range(6):
+        want = make_4x4h_tform(rig["poses"][i][:3], rig["poses"][i][3:])
+        # the short fisheye focal (~600 px) halves angular resolution
+        # vs the Brown fixtures; tolerance scales accordingly
+        np.testing.assert_allclose(poses[i], want, atol=6e-3)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,8 @@ class FixedCameraPoseHandler(TemplateBundleHandler):
                 options["camera_model"] = "thin_prism"
             elif n_dist > 5:
                 options["camera_model"] = "rational"
+            elif n_dist == 4:  # the fisheye marker width
+                options["camera_model"] = "fisheye"
         super().__init__(camset, target, detection,
                          fixed_params=make_fixed_camera_params(camset),
                          options=options, missing_poses=missing_poses)

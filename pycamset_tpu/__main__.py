@@ -41,7 +41,8 @@ def _add_calibrate(sub):
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
     p.add_argument("--camera-model",
-                   choices=["standard", "rational", "thin_prism", "tilted"],
+                   choices=["standard", "rational", "thin_prism", "tilted",
+                            "fisheye"],
                    default="standard",
                    help="distortion model: 5-coef Brown-Conrady (standard), "
                         "8-coef rational, 12-coef thin-prism, or 14-coef "

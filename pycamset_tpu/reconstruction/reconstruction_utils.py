@@ -29,10 +29,15 @@ def _as_cloud(points: np.ndarray, scalars=None):
 
 
 def undistort_im(image, cam: Camera) -> np.ndarray:
-    """Undistort an image with a camera model (keeps the intrinsic)."""
-    return cv2.undistort(image, cam.intrinsic,
-                         np.asarray(cam.distortion_coefs, dtype=float),
-                         None, cam.intrinsic)
+    """Undistort an image with a camera model (keeps the intrinsic).
+
+    A 4-wide distortion vector marks the fisheye (Kannala-Brandt) model
+    and routes through cv2.fisheye."""
+    dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
+    if dist.size == 4:
+        return cv2.fisheye.undistortImage(image, cam.intrinsic, dist,
+                                          Knew=cam.intrinsic)
+    return cv2.undistort(image, cam.intrinsic, dist, None, cam.intrinsic)
 
 
 def depth_image_ptcloud_mask(depth_im, mind, maxd) -> np.ndarray:
@@ -43,10 +48,17 @@ def depth_image_ptcloud_mask(depth_im, mind, maxd) -> np.ndarray:
 
 
 def remap_im(im, cam: Camera, new_rot, new_proj, new_size) -> np.ndarray:
-    """Remap an image onto a rectified projection."""
+    """Remap an image onto a rectified projection.
+
+    Fisheye cameras (4-wide distortion) reach this only pre-undistorted
+    (rectify_camera_images), so the Brown map must not misread the 4-wide
+    vector; zero coefficients are used in that case."""
+    dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
+    if dist.size == 4:
+        dist = np.zeros(5)
     maps = cv2.initUndistortRectifyMap(
-        cam.intrinsic, np.asarray(cam.distortion_coefs, dtype=float),
-        new_rot, new_proj, tuple(new_size), cv2.CV_32FC1)
+        cam.intrinsic, dist, new_rot, new_proj, tuple(new_size),
+        cv2.CV_32FC1)
     return cv2.remap(im, *maps, cv2.INTER_CUBIC)
 
 
@@ -60,9 +72,12 @@ def rectify_camera_pair(cam_0: Camera, cam_1: Camera, zero_flag: bool = False):
     rel_t = np.ascontiguousarray(cam0_to_cam1[:3, 3]).reshape(3, 1)
 
     def dist_of(cam):
-        if zero_flag:  # images are pre-undistorted by the caller
+        dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
+        if zero_flag or dist.size == 4:
+            # images are pre-undistorted by the caller; a 4-wide fisheye
+            # vector must never be fed to the Brown stereoRectify
             return np.zeros(5)
-        return np.asarray(cam.distortion_coefs, dtype=float)
+        return dist
 
     size = tuple(cam_0.res)
     r0, r1, p0, p1, q, roi0, _roi1 = cv2.stereoRectify(

@@ -256,6 +256,36 @@ def test_fisheye_target_tracking():
         # the short fisheye focal (~600 px) halves angular resolution
         # vs the Brown fixtures; tolerance scales accordingly
         np.testing.assert_allclose(poses[i], want, atol=6e-3)
+def test_fisheye_rectification_path(tmp_path):
+    """The stereo-rectification pipeline accepts fisheye cameras: the
+    pre-undistortion routes through cv2.fisheye, and a rendered dot lands
+    at its pinhole position after undistort_im."""
+    import cv2
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.reconstruction.reconstruction_utils import (
+        rectify_camera_images, undistort_im)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    cam0 = Camera(intrinsic=KMAT, distortion_coefs=K4, res=[1280, 960],
+                  name="L")
+    cam1 = Camera(extrinsic=make_4x4h_tform(np.zeros(3), [0.1, 0, 0]),
+                  intrinsic=KMAT, distortion_coefs=K4, res=[1280, 960],
+                  name="R")
+
+    # render one dot at the fisheye projection of a world point
+    world_pt = np.array([[0.35, 0.22, 1.3]])
+    im = np.zeros((960, 1280), np.uint8)
+    uv_fish = cam0.project_points(world_pt)[0]
+    cv2.circle(im, tuple(np.round(uv_fish).astype(int)), 4, 255, -1)
+
+    und = undistort_im(im, cam0)
+    pin = (world_pt[0, :2] / world_pt[0, 2]) * np.diag(KMAT)[:2] + KMAT[:2, 2]
+    ys, xs = np.nonzero(und > 64)
+    centroid = np.array([xs.mean(), ys.mean()])
+    np.testing.assert_allclose(centroid, pin, atol=1.5)
+
+    r0, r1, q = rectify_camera_images(cam0, cam1, im, im.copy())
+    assert r0.shape == im.shape and np.isfinite(q).all()
 
 
 if __name__ == "__main__":

@@ -191,7 +191,9 @@ def undistort_for_detection(image, camera):
     if camera is None:
         return image, None
     dist = np.reshape(np.asarray(camera.distortion_coefs, dtype=float), -1)
-    if not np.any(dist):
+    # a 4-wide (fisheye) vector warps even with all-zero coefficients —
+    # the equidistant mapping is never the identity
+    if dist.size != 4 and not np.any(dist):
         return image, None
     und = camera.undistort(image)
     kmat = np.asarray(camera.intrinsic, dtype=float)
@@ -423,10 +425,14 @@ class AbstractTarget(ABC):
 
         dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
         obs_px = rows[:, -2:]
+        err_scale = 1.0
         if dist.size == 4:
             # the fisheye marker width: solvePnP treats distortion as
             # Brown-Conrady, so undistort to the normalized pinhole frame
-            # first and solve with an identity intrinsic
+            # first and solve with an identity intrinsic; the residuals are
+            # then in normalized units and rescale by the focal for the
+            # pixel-threshold check below
+            err_scale = float(cam.intrinsic[0, 0])
             norm = cv2.fisheye.undistortPoints(
                 obs_px.reshape(1, -1, 2).astype(np.float64),
                 np.asarray(cam.intrinsic, dtype=float), dist)
@@ -437,7 +443,7 @@ class AbstractTarget(ABC):
             seen_model_pts.astype("float32"),
             obs_px.astype("float32"), kmat, dist)
         best = int(np.argmin(per_sol_err))
-        best_err = float(np.squeeze(per_sol_err[best]))
+        best_err = float(np.squeeze(per_sol_err[best])) * err_scale
         if best_err > 5:
             logging.warning(
                 f"Initial error of {best_err: .2f} found for a pose detection.")

@@ -157,10 +157,13 @@ class Camera:
         :param distort: apply the lens distortion model.
         """
         uv = np.atleast_2d(h_tform(np.asarray(points, dtype=float), self.proj))
-        if distort and np.any(self.distortion_coefs):
+        dist = np.ravel(self.distortion_coefs)
+        # a 4-wide vector is the fisheye marker: even all-zero coefficients
+        # mean the EQUIDISTANT mapping (r -> atan r), never pinhole
+        if distort and (dist.size == 4 or np.any(dist)):
             uv = np.array(_distort_pixels_j(
                 jnp.asarray(uv), jnp.asarray(self.intrinsic),
-                jnp.asarray(np.ravel(self.distortion_coefs))))
+                jnp.asarray(dist)))
         return uv[:, ::-1] if mode == "image" else uv
 
     def undistort_points(self, uv, iters: int = 8):

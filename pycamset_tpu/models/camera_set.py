@@ -245,9 +245,13 @@ class CameraSet:
 
         proj = np.stack([cam.proj for cam in self])
         intr = np.stack([cam.intrinsic for cam in self])
-        dists = np.stack([np.ravel(cam.distortion_coefs) for cam in self])
-        if not distort:
-            dists = np.zeros_like(dists)
+        if distort:
+            dists = np.stack([np.ravel(cam.distortion_coefs)
+                              for cam in self])
+        else:
+            # a true identity: 5-wide Brown zeros (a zero 4-wide vector
+            # would still dispatch to the equidistant fisheye mapping)
+            dists = np.zeros((len(self), 5))
 
         reconstructed = np.array(_triangulate_j(
             jnp.asarray(proj), jnp.asarray(intr), jnp.asarray(dists),

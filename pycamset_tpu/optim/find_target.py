@@ -44,8 +44,9 @@ class FixedCameraPoseHandler(TemplateBundleHandler):
         # 8 / 12 distortion coefficients; follow it rather than silently
         # truncating to 5
         if "camera_model" not in options:
-            n_dist = max(np.reshape(camset[n].distortion_coefs, -1).size
-                         for n in camset.get_names())
+            from pycamset_tpu.optim.handlers import infer_shared_n_dist
+            n_dist = infer_shared_n_dist(
+                [camset[n].distortion_coefs for n in camset.get_names()])
             if n_dist > 12:
                 options["camera_model"] = "tilted"
             elif n_dist > 8:

@@ -75,6 +75,25 @@ def _projection_block(camera_model: str) -> Projection:
         f"{sorted(_CAMERA_MODELS)}")
 
 
+def infer_shared_n_dist(dlists) -> int:
+    """The common distortion width of a rig's cameras.
+
+    Width 4 marks the fisheye (Kannala-Brandt) model; it cannot be padded
+    into Brown slots, so rigs mixing the two families raise instead of
+    silently reinterpreting coefficients.
+    """
+    sizes = {int(np.reshape(np.asarray(d), -1).size) for d in dlists}
+    if 4 in sizes and sizes != {4}:
+        raise ValueError(
+            "rig mixes fisheye (4-coefficient) and Brown-family cameras; "
+            f"distortion widths seen: {sorted(sizes)}. Mixed projection "
+            "families are not supported on this path — calibrate the "
+            "families separately or convert the models.")
+    if sizes == {4}:
+        return 4
+    return max(5, max(sizes, default=5))
+
+
 def _pack_dist(dist, n: int) -> np.ndarray:
     """Pad/truncate a distortion vector to n coefficients (OpenCV order)."""
     d = np.reshape(np.asarray(dist, dtype=float), (-1,))
@@ -669,9 +688,7 @@ def estimate_camera_relative_poses(
     mat_rt_ac = mac_rt[:, None] @ mat_ac                        # (C,I,4,4)
 
     dlists = [np.reshape(c.distortion_coefs, -1) for c in cams]
-    widest = max((d.size for d in dlists), default=5)
-    # width 4 marks the fisheye model; every other family is 5+ wide
-    n_dist = 4 if widest == 4 else max(5, widest)
+    n_dist = infer_shared_n_dist(dlists)
     dists = np.array([_pack_dist(d, n_dist) for d in dlists])
     ints = np.array([c.intrinsic for c in cams])
     proj = ints @ mrt_ac[:, :3, :]

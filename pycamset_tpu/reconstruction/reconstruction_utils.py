@@ -73,9 +73,13 @@ def rectify_camera_pair(cam_0: Camera, cam_1: Camera, zero_flag: bool = False):
 
     def dist_of(cam):
         dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
+        if dist.size == 4 and not zero_flag:
+            raise ValueError(
+                "fisheye cameras rectify via the pre-undistorted pipeline "
+                "only — call rectify_camera_images (which undistorts "
+                "through cv2.fisheye first), not rectify_camera_pair on "
+                "raw images")
         if zero_flag or dist.size == 4:
-            # images are pre-undistorted by the caller; a 4-wide fisheye
-            # vector must never be fed to the Brown stereoRectify
             return np.zeros(5)
         return dist
 

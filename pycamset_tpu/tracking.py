@@ -51,10 +51,9 @@ class TargetTracker:
         names = camset.get_names()
         # CPU = f64, TPU = f32 (+highest matmul precision), like the solver
         self._dtype = default_device_dtype()
+        from pycamset_tpu.optim.handlers import infer_shared_n_dist
         dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
-        widest = max(d.size for d in dists)
-        # width 4 marks the fisheye model; every other family is 5+ wide
-        n_dist = 4 if widest == 4 else max(5, widest)
+        n_dist = infer_shared_n_dist(dists)
         self._intr = jnp.asarray(np.stack([
             np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
             for n, d in zip(names, dists)]), dtype=self._dtype)

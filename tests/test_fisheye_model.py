@@ -286,6 +286,63 @@ def test_fisheye_rectification_path(tmp_path):
 
     r0, r1, q = rectify_camera_images(cam0, cam1, im, im.copy())
     assert r0.shape == im.shape and np.isfinite(q).all()
+def test_fisheye_marker_semantics():
+    """The width-4 marker's edge semantics (review findings): zero-k
+    fisheye is EQUIDISTANT (never pinhole), distort=False triangulation is
+    a true identity, mixed-family rigs raise loudly, and raw-fisheye
+    rectification on the distortion-aware path refuses."""
+    import pytest
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.optim.handlers import infer_shared_n_dist
+    from pycamset_tpu.reconstruction.reconstruction_utils import (
+        rectify_camera_pair)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    # zero-k fisheye projects equidistant, not pinhole
+    cam = Camera(intrinsic=KMAT, distortion_coefs=np.zeros(4),
+                 res=[1280, 960])
+    pt = np.array([[0.6, 0.0, 1.0]])
+    uv = cam.project_points(pt)[0]
+    pinhole_u = 0.6 * KMAT[0, 0] + KMAT[0, 2]
+    equi_u = np.arctan(0.6) * KMAT[0, 0] + KMAT[0, 2]
+    assert abs(uv[0] - equi_u) < 1e-6
+    assert abs(uv[0] - pinhole_u) > 20  # clearly not pinhole
+
+    # family width inference: pure rigs resolve, mixed rigs raise
+    assert infer_shared_n_dist([np.zeros(4), np.zeros(4)]) == 4
+    assert infer_shared_n_dist([np.zeros(5), np.zeros(8)]) == 8
+    with pytest.raises(ValueError, match="mixes fisheye"):
+        infer_shared_n_dist([np.zeros(4), np.zeros(5)])
+
+    # raw fisheye images cannot take the distortion-aware rectify path
+    cam2 = Camera(extrinsic=make_4x4h_tform(np.zeros(3), [0.1, 0, 0]),
+                  intrinsic=KMAT, distortion_coefs=K4, res=[1280, 960])
+    with pytest.raises(ValueError, match="pre-undistorted"):
+        rectify_camera_pair(cam, cam2, zero_flag=False)
+
+
+def test_fisheye_triangulation_identity_when_undistorted():
+    """multi_cam_triangulate(distort=False) on a fisheye rig must use the
+    pinhole identity, not the equidistant warp (review finding)."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    exts = [np.eye(4), make_4x4h_tform(np.zeros(3), [0.2, 0, 0])]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["L", "R"], exts, [KMAT.copy(), KMAT.copy()],
+        [K4.copy(), K4.copy()], [[1280, 960]] * 2))
+    world = np.array([[0.2, -0.1, 1.4], [-0.3, 0.2, 1.1]])
+
+    # feed PINHOLE (already-undistorted) observations
+    rows = []
+    for ci, cam in enumerate(cams):
+        xc = world @ cam.extrinsic[:3, :3].T + cam.extrinsic[:3, 3]
+        uv = (xc[:, :2] / xc[:, 2:3]) * np.diag(KMAT)[:2] + KMAT[:2, 2]
+        for k in range(len(world)):
+            rows.append([ci, 0, k, uv[k, 0], uv[k, 1]])
+    got = cams.multi_cam_triangulate(np.array(rows, dtype=float),
+                                     distort=False)
+    np.testing.assert_allclose(got, world, atol=1e-8)
 
 
 if __name__ == "__main__":

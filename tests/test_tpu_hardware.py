@@ -549,10 +549,10 @@ def test_reference_image_e2e_on_chip(tmp_path):
     assert err < 1.8, err
 
 
-def test_fisheye_solve_on_chip():
-    """The fisheye (Kannala-Brandt) chain solves on the real chip via the
-    structured backend's jacfwd gram path (no Pallas kernel serves the
-    8-wide intrinsics; the fallback must compile and converge in f32)."""
+def test_fisheye_solve_on_chip_without_pallas():
+    """The fisheye chain's NON-Pallas path (closed-form XLA grams) must
+    compile and converge in f32 on the chip — the Pallas kernel path is
+    covered by test_compiled_pallas_gram_parity[fisheye-*]."""
     import sys
     from pathlib import Path
 
@@ -561,7 +561,11 @@ def test_fisheye_solve_on_chip():
 
     from pycamset_tpu.optim.driver import run_bundle_adjustment
 
-    handler, rig = _fisheye_handler()
-    res, _cams = run_bundle_adjustment(handler, backend="structured")
+    os.environ["PYCAMSET_NO_PALLAS"] = "1"
+    try:
+        handler, rig = _fisheye_handler()
+        res, _cams = run_bundle_adjustment(handler, backend="structured")
+    finally:
+        os.environ.pop("PYCAMSET_NO_PALLAS", None)
     rms = float(np.sqrt(np.mean(res["fun"] ** 2)))
     assert rms < 2.0 * rig["noise_px"], rms

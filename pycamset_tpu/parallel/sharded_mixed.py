@@ -158,6 +158,111 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     return neq
 
 
+def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
+                               n_cams: int, n_ims: int, mesh: Mesh,
+                               group_of_key, n_groups: int,
+                               loss: str = "linear", f_scale: float = 1.0,
+                               loss_semantics: str = "observation"):
+    """Mixed neq with the KEY (structure) axis sharded over the mesh —
+    the scaling mode for multi-target self-calibration with 100k+ free
+    points: the per-key pieces (hkk, wkg, gk, wck, wik) stay sharded and
+    never cross ICI; only the small per-cam/per-im/per-group partial sums
+    psum. The group one-hot reduction commutes with the key sharding
+    (every key lives on exactly one device).
+
+    uv/mask enter as (C, I, K[, 2]) tensors sharded on axis 2; pieces.key,
+    colmask.key and tpl are sharded on axis 0; everything else replicated.
+
+    :return: neq(pieces, uv, mask, tpl, colmask) -> MixedNormalEq with
+        hkk/wkg/gk sharded on axis 0, wck/wik sharded on axis 1, the rest
+        replicated; carries .onehot for make_mixed_ops.
+    """
+    a, b, cw = widths.a, widths.b, widths.c
+    kk = np.asarray(widths.key_cols)
+    gg_ = np.asarray(widths.grp_cols)
+    grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
+    gok = np.asarray(group_of_key, dtype=np.int64)
+    onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
+    onehot_np[np.arange(gok.size), gok] = 1.0
+    n_dev = mesh.devices.size
+    if gok.size % n_dev != 0:
+        raise ValueError(
+            f"{gok.size} key slots not divisible by {n_dev} devices; pad "
+            "the key axis (k_pad_multiple) to a mesh multiple")
+    k_loc = gok.size // n_dev
+
+    piece_spec = MixedPieces(P(), P(), P(DETECTION_AXIS), P())
+    out_spec = MixedNormalEq(
+        hcc=P(), hii=P(), hkk=P(DETECTION_AXIS), hgg=P(), wci=P(),
+        wck=P(None, DETECTION_AXIS), wik=P(None, DETECTION_AXIS),
+        wcg=P(), wig=P(), wkg=P(DETECTION_AXIS),
+        gc=P(), gi=P(), gk=P(DETECTION_AXIS), gg=P(), cost=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(piece_spec, P(None, None, DETECTION_AXIS),
+                       P(None, None, DETECTION_AXIS), P(DETECTION_AXIS),
+                       piece_spec),
+             out_specs=out_spec)
+    def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
+        dtype = uv.dtype
+        d = jax.lax.axis_index(DETECTION_AXIS)
+        bb = n_cams * n_ims
+        cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+        im_b = jnp.tile(pieces.im, (n_cams, 1))
+        cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+        imask_b = jnp.tile(colmask.im, (n_cams, 1))
+
+        # this device's key slice of the group one-hot
+        oh = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(onehot_np, dtype=dtype), d * k_loc, k_loc)
+
+        keyp = jnp.zeros((k_loc, cw), dtype)
+        keyp = keyp.at[:, kk].set(pieces.key)
+        keyp = keyp.at[:, gg_].set(oh @ pieces.grp)
+        kmask = jnp.zeros((k_loc, cw), dtype)
+        kmask = kmask.at[:, kk].set(colmask.key)
+        kmask = kmask.at[:, gg_].set(oh @ colmask.grp)
+
+        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
+         cost) = grams(cam_b, im_b, keyp, tpl,
+                       uv.reshape(bb, k_loc, 2), mask.reshape(bb, k_loc),
+                       cmask_b, imask_b, kmask)
+
+        wck_f = wck_b.reshape(n_cams, n_ims, k_loc, a, cw).sum(axis=1)
+        wik_f = wik_b.reshape(n_cams, n_ims, k_loc, b, cw).sum(axis=0)
+
+        # per-key pieces: stay local/sharded
+        hkk = hkk_f[:, kk][:, :, kk]
+        wkg = hkk_f[:, kk][:, :, gg_]
+        wck = wck_f[:, :, :, kk]
+        wik = wik_f[:, :, :, kk]
+        gk = gk_f[:, kk]
+
+        # per-group and per-cam/per-im pieces: partial sums over this
+        # device's keys, completed by one psum of SMALL tensors
+        small = (
+            gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1),
+            gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0),
+            wci_b.reshape(n_cams, n_ims, a, b),
+            jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, gg_][:, :, gg_]),
+            jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, gg_]),
+            jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_]),
+            gc_b.reshape(n_cams, n_ims, a).sum(axis=1),
+            gi_b.reshape(n_cams, n_ims, b).sum(axis=0),
+            jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_]),
+            cost,
+        )
+        (hcc, hii, wci, hgg, wcg, wig, gc, gi, gg,
+         cost) = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, DETECTION_AXIS), small)
+        return MixedNormalEq(hcc, hii, hkk, hgg, wci, wck, wik, wcg, wig,
+                             wkg, gc, gi, gk, gg, cost)
+
+    neq.onehot = onehot_np
+    return neq
+
+
 def make_sharded_mixed_solver(op_fun: OptimFunction, widths: MixedWidths,
                               n_cams: int, n_ims: int, mesh: Mesh,
                               colmask: MixedPieces, group_of_key,
@@ -168,15 +273,24 @@ def make_sharded_mixed_solver(op_fun: OptimFunction, widths: MixedWidths,
     """A jitted multi-device LM solve of the mixed multi-target system.
 
     :return: solve(pieces: MixedPieces, uv, mask, tpl) -> SLMResult, with
-        uv/mask camera-major tensors sharded on the chosen axis (see
-        parallel.sharded_structured.shard_block_arrays).
+        uv/mask camera-major tensors sharded on the chosen axis (cam /
+        pose via parallel.sharded_structured.shard_block_arrays; "key"
+        shards the structure axis instead — place uv/mask on axis 2 and
+        pieces.key / colmask.key / tpl on axis 0, as
+        parallel.sharded_structured.shard_key_arrays does for the pure
+        self-cal chain).
     """
     from pycamset_tpu.optim.structured_lm import structured_lm_solve
 
-    neq = make_sharded_mixed_neq(
-        op_fun, widths, n_cams, n_ims, mesh, group_of_key, n_groups,
-        loss=loss, f_scale=f_scale, shard_axis=shard_axis,
-        loss_semantics=loss_semantics)
+    if shard_axis == "key":
+        neq = make_key_sharded_mixed_neq(
+            op_fun, widths, n_cams, n_ims, mesh, group_of_key, n_groups,
+            loss=loss, f_scale=f_scale, loss_semantics=loss_semantics)
+    else:
+        neq = make_sharded_mixed_neq(
+            op_fun, widths, n_cams, n_ims, mesh, group_of_key, n_groups,
+            loss=loss, f_scale=f_scale, shard_axis=shard_axis,
+            loss_semantics=loss_semantics)
     ops = make_mixed_ops(neq.onehot)
 
     @jax.jit

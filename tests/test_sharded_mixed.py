@@ -116,3 +116,53 @@ def test_sharded_mixed_solve_matches_single_device():
                                rtol=1e-9)
     rms = float(np.sqrt(float(res_s.cost) / (2 * blocks.n_real)))
     assert rms < 0.4 * 1.25  # reaches the injected noise floor
+
+
+def test_key_sharded_mixed_neq_matches_single_device():
+    """Key-axis sharding of the mixed system (the 100k+-point scaling
+    mode): sharded per-key pieces + psum'd group/cam/im partial sums must
+    reproduce the single-device normal equations."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pycamset_tpu.optim.structured_mixed import make_mixed_structured_neq
+    from pycamset_tpu.optim.structured_mixed import MixedPieces
+    from pycamset_tpu.parallel.mesh import DETECTION_AXIS, detection_mesh
+    from pycamset_tpu.parallel.sharded_mixed import make_key_sharded_mixed_neq
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     _b) = _problem(n_cams=3, n_ims=4)
+    n_cams, n_ims = rig["n_cams"], rig["n_ims"]
+    mesh = detection_mesh(8)
+    k_pad = mask.shape[-1]
+    assert k_pad % 8 == 0
+
+    key_row = NamedSharding(mesh, P(DETECTION_AXIS))
+    rep = NamedSharding(mesh, P())
+    uv_s = jax.device_put(
+        jnp.reshape(uv, (n_cams, n_ims, k_pad, 2)),
+        NamedSharding(mesh, P(None, None, DETECTION_AXIS, None)))
+    mask_s = jax.device_put(jnp.reshape(mask, (n_cams, n_ims, k_pad)),
+                            NamedSharding(mesh, P(None, None,
+                                                  DETECTION_AXIS)))
+    tpl_s = jax.device_put(tpl, key_row)
+    pieces_s = MixedPieces(jax.device_put(pieces.cam, rep),
+                           jax.device_put(pieces.im, rep),
+                           jax.device_put(pieces.key, key_row),
+                           jax.device_put(pieces.grp, rep))
+    colmask_s = MixedPieces(jax.device_put(colmask.cam, rep),
+                            jax.device_put(colmask.im, rep),
+                            jax.device_put(colmask.key, key_row),
+                            jax.device_put(colmask.grp, rep))
+
+    ref_neq = jax.jit(make_mixed_structured_neq(
+        op_fun, widths, n_cams, n_ims, gok, 2))
+    got_neq = jax.jit(make_key_sharded_mixed_neq(
+        op_fun, widths, n_cams, n_ims, mesh, gok, 2))
+
+    ref = ref_neq(pieces, uv, mask, tpl, colmask)
+    got = got_neq(pieces_s, uv_s, mask_s, tpl_s, colmask_s)
+    for name, r, g in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-9, atol=1e-9, err_msg=name)

@@ -324,13 +324,13 @@ if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
 
-def _mixed_chain_fixture(with_key_cols):
+def _mixed_chain_fixture(with_key_cols, model="standard"):
     """A small multi-target problem on the (B, K) grid, with the c-axis
     keyp/kmask laid out exactly as make_[mixed_]structured_neq builds them."""
     import jax.numpy as jnp
     from pycamset_tpu.optim.blocks import (
         Extrinsic3D, FreePoint, GroupRigidTform3d, ParamSpec, Projection,
-        RigidTform3d, TemplatePoints, key_type)
+        ProjectionFisheye, RigidTform3d, TemplatePoints, key_type)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         GroupWidths, build_block_arrays)
@@ -341,17 +341,19 @@ def _mixed_chain_fixture(with_key_cols):
 
     n_cams, n_ims, n_groups = 3, 5, 2
     rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
-                             visibility=0.85, noise_px=0.4, seed=5)
+                             visibility=0.85, noise_px=0.4, seed=5,
+                             camera_model=model)
     n_keys = rig["n_keys"]
+    proj = {"standard": Projection, "fisheye": ProjectionFisheye}[model]
     if with_key_cols:
-        op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+        op_fun = OptimFunction([proj(), Extrinsic3D(), RigidTform3d(),
                                 GroupRigidTform3d(), FreePoint()])
         cw = 9
     else:
-        op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+        op_fun = OptimFunction([proj(), Extrinsic3D(), RigidTform3d(),
                                 GroupTemplatePoints()])
         cw = 6
-    widths = GroupWidths(15, 6, cw)
+    widths = GroupWidths(rig["intr"].shape[1] + 6, 6, cw)
     blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
                                 k_pad_multiple=8)
     k_pad = blocks.uv.shape[1]
@@ -371,7 +373,7 @@ def _mixed_chain_fixture(with_key_cols):
     cam_b = jnp.asarray(cam_rows)[blk_cam]
     im_b = jnp.asarray(rig["poses"])[blk_im]
     bb = n_cams * n_ims
-    cmask = jnp.ones((bb, 15)).at[:, 2].set(0.0)
+    cmask = jnp.ones((bb, widths.a)).at[:, 2].set(0.0)
     imask = jnp.ones((bb, 6)).at[:, 4].set(0.0)
 
     tpl_pad = np.zeros((k_pad, 3))
@@ -393,15 +395,17 @@ def _mixed_chain_fixture(with_key_cols):
             imask, kmask)
 
 
-@pytest.mark.parametrize("with_key_cols,loss", [
-    (True, "linear"), (True, "huber"), (False, "linear")])
+@pytest.mark.parametrize("with_key_cols,loss,model", [
+    (True, "linear", "standard"), (True, "huber", "standard"),
+    (False, "linear", "standard"), (True, "linear", "fisheye"),
+    (False, "linear", "fisheye")])
 def test_pallas_mixed_grouped_grams_match_xla(monkeypatch, with_key_cols,
-                                              loss):
+                                              loss, model):
     from pycamset_tpu.optim.structured import make_block_grams
 
     pg = _interp_shim(monkeypatch)
     (op_fun, widths, cam_b, im_b, keyp, tpl, uv, mask, cmask, imask,
-     kmask) = _mixed_chain_fixture(with_key_cols)
+     kmask) = _mixed_chain_fixture(with_key_cols, model=model)
 
     ref = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0)(
         cam_b, im_b, keyp, tpl, uv, mask, cmask, imask, kmask)

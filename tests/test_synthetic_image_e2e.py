@@ -149,3 +149,85 @@ def test_pipeline_recovers_ground_truth(rendered_dataset):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-s"])
+
+
+def make_gt_fisheye_cameras():
+    """A three-camera rig of Kannala-Brandt fisheye lenses (4-wide dist)."""
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.models.camera_set import CameraSet
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    rng = np.random.default_rng(1)
+    cams = {}
+    for i, ang in enumerate([-0.25, 0.0, 0.25]):
+        k = np.array([[520.0 + 25 * i, 0, RES[0] / 2 + rng.normal() * 3],
+                      [0, 515.0 + 25 * i, RES[1] / 2 + rng.normal() * 3],
+                      [0, 0, 1.0]])
+        dist = np.array([-0.04 + 0.01 * i, 0.015, -2e-3, 5e-4])
+        ext = make_4x4h_tform(np.array([0.0, ang, 0.0]),
+                              np.array([0.12 * (i - 1), 0.0, 0.45]))
+        cams[f"cam{i}"] = Camera(extrinsic=ext, intrinsic=k, res=list(RES),
+                                 distortion_coefs=dist, name=f"cam{i}")
+    return CameraSet(camera_dict=cams)
+
+
+@pytest.fixture(scope="module")
+def rendered_fisheye_dataset(tmp_path_factory):
+    from pycamset_tpu.models.charuco import ChArUco
+    out = tmp_path_factory.mktemp("synth_fisheye_ims")
+    target = ChArUco(10, 10, 25)
+    cams = make_gt_fisheye_cameras()
+    rng = np.random.default_rng(6)
+    poses = []
+    for _ in range(10):
+        rvec = rng.normal(size=3) * 0.25
+        tvec = np.array([-0.125, -0.1, 0.0]) \
+            + rng.normal(size=3) * [0.04, 0.04, 0.05]
+        poses.append(np.concatenate([rvec, tvec]))
+    render_views(target, cams, poses, out)  # undistort_pixels dispatches
+    return out, target, cams
+
+
+def test_pipeline_recovers_fisheye_ground_truth(rendered_fisheye_dataset):
+    """The FULL fisheye image pipeline: cv2 detection on rendered fisheye
+    views -> cv2.fisheye.calibrate seeding -> undistort-then-solve PnP ->
+    structured BA with the a=14 kernels -> ground-truth recovery."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu import calibrate_cameras
+    from pycamset_tpu.models.charuco import ChArUco
+    from pycamset_tpu.ops.distortion import distort_pixels
+
+    data_dir, target, gt_cams = rendered_fisheye_dataset
+    cams = calibrate_cameras(
+        f_loc=data_dir, calibration_target=ChArUco(10, 10, 25), save=False,
+        problem_options={"outliers": "n", "camera_model": "fisheye"})
+
+    err = np.mean(np.linalg.norm(
+        cams.calibration_result.reshape(-1, 2), axis=1))
+    assert err < 0.5, f"reprojection error too high: {err:.3f}"
+
+    for name in gt_cams.get_names():
+        got, want = cams[name], gt_cams[name]
+        assert np.reshape(got.distortion_coefs, -1).size == 4, name
+        assert abs(got.intrinsic[0, 0] - want.intrinsic[0, 0]) < 5.0, name
+        # distortion FUNCTION agreement over the observed field
+        grid = np.stack(np.meshgrid(
+            np.linspace(RES[0] * 0.2, RES[0] * 0.8, 7),
+            np.linspace(RES[1] * 0.2, RES[1] * 0.8, 7)), -1).reshape(-1, 2)
+        d_got = np.array(distort_pixels(
+            jnp.asarray(grid), jnp.asarray(want.intrinsic),
+            jnp.asarray(np.reshape(got.distortion_coefs, -1))))
+        d_want = np.array(distort_pixels(
+            jnp.asarray(grid), jnp.asarray(want.intrinsic),
+            jnp.asarray(want.distortion_coefs)))
+        assert np.abs(d_got - d_want).max() < 0.5, name
+
+    def rel(cs, a, b):
+        return cs[b].extrinsic @ np.linalg.inv(cs[a].extrinsic)
+
+    for pair in [("cam0", "cam1"), ("cam0", "cam2")]:
+        got_rel = rel(cams, *pair)
+        want_rel = rel(gt_cams, *pair)
+        assert np.abs(got_rel[:3, 3] - want_rel[:3, 3]).max() < 2e-3, pair
+        cosang = (np.trace(got_rel[:3, :3] @ want_rel[:3, :3].T) - 1) / 2
+        assert np.degrees(np.arccos(np.clip(cosang, -1, 1))) < 0.2, pair

@@ -229,6 +229,8 @@ def blosc_decompress_pure(frame: bytes) -> bytes:
         raise BloscDecodeError("bit-shuffled frames are not supported")
     if nbytes == 0:
         return b""
+    if nbytes < 0:
+        raise BloscDecodeError(f"negative uncompressed size {nbytes}")
 
     if flags & _FLAG_MEMCPYED:
         body = frame[HEADER_LEN:HEADER_LEN + nbytes]
@@ -237,8 +239,15 @@ def blosc_decompress_pure(frame: bytes) -> bytes:
         return body
 
     codec = flags >> _CODEC_SHIFT
+    if blocksize <= 0:
+        raise BloscDecodeError(f"invalid blocksize {blocksize}")
     n_blocks = (nbytes + blocksize - 1) // blocksize
+    if HEADER_LEN + 4 * n_blocks > len(frame):
+        raise BloscDecodeError(
+            f"frame too short for the {n_blocks}-entry block start table")
     starts = struct.unpack_from(f"<{n_blocks}i", frame, HEADER_LEN)
+    if any(s < HEADER_LEN or s >= len(frame) for s in starts):
+        raise BloscDecodeError("block start offset outside the frame")
 
     # the writer's split policy is not recorded in the frame; mirror
     # c-blosc's forward-compatible default and fall back to the other choice

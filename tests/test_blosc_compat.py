@@ -132,3 +132,29 @@ def test_reference_written_camset_loads_fully(tmp_path):
         loaded.calibration_handler.detection.get_data(), det.get_data())
     np.testing.assert_allclose(loaded.calibration_params, np.asarray(x0))
     assert loaded == cams
+
+
+def test_pure_reader_never_crashes_on_corruption():
+    """Truncated/bit-flipped frames must raise BloscDecodeError (the
+    documented contract), never IndexError/struct.error."""
+    rng = np.random.default_rng(11)
+    arr = np.arange(4096, dtype=np.float64)
+    frame = bytearray(bc.blosc_compress_native(arr.tobytes(), 8, 5, b"lz4", 1))
+    for trial in range(200):
+        bad = bytearray(frame)
+        mode = trial % 3
+        if mode == 0:                      # truncate
+            bad = bad[:rng.integers(1, len(bad))]
+        elif mode == 1:                    # flip random bytes
+            for _ in range(rng.integers(1, 8)):
+                bad[rng.integers(0, len(bad))] = rng.integers(0, 256)
+        else:                              # garble the header
+            for i in rng.integers(0, bc.HEADER_LEN, size=4):
+                bad[i] = rng.integers(0, 256)
+        try:
+            out = bc.blosc_decompress_pure(bytes(bad))
+            assert isinstance(out, bytes)  # an accidental clean decode is ok
+        except bc.BloscDecodeError:
+            pass  # the contract
+        except (zlib_error := __import__("zlib").error):
+            pass  # inner zlib streams may fail with zlib.error; acceptable

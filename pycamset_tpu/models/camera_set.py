@@ -308,6 +308,12 @@ class CameraSet:
 
     # ------------------------------------------------------------ diagnostics
 
+    def calibration_uncertainty(self):
+        """Per-parameter standard errors of this calibration (first-order
+        error propagation at the solution; optim/uncertainty.py)."""
+        from pycamset_tpu.optim.uncertainty import calibration_uncertainty
+        return calibration_uncertainty(self)
+
     def visualise_calibration(self):
         """Display the calibration diagnostics plots."""
         if self.calibration_params is None:

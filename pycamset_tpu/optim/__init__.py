@@ -9,6 +9,8 @@ from pycamset_tpu.optim.handlers import (
     SelfBundleHandler, TemplateBundleHandler, estimate_camera_relative_poses)
 from pycamset_tpu.optim.driver import (
     make_optimisation_function, run_bundle_adjustment)
+from pycamset_tpu.optim.uncertainty import (
+    calibration_uncertainty, parameter_covariance)
 
 __all__ = [
     "FunctionBlock", "ParamSpec", "key_type", "Projection", "RigidTform3d",
@@ -17,5 +19,6 @@ __all__ = [
     "DEFAULT_OPTIONS", "TemplateBundleHandler", "SelfBundleHandler",
     "FreePointBundleHandler", "FreePointTarget",
     "estimate_camera_relative_poses", "make_optimisation_function",
-    "run_bundle_adjustment",
+    "run_bundle_adjustment", "calibration_uncertainty",
+    "parameter_covariance",
 ]

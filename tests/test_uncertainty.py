@@ -1,0 +1,110 @@
+"""Calibration uncertainty (optim/uncertainty.py).
+
+Validated the only way an error bar can be: Monte-Carlo. The SAME rig is
+re-observed with independent noise draws; the empirical scatter of the
+recovered parameters must match the predicted first-order sigmas.
+"""
+import numpy as np
+import pytest
+
+
+def test_sigma_matches_monte_carlo_scatter():
+    """Predicted sigma(fx) must agree with the empirical std of the
+    recovered fx across independent noise draws (within MC error)."""
+    from pycamset_tpu.optim.uncertainty import calibration_uncertainty
+
+    # NOTE: make_synthetic_rig derives observation noise from the same
+    # seed as the geometry, so different seeds give different geometry.
+    # For a true fixed-geometry MC, re-noise the clean table by hand.
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (
+        FreePointTarget, TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    noise_px = 0.5
+    rig = make_synthetic_rig(n_cams=3, n_ims=8, grid=6, visibility=1.0,
+                             noise_px=0.0, seed=21)   # CLEAN observations
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+
+    def solve_with_noise(noise_seed):
+        rng = np.random.default_rng(noise_seed)
+        dd = rig["dd"].copy()
+        dd[:, 3:5] += rng.normal(size=(dd.shape[0], 2)) * noise_px
+        cams = CameraSet(camera_dict=make_cam_dict(
+            ["a", "b", "c"], [e.copy() for e in exts],
+            [k.copy() for k in k_mats], [d.copy() for d in dists],
+            [[1600, 1200]] * 3))
+        handler = TemplateBundleHandler(
+            cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+            TargetDetection(cam_names=["a", "b", "c"], data=dd),
+            options={"outliers": "n"})
+        res, solved = run_bundle_adjustment(handler, backend="structured")
+        return res, solved
+
+    fx = {"a": [], "b": [], "c": []}
+    predicted = None
+    n_draws = 12
+    for t in range(n_draws):
+        res, solved = solve_with_noise(100 + t)
+        for name in fx:
+            fx[name].append(float(solved[name].intrinsic[0, 0]))
+        if t == 0:
+            unc = calibration_uncertainty(solved, x=res["x"])
+            predicted = {n: float(unc["cameras"][n]["int_sigma"][0])
+                         for n in fx}
+            # sanity on the variance estimate itself
+            assert abs(np.sqrt(unc["sigma2"]) - noise_px) < 0.1 * noise_px
+            # fixed gauge pose carries zero uncertainty
+            assert np.all(unc["pose_sigma"][0] == 0.0)
+            assert np.all(unc["pose_sigma"][1:] > 0.0)
+
+    for name in fx:
+        empirical = float(np.std(fx[name], ddof=1))
+        ratio = empirical / predicted[name]
+        # 12 draws put ~25% MC error on the std; allow a factor-2 band
+        assert 0.5 < ratio < 2.0, (name, empirical, predicted[name])
+
+
+def test_selfcal_uncertainty_shapes():
+    """Self-calibration handlers expose per-point sigmas; gauge-pinned
+    coordinates read zero."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import FreePointTarget, SelfBundleHandler
+    from pycamset_tpu.optim.uncertainty import calibration_uncertainty
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=8, grid=5, visibility=0.95,
+                             noise_px=0.2, seed=23)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    h = SelfBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"]),
+        options={"outliers": "n"})
+    res, solved = run_bundle_adjustment(h)
+    unc = calibration_uncertainty(solved, x=res["x"])
+    pts = unc["point_sigma"]
+    assert pts.shape == (rig["n_keys"], 3)
+    # the 7 gauge-pinned coordinates carry zero sigma; the rest are positive
+    n_zero = int((pts == 0.0).sum())
+    assert n_zero == 7, n_zero
+    assert float(pts.max()) > 0.0

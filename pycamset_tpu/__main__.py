@@ -72,6 +72,9 @@ def _add_track(sub):
 
 def _add_info(sub):
     p = sub.add_parser("info", help="summarise a .camset file")
+    p.add_argument("--uncertainty", action="store_true",
+                   help="compute per-parameter standard errors "
+                        "(needs the calibration history)")
     p.add_argument("camset", help="path to a .camset file")
 
 
@@ -177,6 +180,20 @@ def cmd_info(args) -> int:
         err = np.mean(np.linalg.norm(
             np.reshape(cams.calibration_result, (-1, 2)), axis=1))
         print(f"  calibration history: mean reprojection error {err:.3f} px")
+    if getattr(args, "uncertainty", False):
+        if cams.calibration_handler is None:
+            print("  no calibration history: cannot compute uncertainty")
+            return 1
+        unc = cams.calibration_uncertainty()
+        print(f"  residual sigma: {np.sqrt(unc['sigma2']):.4f} px "
+              f"({unc['dof']} dof)")
+        for name in cams.get_names():
+            si = unc["cameras"][name]["int_sigma"]
+            se = unc["cameras"][name]["ext_sigma"]
+            print(f"  {name}: sigma fx={si[0]:.3f} fy={si[2]:.3f} "
+                  f"c=({si[1]:.3f},{si[3]:.3f}) px; "
+                  f"rot={np.max(se[:3]) * 1e3:.3f} mrad "
+                  f"t={np.max(se[3:]) * 1e3:.3f} mm (max)")
     return 0
 
 

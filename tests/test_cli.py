@@ -38,3 +38,10 @@ def test_cli_calibrate_and_info(cli_data, capsys):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_cli_info_uncertainty(cli_data):
+    from pycamset_tpu.__main__ import main
+    rc = main(["info", str(cli_data / "optimised_cameras.camset"),
+               "--uncertainty"])
+    assert rc == 0

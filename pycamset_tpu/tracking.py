@@ -96,9 +96,16 @@ class TargetTracker:
             return jtj, grad, cost
 
         def solve(pose0, cam_i, key_i, uv, mask):
-            return lm_solve(
+            res = lm_solve(
                 lambda p: neq(p, cam_i, key_i, uv, mask), pose0,
                 max_nfev=self._max_nfev)
+            # unit-noise pose covariance at the solution: inv(JtJ) (the
+            # host scales by the residual variance); tiny ridge keeps
+            # degenerate frames finite instead of inf
+            jtj, _, _ = neq(res.x, cam_i, key_i, uv, mask)
+            eye = jnp.eye(6, dtype=jtj.dtype)
+            cov_unit = jnp.linalg.inv(jtj + 1e-12 * eye)
+            return res, cov_unit
 
         self._solve = jax.jit(solve)
         self._solve_batch = jax.jit(jax.vmap(solve))
@@ -166,17 +173,21 @@ class TargetTracker:
             init = np.concatenate(ext_4x4_to_rod(init))
 
         cam_i, key_i, uv, mask = self._pack_frame(dd)
-        res = self._solve(jnp.asarray(init, dtype=self._dtype),
-                          jnp.asarray(cam_i), jnp.asarray(key_i),
-                          jnp.asarray(uv, dtype=self._dtype),
-                          jnp.asarray(mask, dtype=self._dtype))
-        res = jax.device_get(res)  # ONE transfer, not one per field
+        res, cov_unit = self._solve(
+            jnp.asarray(init, dtype=self._dtype),
+            jnp.asarray(cam_i), jnp.asarray(key_i),
+            jnp.asarray(uv, dtype=self._dtype),
+            jnp.asarray(mask, dtype=self._dtype))
+        res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
         pose6 = np.asarray(res.x)
         self._last_pose = pose6
         n_used = int(mask.sum())
+        sigma2 = float(res.cost) / max(2 * n_used - 6, 1)
         info = {"rms": float(np.sqrt(float(res.cost) / (2 * n_used))),
                 "nit": int(res.nit), "n_used": n_used,
-                "status": int(res.status)}
+                "status": int(res.status),
+                "pose_sigma": np.sqrt(np.clip(
+                    np.diag(cov_unit) * sigma2, 0.0, None))}
         return make_4x4h_tform(pose6[:3], pose6[3:]), info
 
     def track_batch(self, detection: TargetDetection, inits=None):
@@ -214,16 +225,20 @@ class TargetTracker:
 
         cam_i, key_i, uv, mask = (np.stack([p[i] for p in packs])
                                   for i in range(4))
-        res = self._solve_batch(
+        res, cov_unit = self._solve_batch(
             jnp.asarray(np.stack(seeds), dtype=self._dtype),
             jnp.asarray(cam_i), jnp.asarray(key_i),
             jnp.asarray(uv, dtype=self._dtype),
             jnp.asarray(mask, dtype=self._dtype))
-        res = jax.device_get(res)  # ONE transfer, not one per field
+        res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
         pose6 = np.asarray(res.x)
         self._last_pose = pose6[-1]
         n_used = mask.sum(axis=1)
         rms = np.sqrt(np.asarray(res.cost) / np.maximum(2 * n_used, 1))
+        sigma2 = np.asarray(res.cost) / np.maximum(2 * n_used - 6, 1)
+        pose_sigma = np.sqrt(np.clip(
+            np.einsum("fii->fi", np.asarray(cov_unit))
+            * sigma2[:, None], 0.0, None))
         poses = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
         return poses, {"rms": rms, "nit": np.asarray(res.nit),
-                       "n_used": n_used}
+                       "n_used": n_used, "pose_sigma": pose_sigma}

@@ -108,3 +108,47 @@ def test_selfcal_uncertainty_shapes():
     n_zero = int((pts == 0.0).sum())
     assert n_zero == 7, n_zero
     assert float(pts.max()) > 0.0
+
+
+def test_tracker_reports_pose_sigma():
+    """TargetTracker attaches per-frame pose standard errors; a frame's
+    sigma must bracket the true pose error magnitude (order of)."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.tracking import TargetTracker
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=8, grid=6, visibility=0.9,
+                             noise_px=0.3, seed=31)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    det = TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"])
+    tracker = TargetTracker(cams, FreePointTarget(
+        rig["template"].reshape(1, -1, 3)))
+    poses, info = tracker.track_batch(det)
+
+    sig = info["pose_sigma"]
+    assert sig.shape == (8, 6)
+    assert np.all(sig > 0)
+    # true per-frame translation error vs predicted sigma: same order
+    t_err = np.array([np.linalg.norm(
+        poses[i][:3, 3] - make_4x4h_tform(rig["poses"][i][:3],
+                                          rig["poses"][i][3:])[:3, 3])
+        for i in range(8)])
+    t_sig = np.linalg.norm(sig[:, 3:], axis=1)
+    assert np.median(t_err / t_sig) < 4.0
+    assert np.median(t_err / t_sig) > 0.05
+
+    # single-frame API carries the same field
+    _pose, one = tracker.track(det.get(im_num=0))
+    assert one["pose_sigma"].shape == (6,)
+    assert np.all(one["pose_sigma"] > 0)

@@ -30,6 +30,31 @@ from pycamset_tpu.optim.structured_mixed import (
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
 
+def _group_onehot(group_of_key, n_groups: int) -> np.ndarray:
+    """(K, G) one-hot expansion of the key -> group map."""
+    gok = np.asarray(group_of_key, dtype=np.int64)
+    onehot = np.zeros((gok.size, n_groups), dtype=np.float32)
+    onehot[np.arange(gok.size), gok] = 1.0
+    return onehot
+
+
+def _chain_key_rows(widths: MixedWidths, key, grp, key_mask, grp_mask, oh):
+    """Assemble the chain-ordered c-axis rows for the gram kernel:
+    [group pose expanded per key | per-key points], for both the
+    parameter values and the column mask. `oh` may be the full one-hot or
+    this device's key slice — the layout is per-row either way."""
+    kk = np.asarray(widths.key_cols)
+    gg_ = np.asarray(widths.grp_cols)
+    dtype = key.dtype
+    keyp = jnp.zeros((key.shape[0], widths.c), dtype)
+    keyp = keyp.at[:, kk].set(key)
+    keyp = keyp.at[:, gg_].set(oh @ grp)
+    kmask = jnp.zeros((key.shape[0], widths.c), dtype)
+    kmask = kmask.at[:, kk].set(key_mask)
+    kmask = kmask.at[:, gg_].set(oh @ grp_mask)
+    return keyp, kmask
+
+
 def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
                            n_cams: int, n_ims: int, mesh: Mesh,
                            group_of_key, n_groups: int,
@@ -47,9 +72,7 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     gg_ = np.asarray(widths.grp_cols)
     grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
                                 loss_semantics=loss_semantics)
-    gok = np.asarray(group_of_key, dtype=np.int64)
-    onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
-    onehot_np[np.arange(gok.size), gok] = 1.0
+    onehot_np = _group_onehot(group_of_key, n_groups)
 
     n_dev = mesh.devices.size
     if shard_axis == "cam":
@@ -94,13 +117,8 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
         cmask_b = jnp.repeat(cmask_loc, i_loc, axis=0)
         imask_b = jnp.tile(imask_loc, (c_loc, 1))
 
-        # chain-ordered c-axis rows: [group pose expanded per key | points]
-        keyp = jnp.zeros((k_pad, cw), dtype)
-        keyp = keyp.at[:, kk].set(pieces.key)
-        keyp = keyp.at[:, gg_].set(oh @ pieces.grp)
-        kmask = jnp.zeros((k_pad, cw), dtype)
-        kmask = kmask.at[:, kk].set(colmask.key)
-        kmask = kmask.at[:, gg_].set(oh @ colmask.grp)
+        keyp, kmask = _chain_key_rows(widths, pieces.key, pieces.grp,
+                                      colmask.key, colmask.grp, oh)
 
         (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
          cost) = grams(cam_b, im_b, keyp, tpl,
@@ -182,15 +200,14 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     gg_ = np.asarray(widths.grp_cols)
     grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
                                 loss_semantics=loss_semantics)
-    gok = np.asarray(group_of_key, dtype=np.int64)
-    onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
-    onehot_np[np.arange(gok.size), gok] = 1.0
+    onehot_np = _group_onehot(group_of_key, n_groups)
+    n_keys = onehot_np.shape[0]
     n_dev = mesh.devices.size
-    if gok.size % n_dev != 0:
+    if n_keys % n_dev != 0:
         raise ValueError(
-            f"{gok.size} key slots not divisible by {n_dev} devices; pad "
+            f"{n_keys} key slots not divisible by {n_dev} devices; pad "
             "the key axis (k_pad_multiple) to a mesh multiple")
-    k_loc = gok.size // n_dev
+    k_loc = n_keys // n_dev
 
     piece_spec = MixedPieces(P(), P(), P(DETECTION_AXIS), P())
     out_spec = MixedNormalEq(
@@ -216,13 +233,8 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
         # this device's key slice of the group one-hot
         oh = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(onehot_np, dtype=dtype), d * k_loc, k_loc)
-
-        keyp = jnp.zeros((k_loc, cw), dtype)
-        keyp = keyp.at[:, kk].set(pieces.key)
-        keyp = keyp.at[:, gg_].set(oh @ pieces.grp)
-        kmask = jnp.zeros((k_loc, cw), dtype)
-        kmask = kmask.at[:, kk].set(colmask.key)
-        kmask = kmask.at[:, gg_].set(oh @ colmask.grp)
+        keyp, kmask = _chain_key_rows(widths, pieces.key, pieces.grp,
+                                      colmask.key, colmask.grp, oh)
 
         (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
          cost) = grams(cam_b, im_b, keyp, tpl,

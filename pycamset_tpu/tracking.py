@@ -182,12 +182,19 @@ class TargetTracker:
         pose6 = np.asarray(res.x)
         self._last_pose = pose6
         n_used = int(mask.sum())
-        sigma2 = float(res.cost) / max(2 * n_used - 6, 1)
+        dof = 2 * n_used - 6
+        if dof >= 1:
+            sigma2 = float(res.cost) / dof
+            pose_sigma = np.sqrt(np.clip(np.diag(cov_unit) * sigma2,
+                                         0.0, None))
+        else:
+            # 6 dof from <= 3 points: the pose interpolates the data and
+            # the residuals say nothing about its error — report inf, not
+            # a confident 0
+            pose_sigma = np.full(6, np.inf)
         info = {"rms": float(np.sqrt(float(res.cost) / (2 * n_used))),
                 "nit": int(res.nit), "n_used": n_used,
-                "status": int(res.status),
-                "pose_sigma": np.sqrt(np.clip(
-                    np.diag(cov_unit) * sigma2, 0.0, None))}
+                "status": int(res.status), "pose_sigma": pose_sigma}
         return make_4x4h_tform(pose6[:3], pose6[3:]), info
 
     def track_batch(self, detection: TargetDetection, inits=None):
@@ -235,10 +242,14 @@ class TargetTracker:
         self._last_pose = pose6[-1]
         n_used = mask.sum(axis=1)
         rms = np.sqrt(np.asarray(res.cost) / np.maximum(2 * n_used, 1))
-        sigma2 = np.asarray(res.cost) / np.maximum(2 * n_used - 6, 1)
+        dof = 2 * n_used - 6
+        sigma2 = np.asarray(res.cost) / np.maximum(dof, 1)
         pose_sigma = np.sqrt(np.clip(
             np.einsum("fii->fi", np.asarray(cov_unit))
             * sigma2[:, None], 0.0, None))
+        # underdetermined frames (<= 3 points) are unconstrained, not
+        # perfectly certain
+        pose_sigma[dof < 1] = np.inf
         poses = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
         return poses, {"rms": rms, "nit": np.asarray(res.nit),
                        "n_used": n_used, "pose_sigma": pose_sigma}

@@ -176,7 +176,12 @@ def _decode_stream(codec: int, payload: bytes, out_size: int) -> bytes:
     if codec == _CODEC_LZ4:
         return lz4_block_decompress(payload, out_size)
     if codec == _CODEC_ZLIB:
-        plain = zlib.decompress(payload)
+        try:
+            plain = zlib.decompress(payload)
+        except zlib.error as err:
+            # keep the documented contract AND let the split-policy retry
+            # loop try the other stream layout
+            raise BloscDecodeError(f"zlib stream: {err}")
         if len(plain) != out_size:
             raise BloscDecodeError("zlib stream size mismatch")
         return plain

@@ -155,6 +155,4 @@ def test_pure_reader_never_crashes_on_corruption():
             out = bc.blosc_decompress_pure(bytes(bad))
             assert isinstance(out, bytes)  # an accidental clean decode is ok
         except bc.BloscDecodeError:
-            pass  # the contract
-        except (zlib_error := __import__("zlib").error):
-            pass  # inner zlib streams may fail with zlib.error; acceptable
+            pass  # the contract: the ONLY acceptable failure mode

@@ -40,8 +40,36 @@ if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
 
-def test_cli_info_uncertainty(cli_data):
+def test_cli_info_uncertainty(tmp_path):
+    """Self-contained (no dependence on the calibrate test's side
+    effects): solve a small synthetic rig, save it, read it back with
+    --uncertainty."""
+    import numpy as np
     from pycamset_tpu.__main__ import main
-    rc = main(["info", str(cli_data / "optimised_cameras.camset"),
-               "--uncertainty"])
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (
+        FreePointTarget, TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.saving import save_camset
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=2, n_ims=4, grid=4, visibility=1.0,
+                             noise_px=0.2, seed=5)
+    k_mats = [np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]], [0, 0, 1]])
+              for i9 in rig["intr"]]
+    exts = [make_4x4h_tform(e[:3], e[3:]) for e in rig["extr"]]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b"], exts, k_mats, [i9[4:] for i9 in rig["intr"]],
+        [[1600, 1200]] * 2))
+    handler = TemplateBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=["a", "b"], data=rig["dd"]),
+        options={"outliers": "n"})
+    _res, solved = run_bundle_adjustment(handler, backend="structured")
+    path = tmp_path / "solved.camset"
+    save_camset(solved, path)
+
+    rc = main(["info", str(path), "--uncertainty"])
     assert rc == 0

@@ -152,3 +152,76 @@ def test_tracker_reports_pose_sigma():
     _pose, one = tracker.track(det.get(im_num=0))
     assert one["pose_sigma"].shape == (6,)
     assert np.all(one["pose_sigma"] > 0)
+
+def _small_solved_rig(noise_px=0.3, seed=41, loss="linear", outlier=False):
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (
+        FreePointTarget, TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=5, visibility=1.0,
+                             noise_px=noise_px, seed=seed)
+    dd = rig["dd"].copy()
+    if outlier:  # one wildly wrong observation
+        dd[7, 3:5] += 400.0
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    opts = {"outliers": "n"}
+    if loss != "linear":
+        opts |= {"loss": loss, "f_scale": 2.0}
+    handler = TemplateBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=["a", "b", "c"], data=dd), options=opts)
+    res, solved = run_bundle_adjustment(handler, backend="structured")
+    return res, solved
+
+
+def test_robust_loss_weights_covariance():
+    """With a huber loss, one gross outlier must NOT inflate sigma2: the
+    IRLS weighting downweights it in the covariance the same way the
+    solver does in the objective."""
+    from pycamset_tpu.optim.uncertainty import calibration_uncertainty
+
+    res, solved = _small_solved_rig(loss="huber", outlier=True)
+    unc = calibration_uncertainty(solved, x=res["x"])
+    # unweighted, the 400px outlier alone puts sqrt(sigma2) near 14px
+    # (400^2/dof); huber-weighted it contributes ~2*f_scale*400/dof ~ 1px^2
+    # on top of the fit distortion the un-rejected outlier itself causes
+    assert np.sqrt(unc["sigma2"]) < 5.0, unc["sigma2"]
+
+    # and a clean linear solve agrees with its robust counterpart's scale
+    res_l, solved_l = _small_solved_rig(loss="linear", outlier=False)
+    unc_l = calibration_uncertainty(solved_l, x=res_l["x"])
+    assert np.sqrt(unc_l["sigma2"]) < 0.5
+
+
+def test_sparse_sigma_matches_dense(monkeypatch):
+    """Forcing the large-problem sparse path must reproduce the dense
+    camera/pose sigmas (point sigmas are intentionally omitted)."""
+    from pycamset_tpu.optim import uncertainty as U
+
+    res, solved = _small_solved_rig()
+    dense = U.calibration_uncertainty(solved, x=res["x"])
+    monkeypatch.setattr(U, "DENSE_COV_MAX_PARAMS", 1)
+    sparse = U.calibration_uncertainty(solved, x=res["x"])
+
+    assert "point_sigma" not in sparse
+    np.testing.assert_allclose(sparse["pose_sigma"], dense["pose_sigma"],
+                               rtol=1e-8, atol=1e-12)
+    for name in dense["cameras"]:
+        np.testing.assert_allclose(
+            sparse["cameras"][name]["int_sigma"],
+            dense["cameras"][name]["int_sigma"], rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(
+            sparse["cameras"][name]["ext_sigma"],
+            dense["cameras"][name]["ext_sigma"], rtol=1e-8, atol=1e-12)

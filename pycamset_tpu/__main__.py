@@ -148,9 +148,13 @@ def cmd_track(args) -> int:
     tracker = TargetTracker(cams, target, loss=args.loss,
                             f_scale=args.f_scale)
     poses, info = tracker.track_batch(detection)
+    # inf sigmas (underdetermined frames) are not valid JSON -> null
+    sig = [[float(v) if np.isfinite(v) else None for v in row]
+           for row in info["pose_sigma"]]
     records = [{"frame": i, "pose": p.tolist(),
                 "rms_px": float(info["rms"][i]),
-                "n_detections": int(info["n_used"][i])}
+                "n_detections": int(info["n_used"][i]),
+                "pose_sigma": sig[i]}
                for i, p in enumerate(poses)]
     text = json.dumps(records, indent=1)
     if args.out:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured_mixed import (
@@ -95,7 +95,8 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(piece_spec, data_spec, data_spec, P(), piece_spec),
-             out_specs=MixedNormalEq(*([P()] * 15)))
+             out_specs=MixedNormalEq(*([P()] * 15)),
+             check_vma=False)  # Pallas grams inside: no vma on out-shapes
     def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
         dtype = uv.dtype
         d = jax.lax.axis_index(DETECTION_AXIS)
@@ -220,7 +221,8 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
              in_specs=(piece_spec, P(None, None, DETECTION_AXIS),
                        P(None, None, DETECTION_AXIS), P(DETECTION_AXIS),
                        piece_spec),
-             out_specs=out_spec)
+             out_specs=out_spec,
+             check_vma=False)  # Pallas grams inside: no vma on out-shapes
     def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
         dtype = uv.dtype
         d = jax.lax.axis_index(DETECTION_AXIS)

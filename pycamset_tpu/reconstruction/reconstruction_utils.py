@@ -141,6 +141,11 @@ def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
                        mind: float = 0.0, maxd: float = 2.0):
     """Dense stereo point cloud via rectify -> block matching -> reproject."""
     rect0, rect1, q = rectify_camera_images(cam_0, cam_1, im_0, im_1)
+    # block matchers want single-channel input
+    if np.asarray(rect0).ndim == 3:
+        rect0 = cv2.cvtColor(rect0, cv2.COLOR_BGR2GRAY)
+    if np.asarray(rect1).ndim == 3:
+        rect1 = cv2.cvtColor(rect1, cv2.COLOR_BGR2GRAY)
     if matlab:
         disp = matlab_stereo(rect0, rect1,
                              disp_range=(num_disp - 128, num_disp), plot=plot)

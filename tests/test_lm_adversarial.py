@@ -49,9 +49,9 @@ def _build_pair(noise=0.3, outlier_frac=0.0, seed=17, camera_model="standard",
     dists = [i9[4:] for i9 in rig["intr"]]
     names = [f"c{i}" for i in range(n_cams)]
     opts = {"outliers": "n", "max_nfev": 100}
-    if intr_w > 9:
-        opts["camera_model"] = {12: "rational", 16: "thin_prism",
-                                18: "tilted"}[intr_w]
+    if intr_w != 9:
+        opts["camera_model"] = {8: "fisheye", 12: "rational",
+                                16: "thin_prism", 18: "tilted"}[intr_w]
     opts.update(options or {})
 
     def handler():
@@ -98,6 +98,9 @@ CELLS = {
     "near_degenerate_poses": dict(pose_scale=(0.02, 0.01), seed=31,
                                   n_ims=10),
     "high_distortion_rational": dict(camera_model="rational", seed=37),
+    "fisheye_outliers10_huber": dict(
+        camera_model="fisheye", outlier_frac=0.10, seed=41,
+        options={"loss": "huber", "f_scale": 2.0}),
 }
 
 

@@ -164,6 +164,14 @@ class TestReconstruction:
         # recovered depth clusters at ~1.0
         assert abs(np.median(pts[:, 2]) - 1.0) < 0.05
 
+        # color input is gray-converted internally (StereoBM wants 1ch)
+        cloud_c = stereo_reconstruct(
+            cam0, cam1, np.stack([im0] * 3, -1), np.stack([im1] * 3, -1),
+            num_disp=64, blockSize=15, mind=0.5, maxd=1.5)
+        pts_c = (cloud_c if isinstance(cloud_c, np.ndarray)
+                 else np.array(cloud_c.points))
+        assert pts_c.shape[0] > 1000
+
 
 class TestVisualisation:
     def test_visualise_calibration_smoke(self, small_charuco, monkeypatch):

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 
-def _problem(n_cams=8, n_ims=4, grid=4, seed=11):
+def _problem(n_cams=8, n_ims=4, grid=4, seed=11, dtype=None):
     import jax.numpy as jnp
 
     from pycamset_tpu.optim.blocks import (
@@ -29,25 +29,26 @@ def _problem(n_cams=8, n_ims=4, grid=4, seed=11):
     blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
                                 k_pad_multiple=8)
     k_pad = blocks.uv.shape[1]
-    uv, mask = blocks.as_device(jnp.float64)
+    dtype = dtype or jnp.float64
+    uv, mask = blocks.as_device(dtype)
     gok = np.zeros(k_pad, np.int64)
     gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
     grp = np.array([[0.0] * 6, [0.04, -0.02, 0.06, 0.01, -0.02, 0.03]])
     key_pad = np.concatenate(
         [rig["template"], np.repeat(rig["template"][:1], k_pad - n_keys, 0)])
     pieces = MixedPieces(
-        jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], 1)),
-        jnp.asarray(rig["poses"]),
-        jnp.asarray(key_pad),
-        jnp.asarray(grp))
-    kmask = (jnp.ones((k_pad, 3)).at[n_keys:].set(0.0)
+        jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], 1), dtype),
+        jnp.asarray(rig["poses"], dtype),
+        jnp.asarray(key_pad, dtype),
+        jnp.asarray(grp, dtype))
+    kmask = (jnp.ones((k_pad, 3), dtype).at[n_keys:].set(0.0)
              .at[0].set(0.0).at[1].set(0.0).at[2, 0].set(0.0))
     colmask = MixedPieces(
-        jnp.ones((n_cams, 15)),
-        jnp.ones((n_ims, 6)).at[0].set(0.0),
+        jnp.ones((n_cams, 15), dtype),
+        jnp.ones((n_ims, 6), dtype).at[0].set(0.0),
         kmask,
-        jnp.ones((2, 6)).at[0].set(0.0))
-    tpl = jnp.zeros((k_pad, 3))
+        jnp.ones((2, 6), dtype).at[0].set(0.0))
+    tpl = jnp.zeros((k_pad, 3), dtype)
     return (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
             blocks)
 

@@ -569,3 +569,63 @@ def test_fisheye_solve_on_chip_without_pallas():
         os.environ.pop("PYCAMSET_NO_PALLAS", None)
     rms = float(np.sqrt(np.mean(res["fun"] ** 2)))
     assert rms < 2.0 * rig["noise_px"], rms
+
+
+def test_sharded_solver_on_chip_one_device_mesh():
+    """shard_map + psum wrapping the structured backend (Pallas grams
+    inside) must compile through Mosaic and converge on a REAL single-chip
+    mesh — the CPU tier only ever sees this composition on virtual
+    devices. A 1-device mesh still traces the collective program."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.structured import ParamPieces
+    from pycamset_tpu.parallel.mesh import detection_mesh
+    from pycamset_tpu.parallel.sharded_structured import (
+        make_sharded_structured_solver, shard_block_arrays)
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, blocks,
+     rig) = _rig_problem(model="standard", chain="template")
+    n_cams, n_ims = rig["n_cams"], rig["n_ims"]
+    mesh = detection_mesh()          # every (= the one) real device
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
+
+    pert = ParamPieces(
+        pieces.cam + jnp.asarray(np.random.default_rng(0).normal(
+            size=pieces.cam.shape) * 1e-4, pieces.cam.dtype),
+        pieces.im, pieces.key)
+    solve = make_sharded_structured_solver(
+        op_fun, widths, n_cams, n_ims, mesh, colmask, max_nfev=40)
+    res = solve(pert, uv_s, mask_s, tpl)
+    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    assert np.isfinite(rms)
+    assert rms < 2.0 * 0.5, rms      # the injected noise floor
+
+
+def test_sharded_mixed_solver_on_chip_one_device_mesh():
+    """The MIXED (multi-target self-cal) sharded solver — arrow-structured
+    Schur + the fused mixed Pallas kernel under shard_map — on a real
+    single-chip mesh."""
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sharded_mixed import _problem
+
+    from pycamset_tpu.parallel.mesh import detection_mesh
+    from pycamset_tpu.parallel.sharded_mixed import make_sharded_mixed_solver
+    from pycamset_tpu.parallel.sharded_structured import shard_block_arrays
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     blocks) = _problem(n_cams=3, n_ims=5, dtype=jnp.float32)
+
+    mesh = detection_mesh()
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, rig["n_cams"])
+    solve = make_sharded_mixed_solver(
+        op_fun, widths, rig["n_cams"], rig["n_ims"], mesh, colmask, gok, 2,
+        max_nfev=40)
+    res = solve(pieces, uv_s, mask_s, tpl)
+    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    assert np.isfinite(rms)
+    assert rms < 2.0 * 0.4, rms

@@ -2,6 +2,7 @@
 import shutil
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 REF_DATA = Path("/root/reference/tests/test_data/calibration_charuco")
@@ -34,6 +35,22 @@ def test_cli_calibrate_and_info(cli_data, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "3 cameras" in out and "mean reprojection error" in out
+
+    # track against the rig just calibrated (reuses the detection cache)
+    import json
+    out_json = cli_data / "poses.json"
+    rc = main(["track", str(cli_data), "--camset",
+               str(cli_data / "optimised_cameras.camset"),
+               "--target", "charuco", "--nx", "20", "--ny", "20",
+               "--square", "4", "--legacy", "--out", str(out_json)])
+    assert rc == 0
+    records = json.loads(out_json.read_text())
+    assert len(records) == 5
+    for rec in records:
+        assert np.array(rec["pose"]).shape == (4, 4)
+        assert rec["rms_px"] < 5.0
+        assert len(rec["pose_sigma"]) == 6
+        assert all(v is None or v >= 0 for v in rec["pose_sigma"])
 
 
 if __name__ == "__main__":

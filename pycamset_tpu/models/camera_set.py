@@ -115,7 +115,15 @@ class CameraSet:
         if isinstance(inp, slice):
             picked = pool[inp]
         elif isinstance(inp, list):
-            picked = [pool[idx] for idx in inp]
+            # index lists (the reference's contract) or name lists
+            picked = []
+            for idx in inp:
+                if isinstance(idx, str):
+                    if idx not in pool:
+                        raise ValueError(f"{idx!r} is not a camera name")
+                    picked.append(idx)
+                else:
+                    picked.append(pool[idx])
         else:
             raise ValueError(f"{inp} is not a valid subset identifier")
 

@@ -239,3 +239,54 @@ class TestReconstructionLeaves:
         np.testing.assert_allclose(pts[:, 2], 1.0, atol=1e-6)
         _, none_kept = disparity_to_ptcld(disp, q, mind=2.0, maxd=3.0)
         assert none_kept.sum() == 0
+
+
+class TestOpsLeaves:
+    def test_intr9_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+        from pycamset_tpu.ops.projection import (
+            intr9_from_k_dist, k_dist_from_intr9)
+        k = np.array([[512.0, 0, 321.5], [0, 498.0, 239.5], [0, 0, 1]])
+        d = np.array([0.1, -0.05, 1e-3, -2e-3, 0.01])
+        packed = intr9_from_k_dist(k, d)
+        k2, d2 = k_dist_from_intr9(jnp.asarray(packed))
+        np.testing.assert_allclose(np.asarray(k2), k)
+        np.testing.assert_allclose(np.asarray(d2), d)
+
+    def test_fisheye_distort_undistort_roundtrip(self):
+        import jax.numpy as jnp
+        from pycamset_tpu.ops.distortion import (
+            fisheye_distort_normalized, fisheye_theta_d,
+            fisheye_undistort_normalized)
+        dist4 = jnp.asarray([0.02, -0.005, 0.001, -2e-4])
+        xy = jnp.asarray(np.random.default_rng(3).uniform(-0.5, 0.5, (40, 2)))
+        xyd = fisheye_distort_normalized(xy, dist4)
+        back = fisheye_undistort_normalized(xyd, dist4)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xy),
+                                   atol=1e-9)
+        # zero distortion reduces to the pure equidistant model
+        r = float(jnp.linalg.norm(xy[0]))
+        xyd0 = np.asarray(fisheye_distort_normalized(xy[:1],
+                                                     jnp.zeros(4)))[0]
+        np.testing.assert_allclose(np.linalg.norm(xyd0), np.arctan(r),
+                                   atol=1e-12)
+        np.testing.assert_allclose(
+            float(fisheye_theta_d(jnp.asarray(0.3), jnp.zeros(4))), 0.3)
+
+    def test_se3_to_pose_inverts_make_tform(self):
+        import jax.numpy as jnp
+        from pycamset_tpu.ops.transforms import se3_to_pose
+        from pycamset_tpu.utils.general_utils import make_4x4h_tform
+        rvec, t = np.array([0.1, -0.2, 0.3]), np.array([1.0, 2.0, 3.0])
+        pose6 = np.asarray(se3_to_pose(jnp.asarray(make_4x4h_tform(rvec, t))))
+        np.testing.assert_allclose(pose6, np.r_[rvec, t], atol=1e-12)
+
+    def test_project_h_matches_manual_projection(self):
+        import jax.numpy as jnp
+        from pycamset_tpu.ops.transforms import project_h
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        p34 = k @ np.eye(4)[:3]
+        pts = np.array([[0.2, -0.1, 2.0], [0.0, 0.0, 1.0]])
+        uv = np.asarray(project_h(jnp.asarray(pts), jnp.asarray(p34)))
+        expected = (pts @ k.T)[:, :2] / pts[:, 2:3]
+        np.testing.assert_allclose(uv, expected, atol=1e-12)

@@ -79,15 +79,23 @@ def parameter_covariance(param_handler, x=None):
     sigma2 = float(r @ r) / dof
 
     jtj = np.asarray((jac.T @ jac).todense(), dtype=float)
+    # Jacobi equilibration: raw BA parameters mix px-scale intrinsics with
+    # metre-scale geometry, putting cond(JtJ) near 1e16+ and making the
+    # plain inverse garbage along the weak directions. Scaling by
+    # 1/sqrt(diag) brings the system to O(1) conditioning; the covariance
+    # transforms back exactly.
+    d = 1.0 / np.sqrt(np.maximum(np.diag(jtj), np.finfo(float).tiny))
+    scaled = jtj * d[:, None] * d[None, :]
     try:
-        cov = sigma2 * np.linalg.inv(jtj)
+        cov_s = np.linalg.inv(scaled)
     except np.linalg.LinAlgError:
         logging.warning(
             "J^T J is singular at the solution (degenerate geometry or an "
             "unconstrained gauge direction); falling back to the "
             "pseudo-inverse — sigmas along null directions read as the "
             "minimum-norm values, not true uncertainties")
-        cov = sigma2 * np.linalg.pinv(jtj)
+        cov_s = np.linalg.pinv(scaled)
+    cov = sigma2 * cov_s * d[:, None] * d[None, :]
     return cov, np.sqrt(np.clip(np.diag(cov), 0.0, None)), sigma2, dof
 
 
@@ -96,17 +104,21 @@ def _sparse_sigma(param_handler, x, n_sigma_cols: int):
     blocks) via a sparse LU of J^T J — the large-self-cal path where the
     dense inverse cannot be formed. Point sigmas are not computed.
     """
+    from scipy.sparse import diags
     from scipy.sparse.linalg import splu
 
     r, jac, _x = _weighted_r_jac(param_handler, x)
     n_res, n_free = jac.shape
     dof = max(n_res - n_free, 1)
     sigma2 = float(r @ r) / dof
-    lu = splu((jac.T @ jac).tocsc())
+    jtj = (jac.T @ jac).tocsc()
+    # same Jacobi equilibration as the dense path (see parameter_covariance)
+    d = 1.0 / np.sqrt(np.maximum(jtj.diagonal(), np.finfo(float).tiny))
+    lu = splu(diags(d) @ jtj @ diags(d))
     cols = np.arange(n_sigma_cols)
     rhs = np.zeros((n_free, n_sigma_cols))
     rhs[cols, cols] = 1.0
-    diag = lu.solve(rhs)[cols, cols]
+    diag = lu.solve(rhs)[cols, cols] * d[:n_sigma_cols] ** 2
     sigma = np.zeros(n_free)
     sigma[:n_sigma_cols] = np.sqrt(np.clip(diag * sigma2, 0.0, None))
     return sigma, sigma2, dof

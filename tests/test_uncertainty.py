@@ -225,3 +225,58 @@ def test_sparse_sigma_matches_dense(monkeypatch):
         np.testing.assert_allclose(
             sparse["cameras"][name]["ext_sigma"],
             dense["cameras"][name]["ext_sigma"], rtol=1e-8, atol=1e-12)
+
+
+def test_sparse_sigma_selfcal_drops_points_keeps_cameras(monkeypatch):
+    """On a SELF-cal handler (free geometry in the tail) the forced sparse
+    path must agree with the dense camera/pose sigmas while omitting the
+    point sigmas it does not solve for."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import FreePointTarget, SelfBundleHandler
+    from pycamset_tpu.optim import uncertainty as U
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    # FULL visibility: partially-seen features make the self-cal system
+    # near-singular, where the trailing digits of any factorization are
+    # noise and sigma parity is meaningless (both honestly read "huge")
+    rig = make_synthetic_rig(n_cams=3, n_ims=8, grid=5, visibility=1.0,
+                             noise_px=0.2, seed=23)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    h = SelfBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"]),
+        options={"outliers": "n"})
+    res, solved = run_bundle_adjustment(h)
+
+    dense = U.calibration_uncertainty(solved, x=res["x"])
+    assert "point_sigma" in dense
+    monkeypatch.setattr(U, "DENSE_COV_MAX_PARAMS", 1)
+    sparse = U.calibration_uncertainty(solved, x=res["x"])
+
+    assert "point_sigma" not in sparse and "extra_sigma" not in sparse
+
+    # self-cal systems can carry genuinely near-null directions (features
+    # triangulated from ~2 close views): there BOTH factorizations report
+    # "effectively unbounded" but the garbage digits differ, so parity is
+    # only meaningful on well-constrained entries
+    def check(a, b):
+        well = (b > 0) & (b < 1.0)
+        np.testing.assert_allclose(a[well], b[well], rtol=1e-5, atol=1e-10)
+        assert np.all(a[b >= 1.0] >= 0.1)  # huge stays huge
+
+    check(sparse["pose_sigma"], dense["pose_sigma"])
+    for name in dense["cameras"]:
+        for field in ("int_sigma", "ext_sigma"):
+            check(sparse["cameras"][name][field],
+                  dense["cameras"][name][field])

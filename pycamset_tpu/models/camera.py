@@ -61,7 +61,8 @@ class SimpleMesh:
 
 def _make_mesh(verts, faces):
     try:
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         return pv.PolyData(verts, faces)
     except Exception:
         return SimpleMesh(verts, np.concatenate([np.asarray(f) for f in faces]))

@@ -390,7 +390,8 @@ class CameraSet:
     def get_scene(self, scale_factor=0.3 / 8, view_cones=None, scene=None,
                   labels=True):
         """A pyvista scene of the rig (requires pyvista)."""
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         pv.set_plot_theme("Document")
         scene = pv.Plotter() if scene is None else scene
         glyphs, cones = self.get_camera_meshes(viewcone=0.15,
@@ -417,7 +418,8 @@ class CameraSet:
 
     def plot(self, additional_mesh=None, scale_factor=None, view_cones=False):
         """3D plot of the rig plus optional extra meshes (requires pyvista)."""
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         scene = self.get_scene(scale_factor=scale_factor or 0.3 / 8,
                                view_cones=0.15 if view_cones else None)
         extras = additional_mesh if additional_mesh is not None else []

@@ -45,7 +45,8 @@ def make_tforms(base_face: np.ndarray, shape: str):
     if shape == "cube":
         verts, faces = _cube_faces(edge)
     else:
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         solid = {"Icosahedron": pv.Icosahedron}[shape]()
         verts, faces = solid.points, solid.regular_faces
 
@@ -105,7 +106,8 @@ class FaceToShape:
 
     def draw_meshes(self, face_corners, face_images, return_scene=False):
         """Textured 3D visualisation of the solid (requires pyvista)."""
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         face_corners = np.asarray(face_corners, dtype=float)
         flat_tform = self.face_transforms.reshape((-1, 4, 4))
         if face_corners.ndim == 2:

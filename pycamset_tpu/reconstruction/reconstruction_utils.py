@@ -19,7 +19,8 @@ from pycamset_tpu.models.camera import Camera
 
 def _as_cloud(points: np.ndarray, scalars=None):
     try:
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         cloud = pv.PolyData(points)
         if scalars is not None:
             cloud["i"] = scalars
@@ -163,7 +164,8 @@ def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
     keep = depth_image_ptcloud_mask(xyz, mind, maxd)
     cloud = _as_cloud(xyz[keep], scalars=np.asarray(rect0).ravel()[keep])
     if plot and not isinstance(cloud, np.ndarray):
-        import pyvista as pv
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
         pv.set_plot_theme("Document")
         cloud.plot(cmap="gray", point_size=0.75)
     return cloud

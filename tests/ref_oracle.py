@@ -76,21 +76,47 @@ _STUBS = {
 }
 
 
-def import_reference(module: str):
-    """Import a pyCamSet module from the mounted reference, stubbing the
-    missing heavy dependencies. Returns the module object."""
+import contextlib
+
+
+@contextlib.contextmanager
+def reference_stubs():
+    """Install the dependency stubs for the duration of the block, then
+    remove every stub this block installed from ``sys.modules``.
+
+    Scoping matters: a leaked pyvista stub once made the single-process full
+    suite red (product code trusted the counterfeit module). Reference
+    modules imported inside the block keep the stub objects they bound; the
+    rest of the process never sees them. Reference code paths that import
+    lazily at CALL time (e.g. the codegen template modules, which do
+    ``from numba import gdb_init``) must run inside this context manager.
+    """
+    installed: list[str] = []
     for name, attrs in _STUBS.items():
         if name not in sys.modules:
             try:
                 __import__(name)
             except ImportError:
                 sys.modules[name] = _StubModule(name, attrs)
+                installed.append(name)
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
-    import warnings
-    with warnings.catch_warnings():
-        # the read-only reference carries '\i' escapes in plot labels;
-        # its SyntaxWarnings are not ours to fix
-        warnings.simplefilter("ignore", SyntaxWarning)
-        __import__(module)
-    return sys.modules[module]
+    try:
+        yield
+    finally:
+        for name in installed:
+            sys.modules.pop(name, None)
+
+
+def import_reference(module: str):
+    """Import a pyCamSet module from the mounted reference, stubbing the
+    missing heavy dependencies only for the duration of the import.
+    Returns the module object."""
+    with reference_stubs():
+        import warnings
+        with warnings.catch_warnings():
+            # the read-only reference carries '\i' escapes in plot labels;
+            # its SyntaxWarnings are not ours to fix
+            warnings.simplefilter("ignore", SyntaxWarning)
+            __import__(module)
+        return sys.modules[module]

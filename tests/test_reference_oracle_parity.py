@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, str(Path(__file__).parent))
-from ref_oracle import import_reference  # noqa: E402
+from ref_oracle import import_reference, reference_stubs  # noqa: E402
 
 ch = import_reference("pyCamSet.optimisation.compiled_helpers")
 
@@ -271,7 +271,8 @@ def test_full_template_loss_matches_reference_generated_kernel():
     Python) vs our jitted residual, row-for-row at identical parameters."""
     from pycamset_tpu.optim.driver import make_optimisation_function
     ref_h, our_h, x_free = _reference_problem()
-    ref_loss = ref_h.make_loss_fun(threads=1)
+    with reference_stubs():  # codegen imports its template module lazily
+        ref_loss = ref_h.make_loss_fun(threads=1)
     our_loss, _, _ = make_optimisation_function(our_h)
     r_ref = np.asarray(ref_loss(x_free)).reshape(-1)
     r_ours = np.asarray(our_loss(x_free)).reshape(-1)
@@ -287,7 +288,8 @@ def test_full_template_jacobian_matches_reference_loss_fd():
     reference's objective."""
     from pycamset_tpu.optim.driver import make_optimisation_function
     ref_h, our_h, x_free = _reference_problem()
-    ref_loss = ref_h.make_loss_fun(threads=1)
+    with reference_stubs():  # codegen imports its template module lazily
+        ref_loss = ref_h.make_loss_fun(threads=1)
     _, our_jac_fn, _ = make_optimisation_function(our_h)
     j_ours = our_jac_fn(x_free).toarray()
     rng = np.random.default_rng(1)

@@ -164,8 +164,14 @@ class NormalEq(NamedTuple):
 
 def split_full_params(full: jnp.ndarray, op_fun: OptimFunction,
                       struct, n_cams: int, n_ims: int, n_keys: int,
-                      widths: GroupWidths) -> ParamPieces:
-    """Full [group-major] parameter vector -> per-link (count, width) pieces."""
+                      widths: GroupWidths, xp=jnp) -> ParamPieces:
+    """Full [group-major] parameter vector -> per-link (count, width) pieces.
+
+    ``xp=np`` keeps the pieces on the host: REQUIRED for arrays that a jit
+    will capture as closure constants — lowering a captured *device* array
+    fetches its bytes back to the host, and the axon tunnel's first
+    device->host transfer in a process can take minutes (round-3 'cold
+    start regression', diagnosed round 4)."""
     cam_parts, im_parts, key_parts = [], [], []
     for gi_, g in enumerate(op_fun.groups):
         sl = struct.group_slice(gi_)
@@ -178,11 +184,11 @@ def split_full_params(full: jnp.ndarray, op_fun: OptimFunction,
             # PER_GROUP rows ride the key piece (count from the struct)
             key_parts.append(chunk.reshape(struct.counts[gi_], g.n))
     z = full[:0]
-    cam = (jnp.concatenate(cam_parts, axis=1) if cam_parts
+    cam = (xp.concatenate(cam_parts, axis=1) if cam_parts
            else z.reshape(n_cams, 0))
-    im = (jnp.concatenate(im_parts, axis=1) if im_parts
+    im = (xp.concatenate(im_parts, axis=1) if im_parts
           else z.reshape(max(n_ims, 1), 0)[:n_ims])
-    key = (jnp.concatenate(key_parts, axis=1) if key_parts
+    key = (xp.concatenate(key_parts, axis=1) if key_parts
            else z.reshape(max(n_keys, 1), 0)[:n_keys])
     return ParamPieces(cam, im, key)
 

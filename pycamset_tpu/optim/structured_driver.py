@@ -105,15 +105,27 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
             im = jnp.zeros((n_ims_grid, 0), dtype=dtype)
         return ParamPieces(p.cam, im, key)
 
+    # colmask is CAPTURED by solve_impl as a closure constant — it must be
+    # host numpy (lowering a captured device array fetches it back through
+    # the tunnel; the first such fetch in a process costs minutes on axon)
     colmask_np = np.zeros_like(base_full)
     colmask_np[unfixed] = 1.0
-    colmask = to_pieces(colmask_np)
-    fixes = {}
-    if widths.c and not grouped:  # padded key slots are never free params
-        fixes["key"] = colmask.key.at[n_keys:].set(0.0)
-    if widths.b:  # nor are padded image slots
-        fixes["im"] = colmask.im.at[n_ims:].set(0.0)
-    colmask = colmask._replace(**fixes)
+    p_cm = split_full_params(colmask_np.astype(dtype), op_fun, struct,
+                             n_cams, n_ims, n_keys, widths, xp=np)
+    if widths.c and not grouped:
+        cm_key = np.tile(p_cm.key[:1], (k_pad, 1))
+        cm_key[:n_keys] = p_cm.key
+        cm_key[n_keys:] = 0.0  # padded key slots are never free params
+    elif widths.c:
+        cm_key = np.asarray(p_cm.key)
+    else:
+        cm_key = np.zeros((k_pad, 0), dtype=dtype)
+    if widths.b:
+        cm_im = np.zeros((n_ims_grid, p_cm.im.shape[1]), dtype=dtype)
+        cm_im[:n_ims] = p_cm.im  # nor are padded image slots
+    else:
+        cm_im = np.zeros((n_ims_grid, 0), dtype=dtype)
+    colmask = ParamPieces(np.asarray(p_cm.cam, dtype=dtype), cm_im, cm_key)
 
     neq_raw = make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,
@@ -141,10 +153,11 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
                                    reduced_solver=reduced_solver)
 
     point_fn = op_fun.make_point_fn()
-    blk_cam = jnp.asarray(np.repeat(np.arange(n_cams), n_ims_grid))
-    blk_im = jnp.asarray(np.tile(np.arange(n_ims_grid), n_cams))
+    # captured constants stay host-side (see colmask note above)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
+    blk_im = np.tile(np.arange(n_ims_grid), n_cams)
 
-    gok_d = jnp.asarray(gok_pad) if grouped else None
+    gok_d = np.asarray(gok_pad) if grouped else None
 
     @jax.jit
     def block_residual_impl(x_pieces, uv, mask, tpl):
@@ -243,8 +256,10 @@ def build_mixed_structured_problem(param_handler, dtype,
     base_full[unfixed] = x0
     free_idx = np.where(unfixed)[0]
 
-    def to_pieces(full_np: np.ndarray) -> MixedPieces:
-        full = jnp.asarray(full_np, dtype=dtype)
+    def to_pieces(full_np: np.ndarray, xp=jnp) -> MixedPieces:
+        # xp=np builds host pieces — required for closure constants
+        # (lowering a captured device array fetches it through the tunnel)
+        full = xp.asarray(full_np, dtype=dtype)
         cam_parts, im_parts, key_parts, grp_parts = [], [], [], []
         for gi_, g in enumerate(op_fun.groups):
             sl = struct.group_slice(gi_)
@@ -257,13 +272,20 @@ def build_mixed_structured_problem(param_handler, dtype,
                 key_parts.append(chunk.reshape(n_keys, g.n))
             else:
                 grp_parts.append(chunk.reshape(n_groups, g.n))
-        cam = jnp.concatenate(cam_parts, axis=1)
-        im = jnp.concatenate(im_parts, axis=1)
-        key = jnp.concatenate(key_parts, axis=1)
-        grp = jnp.concatenate(grp_parts, axis=1)
+        cam = xp.concatenate(cam_parts, axis=1)
+        im = xp.concatenate(im_parts, axis=1)
+        key = xp.concatenate(key_parts, axis=1)
+        grp = xp.concatenate(grp_parts, axis=1)
         # pad key rows replicate key 0; image rows pad to the bucketed grid
-        key = jnp.tile(key[:1], (k_pad, 1)).at[:n_keys].set(key)
-        im = jnp.tile(im[:1], (n_ims_grid, 1)).at[:n_ims].set(im)
+        if xp is jnp:
+            key = jnp.tile(key[:1], (k_pad, 1)).at[:n_keys].set(key)
+            im = jnp.tile(im[:1], (n_ims_grid, 1)).at[:n_ims].set(im)
+        else:
+            key_p = np.tile(key[:1], (k_pad, 1))
+            key_p[:n_keys] = key
+            im_p = np.tile(im[:1], (n_ims_grid, 1))
+            im_p[:n_ims] = im
+            key, im = key_p, im_p
         return MixedPieces(cam, im, key, grp)
 
     def from_pieces(p: MixedPieces) -> np.ndarray:
@@ -291,9 +313,9 @@ def build_mixed_structured_problem(param_handler, dtype,
 
     colmask_np = np.zeros_like(base_full)
     colmask_np[unfixed] = 1.0
-    colmask = to_pieces(colmask_np)
-    colmask = colmask._replace(key=colmask.key.at[n_keys:].set(0.0),
-                               im=colmask.im.at[n_ims:].set(0.0))
+    colmask = to_pieces(colmask_np, xp=np)  # captured constant: stay on host
+    colmask.key[n_keys:] = 0.0
+    colmask.im[n_ims:] = 0.0
 
     tpl_tab = param_handler.template_table()
     tpl_pad = np.zeros((k_pad, 3))
@@ -322,9 +344,10 @@ def build_mixed_structured_problem(param_handler, dtype,
                                    ops=ops)
 
     point_fn = op_fun.make_point_fn()
-    blk_cam = jnp.asarray(np.repeat(np.arange(n_cams), n_ims_grid))
-    blk_im = jnp.asarray(np.tile(np.arange(n_ims_grid), n_cams))
-    gok_d = jnp.asarray(gok_pad)
+    # captured constants stay host-side (see colmask note above)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
+    blk_im = np.tile(np.arange(n_ims_grid), n_cams)
+    gok_d = np.asarray(gok_pad)
     kk = np.asarray(widths.key_cols)
     gg_cols = np.asarray(widths.grp_cols)
 

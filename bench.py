@@ -1,18 +1,34 @@
 #!/usr/bin/env python
-"""Benchmark: the north-star full LM bundle adjustment on one TPU chip.
+"""Benchmarks: full LM bundle adjustment on one TPU chip.
 
-Problem (BASELINE.md driver target): 16 cameras x 100 views, full LM BA,
-target < 10 s wall with RMS parity. The synthetic rig injects 0.3 px noise;
-the solve is correct iff the final RMS reaches the noise floor.
+Problems (BASELINE.md driver target and its scale-ups):
+- north star: 16 cams x 100 views, standard model, structured Schur
+  backend, 485k detections, target < 10 s wall with RMS at the noise floor.
+- mixed 2-target: 16 cams x 100 views x 2 targets, multi-target
+  SELF-calibration (PER_KEY free geometry + PER_GROUP relative pose,
+  arrow-structured backend).
+- 64 cams x 400 views: 7.78M detections — the compute-bound point (the
+  north star sits near the tunnel's dispatch floor, so this row is where
+  kernel-level progress shows up round over round).
 
-Uses the structured (Schur) backend: block-grid residuals, MXU-assembled
-normal equations, pose elimination, dense reduced camera system — all inside
-one jitted lax.while_loop.
+All solves run inside one jitted lax.while_loop (block-grid residuals,
+MXU/Pallas-assembled normal equations, pose elimination).
 
-Prints ONE JSON line:
-{"metric": "ba16x100_solve_s", "value": <seconds>, "unit": "s",
- "vs_baseline": <10.0 / seconds>}
-plus detail lines on stderr.
+Timing methodology (this environment): `jax.block_until_ready` does not
+actually block through the axon tunnel, and the FIRST device->host fetch in
+a process can take minutes (one-time channel bring-up, measured 21 s-10 min,
+diagnosed round 4 — it was round 3's "569 s cold start"). So each problem is
+timed by enqueueing K solves on perturbed-input copies (defeats any
+transparent result memoization) and forcing ONE fetch of the last cost;
+per-solve time is the difference quotient between K=12 and K=2 runs. The
+one-time d2h bring-up is paid once, untimed, right after the first compile.
+
+vs_baseline for every metric is (10 s x detections / 485k) / solve_s: the
+driver's 10 s north-star target scaled linearly in detections (the
+reference's CPU solver is detection-linear per iteration).
+
+Prints one JSON line per metric; the north-star line is repeated last so a
+last-JSON-line parser records the round-over-round headline metric.
 """
 from __future__ import annotations
 
@@ -23,12 +39,69 @@ import time
 import numpy as np
 
 
-def main():
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(metric: str, solve_s: float, dets: int):
+    target_s = 10.0 * dets / 485_000.0
+    line = json.dumps({
+        "metric": metric,
+        "value": round(solve_s, 4),
+        "unit": "s",
+        "vs_baseline": round(target_s / solve_s, 2),
+    })
+    print(line, flush=True)
+    return line
+
+
+def fetch_scalar(x) -> float:
+    """Force a real device->host transfer (block_until_ready is a no-op
+    through the tunnel)."""
+    return float(np.asarray(x))
+
+
+def timed_solve(solve, pieces_list, args, k_lo: int = 2, k_hi: int = 12):
+    """Differenced fetch-forced timing: T(k_hi)-T(k_lo) over the extra
+    solves. Each run uses a distinct (perturbed) input so a caching tunnel
+    cannot collapse the executions."""
+    def run_k(k):
+        t0 = time.perf_counter()
+        r = None
+        for i in range(k):
+            r = solve(pieces_list[i % len(pieces_list)], *args)
+        fetch_scalar(r.cost)
+        return time.perf_counter() - t0
+
+    t_lo = run_k(k_lo)
+    t_hi = run_k(k_hi)
+    per = (t_hi - t_lo) / (k_hi - k_lo)
+    if per <= 0:  # timing noise swamped the difference; fall back to mean
+        per = t_hi / k_hi
+    return per
+
+
+def perturbed(pieces, n: int, eps: float = 1e-10):
+    """n copies of a ParamPieces/MixedPieces with bit-distinct cam blocks
+    (same optimisation path; defeats execution memoization)."""
+    import jax.numpy as jnp
+    out = []
+    for i in range(n):
+        cam = np.asarray(pieces.cam) + (i + 1) * eps
+        out.append(pieces._replace(cam=jnp.asarray(cam,
+                                                   dtype=pieces.cam.dtype)))
+    return out
+
+
+def standard_problem(n_cams: int, n_ims: int, grid: int = 19, seed: int = 0):
+    """Standard-chain structured problem; returns (solve, pieces, args,
+    blocks, struct)."""
     import jax
     import jax.numpy as jnp
 
     from pycamset_tpu.config import default_device_dtype
-    from pycamset_tpu.optim.blocks import Extrinsic3D, Projection, TemplatePoints
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, Projection,
+                                           TemplatePoints)
     from pycamset_tpu.optim.chain import OptimFunction
     from pycamset_tpu.optim.structured import (
         ParamPieces, build_block_arrays, chain_widths, make_structured_neq,
@@ -37,11 +110,9 @@ def main():
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     dtype = default_device_dtype()
-    backend = jax.default_backend()
-    rig = make_synthetic_rig(n_cams=16, n_ims=100, grid=19, visibility=0.85,
-                             noise_px=0.3, seed=0)
-    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
-
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.85, noise_px=0.3, seed=seed)
+    n_keys = rig["n_keys"]
     op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
     widths = chain_widths(op_fun)
     struct = op_fun.param_struct(n_cams, n_ims, n_keys)
@@ -54,7 +125,6 @@ def main():
 
     true_full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
                                 rig["poses"].ravel()])
-
     # perturb the seed like a PnP initialisation would be off
     rng = np.random.default_rng(1)
     x_full = true_full.copy()
@@ -65,63 +135,150 @@ def main():
     ])
     x_full += rng.normal(size=struct.total) * scale
     pose_sl = struct.group_slice(2)
-    x_full[pose_sl.start:pose_sl.start + 6] = 0.0  # gauge: pose 0 fixed at id
+    x_full[pose_sl.start:pose_sl.start + 6] = 0.0  # gauge: pose 0 fixed
 
     pieces = split_full_params(jnp.asarray(x_full, dtype=dtype), op_fun,
                                struct, n_cams, n_ims, n_keys, widths)
     pieces = ParamPieces(pieces.cam, pieces.im,
                          jnp.zeros((k_pad, 0), dtype=dtype))
-    colmask = ParamPieces(
-        jnp.ones((n_cams, widths.a), dtype=dtype),
-        jnp.ones((n_ims, widths.b), dtype=dtype).at[0].set(0.0),
-        jnp.ones((k_pad, 0), dtype=dtype))
+    # captured closure constant: MUST stay host numpy (lowering a captured
+    # device array fetches it through the tunnel's minutes-slow first d2h)
+    cm_im = np.ones((n_ims, widths.b), dtype=dtype)
+    cm_im[0] = 0.0
+    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
+                          np.ones((k_pad, 0), dtype=dtype))
 
     neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
-    max_nfev = 100
 
     @jax.jit
     def solve(p, uv_, mask_, tpl_):
         return structured_lm_solve(
             lambda pp: neq_raw(pp, uv_, mask_, tpl_, colmask), p,
-            max_nfev=max_nfev)
+            max_nfev=100)
 
-    # compile + first run (excluded from the timing)
+    return solve, pieces, (uv, mask, tpl), blocks, struct
+
+
+def mixed_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
+                  seed: int = 5):
+    """Mixed PER_KEY+PER_GROUP 2-target self-calibration problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycamset_tpu.config import default_device_dtype
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, FreePoint,
+                                           GroupRigidTform3d, Projection,
+                                           RigidTform3d)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import build_block_arrays
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+    from pycamset_tpu.optim.structured_mixed import (
+        MixedPieces, make_mixed_ops, make_mixed_structured_neq,
+        mixed_chain_widths)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    dtype = default_device_dtype()
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.85, noise_px=0.3, seed=seed)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                            GroupRigidTform3d(), FreePoint()])
+    widths = mixed_chain_widths(op_fun)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(dtype)
+    # two targets: the two halves of the grid, group 1 offset slightly
+    gok = np.zeros(k_pad, np.int64)
+    gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
+    grp = np.array([[0.0] * 6, [0.04, -0.02, 0.06, 0.01, -0.02, 0.03]])
+    key_pad = np.concatenate(
+        [rig["template"], np.repeat(rig["template"][:1], k_pad - n_keys, 0)])
+    pieces = MixedPieces(
+        jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], 1), dtype),
+        jnp.asarray(rig["poses"], dtype),
+        jnp.asarray(key_pad, dtype),
+        jnp.asarray(grp, dtype))
+    # host-side colmask (captured constant; see standard_problem)
+    kmask = np.ones((k_pad, 3), dtype=dtype)
+    kmask[n_keys:] = 0.0
+    kmask[0] = 0.0
+    kmask[1] = 0.0
+    kmask[2, 0] = 0.0  # 7-coord gauge fix
+    cm_im = np.ones((n_ims, 6), dtype=dtype)
+    cm_im[0] = 0.0
+    cm_grp = np.ones((2, 6), dtype=dtype)
+    cm_grp[0] = 0.0
+    colmask = MixedPieces(np.ones((n_cams, 15), dtype=dtype), cm_im, kmask,
+                          cm_grp)
+    tpl = jnp.zeros((k_pad, 3), dtype)
+
+    neq = make_mixed_structured_neq(op_fun, widths, n_cams, n_ims, gok, 2)
+    ops = make_mixed_ops(neq.onehot)
+
+    @jax.jit
+    def solve(p, uv_, mask_, tpl_):
+        return structured_lm_solve(
+            lambda q: neq(q, uv_, mask_, tpl_, colmask), p,
+            max_nfev=60, ops=ops)
+
+    return solve, pieces, (uv, mask, tpl), blocks
+
+
+def run_problem(name, solve, pieces, args, n_real, noise_px, k_hi=12):
+    """Compile, validate RMS, time, and emit one metric line."""
+    import jax  # noqa: F401
+
     t0 = time.perf_counter()
-    res = solve(pieces, uv, mask, tpl)
-    jax.block_until_ready(res.cost)
-    compile_and_first = time.perf_counter() - t0
+    res = solve(pieces, *args)
+    cost = fetch_scalar(res.cost)  # pays the one-time d2h on first problem
+    first_call_s = time.perf_counter() - t0
 
-    # timed warm runs: report the best of 5 — per-dispatch RPC latency
-    # through the axon tunnel (~8 ms) dominates the jitter at this scale
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        res = solve(pieces, uv, mask, tpl)
-        jax.block_until_ready(res.cost)
-        times.append(time.perf_counter() - t0)
-    solve_s = min(times)
+    rms = float(np.sqrt(cost / (2 * n_real)))
+    nit = int(np.asarray(res.nit))
+    pieces_list = perturbed(pieces, 4)
+    solve_s = timed_solve(solve, pieces_list, args, k_hi=k_hi)
+    log(f"{name}: detections={n_real} iters={nit} "
+        f"nfev={int(np.asarray(res.nfev))} status={int(np.asarray(res.status))} "
+        f"rms_px={rms:.4f} (noise floor ~{noise_px}) "
+        f"first_call_s={first_call_s:.2f} solve_s={solve_s:.4f} "
+        f"det_iters_per_s={n_real * max(nit, 1) / solve_s / 1e6:.1f}M")
+    if rms > noise_px * 1.2:
+        log(f"WARNING: {name} rms {rms:.4f} did not reach the noise floor")
+    return solve_s
 
-    n_res = 2 * blocks.n_real
-    rms = float(np.sqrt(float(res.cost) / n_res))
-    nit = int(res.nit)
-    print(f"backend={backend} dtype={np.dtype(dtype).name} "
-          f"detections={blocks.n_real} params={struct.total - 6} "
-          f"iters={nit} nfev={int(res.nfev)} status={int(res.status)} "
-          f"rms_px={rms:.4f} (noise floor ~{rig['noise_px']}) "
-          f"first_call_s={compile_and_first:.2f} solve_s={solve_s:.3f} "
-          f"iters_per_s={nit / solve_s:.1f}", file=sys.stderr)
 
-    ok = rms < rig["noise_px"] * 1.2
-    if not ok:
-        print(f"WARNING: rms {rms:.4f} did not reach the noise floor",
-              file=sys.stderr)
+def main():
+    import jax
 
-    print(json.dumps({
-        "metric": "ba16x100_solve_s",
-        "value": round(solve_s, 4),
-        "unit": "s",
-        "vs_baseline": round(10.0 / solve_s, 2),
-    }))
+    log(f"backend={jax.default_backend()}")
+
+    # --- north star: 16 x 100 standard ---------------------------------
+    solve, pieces, args, blocks, struct = standard_problem(16, 100)
+    ns_solve_s = run_problem("ba16x100", solve, pieces, args, blocks.n_real,
+                             0.3)
+    headline = emit("ba16x100_solve_s", ns_solve_s, blocks.n_real)
+
+    # --- mixed 2-target self-cal at north-star scale -------------------
+    try:
+        m_solve, m_pieces, m_args, m_blocks = mixed_problem()
+        m_s = run_problem("ba16x100x2t_mixed", m_solve, m_pieces, m_args,
+                          m_blocks.n_real, 0.3)
+        emit("ba16x100x2t_mixed_solve_s", m_s, m_blocks.n_real)
+    except Exception as e:  # never lose the headline to a secondary metric
+        log(f"mixed metric failed: {e!r}")
+
+    # --- compute-bound point: 64 x 400 (7.78M detections) --------------
+    try:
+        b_solve, b_pieces, b_args, b_blocks, _ = standard_problem(64, 400)
+        b_s = run_problem("ba64x400", b_solve, b_pieces, b_args,
+                          b_blocks.n_real, 0.3, k_hi=7)
+        emit("ba64x400_solve_s", b_s, b_blocks.n_real)
+    except Exception as e:
+        log(f"64x400 metric failed: {e!r}")
+
+    # headline repeated last: a last-JSON-line parser tracks the same
+    # metric as rounds 1-3
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

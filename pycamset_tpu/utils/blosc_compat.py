@@ -1,4 +1,4 @@
-"""Pure-Python decoder for c-blosc1 frames (reference `.camset` compat).
+"""Pure-Python codec for c-blosc1 frames (reference `.camset` interop).
 
 The reference persists detection tables with
 ``blosc.compress_ptr(..., cname='lz4', shuffle=1)``
@@ -14,8 +14,14 @@ c-blosc1 container to READ those frames:
 - zlib-coded frames (stdlib inflate),
 - byte-shuffle reversal via numpy reshape/transpose.
 
-Write support is intentionally absent: new files use the package's own zlib
-container (utils/saving.py). Only decode paths are needed for migration.
+WRITE support (round 4): :func:`blosc_compress_frame` emits frames the
+reference's python-blosc can decompress — through the system libblosc
+(lz4 + shuffle, byte-identical to the reference's own writes) when it is
+present, else a pure-Python zlib-codec frame (codec id 3, unsplit streams
+— c-blosc's own split policy for zlib — with the byte-shuffle filter),
+falling back to a memcpy frame when compression does not pay. Repo-saved
+`.camset` files are therefore loadable by the reference (utils/saving.py
+uses the reference's chunked dict layout around these frames).
 """
 from __future__ import annotations
 
@@ -64,6 +70,14 @@ def blosc_decompress_native(frame: bytes) -> bytes:
     if len(frame) < HEADER_LEN:
         raise BloscDecodeError("frame shorter than a blosc header")
     (nbytes,) = struct.unpack_from("<i", frame, 4)
+    (cbytes,) = struct.unpack_from("<i", frame, 12)
+    # validate before handing the buffer to C: a corrupt header could make
+    # libblosc read past the end of the input frame
+    if nbytes < 0:
+        raise BloscDecodeError(f"negative uncompressed size {nbytes}")
+    if cbytes != len(frame):
+        raise BloscDecodeError(
+            f"header says {cbytes} bytes, frame has {len(frame)}")
     out = ctypes.create_string_buffer(max(nbytes, 1))
     rc = _NATIVE.blosc_decompress(frame, out, nbytes)
     if rc != nbytes:
@@ -280,6 +294,137 @@ def blosc_decompress_pure(frame: bytes) -> bytes:
         except BloscDecodeError as err:
             last_err = err
     raise BloscDecodeError(f"could not decode frame: {last_err}")
+
+
+def _shuffle(block: bytes, typesize: int) -> bytes:
+    """Apply the blosc byte-shuffle filter (inverse of :func:`_unshuffle`)."""
+    if typesize <= 1:
+        return block
+    n = len(block)
+    body = n - n % typesize
+    planes = np.frombuffer(block[:body], dtype=np.uint8)
+    shuffled = planes.reshape(-1, typesize).T.tobytes()
+    return shuffled + block[body:]  # the remainder is stored unshuffled
+
+
+def _memcpy_frame(data: bytes, typesize: int, blocksize: int) -> bytes:
+    header = struct.pack("<BBBBiii", 2, 1, _FLAG_MEMCPYED, typesize,
+                         len(data), blocksize, len(data) + HEADER_LEN)
+    return header + data
+
+
+def blosc_compress_pure(data: bytes, typesize: int, clevel: int = 3) -> bytes:
+    """Build a c-blosc1 frame with pure Python (zlib codec, byte shuffle).
+
+    The layout mirrors what c-blosc itself writes for ``cname='zlib'``:
+    zlib never splits blocks (c-blosc's forward-compatible split policy),
+    each block is one size-prefixed stream, shuffled before compression,
+    stored raw when compression does not shrink it, and the whole frame
+    degrades to a memcpy frame when zlib cannot beat the raw size — so the
+    reference's python-blosc (the same C library) decodes it.
+    """
+    nbytes = len(data)
+    if typesize <= 0 or typesize > 255 or (nbytes % typesize):
+        typesize = 1  # c-blosc conventions (oversize / non-multiple buffers)
+    if nbytes == 0:
+        return _memcpy_frame(b"", typesize, 0)
+    # blocksize: a typesize multiple so whole blocks shuffle/split cleanly
+    blocksize = min(max((1 << 20) // typesize, 1) * typesize, nbytes)
+    n_blocks = (nbytes + blocksize - 1) // blocksize
+
+    # c-blosc 1.x "forward compatible" split policy: the decompressor
+    # re-derives the stream count from (typesize, blocksize), so the writer
+    # MUST split identically (mirrors blosc_decompress_pure's may_split)
+    may_split = (1 < typesize <= _MAX_SPLITS
+                 and blocksize // typesize >= _MIN_BUFFERSIZE
+                 and blocksize % typesize == 0)
+    nsplits = typesize if may_split else 1
+
+    flags = (_CODEC_ZLIB << _CODEC_SHIFT) | (_FLAG_BYTE_SHUFFLE
+                                             if typesize > 1 else 0)
+    blocks = []
+    for bi in range(n_blocks):
+        lo = bi * blocksize
+        block = data[lo:lo + blocksize]
+        out_size = len(block)
+        # a short trailing block is never split (c-blosc blosc_d)
+        bsplits = nsplits if out_size == blocksize else 1
+        shuf = _shuffle(block, typesize) if typesize > 1 else block
+        per = out_size // bsplits
+        sizes = [per] * bsplits
+        sizes[-1] += out_size - per * bsplits
+        parts, pos = [], 0
+        for want in sizes:
+            seg = shuf[pos:pos + want]
+            pos += want
+            z = zlib.compress(seg, clevel)
+            if len(z) >= want:  # store raw: csize == stream size marks it
+                parts.append(struct.pack("<i", want) + seg)
+            else:
+                parts.append(struct.pack("<i", len(z)) + z)
+        blocks.append(b"".join(parts))
+
+    table_end = HEADER_LEN + 4 * n_blocks
+    starts, pos = [], table_end
+    for b in blocks:
+        starts.append(pos)
+        pos += len(b)
+    cbytes = pos
+    if cbytes > nbytes + HEADER_LEN:  # compression did not pay
+        return _memcpy_frame(data, typesize, blocksize)
+    header = struct.pack("<BBBBiii", 2, 1, flags, typesize, nbytes,
+                         blocksize, cbytes)
+    return b"".join([header, struct.pack(f"<{n_blocks}i", *starts), *blocks])
+
+
+def blosc_compress_frame(data: bytes, typesize: int, clevel: int = 3) -> bytes:
+    """Compress bytes into a c-blosc1 frame the reference can read: system
+    libblosc (lz4 + shuffle, the reference's own settings) when present,
+    else the pure-Python zlib-codec writer."""
+    if _NATIVE is not None:
+        return blosc_compress_native(data, typesize, clevel=clevel)
+    return blosc_compress_pure(data, typesize, clevel=clevel)
+
+
+def compress_reference_dict(arr: np.ndarray, clevel: int = 3,
+                            max_blk_size: int = 100_000_000) -> dict:
+    """Encode an ndarray as the reference's chunked-blosc array dict
+    (/root/reference/pyCamSet/utils/saving.py:240-295 layout:
+    shape/size/dtype/f/num_chunk/max_num/data/sizes), decodable by the
+    reference's ``decompress`` and by :func:`decompress_reference_dict`."""
+    import base64
+
+    if arr.dtype == object:
+        raise TypeError("dtype object is not implemented")
+    shape = arr.shape
+    if arr.ndim > 1 and arr.flags["F_CONTIGUOUS"] and not arr.flags["C_CONTIGUOUS"]:
+        is_f = True
+        flat = np.ascontiguousarray(arr.T).reshape(-1)
+    else:
+        is_f = False
+        flat = np.ascontiguousarray(arr).reshape(-1)
+
+    itemsize = flat.dtype.itemsize
+    max_num = max_blk_size // itemsize
+    num_chunks = flat.size // max_num
+    if flat.size % max_num != 0:
+        num_chunks += 1
+    data, sizes = [], []
+    for ci in range(num_chunks):
+        chunk = flat[ci * max_num:(ci + 1) * max_num]
+        frame = blosc_compress_frame(chunk.tobytes(), itemsize, clevel)
+        sizes.append(len(frame))
+        data.append(base64.b64encode(frame).decode())
+    return {
+        "shape": list(shape),
+        "size": int(flat.size),
+        "dtype": str(flat.dtype),
+        "f": is_f,
+        "num_chunk": int(num_chunks),
+        "max_num": int(max_num),
+        "data": data,
+        "sizes": sizes,
+    }
 
 
 def decompress_reference_dict(save_dict: dict) -> np.ndarray:

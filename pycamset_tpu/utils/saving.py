@@ -28,6 +28,23 @@ import numpy as np
 
 from pycamset_tpu.utils.general_utils import numpy_dict_to_list
 
+# our-class -> reference-module map for reflective SAVES: files written by
+# this package name the reference namespace for classes both libraries
+# have, so the reference's load_CameraSet can rebuild them without any
+# alias table on its side (classes outside this package keep their names)
+_REFERENCE_MODULE_FOR = {
+    "Camera": "pyCamSet.cameras.camera",
+    "CameraSet": "pyCamSet.cameras.camera_set",
+    "TargetDetection": "pyCamSet.calibration_targets.target_detections",
+    "ImageDetection": "pyCamSet.calibration_targets.target_detections",
+    "ChArUco": "pyCamSet.calibration_targets.target_charuco",
+    "Ccube": "pyCamSet.calibration_targets.target_Ccube",
+    "TemplateBundleHandler": "pyCamSet.optimisation.template_handler",
+    "SelfBundleHandler": "pyCamSet.optimisation.standard_bundle_handler",
+    "FreePointBundleHandler": "pyCamSet.optimisation.free_point_handler",
+    "FreePointTarget": "pyCamSet.optimisation.free_point_handler",
+}
+
 # reference-namespace -> our-namespace remapping for reflective loads
 _MODULE_ALIASES = {
     "pyCamSet.cameras.camera": "pycamset_tpu.models.camera",
@@ -61,23 +78,22 @@ def instance_obj(class_module: str, class_name: str, **kwargs):
 
 
 def compress(arr: np.ndarray, clevel: int = 3) -> dict:
-    """Compress an ndarray to a JSON-able dict (zlib + base64)."""
-    arr = np.ascontiguousarray(arr)
-    raw = zlib.compress(arr.tobytes(), clevel)
-    return {
-        "codec": "zlib",
-        "shape": list(arr.shape),
-        "dtype": str(arr.dtype),
-        "data": base64.b64encode(raw).decode(),
-    }
+    """Compress an ndarray to a JSON-able dict in the REFERENCE's
+    chunked-blosc layout (pyCamSet/utils/saving.py:240-295), so files this
+    package writes load in the reference too. Frames come from the system
+    libblosc (lz4+shuffle, the reference's own settings) when present, else
+    a pure-Python zlib-codec c-blosc1 writer (utils/blosc_compat)."""
+    from pycamset_tpu.utils.blosc_compat import compress_reference_dict
+    return compress_reference_dict(np.asarray(arr), clevel=clevel)
 
 
 def decompress(save_dict: dict) -> np.ndarray:
     """Invert :func:`compress`; also reads the reference's chunked-blosc
     array dicts (lz4+shuffle frames) via utils/blosc_compat."""
-    if "num_chunk" in save_dict:  # the reference's blosc layout
+    if "num_chunk" in save_dict:  # the reference's blosc layout (also ours)
         from pycamset_tpu.utils.blosc_compat import decompress_reference_dict
         return decompress_reference_dict(save_dict)
+    # legacy layout written by early versions of this package
     codec = save_dict.get("codec", "blosc")
     if codec != "zlib":
         raise ValueError(f"Unsupported array codec {codec!r} "
@@ -91,7 +107,12 @@ def save_camset(cams, f_name: Path = Path("cams.camset")) -> None:
     """Save a CameraSet (+ calibration history if present) to JSON."""
     def type_record(obj, prefix):
         cls = type(obj)
-        return {f"{prefix}_module": cls.__module__, f"{prefix}_name": cls.__name__}
+        module = cls.__module__
+        if module.startswith("pycamset_tpu"):
+            # name the reference namespace for shared classes so the file
+            # also loads in the reference (our loader aliases it back)
+            module = _REFERENCE_MODULE_FOR.get(cls.__name__, module)
+        return {f"{prefix}_module": module, f"{prefix}_name": cls.__name__}
 
     doc: dict = {
         "cams": {

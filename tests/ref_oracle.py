@@ -59,6 +59,31 @@ class _TypedList(list):
         return _TypedList()
 
 
+def _blosc_compress_ptr(address, items, typesize, clevel=3, cname="lz4",
+                        shuffle=1):
+    """Functional blosc.compress_ptr: real c-blosc frames via the system
+    libblosc when present (byte-identical to python-blosc), else the
+    pure-Python writer — so the reference's saving module WORKS here and
+    its reads/writes are a true interop oracle."""
+    import ctypes as _ct
+    sys.path.insert(0, "/root/repo")
+    from pycamset_tpu.utils import blosc_compat as bc
+    data = _ct.string_at(address, items * typesize)
+    if bc.native_blosc_available():
+        return bc.blosc_compress_native(data, typesize, clevel=clevel,
+                                        cname=cname.encode(), shuffle=shuffle)
+    return bc.blosc_compress_pure(data, typesize, clevel=clevel)
+
+
+def _blosc_decompress_ptr(frame, address):
+    import ctypes as _ct
+    sys.path.insert(0, "/root/repo")
+    from pycamset_tpu.utils import blosc_compat as bc
+    plain = bc.blosc_decompress(bytes(frame))
+    _ct.memmove(address, plain, len(plain))
+    return len(plain)
+
+
 _STUBS = {
     "numba": {"njit": _njit, "prange": range, "int64": int, "float64": float,
               "__path__": []},
@@ -67,7 +92,9 @@ _STUBS = {
     "numba.core": {},
     "numba.extending": {},
     "pyvista": {},
-    "blosc": {"compress": lambda d, **k: d, "decompress": lambda d, **k: d},
+    "blosc": {"compress": lambda d, **k: d, "decompress": lambda d, **k: d,
+              "compress_ptr": _blosc_compress_ptr,
+              "decompress_ptr": _blosc_decompress_ptr},
     "natsort": {"natsorted": sorted},
     "uniplot": {"plot": lambda *a, **k: None,
                 "histogram": lambda *a, **k: None},

@@ -198,6 +198,14 @@ def cmd_info(args) -> int:
                   f"c=({si[1]:.3f},{si[3]:.3f}) px; "
                   f"rot={np.max(se[:3]) * 1e3:.3f} mrad "
                   f"t={np.max(se[3:]) * 1e3:.3f} mm (max)")
+        if "point_sigma" in unc:  # self-cal free geometry (Schur at scale)
+            ps = np.linalg.norm(unc["point_sigma"], axis=1)
+            free = ps[ps > 0]
+            if free.size:
+                print(f"  points: sigma median={np.median(free) * 1e3:.4f} "
+                      f"p90={np.percentile(free, 90) * 1e3:.4f} "
+                      f"max={free.max() * 1e3:.4f} mm "
+                      f"({free.size} free of {ps.size})")
     return 0
 
 

@@ -99,11 +99,68 @@ def parameter_covariance(param_handler, x=None):
     return cov, np.sqrt(np.clip(np.diag(cov), 0.0, None)), sigma2, dof
 
 
-def _sparse_sigma(param_handler, x, n_sigma_cols: int):
-    """Sigmas of the FIRST n_sigma_cols free parameters (the camera/pose
-    blocks) via a sparse LU of J^T J — the large-self-cal path where the
-    dense inverse cannot be formed. Point sigmas are not computed.
+# camera/pose/extra columns the Schur path will densify; above this the
+# head itself is too large and sigmas fall back to batched LU columns
+SCHUR_HEAD_MAX = 8000
+_LU_BATCH = 64  # identity columns solved per batch (bounds the dense RHS)
+
+
+def _blockdiag_inverse(D, groups: np.ndarray):
+    """Inverse of a block-diagonal sparse matrix whose blocks are the
+    ``groups``-partitioned columns (each group <= 3 wide: one 3D point's
+    free coordinates). Returns a CSR matrix."""
+    from scipy.sparse import csr_matrix
+
+    t = D.shape[0]
+    n_grp = int(groups.max()) + 1 if t else 0
+    # local position of each column inside its group
+    sizes = np.bincount(groups, minlength=n_grp)
+    if sizes.max(initial=0) > 3:
+        raise ValueError("point blocks wider than 3 — not a point tail")
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    local = np.arange(t) - offsets[groups]
+
+    blocks = np.zeros((n_grp, 3, 3))
+    blocks[:, [0, 1, 2], [0, 1, 2]] = 1.0  # identity padding for short blocks
+    coo = D.tocoo()
+    gi, gj = groups[coo.row], groups[coo.col]
+    if np.any(gi != gj):
+        raise ValueError("point tail couples across points — not "
+                         "block-diagonal")
+    blocks[gi, local[coo.row], local[coo.col]] = coo.data
+    inv = np.linalg.inv(blocks)
+
+    # scatter the real (non-padding) entries back to sparse
+    rows, cols, vals = [], [], []
+    for k in range(3):
+        for m in range(3):
+            keep = (sizes > k) & (sizes > m)
+            g = np.nonzero(keep)[0]
+            rows.append(offsets[g] + k)
+            cols.append(offsets[g] + m)
+            vals.append(inv[g, k, m])
+    return csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(t, t))
+
+
+def _sparse_sigma(param_handler, x, n_head_cols: int,
+                  tail_groups: np.ndarray | None = None):
+    """Sigmas of ALL free parameters on the large-self-cal path where the
+    dense inverse cannot be formed.
+
+    When ``tail_groups`` maps every free column past ``n_head_cols`` onto
+    its 3D point, the point block is eliminated exactly (Schur selected
+    inverse): head sigmas from diag(S^-1) of the reduced camera system
+    S = A - W D^-1 W^T, point sigmas from the diagonal 3x3 blocks of
+    D^-1 + D^-1 W^T S^-1 W D^-1 — no dense (n_free, n_free) object ever
+    forms. Without a grouping (or a non-block-diagonal tail) the head
+    columns are solved through a sparse LU in fixed-size batches and tail
+    sigmas stay unreported (returned flag says which).
+
+    :return: (sigma (n_free,), sigma2, dof, points_solved)
     """
+    from scipy.linalg import lu_factor, lu_solve
     from scipy.sparse import diags
     from scipy.sparse.linalg import splu
 
@@ -114,14 +171,52 @@ def _sparse_sigma(param_handler, x, n_sigma_cols: int):
     jtj = (jac.T @ jac).tocsc()
     # same Jacobi equilibration as the dense path (see parameter_covariance)
     d = 1.0 / np.sqrt(np.maximum(jtj.diagonal(), np.finfo(float).tiny))
-    lu = splu(diags(d) @ jtj @ diags(d))
-    cols = np.arange(n_sigma_cols)
-    rhs = np.zeros((n_free, n_sigma_cols))
-    rhs[cols, cols] = 1.0
-    diag = lu.solve(rhs)[cols, cols] * d[:n_sigma_cols] ** 2
+    jtj_s = (diags(d) @ jtj @ diags(d)).tocsc()
+    h = n_head_cols
+    t = n_free - h
+
+    if (tail_groups is not None and t > 0 and h <= SCHUR_HEAD_MAX
+            and tail_groups.size == t):
+        try:
+            A = jtj_s[:h, :h].toarray()
+            W = jtj_s[:h, h:].tocsr()
+            D = jtj_s[h:, h:]
+            groups = np.unique(tail_groups, return_inverse=True)[1]
+            Dinv = _blockdiag_inverse(D, groups)
+            S = A - (W @ Dinv @ W.T).toarray()
+            # LU, not Cholesky: near-singular self-cal systems are only
+            # semi-definite in floats (matches the dense path's inv())
+            cf = lu_factor(S)
+            s_inv_diag = np.diag(lu_solve(cf, np.eye(h)))
+            # selected inverse of the point blocks, chunked over points
+            U = (W @ Dinv).tocsc()
+            tail_diag = np.asarray(Dinv.diagonal())
+            chunk = max(1, min(t, (1 << 25) // max(h, 1)))  # ~256MB f64 cap
+            for lo in range(0, t, chunk):
+                hi = min(lo + chunk, t)
+                Uc = U[:, lo:hi].toarray()
+                Vc = lu_solve(cf, Uc)
+                tail_diag[lo:hi] += np.einsum("ij,ij->j", Uc, Vc)
+            diag_scaled = np.concatenate([s_inv_diag, tail_diag])
+            sigma = np.sqrt(np.clip(diag_scaled * d * d * sigma2, 0.0, None))
+            return sigma, sigma2, dof, True
+        except (np.linalg.LinAlgError, ValueError) as err:
+            logging.warning(
+                "Schur covariance failed (%s); falling back to head-only "
+                "sparse sigmas", err)
+
+    lu = splu(jtj_s)
     sigma = np.zeros(n_free)
-    sigma[:n_sigma_cols] = np.sqrt(np.clip(diag * sigma2, 0.0, None))
-    return sigma, sigma2, dof
+    head = np.arange(h)
+    for lo in range(0, h, _LU_BATCH):  # batched: bounds the dense RHS
+        cols = head[lo:lo + _LU_BATCH]
+        rhs = np.zeros((n_free, cols.size))
+        rhs[cols, np.arange(cols.size)] = 1.0
+        sol = lu.solve(rhs)
+        sigma[cols] = np.sqrt(np.clip(
+            sol[cols, np.arange(cols.size)] * d[cols] ** 2 * sigma2,
+            0.0, None))
+    return sigma, sigma2, dof, False
 
 
 def _scatter_free(prim, sigma_free: np.ndarray) -> np.ndarray:
@@ -162,15 +257,22 @@ def calibration_uncertainty(camset, x=None) -> dict:
 
     points_available = True
     if int(free_mask.sum()) > DENSE_COV_MAX_PARAMS:
-        # large self-cal: the free camera/pose block leads the free vector
-        # (full layout order), so only those columns are solved for
-        head = int(free_mask[:pose_hi].sum())
-        logging.warning(
-            "%d free parameters: computing camera/pose sigmas via a sparse "
-            "factorization; point sigmas are omitted at this scale",
-            int(free_mask.sum()))
-        sigma_free, sigma2, dof = _sparse_sigma(handler, x, head)
-        points_available = False
+        # large self-cal: eliminate the trailing free-geometry block via a
+        # Schur selected inverse — head sigmas from the reduced camera
+        # system, point sigmas from the selected 3x3 diagonal blocks
+        bp = getattr(prim, "bundle_pts", None)
+        pt_lo = free_mask.size - (bp.size if bp is not None else 0)
+        head = int(free_mask[:pt_lo].sum())
+        free_idx = np.nonzero(free_mask)[0]
+        tail_groups = ((free_idx[head:] - pt_lo) // 3
+                       if free_idx.size > head else None)
+        sigma_free, sigma2, dof, points_available = _sparse_sigma(
+            handler, x, head, tail_groups)
+        if not points_available:
+            logging.warning(
+                "%d free parameters: camera/pose sigmas via a sparse "
+                "factorization; point sigmas were not solved at this scale",
+                int(free_mask.sum()))
     else:
         _cov, sigma_free, sigma2, dof = parameter_covariance(handler, x)
     full = _scatter_free(prim, sigma_free)

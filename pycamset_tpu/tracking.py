@@ -104,7 +104,12 @@ class TargetTracker:
             # degenerate frames finite instead of inf
             jtj, _, _ = neq(res.x, cam_i, key_i, uv, mask)
             eye = jnp.eye(6, dtype=jtj.dtype)
-            cov_unit = jnp.linalg.inv(jtj + 1e-12 * eye)
+            # ridge RELATIVE to the diagonal scale: JtJ entries sit near
+            # 1e6 for px-scale residuals, so an absolute 1e-12 would be
+            # invisible and a collinear frame could emit NaN instead of
+            # the documented inf sentinel
+            ridge = 1e-12 * jnp.maximum(jnp.max(jnp.diag(jtj)), 1.0)
+            cov_unit = jnp.linalg.inv(jtj + ridge * eye)
             return res, cov_unit
 
         self._solve = jax.jit(solve)
@@ -187,6 +192,10 @@ class TargetTracker:
             sigma2 = float(res.cost) / dof
             pose_sigma = np.sqrt(np.clip(np.diag(cov_unit) * sigma2,
                                          0.0, None))
+            # degenerate-but-overdetermined geometry (e.g. collinear
+            # points) can still blow through the ridge: keep the inf
+            # sentinel contract instead of leaking NaN
+            pose_sigma[~np.isfinite(pose_sigma)] = np.inf
         else:
             # 6 dof from <= 3 points: the pose interpolates the data and
             # the residuals say nothing about its error — report inf, not
@@ -248,8 +257,10 @@ class TargetTracker:
             np.einsum("fii->fi", np.asarray(cov_unit))
             * sigma2[:, None], 0.0, None))
         # underdetermined frames (<= 3 points) are unconstrained, not
-        # perfectly certain
+        # perfectly certain; degenerate geometry keeps the inf sentinel
+        # instead of leaking NaN through the ridged inverse
         pose_sigma[dof < 1] = np.inf
+        pose_sigma[~np.isfinite(pose_sigma)] = np.inf
         poses = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
         return poses, {"rms": rms, "nit": np.asarray(res.nit),
                        "n_used": n_used, "pose_sigma": pose_sigma}

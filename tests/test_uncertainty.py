@@ -227,10 +227,11 @@ def test_sparse_sigma_matches_dense(monkeypatch):
             dense["cameras"][name]["ext_sigma"], rtol=1e-8, atol=1e-12)
 
 
-def test_sparse_sigma_selfcal_drops_points_keeps_cameras(monkeypatch):
+def test_sparse_sigma_selfcal_schur_matches_dense(monkeypatch):
     """On a SELF-cal handler (free geometry in the tail) the forced sparse
-    path must agree with the dense camera/pose sigmas while omitting the
-    point sigmas it does not solve for."""
+    path eliminates the point block via the Schur selected inverse — ALL
+    sigmas, point sigmas included, must agree with the dense inverse
+    (which test_sigma_matches_monte_carlo_scatter validates against MC)."""
     from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
     from pycamset_tpu.models.detections import TargetDetection
     from pycamset_tpu.optim.driver import run_bundle_adjustment
@@ -264,7 +265,7 @@ def test_sparse_sigma_selfcal_drops_points_keeps_cameras(monkeypatch):
     monkeypatch.setattr(U, "DENSE_COV_MAX_PARAMS", 1)
     sparse = U.calibration_uncertainty(solved, x=res["x"])
 
-    assert "point_sigma" not in sparse and "extra_sigma" not in sparse
+    assert "point_sigma" in sparse, "Schur path must solve point sigmas"
 
     # self-cal systems can carry genuinely near-null directions (features
     # triangulated from ~2 close views): there BOTH factorizations report
@@ -276,7 +277,87 @@ def test_sparse_sigma_selfcal_drops_points_keeps_cameras(monkeypatch):
         assert np.all(a[b >= 1.0] >= 0.1)  # huge stays huge
 
     check(sparse["pose_sigma"], dense["pose_sigma"])
+    check(sparse["point_sigma"].ravel(), dense["point_sigma"].ravel())
+    # the gauge-pinned point coordinates stay exactly zero on both paths
+    np.testing.assert_array_equal(sparse["point_sigma"] == 0.0,
+                                  dense["point_sigma"] == 0.0)
     for name in dense["cameras"]:
         for field in ("int_sigma", "ext_sigma"):
             check(sparse["cameras"][name][field],
                   dense["cameras"][name][field])
+
+
+@pytest.mark.slow
+def test_sparse_sigma_large_selfcal_real_scale():
+    """A genuinely >DENSE_COV_MAX_PARAMS self-cal (no monkeypatch): the
+    Schur path must produce finite, positive point sigmas at the scale the
+    dense inverse cannot reach, near the injected noise in magnitude."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import FreePointTarget, SelfBundleHandler
+    from pycamset_tpu.optim.uncertainty import calibration_uncertainty
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    # 47x47 grid -> 2209 points -> 6627 geometry params + cams/poses > 6000
+    rig = make_synthetic_rig(n_cams=4, n_ims=12, grid=47, visibility=1.0,
+                             noise_px=0.3, seed=31)
+    k_mats, exts, dists = [], [], []
+    for c in range(4):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c", "d"], exts, k_mats, dists, [[1600, 1200]] * 4))
+    h = SelfBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=["a", "b", "c", "d"], data=rig["dd"]),
+        options={"outliers": "n"})
+    assert int(h.bundlePrimitive.unfixed_full().sum()) > 6000
+    res, solved = run_bundle_adjustment(h)
+    unc = calibration_uncertainty(solved, x=res["x"])
+
+    pts = unc["point_sigma"]
+    assert pts.shape == (rig["n_keys"], 3)
+    assert np.all(np.isfinite(pts))
+    free = pts[pts > 0]
+    assert free.size >= pts.size - 7
+    # 0.3 px noise at ~1500 px focal, ~1 m range: well-constrained points
+    # sit at 0.1-5 mm; the self-cal gauge coupling inflates the weak tail.
+    # The band catches order-of-magnitude breakage, not exact values.
+    assert 1e-6 < np.percentile(free, 25) < 1e-2, np.percentile(free, 25)
+    assert np.median(free) < 0.5, np.median(free)
+
+
+def test_tracker_degenerate_frame_reports_inf_not_nan():
+    """Collinear target points leave rotation about the line unconstrained
+    with dof >= 1: the sigma must surface as the documented inf sentinel,
+    never NaN (advisor finding: the old absolute 1e-12 ridge was invisible
+    against px-scale JtJ entries)."""
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.models.camera_set import CameraSet
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.tracking import TargetTracker
+
+    cam = Camera(name="a", res=[1600, 1200])
+    cams = CameraSet(camera_dict={"a": cam})
+    # 8 points on a line through the optical axis direction
+    line = np.zeros((8, 3))
+    line[:, 0] = np.linspace(-0.1, 0.1, 8)
+    tracker = TargetTracker(cams, FreePointTarget(line.reshape(1, -1, 3)))
+
+    # observe the line at z=1 in front of the single camera
+    uv = cam.project_points(line + np.array([0.0, 0.0, 1.0]))
+    dd = np.column_stack([np.zeros(8), np.zeros(8), np.arange(8), uv])
+    det = TargetDetection(cam_names=["a"], data=dd)
+    _pose, info = tracker.track(det)
+
+    sig = np.asarray(info["pose_sigma"])
+    assert not np.any(np.isnan(sig)), sig
+    # the unconstrained direction reads inf or a huge finite value; the
+    # constrained ones stay finite
+    assert np.all((sig > 0) | np.isinf(sig)), sig

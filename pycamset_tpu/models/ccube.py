@@ -130,6 +130,7 @@ class Ccube(AbstractTarget):
         self._alt_detectors = None
         self._fast_detectors = None
         self._alt_fast_detectors = None
+        self._marker_detector = None
         self._preferred = [0] * 6   # sticky per-face pattern (atomic writes)
         self._given_legacy_warning = False
         # measured on the reference cube dataset the single-window fast
@@ -137,6 +138,19 @@ class Ccube(AbstractTarget):
         # fallback doubles the work — the ladder stays opt-in here, unlike
         # the planar board where it is a 1.5-2.7x win at equal counts
         self.fast_detection = False
+        # ROI fast pass (default ON): ONE marker sweep with the union of
+        # the six face sub-dictionaries locates the visible faces, then
+        # each face's Charuco detection runs only inside its bounding
+        # window — invisible faces skip detection entirely. Any face whose
+        # windowed pass underperforms falls back to the full frame, and a
+        # sweep that finds nothing falls back to the original 6-face loop.
+        self.roi_detection = True
+
+        base = (aruco.getPredefinedDictionary(aruco_dict)
+                if isinstance(aruco_dict, int) else aruco_dict)
+        union = aruco.Dictionary(0, base.markerSize)
+        union.bytesList = np.array(base.bytesList[:6 * per_face])
+        self._union_dict = union  # ids: face = id // per_face
 
     def _render_face_textures(self) -> list[np.ndarray]:
         """Six face images: bordered board patterns with an index label."""
@@ -194,6 +208,35 @@ class Ccube(AbstractTarget):
         net = self.faceData.draw_net(self.textures, NET_FORMS)
         surround_and_save(net, f_out or default_name(".pdf"))
 
+    def _locate_face_rois(self, image):
+        """One union-dictionary marker sweep -> per-face bounding windows.
+
+        :return: {face_idx: (x0, y0, x1, y1)} for faces with at least one
+            detected marker, or None when the sweep found nothing (caller
+            falls back to full-frame detection for every face).
+        """
+        corners, ids, _rej = self._marker_detector.detectMarkers(image)
+        if ids is None or len(ids) == 0:
+            return None
+        ids = np.asarray(ids).reshape(-1)
+        h, w = image.shape[:2]
+        rois = {}
+        for f in range(6):
+            sel = np.nonzero(ids // self.markers_per_face == f)[0]
+            if sel.size == 0:
+                continue
+            pts = np.concatenate(
+                [np.asarray(corners[i]).reshape(-1, 2) for i in sel])
+            x0, y0 = pts.min(axis=0)
+            x1, y1 = pts.max(axis=0)
+            # outermost chessboard corners sit within ~1 square of the
+            # outer markers; 1.5 squares of margin absorbs perspective
+            m = 1.5 * max(x1 - x0, y1 - y0) / max(self.n_points, 1) + 8
+            rois[f] = (max(int(x0 - m), 0), max(int(y0 - m), 0),
+                       min(int(np.ceil(x1 + m)), w),
+                       min(int(np.ceil(y1 + m)), h))
+        return rois or None
+
     def find_in_image(self, image, draw=False, camera: Camera | None = None,
                       wait_len=1) -> ImageDetection:
         """Detect all 6 faces; keys are (face_id, corner_id) pairs.
@@ -219,6 +262,9 @@ class Ccube(AbstractTarget):
             self._alt_fast_detectors = [
                 aruco.CharucoDetector(b, params, fast_detector_params())
                 for b in self._alt_boards]
+        if self._marker_detector is None:
+            self._marker_detector = aruco.ArucoDetector(
+                self._union_dict, aruco.DetectorParameters())
 
         if draw:
             preview_hw = [480, 640]  # (h, w) to match the image shape order
@@ -235,16 +281,36 @@ class Ccube(AbstractTarget):
         # acceptance threshold must fit inside that
         max_per_face = (self.n_points - 1) ** 2
         face_min = max(6, min(FAST_DETECTION_MIN_CORNERS, max_per_face // 2))
+        rois = self._locate_face_rois(image) if self.roi_detection else None
         for face_idx in range(len(self.boards)):
             full_pair = (self.board_detectors[face_idx],
                          self._alt_detectors[face_idx])
             fast_pair = (self._fast_detectors[face_idx],
                          self._alt_fast_detectors[face_idx])
-            corners, corner_ids, self._preferred[face_idx] = (
-                ladder_detect_board(
-                    image, full_pair, fast_pair, self._preferred[face_idx],
+
+            def detect(img):
+                return ladder_detect_board(
+                    img, full_pair, fast_pair, self._preferred[face_idx],
                     face_min, use_fast=self.fast_detection,
-                    on_flip=self._warn_flip_once))
+                    on_flip=self._warn_flip_once)
+
+            if rois is not None:
+                roi = rois.get(face_idx)
+                if roi is None:
+                    continue  # no marker of this face anywhere in the image
+                x0, y0, x1, y1 = roi
+                corners, corner_ids, self._preferred[face_idx] = detect(
+                    image[y0:y1, x0:x1])
+                if corners is not None:
+                    corners = corners + np.array([x0, y0], dtype=float)
+                if corners is None or len(corners) < face_min:
+                    # windowed pass underperformed: full frame decides
+                    fc, fi, self._preferred[face_idx] = detect(image)
+                    if fc is not None and (corners is None
+                                           or len(fc) > len(corners)):
+                        corners, corner_ids = fc, fi
+            else:
+                corners, corner_ids, self._preferred[face_idx] = detect(image)
             if corner_ids is None:
                 continue
             found_keys.extend([face_idx, cid] for cid in corner_ids)

@@ -150,3 +150,47 @@ def test_decimated_fast_path_matches_full_res_on_large_image():
                           - np.asarray(det_full.image_points)[li], axis=1)
     assert np.median(dist) < 0.1, np.median(dist)
     assert dist.max() < 1.0, dist.max()
+
+
+def test_ccube_roi_pass_matches_full_frame():
+    """The ROI fast pass (union-dict marker sweep -> per-face windows) must
+    find the same corners as the full-frame loop on real cube images, skip
+    invisible faces, and survive a frame with no markers at all."""
+    import glob
+
+    import cv2
+    import numpy as np
+    from cv2 import aruco
+
+    from pycamset_tpu.models.ccube import Ccube
+
+    paths = sorted(glob.glob(
+        "/root/reference/tests/test_data/calibration_ccube/*/*"))[:6]
+    if not paths:
+        import pytest
+        pytest.skip("reference ccube dataset not mounted")
+    images = [cv2.imread(p, cv2.IMREAD_GRAYSCALE) for p in paths]
+
+    cube = Ccube(n_points=10, length=40, aruco_dict=aruco.DICT_6X6_1000,
+                 border_fraction=0.2)
+    cube.find_in_image(images[0])  # build detectors
+
+    total_full = total_roi = 0
+    for im in images:
+        cube.roi_detection = False
+        det_full = cube.find_in_image(im)
+        cube.roi_detection = True
+        det_roi = cube.find_in_image(im)
+        total_full += len(det_full.keys)
+        total_roi += len(det_roi.keys)
+        # the sweep localises a cube: at most 3 faces visible
+        rois = cube._locate_face_rois(im)
+        assert rois is not None and 1 <= len(rois) <= 4, rois
+    assert total_roi >= 0.97 * total_full, (total_roi, total_full)
+
+    # a markerless frame: sweep returns None and detection degrades
+    # gracefully to the (empty) full-frame result
+    blank = np.full_like(images[0], 255)
+    assert cube._locate_face_rois(blank) is None
+    det = cube.find_in_image(blank)
+    assert not det.has_data

@@ -65,7 +65,7 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
     loss = param_handler.problem_opts.get("loss", "linear")
     f_scale = float(param_handler.problem_opts.get("f_scale", 1.0))
     semantics = param_handler.problem_opts.get("loss_semantics",
-                                               "observation")
+                                               "component")
     # fast generic assembly: detections grouped by identical gather rows
     # turn the per-detection scatter-add (~2 s/eval on TPU at 500k rows)
     # into batched matmuls + one small scatter; chains whose rows are

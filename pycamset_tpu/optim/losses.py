@@ -49,11 +49,11 @@ def make_loss(loss: str = "linear", f_scale: float = 1.0):
 
     rho_fn returns the robust cost (already rescaled by f_scale^2 so costs
     are comparable with the linear loss); weight_fn the IRLS weight to fold
-    into the normal equations. The SEMANTICS — whether s is the
-    per-observation ||r_i||^2 (default, Ceres convention) or each squared
-    component (scipy convention) — is chosen by the caller via
-    ``loss_semantics`` on the gram/neq builders ("observation" or
-    "component"); the rho/weight forms are identical either way.
+    into the normal equations. The SEMANTICS — whether s is each squared
+    component (default: scipy convention, bitwise reference parity) or the
+    per-observation ||r_i||^2 (Ceres convention) — is chosen by the caller
+    via ``loss_semantics`` on the gram/neq builders ("component" or
+    "observation"); the rho/weight forms are identical either way.
     """
     if loss not in LOSSES:
         raise ValueError(f"unknown loss {loss!r}; options: {LOSSES}")

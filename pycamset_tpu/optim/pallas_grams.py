@@ -94,7 +94,7 @@ def pack_block_params(cam_b: jnp.ndarray, im_b: jnp.ndarray,
 
 
 def _make_gram_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
-                      semantics: str = "observation"):
+                      semantics: str = "component"):
     """Template-chain kernel factory; robust-loss fns fold in when given.
 
     intr_w selects the camera model: 9 = standard (5-coef polynomial
@@ -251,7 +251,7 @@ def _brown_columns(col, offs, intr_w, x, y, r2):
 
 
 def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
-                        semantics="observation"):
+                        semantics="component"):
     """Shared projection math: residuals + camera/pose Jacobian columns.
 
     pts3 is the (3, K) 3D point table (the constant template for the
@@ -360,7 +360,7 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
 
 
 def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
-                      rho_fn, weight_fn, intr_w, semantics="observation"):
+                      rho_fn, weight_fn, intr_w, semantics="component"):
     """One grid step: 8 blocks x K keys -> 8 extended (a+7)x(a+7) grams."""
     offs, _ = _layout(intr_w)
     gram_w = intr_w + 6 + 6 + 1
@@ -391,7 +391,7 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
                          loss: str = "linear",
                          f_scale: float = 1.0,
                          intr_w: int = 9,
-                         loss_semantics: str = "observation") -> jnp.ndarray:
+                         loss_semantics: str = "component") -> jnp.ndarray:
     """Extended per-block grams for the template chain.
 
     :param packed: (B, PPB) from pack_block_params. :param tpl_t: (3, K).
@@ -442,7 +442,7 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
 
 
 def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
-                         semantics: str = "observation"):
+                         semantics: str = "component"):
     """Self-cal kernel factory; robust-loss fns fold in when given; intr_w
     selects the camera model as in _make_gram_kernel."""
 
@@ -460,7 +460,7 @@ def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
 def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                          imask_ref, kmask_ref, out_ref, wck_ref, wik_ref,
                          hkkgk_ref, rho_fn, weight_fn, intr_w,
-                         semantics="observation"):
+                         semantics="component"):
     """Self-cal chain: per-block extended grams + per-key pieces.
 
     Shares _projection_columns with the template chain, with the template
@@ -531,7 +531,7 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
 
 def make_pallas_selfcal_grams(widths, loss: str = "linear",
                               f_scale: float = 1.0,
-                              loss_semantics: str = "observation"):
+                              loss_semantics: str = "component"):
     """Drop-in per-block gram builder for the self-cal chain (Pallas);
     serves the standard (a=15), rational (a=18), thin-prism (a=22) and
     tilted (a=24) camera models."""
@@ -625,7 +625,7 @@ def make_pallas_selfcal_grams(widths, loss: str = "linear",
 
 def make_pallas_freepoint_grams(widths, loss: str = "linear",
                                 f_scale: float = 1.0,
-                                loss_semantics: str = "observation"):
+                                loss_semantics: str = "component"):
     """Per-block gram builder for the pose-free free-point chain.
 
     Reuses the self-cal kernel with identity poses (rvec = t = 0 packs to
@@ -687,7 +687,7 @@ def pack_key_group_data(grp6_per_key: jnp.ndarray,
 
 
 def _make_mixed_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
-                       semantics: str = "observation",
+                       semantics: str = "component",
                        with_key_cols: bool = True):
     def _mixed_kernel(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
                       imask_ref, ckmask_ref, out_ref, wcc_ref, wic_ref,
@@ -703,7 +703,7 @@ def _make_mixed_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
 def _mixed_kernel_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
                        imask_ref, ckmask_ref, out_ref, wcc_ref, wic_ref,
                        acc_ref, rho_fn, weight_fn, intr_w,
-                       semantics="observation", with_key_cols=True):
+                       semantics="component", with_key_cols=True):
     """Mixed multi-target chain: per-block grams + 9-wide c-axis pieces.
 
     The c-axis is chain-ordered [group rvec 3 | group t 3 | point 3]
@@ -901,7 +901,7 @@ def _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
 
 def make_pallas_mixed_grams(widths, loss: str = "linear",
                             f_scale: float = 1.0,
-                            loss_semantics: str = "observation"):
+                            loss_semantics: str = "component"):
     """Per-block gram builder for the MIXED multi-target self-cal chain
     (Projection* + Extrinsic3D + RigidTform3d + GroupRigidTform3d +
     FreePoint): c-axis = [group pose 6 | free point 3]. Same contract as
@@ -912,7 +912,7 @@ def make_pallas_mixed_grams(widths, loss: str = "linear",
 
 def make_pallas_grouped_grams(widths, loss: str = "linear",
                               f_scale: float = 1.0,
-                              loss_semantics: str = "observation"):
+                              loss_semantics: str = "component"):
     """Per-block gram builder for the pure grouped template chain
     (Projection* + Extrinsic3D + RigidTform3d + GroupTemplatePoints):
     c-axis = the 6 group-pose columns, the 3D point comes from the
@@ -924,7 +924,7 @@ def make_pallas_grouped_grams(widths, loss: str = "linear",
 
 def make_pallas_template_grams(widths, loss: str = "linear",
                                f_scale: float = 1.0,
-                               loss_semantics: str = "observation"):
+                               loss_semantics: str = "component"):
     """A drop-in per-block gram builder using the Pallas kernel.
 
     Same contract as make_block_grams for the template chain (c == 0);

@@ -171,7 +171,7 @@ def build_grouped_detection_arrays(op_fun: OptimFunction, struct: ParamStruct,
 
 def make_grouped_neq_fn(op_fun: OptimFunction, loss: str = "linear",
                         f_scale: float = 1.0,
-                        loss_semantics: str = "observation"):
+                        loss_semantics: str = "component"):
     """Normal-equation builder over the (U, M) grouped grid.
 
     neq(params_full, u_rows, tpl, uv, mask) -> (JtJ, grad, cost): parameters
@@ -275,7 +275,7 @@ def make_local_jac_fn(op_fun: OptimFunction):
 
 def make_neq_fn(op_fun: OptimFunction, loss: str = "linear",
                 f_scale: float = 1.0,
-                loss_semantics: str = "observation"):
+                loss_semantics: str = "component"):
     """Normal-equation builder.
 
     neq(params_full, cols, tpl, uv, mask) ->

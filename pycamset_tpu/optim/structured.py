@@ -222,15 +222,15 @@ def make_block_point_fn(op_fun: OptimFunction, widths: GroupWidths):
 
 def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
                      loss: str = "linear", f_scale: float = 1.0,
-                     loss_semantics: str = "observation"):
+                     loss_semantics: str = "component"):
     """Per-block gram builder — the shardable inner kernel.
 
     :param loss: robust loss name (optim.losses); IRLS weights fold into the
         normal equations, the returned cost is the robust cost.
-    :param loss_semantics: "observation" applies rho per 2-D observation
-        (||r_i||^2, the Ceres/BA convention); "component" applies it per
-        residual component — bitwise scipy.least_squares objective
-        semantics on the device backend.
+    :param loss_semantics: "component" (default) applies rho per residual
+        component — bitwise scipy.least_squares objective semantics, i.e.
+        reference parity; "observation" applies it per 2-D observation
+        (||r_i||^2, the Ceres/BA convention).
     :return: grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask)
         over a (possibly local shard of the) block axis, returning
         (r-derived) per-block tensors plus key-axis partial sums:
@@ -322,7 +322,7 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         f_scale: float = 1.0,
                         group_of_key: np.ndarray | None = None,
                         n_groups: int | None = None,
-                        loss_semantics: str = "observation"):
+                        loss_semantics: str = "component"):
     """Structured normal-equation builder over the (B, K) grid.
 
     :param group_of_key: (k_pad,) int key->group map, required iff the chain

@@ -133,7 +133,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
         group_of_key=gok_pad, n_groups=n_groups if grouped else None,
         loss_semantics=param_handler.problem_opts.get(
-            "loss_semantics", "observation"))
+            "loss_semantics", "component"))
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
@@ -330,7 +330,7 @@ def build_mixed_structured_problem(param_handler, dtype,
         loss=param_handler.problem_opts.get("loss", "linear"),
         f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
         loss_semantics=param_handler.problem_opts.get(
-            "loss_semantics", "observation"))
+            "loss_semantics", "component"))
     ops = make_mixed_ops(neq_raw.onehot)
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)

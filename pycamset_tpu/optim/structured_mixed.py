@@ -131,7 +131,7 @@ class MixedNormalEq(NamedTuple):
 
 def resolve_mixed_grams(op_fun: OptimFunction, widths: MixedWidths,
                         loss: str = "linear", f_scale: float = 1.0,
-                        loss_semantics: str = "observation"):
+                        loss_semantics: str = "component"):
     """The per-block gram builder for a mixed chain: the fused Pallas
     kernel on TPU when the canonical multi-target self-cal chain matches
     (same speed class as the pure-keyed kernels), else the XLA closed
@@ -165,7 +165,7 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
                               group_of_key: np.ndarray,
                               n_groups: int, loss: str = "linear",
                               f_scale: float = 1.0,
-                              loss_semantics: str = "observation"):
+                              loss_semantics: str = "component"):
     """Mixed normal-equation builder over the (B, K) grid.
 
     :param group_of_key: (k_pad,) key -> group map (pad keys may map to any

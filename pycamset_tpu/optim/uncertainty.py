@@ -45,7 +45,7 @@ def _weighted_r_jac(param_handler, x):
         _rho, weight_fn = make_loss(
             loss, float(param_handler.problem_opts.get("f_scale", 1.0)))
         semantics = param_handler.problem_opts.get("loss_semantics",
-                                                   "observation")
+                                                   "component")
         if semantics == "component":
             s = r * r
             sw = np.sqrt(np.asarray(weight_fn(s), dtype=float))

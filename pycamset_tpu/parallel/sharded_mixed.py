@@ -60,7 +60,7 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
                            group_of_key, n_groups: int,
                            loss: str = "linear", f_scale: float = 1.0,
                            shard_axis: str = "cam",
-                           loss_semantics: str = "observation"):
+                           loss_semantics: str = "component"):
     """Mixed neq with the camera ('cam') or image ('pose') axis of the
     (C, I, K[, 2]) detection tensors sharded over the mesh.
 
@@ -181,7 +181,7 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
                                n_cams: int, n_ims: int, mesh: Mesh,
                                group_of_key, n_groups: int,
                                loss: str = "linear", f_scale: float = 1.0,
-                               loss_semantics: str = "observation"):
+                               loss_semantics: str = "component"):
     """Mixed neq with the KEY (structure) axis sharded over the mesh —
     the scaling mode for multi-target self-calibration with 100k+ free
     points: the per-key pieces (hkk, wkg, gk, wck, wik) stay sharded and
@@ -283,7 +283,7 @@ def make_sharded_mixed_solver(op_fun: OptimFunction, widths: MixedWidths,
                               n_groups: int, max_nfev: int = 100,
                               loss: str = "linear", f_scale: float = 1.0,
                               shard_axis: str = "cam",
-                              loss_semantics: str = "observation"):
+                              loss_semantics: str = "component"):
     """A jitted multi-device LM solve of the mixed multi-target system.
 
     :return: solve(pieces: MixedPieces, uv, mask, tpl) -> SLMResult, with

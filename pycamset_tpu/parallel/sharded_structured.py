@@ -63,7 +63,7 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                                 n_cams: int, n_ims: int, mesh: Mesh,
                                 loss: str = "linear", f_scale: float = 1.0,
                                 group_of_key=None, n_groups=None,
-                                loss_semantics: str = "observation"):
+                                loss_semantics: str = "component"):
     """neq with the camera axis of (uv, mask) sharded over the mesh.
 
     uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on axis 0;
@@ -159,7 +159,7 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
                                      loss: str = "linear",
                                      f_scale: float = 1.0,
                                      group_of_key=None, n_groups=None,
-                                     loss_semantics: str = "observation"):
+                                     loss_semantics: str = "component"):
     """neq with the POSE (image) axis of (uv, mask) sharded over the mesh.
 
     uv/mask enter as (C, I, K[, 2]) camera-major tensors sharded on AXIS 1;
@@ -256,7 +256,7 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
                                     n_ims: int, mesh: Mesh,
                                     loss: str = "linear",
                                     f_scale: float = 1.0,
-                                    loss_semantics: str = "observation"):
+                                    loss_semantics: str = "component"):
     """neq with the KEY (structure) axis sharded over the mesh.
 
     The scaling axis for SfM-like problems: at >=100k free points the
@@ -428,7 +428,7 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
                                    reduced_solver: str = "dense",
                                    shard_axis: str = "cam",
                                    group_of_key=None, n_groups=None,
-                                   loss_semantics: str = "observation"):
+                                   loss_semantics: str = "component"):
     """A jitted multi-device LM solve on the structured backend.
 
     :return: solve(pieces, uv, mask, tpl) -> SLMResult; uv/mask are

@@ -65,9 +65,10 @@ def test_robust_beats_linear_under_outliers(loss):
 
 @pytest.mark.parametrize("loss", ["huber", "cauchy"])
 def test_device_vs_scipy_robust_semantics_bounded(loss):
-    """Quantify the documented semantics divergence (optim/losses.py): the
-    device backends apply rho PER 2-D OBSERVATION (Ceres convention), the
-    scipy backend per residual COMPONENT.
+    """Quantify the documented semantics divergence (optim/losses.py)
+    when OPTING INTO the Ceres per-2-D-observation convention (the default
+    since round 4 is "component" = bitwise scipy parity); the scipy
+    backend applies rho per residual COMPONENT.
 
     Two numeric statements replace the hand-wave:
     1. Pointwise, concavity/subadditivity of every shipped rho bounds the
@@ -87,6 +88,7 @@ def test_device_vs_scipy_robust_semantics_bounded(loss):
                 else np.log1p(z))
 
     h_d, _ = _handler_with_outliers(loss)
+    h_d.problem_opts["loss_semantics"] = "observation"  # opt into Ceres
     res_d, _ = run_bundle_adjustment(h_d, backend="structured")
     h_s, _ = _handler_with_outliers(loss)
     res_s, _ = run_bundle_adjustment(h_s, backend="scipy")

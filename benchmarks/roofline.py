@@ -94,16 +94,26 @@ def build(n_cams, n_ims):
         return neq_raw(p, uv_, mask_, tpl_, colmask)
 
     slots = n_cams * n_ims * k_pad
-    # HBM traffic per eval (f32): kernel inputs read + gram output written,
-    # then the block-grid reductions re-read the grams
+    # HBM traffic per eval (f32): kernel inputs read + outputs written.
+    # The unfused kernel writes the full (W, W) gram per block and the
+    # block-grid reductions re-read it; the fused kernel (selected when the
+    # per-cam image padding is <= 5%, see structured.py) masks + reduces the
+    # cam-axis pieces in VMEM and writes only wci/gii/gi/cost per block.
     itemsize = np.dtype(dtype).itemsize
     b = n_cams * n_ims
-    bytes_eval = itemsize * (
-        b * k_pad * 2      # uv
-        + b * k_pad        # mask
-        + 3 * k_pad        # template
-        + b * 40           # packed per-block params (approx ppb)
-        + 2 * b * GRAM_W * GRAM_W)  # grams written + re-read by reductions
+    a = GRAM_W - 7  # cam columns (15 for the standard model)
+    i_pad = -(-n_ims // 16) * 16
+    fused = (i_pad - n_ims) <= 0.05 * n_ims
+    in_bytes = (b * k_pad * 2      # uv
+                + b * k_pad        # mask
+                + 3 * k_pad        # template
+                + b * 40)          # packed per-block params (approx ppb)
+    if fused:
+        out_bytes = (b * (a * 6 + 36 + 6 + 1)   # wci + gii + gi + cost
+                     + n_cams * (a * a + a))    # hcc + gc accumulators
+    else:
+        out_bytes = 2 * b * GRAM_W * GRAM_W  # grams written + re-read
+    bytes_eval = itemsize * (in_bytes + out_bytes)
     return neq, pieces, (uv, mask, tpl), blocks, slots, bytes_eval
 
 

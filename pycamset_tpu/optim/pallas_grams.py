@@ -30,12 +30,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pycamset_tpu.ops.rotations import rodrigues_to_matrix
 
-BLOCK_TILE = 8      # blocks per grid step (sublane dimension)
+BLOCK_TILE = 16     # blocks per grid step (sublane dimension); 16 measured
+                    # faster than 8 at every rig size on v5e (kernel-only
+                    # sweep: -7% at 25.6k blocks, >5x at 1.6k blocks, where
+                    # the 2x-fewer grid steps amortise per-step DMA issue)
 GRAM_W = 22         # 15 cam + 6 pose + 1 residual column (standard model)
 
 
@@ -439,6 +443,199 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b_pad, gram_w, gram_w), uv_t.dtype),
     )(packed, tpl_t, uv_t, mask)
     return out[:b]
+
+
+def _make_fused_template_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
+                                semantics: str = "component",
+                                steps_per_cam: int = 1):
+    """Template-chain kernel emitting REDUCED normal-equation pieces.
+
+    Same projection core as _make_gram_kernel, but the column masks fold
+    in-kernel and the outputs are routed straight to their consumers: the
+    cam blocks (hcc, gc) accumulate across the image-minor grid steps of
+    each camera, and only the per-block couplings (wci), pose grams
+    (gii, gi) and cost corners leave VMEM — 7x less HBM write traffic than
+    the full (a+7)^2 per-block gram, and no host-side re-read/mask pass.
+    """
+
+    def _kernel(params_ref, tpl_ref, uv_ref, mask_ref, cmask_ref, imask_ref,
+                hcc_ref, gc_ref, wci_ref, gii_ref, gi_ref, corner_ref):
+        _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref,
+                             cmask_ref, imask_ref, hcc_ref, gc_ref, wci_ref,
+                             gii_ref, gi_ref, corner_ref, rho_fn, weight_fn,
+                             intr_w, semantics, steps_per_cam)
+
+    return _kernel
+
+
+def _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref, cmask_ref,
+                         imask_ref, hcc_ref, gc_ref, wci_ref, gii_ref,
+                         gi_ref, corner_ref, rho_fn, weight_fn, intr_w,
+                         semantics, steps_per_cam):
+    offs, _ = _layout(intr_w)
+    a = intr_w + 6
+    gram_w = a + 6 + 1
+    w = gram_w - 1
+    (ju, jv, r_u, r_v, rcost, mu, mv, _, _, _) = _projection_columns(
+        params_ref[:], tpl_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
+        rho_fn, weight_fn, semantics)
+
+    # column masks in-kernel (0/1, so masked columns give the same gram as
+    # the host-side cmask_i * cmask_j products they replace)
+    cmask = cmask_ref[:]
+    imask = imask_ref[:]
+    colm = ([cmask[:, i:i + 1] for i in range(a)]
+            + [imask[:, i:i + 1] for i in range(6)])
+    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
+    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+
+    gvals = [[None] * gram_w for _ in range(gram_w)]
+    for i in range(gram_w):
+        for j in range(i, gram_w):
+            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (T,)
+            gvals[i][j] = g
+            gvals[j][i] = g
+    if weight_fn is not None:
+        gvals[w][w] = rcost
+
+    # per-cam accumulators: the grid is image-minor within each camera, so
+    # each (1, .) cam block is revisited on steps_per_cam consecutive steps
+    # np.int32 constant: a bare Python int is weak-i64 under x64 and the
+    # i32->i64 convert has no Mosaic lowering (RecursionError)
+    @pl.when(pl.program_id(0) % np.int32(steps_per_cam) == 0)
+    def _():
+        hcc_ref[:] = jnp.zeros_like(hcc_ref)
+        gc_ref[:] = jnp.zeros_like(gc_ref)
+
+    cc = jnp.stack([jnp.stack([gvals[i][j] for j in range(a)], axis=-1)
+                    for i in range(a)], axis=1)               # (T, a, a)
+    hcc_ref[:] += jnp.sum(cc, axis=0)[None]
+    # gc rides a (C, 1, a) array so its block's trailing dims equal the
+    # array's (Mosaic rejects a (1, a) block over (C, a) — sublane dim 1)
+    gc_ref[:] += jnp.sum(
+        jnp.stack([gvals[i][w] for i in range(a)], axis=-1), axis=0)[None,
+                                                                     None]
+
+    # per-block pieces
+    wci_ref[:] = jnp.stack(
+        [jnp.stack([gvals[i][a + j] for j in range(6)], axis=-1)
+         for i in range(a)], axis=1)                           # (T, a, 6)
+    gii_ref[:] = jnp.stack(
+        [jnp.stack([gvals[a + i][a + j] for j in range(6)], axis=-1)
+         for i in range(6)], axis=1)                           # (T, 6, 6)
+    gi_ref[:] = jnp.stack([gvals[a + i][w] for i in range(6)], axis=-1)
+    corner_ref[:] = gvals[w][w][:, None]
+
+
+def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
+                                     loss: str = "linear",
+                                     f_scale: float = 1.0,
+                                     loss_semantics: str = "component"):
+    """Fused-reduction template gram builder (Pallas, TPU).
+
+    Contract differs from make_pallas_template_grams: it returns the
+    REDUCED pieces directly —
+    grams(cam_b, im_b, tpl, uv, mask, cmask_b, imask_b) ->
+    (hcc (C,a,a), hii (I,6,6), wci (C,I,a,6), gc (C,a), gi (I,6), cost) —
+    with the cam-axis sums accumulated in-kernel and only
+    a*6 + 36 + 6 + 1 floats per block written to HBM instead of the full
+    (a+7)^2 gram plus its masked re-read.
+    """
+    from pycamset_tpu.optim.losses import make_loss
+    a, bwidth = widths.a, widths.b
+    assert (bwidth, widths.c) == (6, 0) and a in (14, 15, 18, 22, 24)
+    intr_w = a - 6
+    _, ppb = _layout(intr_w)
+
+    t = BLOCK_TILE
+    i_pad = -(-n_ims // t) * t
+    spc = i_pad // t
+    if loss != "linear":
+        rho_fn, weight_fn = make_loss(loss, f_scale)
+        kernel = _make_fused_template_kernel(rho_fn, weight_fn, intr_w,
+                                             semantics=loss_semantics,
+                                             steps_per_cam=spc)
+    else:
+        kernel = _make_fused_template_kernel(intr_w=intr_w,
+                                             steps_per_cam=spc)
+
+    def grams(cam_b, im_b, tpl, uv, mask, cmask_b, imask_b):
+        dtype = uv.dtype
+        _, k = mask.shape
+        packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
+        uv_t = uv.transpose(0, 2, 1)
+        if i_pad != n_ims:
+            reps = i_pad - n_ims
+
+            def padi(x, fill):
+                x = x.reshape(n_cams, n_ims, *x.shape[1:])
+                if fill == "edge":  # replicate a real block (NaN-safety)
+                    pad = jnp.repeat(x[:, :1], reps, axis=1)
+                else:
+                    pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
+                return jnp.concatenate([x, pad], axis=1).reshape(
+                    (n_cams * i_pad,) + x.shape[2:])
+
+            packed = padi(packed, "edge")
+            uv_t = padi(uv_t, "zero")
+            mask_p = padi(mask, "zero")
+            cmask_p = padi(cmask_b, "edge")
+            imask_p = padi(imask_b, "edge")
+        else:
+            mask_p, cmask_p, imask_p = mask, cmask_b, imask_b
+
+        b_pad = n_cams * i_pad
+        grid = (b_pad // t,)
+        hcc, gc, wci, gii, gi, corner = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t, ppb), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 2, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, k), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, a), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, a, a),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, a),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, a, 6), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6, 6), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 1), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_cams, a, a), dtype),
+                jax.ShapeDtypeStruct((n_cams, 1, a), dtype),
+                jax.ShapeDtypeStruct((b_pad, a, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 1), dtype),
+            ),
+        )(packed, tpl.T, uv_t, mask_p, cmask_p, imask_p)
+
+        wci = wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
+        hii = jnp.sum(gii.reshape(n_cams, i_pad, 6, 6)[:, :n_ims], axis=0)
+        gi_r = jnp.sum(gi.reshape(n_cams, i_pad, 6)[:, :n_ims], axis=0)
+        cost = jnp.sum(corner.reshape(n_cams, i_pad)[:, :n_ims])
+        return hcc, hii, wci, gc[:, 0], gi_r, cost
+
+    return grams
 
 
 def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,

@@ -346,16 +346,52 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     if (jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")):
         from pycamset_tpu.optim.pallas_grams import (
-            make_pallas_freepoint_grams, make_pallas_selfcal_grams,
-            make_pallas_template_grams)
+            make_pallas_freepoint_grams, make_pallas_selfcal_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
         if (b, c) == (6, 0) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "TemplatePoints") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted", "ProjectionFisheye"):
-            grams = make_pallas_template_grams(widths, loss=loss,
-                                               f_scale=f_scale,
-                                               loss_semantics=loss_semantics)
+            # fused-reduction variant: column masks + cam-axis sums happen
+            # in-kernel and only the small per-block pieces reach HBM. Its
+            # per-cam accumulator needs the image axis padded to the block
+            # tile, so it only wins when that padding is small (measured:
+            # +17% at 64x400 where 400 % 16 == 0, but -18% at 16x100 where
+            # 100 -> 112 inflates the grid 12%). PYCAMSET_FUSED_TEMPLATE=0/1
+            # forces either path.
+            from pycamset_tpu.optim.pallas_grams import (
+                BLOCK_TILE, make_pallas_template_grams,
+                make_pallas_template_grams_fused)
+            i_pad = -(-n_ims // BLOCK_TILE) * BLOCK_TILE
+            force = os.environ.get("PYCAMSET_FUSED_TEMPLATE")
+            use_fused = ((i_pad - n_ims) <= 0.05 * n_ims if force is None
+                         else force != "0")
+            if not use_fused:
+                grams = make_pallas_template_grams(
+                    widths, loss=loss, f_scale=f_scale,
+                    loss_semantics=loss_semantics)
+            else:
+                fused_grams = make_pallas_template_grams_fused(
+                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
+                    loss_semantics=loss_semantics)
+
+                def neq_fused(pieces: ParamPieces, uv, mask, tpl,
+                              colmask: ParamPieces):
+                    cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+                    im_b = jnp.tile(pieces.im, (n_cams, 1))
+                    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+                    imask_b = jnp.tile(colmask.im, (n_cams, 1))
+                    hcc, hii, wci, gc, gi, cost = fused_grams(
+                        cam_b, im_b, tpl, uv, mask, cmask_b, imask_b)
+                    k_pad = mask.shape[1]
+                    dtype = uv.dtype
+                    return NormalEq(
+                        hcc, hii, jnp.zeros((k_pad, 0, 0), dtype), wci,
+                        jnp.zeros((n_cams, k_pad, a, 0), dtype),
+                        jnp.zeros((n_ims, k_pad, b, 0), dtype),
+                        gc, gi, jnp.zeros((k_pad, 0), dtype), cost)
+
+                return neq_fused
         elif (b, c) == (6, 3) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",

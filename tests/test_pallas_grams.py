@@ -421,3 +421,81 @@ def test_pallas_mixed_grouped_grams_match_xla(monkeypatch, with_key_cols,
         assert r.shape == g.shape, (name, r.shape, g.shape)
         scale = np.abs(r).max() + 1e-12
         assert np.abs(r - g).max() / scale < 1e-6, name
+
+
+@pytest.mark.parametrize("model,loss,semantics,tile,n_ims", [
+    ("standard", "linear", "component", None, 5),    # pad path (5 -> 16)
+    ("standard", "huber", "component", None, 5),     # robust, in-kernel rho
+    ("standard", "cauchy", "observation", None, 5),
+    ("fisheye", "linear", "component", None, 5),     # a=14 polynomial arctan
+    ("standard", "linear", "component", 4, 8),       # spc=2: hcc accumulates
+])                                                   #   across grid steps
+def test_pallas_template_grams_fused_match_reduced_xla(
+        monkeypatch, model, loss, semantics, tile, n_ims):
+    """Fused-reduction template kernel vs the XLA gram path + host-side
+    reductions (the exact contract make_structured_neq::neq_fused relies
+    on): in-kernel column masks, in-kernel cam-axis accumulation of
+    (hcc, gc), per-block (wci, gii, gi, cost) pieces."""
+    import jax.numpy as jnp
+
+    pg = _interp_shim(monkeypatch)
+    if tile is not None:
+        monkeypatch.setattr(pg, "BLOCK_TILE", tile)
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, Projection, ProjectionFisheye, TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    proj = {"standard": Projection, "fisheye": ProjectionFisheye}[model]
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=4, visibility=0.8,
+                             noise_px=2.0, seed=3, camera_model=model)
+    n_cams, n_keys = rig["n_cams"], rig["n_keys"]
+    op_fun = OptimFunction([proj(), Extrinsic3D(), TemplatePoints()])
+    widths = chain_widths(op_fun)
+    a = widths.a
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    cam_b = pieces.cam[blk_cam]
+    im_b = pieces.im[blk_im]
+    bb = n_cams * n_ims
+    cmask = jnp.ones((bb, a)).at[:, 3].set(0.0)
+    imask = jnp.ones((bb, 6)).at[:, 5].set(0.0)
+    tpl = jnp.asarray(tpl_pad)
+
+    (gcc_b, gii_b, wci_b, _, _, _, gc_b, gi_b, _, cost_ref
+     ) = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0,
+                          loss_semantics=semantics)(
+        cam_b, im_b, jnp.zeros((k_pad, 0)), tpl, uv, mask,
+        cmask, imask, jnp.ones((k_pad, 0)))
+    hcc_ref = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+    hii_ref = gii_b.reshape(n_cams, n_ims, 6, 6).sum(axis=0)
+    wci_ref = wci_b.reshape(n_cams, n_ims, a, 6)
+    gc_ref = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+    gi_ref = gi_b.reshape(n_cams, n_ims, 6).sum(axis=0)
+
+    hcc, hii, wci, gc, gi, cost = pg.make_pallas_template_grams_fused(
+        widths, n_cams, n_ims, loss=loss, f_scale=2.0,
+        loss_semantics=semantics)(
+        cam_b, im_b, tpl, uv, mask, cmask, imask)
+
+    for name, r, g in [("hcc", hcc_ref, hcc), ("hii", hii_ref, hii),
+                       ("wci", wci_ref, wci), ("gc", gc_ref, gc),
+                       ("gi", gi_ref, gi), ("cost", cost_ref, cost)]:
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, (name, r.shape, g.shape)
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name

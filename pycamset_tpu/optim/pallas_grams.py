@@ -638,6 +638,246 @@ def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
     return grams
 
 
+def _make_fused_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
+                               semantics: str = "component",
+                               steps_per_cam: int = 1):
+    """Self-cal kernel emitting REDUCED normal-equation pieces.
+
+    Same projection + free-point columns as _selfcal_kernel_body, but the
+    camera-axis reductions fold in-kernel: hcc, gc AND the (a, 3, K) point
+    couplings wck accumulate across the image-minor grid steps of each
+    camera, so the (B, K, a, 3) coupling tensor (106 MB at 16x100) never
+    exists in HBM. Only wik (the smaller b*3 coupling), the per-block pose
+    pieces and the resident hkk/gk accumulator leave VMEM — ~3.5x less
+    write traffic and no XLA-side transpose/reshape/sum over the big array.
+    """
+
+    def _kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref, imask_ref,
+                kmask_ref, hcc_ref, gc_ref, wck_ref, wik_ref, wci_ref,
+                gii_ref, gi_ref, corner_ref, hkkgk_ref):
+        _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+                            imask_ref, kmask_ref, hcc_ref, gc_ref, wck_ref,
+                            wik_ref, wci_ref, gii_ref, gi_ref, corner_ref,
+                            hkkgk_ref, rho_fn, weight_fn, intr_w, semantics,
+                            steps_per_cam)
+
+    return _kernel
+
+
+def _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+                        imask_ref, kmask_ref, hcc_ref, gc_ref, wck_ref,
+                        wik_ref, wci_ref, gii_ref, gi_ref, corner_ref,
+                        hkkgk_ref, rho_fn, weight_fn, intr_w, semantics,
+                        steps_per_cam):
+    offs, _ = _layout(intr_w)
+    a = intr_w + 6
+    gram_w = a + 6 + 1
+    w = gram_w - 1
+    cmask = cmask_ref[:]
+    imask = imask_ref[:]
+    kmask = kmask_ref[:]                      # (3, K)
+    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col) = _projection_columns(
+        params_ref[:], pts_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
+        rho_fn, weight_fn, semantics)
+
+    colm = ([cmask[:, i:i + 1] for i in range(a)]
+            + [imask[:, i:i + 1] for i in range(6)])
+    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
+    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+
+    # Jk columns (free point): d(u,v)/dXt = d_xc @ (Re Rp), masked by kmask
+    jku, jkv = [], []
+    for j in range(3):
+        rerp_col = [col(offs["rerp"] + 3 * a_ + j) for a_ in range(3)]
+        km = kmask[j:j + 1, :]
+        jku.append((du_xc[0] * rerp_col[0] + du_xc[1] * rerp_col[1]
+                    + du_xc[2] * rerp_col[2]) * mu * km)
+        jkv.append((dv_xc[0] * rerp_col[0] + dv_xc[1] * rerp_col[1]
+                    + dv_xc[2] * rerp_col[2]) * mv * km)
+
+    gvals = [[None] * gram_w for _ in range(gram_w)]
+    for i in range(gram_w):
+        for j in range(i, gram_w):
+            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (T,)
+            gvals[i][j] = g
+            gvals[j][i] = g
+    if weight_fn is not None:
+        gvals[w][w] = rcost
+
+    # per-cam accumulators (image-minor grid: steps_per_cam consecutive
+    # revisits per cam block; np.int32 — see _fused_template_body)
+    @pl.when(pl.program_id(0) % np.int32(steps_per_cam) == 0)
+    def _():
+        hcc_ref[:] = jnp.zeros_like(hcc_ref)
+        gc_ref[:] = jnp.zeros_like(gc_ref)
+        wck_ref[:] = jnp.zeros_like(wck_ref)
+
+    cc = jnp.stack([jnp.stack([gvals[i][j] for j in range(a)], axis=-1)
+                    for i in range(a)], axis=1)               # (T, a, a)
+    hcc_ref[:] += jnp.sum(cc, axis=0)[None]
+    gc_ref[:] += jnp.sum(
+        jnp.stack([gvals[i][w] for i in range(a)], axis=-1), axis=0)[None,
+                                                                     None]
+    # wck rows (a*3, K): per-cam sum over the tile's blocks of Jc^T Jk
+    wck_ref[:] += jnp.stack(
+        [jnp.sum(ju[i] * jku[j] + jv[i] * jkv[j], axis=0)
+         for i in range(a) for j in range(3)], axis=0)[None]
+
+    # per-block pieces
+    wik_ref[:] = jnp.stack([ju[a + i] * jku[j] + jv[a + i] * jkv[j]
+                            for i in range(6) for j in range(3)], axis=1)
+    wci_ref[:] = jnp.stack(
+        [jnp.stack([gvals[i][a + j] for j in range(6)], axis=-1)
+         for i in range(a)], axis=1)                           # (T, a, 6)
+    gii_ref[:] = jnp.stack(
+        [jnp.stack([gvals[a + i][a + j] for j in range(6)], axis=-1)
+         for i in range(6)], axis=1)                           # (T, 6, 6)
+    gi_ref[:] = jnp.stack([gvals[a + i][w] for i in range(6)], axis=-1)
+    corner_ref[:] = gvals[w][w][:, None]
+
+    # per-key diag + gradient, accumulated across the whole grid
+    hk_rows = [jnp.sum(jku[i] * jku[j] + jkv[i] * jkv[j], axis=0)
+               for i in range(3) for j in range(3)]
+    gk_rows = [jnp.sum(jku[i] * r_u + jkv[i] * r_v, axis=0) for i in range(3)]
+    pad = [jnp.zeros_like(hk_rows[0])] * 4
+    update = jnp.stack(hk_rows + gk_rows + pad, axis=0)  # (16, K)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hkkgk_ref[:] = jnp.zeros_like(hkkgk_ref)
+
+    hkkgk_ref[:] += update
+
+
+def make_pallas_selfcal_grams_fused(widths, n_cams: int, n_ims: int,
+                                    loss: str = "linear",
+                                    f_scale: float = 1.0,
+                                    loss_semantics: str = "component",
+                                    tile: int | None = None):
+    """Fused-reduction self-cal gram builder (Pallas, TPU).
+
+    Contract (reduced pieces, vs make_pallas_selfcal_grams's per-block):
+    grams(cam_b, im_b, keyp, uv, mask, cmask_b, imask_b, kmask) ->
+    (hcc (C,a,a), hii (I,6,6), hkk (K,3,3), wci (C,I,a,6),
+     wck (C,K,a,3), wik (I,K,6,3), gc (C,a), gi (I,6), gk (K,3), cost).
+    The image axis pads to the block tile (pad blocks replicate a real
+    block with mask=0, contributing exact zeros through mu/mv).
+    """
+    from pycamset_tpu.optim.losses import make_loss
+    a, bw, c = widths.a, widths.b, widths.c
+    assert a in (14, 15, 18, 22, 24) and (bw, c) == (6, 3)
+    intr_w = a - 6
+    _, ppb = _layout(intr_w)
+
+    t = tile if tile is not None else BLOCK_TILE
+    i_pad = -(-n_ims // t) * t
+    spc = i_pad // t
+    if loss != "linear":
+        rho_fn, weight_fn = make_loss(loss, f_scale)
+        kernel = _make_fused_selfcal_kernel(rho_fn, weight_fn, intr_w,
+                                            semantics=loss_semantics,
+                                            steps_per_cam=spc)
+    else:
+        kernel = _make_fused_selfcal_kernel(intr_w=intr_w, steps_per_cam=spc)
+
+    def grams(cam_b, im_b, keyp, uv, mask, cmask_b, imask_b, kmask):
+        dtype = uv.dtype
+        _, k = mask.shape
+        packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
+        uv_t = uv.transpose(0, 2, 1)
+        if i_pad != n_ims:
+            reps = i_pad - n_ims
+
+            def padi(x, fill):
+                x = x.reshape(n_cams, n_ims, *x.shape[1:])
+                if fill == "edge":  # replicate a real block (NaN-safety)
+                    pad = jnp.repeat(x[:, :1], reps, axis=1)
+                else:
+                    pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
+                return jnp.concatenate([x, pad], axis=1).reshape(
+                    (n_cams * i_pad,) + x.shape[2:])
+
+            packed = padi(packed, "edge")
+            uv_t = padi(uv_t, "zero")
+            mask_p = padi(mask, "zero")
+            cmask_p = padi(cmask_b, "edge")
+            imask_p = padi(imask_b, "edge")
+        else:
+            mask_p, cmask_p, imask_p = mask, cmask_b, imask_b
+
+        b_pad = n_cams * i_pad
+        grid = (b_pad // t,)
+        (hcc, gc, wck_r, wik_r, wci, gii, gi, corner,
+         hkkgk) = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t, ppb), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 2, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, k), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, a), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, a, a),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, a),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, a * 3, k),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6 * 3, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, a, 6), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6, 6), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 1), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_cams, a, a), dtype),
+                jax.ShapeDtypeStruct((n_cams, 1, a), dtype),
+                jax.ShapeDtypeStruct((n_cams, a * 3, k), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6 * 3, k), dtype),
+                jax.ShapeDtypeStruct((b_pad, a, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 1), dtype),
+                jax.ShapeDtypeStruct((16, k), dtype),
+            ),
+        )(packed, keyp.T, uv_t, mask_p, cmask_p, imask_p, kmask.T)
+
+        wci_r = wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
+        hii = jnp.sum(gii.reshape(n_cams, i_pad, 6, 6)[:, :n_ims], axis=0)
+        gi_r = jnp.sum(gi.reshape(n_cams, i_pad, 6)[:, :n_ims], axis=0)
+        cost = jnp.sum(corner.reshape(n_cams, i_pad)[:, :n_ims])
+        wck = wck_r.transpose(0, 2, 1).reshape(n_cams, k, a, 3)
+        wik = jnp.sum(
+            wik_r.reshape(n_cams, i_pad, 6 * 3, k)[:, :n_ims], axis=0
+        ).transpose(0, 2, 1).reshape(n_ims, k, 6, 3)
+        hkk = hkkgk[:9].T.reshape(k, 3, 3)
+        gk = hkkgk[9:12].T
+        return (hcc, hii, hkk, wci_r, wck, wik, gc[:, 0], gi_r, gk, cost)
+
+    return grams
+
+
 def _make_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
                          semantics: str = "component"):
     """Self-cal kernel factory; robust-loss fns fold in when given; intr_w
@@ -1020,10 +1260,15 @@ def _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
         kernel = _make_mixed_kernel(intr_w=intr_w,
                                     with_key_cols=with_key_cols)
 
+    # the (T, a*cw, k) + (T, 6*cw, k) output blocks are double-buffered in
+    # scoped VMEM; at T=16 the bench mixed shape (k=384, a=15, cw=9) costs
+    # 16.9M against the 16M limit (measured OOM), so this family caps at 8
+    tile = min(BLOCK_TILE, 8)
+
     def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
         dtype = uv.dtype
         bb, k = mask.shape
-        b_pad = ((bb + BLOCK_TILE - 1) // BLOCK_TILE) * BLOCK_TILE
+        b_pad = ((bb + tile - 1) // tile) * tile
         packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
         # chain order: keyp = [group pose 6 | free point 3]; the grouped
         # template chain (no key columns) takes the point from tpl
@@ -1039,34 +1284,34 @@ def _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
             cm = jnp.concatenate([cm, jnp.zeros((reps, a), dtype)])
             im_ = jnp.concatenate([im_, jnp.zeros((reps, 6), dtype)])
 
-        grid = (b_pad // BLOCK_TILE,)
+        grid = (b_pad // tile,)
         g, wcc_r, wic_r, acc = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((BLOCK_TILE, ppb), lambda i: (i, i * 0),
+                pl.BlockSpec((tile, ppb), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((KD_ROWS, k), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_TILE, 2, k), lambda i: (i, i * 0, i * 0),
+                pl.BlockSpec((tile, 2, k), lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_TILE, k), lambda i: (i, i * 0),
+                pl.BlockSpec((tile, k), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_TILE, a), lambda i: (i, i * 0),
+                pl.BlockSpec((tile, a), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_TILE, 6), lambda i: (i, i * 0),
+                pl.BlockSpec((tile, 6), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cw, k), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((BLOCK_TILE, gram_w, gram_w),
+                pl.BlockSpec((tile, gram_w, gram_w),
                              lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_TILE, a * cw, k),
+                pl.BlockSpec((tile, a * cw, k),
                              lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_TILE, 6 * cw, k),
+                pl.BlockSpec((tile, 6 * cw, k),
                              lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((acc_rows, k), lambda i: (i * 0, i * 0),

@@ -396,6 +396,35 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                 "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted", "ProjectionFisheye"):
+            # fused-reduction variant: unlike the template case the win is
+            # structural — the (B, K, a, 3) point-coupling tensor (106 MB
+            # at 16x100) never reaches HBM — so it is default-on up to 25%
+            # image padding. Tile prefers 16, dropping to 8 when that pads
+            # less (e.g. 100 -> 104 instead of 112).
+            # PYCAMSET_FUSED_SELFCAL=0/1 forces either path.
+            from pycamset_tpu.optim.pallas_grams import (
+                make_pallas_selfcal_grams_fused)
+            t = min((16, 8), key=lambda tt: -(-n_ims // tt) * tt)
+            i_pad = -(-n_ims // t) * t
+            force = os.environ.get("PYCAMSET_FUSED_SELFCAL")
+            use_fused = ((i_pad - n_ims) <= 0.25 * n_ims if force is None
+                         else force != "0")
+            if use_fused:
+                fused_sc = make_pallas_selfcal_grams_fused(
+                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
+                    loss_semantics=loss_semantics, tile=t)
+
+                def neq_fused_sc(pieces: ParamPieces, uv, mask, tpl,
+                                 colmask: ParamPieces):
+                    cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+                    im_b = jnp.tile(pieces.im, (n_cams, 1))
+                    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+                    imask_b = jnp.tile(colmask.im, (n_cams, 1))
+                    return NormalEq(*fused_sc(
+                        cam_b, im_b, pieces.key, uv, mask, cmask_b,
+                        imask_b, colmask.key))
+
+                return neq_fused_sc
             grams = make_pallas_selfcal_grams(widths, loss=loss,
                                               f_scale=f_scale,
                                               loss_semantics=loss_semantics)

@@ -499,3 +499,86 @@ def test_pallas_template_grams_fused_match_reduced_xla(
         assert r.shape == g.shape, (name, r.shape, g.shape)
         scale = np.abs(r).max() + 1e-12
         assert np.abs(r - g).max() / scale < 1e-6, name
+
+
+@pytest.mark.parametrize("model,loss,semantics,tile,n_ims", [
+    ("standard", "linear", "component", None, 5),    # pad path (5 -> 8|16)
+    ("standard", "huber", "component", None, 5),     # robust, in-kernel rho
+    ("fisheye", "linear", "component", None, 5),     # a=14 polynomial arctan
+    ("standard", "linear", "component", 4, 8),       # spc=2: accumulators
+])                                                   #   cross grid steps
+def test_pallas_selfcal_grams_fused_match_reduced_xla(
+        monkeypatch, model, loss, semantics, tile, n_ims):
+    """Fused-reduction self-cal kernel vs the XLA gram path + host-side
+    reductions (the contract make_structured_neq::neq_fused_sc relies on):
+    in-kernel column/key masks, in-kernel cam-axis accumulation of
+    (hcc, gc, wck), per-block (wik, wci, gii, gi, cost) pieces, resident
+    (hkk, gk) accumulator."""
+    import jax.numpy as jnp
+
+    pg = _interp_shim(monkeypatch)
+    if tile is None:
+        tile = pg.BLOCK_TILE
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, FreePoint, Projection, ProjectionFisheye, RigidTform3d)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    proj = {"standard": Projection, "fisheye": ProjectionFisheye}[model]
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=4, visibility=0.8,
+                             noise_px=0.5, seed=2, camera_model=model)
+    n_cams, n_keys = rig["n_cams"], rig["n_keys"]
+    op_fun = OptimFunction(
+        [proj(), Extrinsic3D(), RigidTform3d(), FreePoint()])
+    widths = chain_widths(op_fun)
+    a, c = widths.a, widths.c
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel(), rig["template"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    keyp = jnp.zeros((k_pad, 3)).at[:n_keys].set(pieces.key)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    blk_im = np.tile(np.arange(n_ims), n_cams)
+    bb = n_cams * n_ims
+    cmask = jnp.ones((bb, a)).at[:, 2].set(0.0)
+    imask = jnp.ones((bb, 6)).at[:, 4].set(0.0)
+    kmask = (jnp.ones((k_pad, 3)).at[n_keys:].set(0.0)
+             .at[0].set(0.0).at[2, 1].set(0.0))
+    cam_b, im_b = pieces.cam[blk_cam], pieces.im[blk_im]
+
+    (gcc_b, gii_b, wci_b, hkk_ref, wck_b, wik_b, gc_b, gi_b, gk_ref,
+     cost_ref) = make_block_grams(op_fun, widths, loss=loss, f_scale=1.5,
+                                  loss_semantics=semantics)(
+        cam_b, im_b, keyp, jnp.zeros((k_pad, 3)), uv, mask,
+        cmask, imask, kmask)
+    hcc_ref = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+    hii_ref = gii_b.reshape(n_cams, n_ims, 6, 6).sum(axis=0)
+    wci_ref = wci_b.reshape(n_cams, n_ims, a, 6)
+    wck_ref = wck_b.reshape(n_cams, n_ims, k_pad, a, c).sum(axis=1)
+    wik_ref = wik_b.reshape(n_cams, n_ims, k_pad, 6, c).sum(axis=0)
+    gc_ref = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+    gi_ref = gi_b.reshape(n_cams, n_ims, 6).sum(axis=0)
+
+    (hcc, hii, hkk, wci, wck, wik, gc, gi, gk,
+     cost) = pg.make_pallas_selfcal_grams_fused(
+        widths, n_cams, n_ims, loss=loss, f_scale=1.5,
+        loss_semantics=semantics, tile=tile)(
+        cam_b, im_b, keyp, uv, mask, cmask, imask, kmask)
+
+    for name, r, g in [("hcc", hcc_ref, hcc), ("hii", hii_ref, hii),
+                       ("hkk", hkk_ref, hkk), ("wci", wci_ref, wci),
+                       ("wck", wck_ref, wck), ("wik", wik_ref, wik),
+                       ("gc", gc_ref, gc), ("gi", gi_ref, gi),
+                       ("gk", gk_ref, gk), ("cost", cost_ref, cost)]:
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, (name, r.shape, g.shape)
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name

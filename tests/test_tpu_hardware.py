@@ -390,6 +390,51 @@ def test_compiled_grouped_gram_parity():
         assert np.abs(r - g).max() / scale < 5e-4, name
 
 
+def test_fused_selfcal_neq_matches_per_block_on_chip():
+    """The fused-reduction self-cal kernel (compiled Mosaic) produces the
+    same NormalEq as the per-block kernel + XLA reductions on the chip.
+    The small chip rigs pad past the 25%% auto-enable threshold, so both
+    paths are forced via PYCAMSET_FUSED_SELFCAL."""
+    from pycamset_tpu.optim.structured import make_structured_neq
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, blocks,
+     rig) = _rig_problem(chain="selfcal", n_ims=8)  # 8 ims: tile-8 no pad
+
+    def build(force):
+        os.environ["PYCAMSET_FUSED_SELFCAL"] = force
+        try:
+            return make_structured_neq(op_fun, widths, rig["n_cams"],
+                                       rig["n_ims"])
+        finally:
+            os.environ.pop("PYCAMSET_FUSED_SELFCAL", None)
+
+    ref = build("0")(pieces, uv, mask, tpl, colmask)
+    got = build("1")(pieces, uv, mask, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, name
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 5e-4, name
+
+
+def test_mixed_kernel_bench_key_width_fits_vmem():
+    """Mixed kernel at the bench 2-target KEY width (k_pad=400) compiles
+    within scoped VMEM. Regression: BLOCK_TILE=16 put the double-buffered
+    (T, a*9, k) + (T, 6*9, k) output blocks 876 KB over the 16 MB scoped
+    limit at the bench shape (the mixed family caps its tile at 8 —
+    pallas_grams.py::_mixed_grams_factory). Per-step VMEM is independent
+    of the block count, so a small rig with a wide key axis reproduces."""
+    from pycamset_tpu.optim.structured_mixed import make_mixed_structured_neq
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     _b) = _mixed_rig(grid=20)
+    assert mask.shape[1] >= 384  # at least the bench key width
+    neq = make_mixed_structured_neq(
+        op_fun, widths, rig["n_cams"], rig["n_ims"], gok, 2)(
+        pieces, uv, mask, tpl, colmask)
+    assert np.isfinite(float(np.asarray(neq.cost)))
+
+
 def test_mixed_solve_pallas_matches_xla_minimum():
     """A full mixed multi-target LM solve on the chip: the Pallas-served
     solve lands on the XLA path's minimum and reaches the noise floor."""

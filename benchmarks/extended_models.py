@@ -83,17 +83,23 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
                                struct, n_cams, n_ims, n_keys, widths)
     if chain == "selfcal":
         keyp = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
-        kmask = jnp.ones((k_pad, 3), dtype).at[n_keys:].set(0.0)
+        kmask = np.ones((k_pad, 3), dtype=dtype)
+        kmask[n_keys:] = 0.0
         # gauge: freeze 7 structure coords (3 + 2 + 1 + scale anchor)
-        kmask = kmask.at[0].set(0.0).at[1, :2].set(0.0).at[2, 0].set(0.0)
+        kmask[0] = 0.0
+        kmask[1, :2] = 0.0
+        kmask[2, 0] = 0.0
         pieces = ParamPieces(pieces.cam, pieces.im, keyp)
     else:
         keyp = jnp.zeros((k_pad, 0), dtype)
-        kmask = jnp.ones((k_pad, 0), dtype)
+        kmask = np.ones((k_pad, 0), dtype=dtype)
         pieces = ParamPieces(pieces.cam, pieces.im, keyp)
-    colmask = ParamPieces(
-        jnp.ones((n_cams, widths.a), dtype),
-        jnp.ones((n_ims, widths.b), dtype).at[0].set(0.0), kmask)
+    # host-side colmask: jit-captured constants must stay host numpy
+    # (device captures trigger the tunnel's first-d2h bring-up at lowering)
+    cm_im = np.ones((n_ims, widths.b), dtype=dtype)
+    cm_im[0] = 0.0
+    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
+                          kmask)
 
     neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
 

@@ -62,13 +62,17 @@ def run_config(name, cfg):
                                struct, n_cams, n_ims, n_keys, widths)
     pieces = ParamPieces(pieces.cam, pieces.im,
                          jnp.zeros((k_pad, 0), dtype=dtype))
-    colmask = ParamPieces(
-        jnp.ones((n_cams, widths.a), dtype=dtype),
-        jnp.ones((n_ims, widths.b), dtype=dtype).at[0].set(0.0),
-        jnp.ones((k_pad, 0), dtype=dtype))
+    # host-side colmask: jit-captured constants must stay host numpy
+    # (device captures trigger the tunnel's first-d2h bring-up at lowering)
+    cm_im = np.ones((n_ims, widths.b), dtype=dtype)
+    cm_im[0] = 0.0
+    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
+                          np.ones((k_pad, 0), dtype=dtype))
     neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
 
     import jax
+
+    import bench
 
     @jax.jit
     def solve(p, uv_, mask_, tpl_):
@@ -77,13 +81,13 @@ def run_config(name, cfg):
 
     t0 = time.perf_counter()
     res = solve(pieces, uv, mask, tpl)
-    jax.block_until_ready(res.cost)
+    bench.fetch_scalar(res.cost)
     first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = solve(pieces, uv, mask, tpl)
-    jax.block_until_ready(res.cost)
-    warm = time.perf_counter() - t0
-    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    # differenced fetch-forced timing (block_until_ready does not block
+    # through the tunnel — see bench.py::timed_solve)
+    warm = bench.timed_solve(solve, bench.perturbed(pieces, 4),
+                             (uv, mask, tpl))
+    rms = float(np.sqrt(float(np.asarray(res.cost)) / (2 * blocks.n_real)))
     print(f"{name:6s} cams={n_cams:3d} ims={n_ims:4d} "
           f"detections={blocks.n_real:9d} params={struct.total - 6:6d} "
           f"iters={int(res.nit):3d} rms={rms:.4f} "

@@ -1341,6 +1341,291 @@ def _mixed_grams_factory(widths, loss, f_scale, loss_semantics,
     return grams
 
 
+def _make_fused_mixed_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
+                             semantics: str = "component",
+                             with_key_cols: bool = True,
+                             steps_per_cam: int = 1):
+    """Mixed-chain kernel emitting REDUCED normal-equation pieces.
+
+    Same projection + c-axis columns as _mixed_kernel_body, but hcc, gc
+    and the (a*cw, K) couplings wcc accumulate per camera in-kernel (the
+    grid is image-minor within each camera), so the (B, K, a, cw)
+    coupling tensor (~530 MB at the bench 2-target shape) never exists in
+    HBM and its XLA transpose/reshape/sum passes disappear. Only wic (the
+    smaller 6*cw coupling), the per-block pose pieces and the resident
+    hkk/gk accumulator are written per block.
+    """
+
+    def _kernel(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref, imask_ref,
+                ckmask_ref, hcc_ref, gc_ref, wcc_ref, wic_ref, wci_ref,
+                gii_ref, gi_ref, corner_ref, acc_ref):
+        _fused_mixed_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
+                          imask_ref, ckmask_ref, hcc_ref, gc_ref, wcc_ref,
+                          wic_ref, wci_ref, gii_ref, gi_ref, corner_ref,
+                          acc_ref, rho_fn, weight_fn, intr_w, semantics,
+                          with_key_cols, steps_per_cam)
+
+    return _kernel
+
+
+def _fused_mixed_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
+                      imask_ref, ckmask_ref, hcc_ref, gc_ref, wcc_ref,
+                      wic_ref, wci_ref, gii_ref, gi_ref, corner_ref,
+                      acc_ref, rho_fn, weight_fn, intr_w, semantics,
+                      with_key_cols, steps_per_cam):
+    offs, _ = _layout(intr_w)
+    a = intr_w + 6
+    cw = 9 if with_key_cols else 6
+    gram_w = a + 6 + 1
+    w = gram_w - 1
+    prm = params_ref[:]
+    kd = kd_ref[:]
+    cmask = cmask_ref[:]
+    imask = imask_ref[:]
+    ckmask = ckmask_ref[:]                    # (cw, K)
+    (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col) = _projection_columns(
+        prm, kd[_KD_XG:_KD_XG + 3, :], uv_ref[:], mask_ref[:], offs, intr_w,
+        rho_fn, weight_fn, semantics)
+
+    colm = ([cmask[:, i:i + 1] for i in range(a)]
+            + [imask[:, i:i + 1] for i in range(6)])
+    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
+    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+
+    def kd_row(i):                            # (1, K) per-key constant row
+        return kd[i:i + 1, :]
+
+    def chain_dxc(dxc, j):
+        km = ckmask[j:j + 1, :]
+        u = (du_xc[0] * dxc[0] + du_xc[1] * dxc[1] + du_xc[2] * dxc[2])
+        v = (dv_xc[0] * dxc[0] + dv_xc[1] * dxc[1] + dv_xc[2] * dxc[2])
+        return u * mu * km, v * mv * km
+
+    jcu, jcv = [], []
+    # group rotation: dXc/drvg[j] = (Re Rp) (dRg[j] Xp)
+    for j in range(3):
+        w_ = [kd_row(_KD_DRG + 9 * j + 3 * b_ + 0) * kd_row(_KD_XP + 0)
+              + kd_row(_KD_DRG + 9 * j + 3 * b_ + 1) * kd_row(_KD_XP + 1)
+              + kd_row(_KD_DRG + 9 * j + 3 * b_ + 2) * kd_row(_KD_XP + 2)
+              for b_ in range(3)]
+        dxc = [col(offs["rerp"] + 3 * a_ + 0) * w_[0]
+               + col(offs["rerp"] + 3 * a_ + 1) * w_[1]
+               + col(offs["rerp"] + 3 * a_ + 2) * w_[2] for a_ in range(3)]
+        u, v = chain_dxc(dxc, j)
+        jcu.append(u)
+        jcv.append(v)
+    # group translation: dXc/dtg = Re Rp (per-block columns)
+    for j in range(3):
+        dxc = [col(offs["rerp"] + 3 * a_ + j) for a_ in range(3)]
+        u, v = chain_dxc(dxc, 3 + j)
+        jcu.append(u)
+        jcv.append(v)
+    if with_key_cols:
+        # point: dXc/dXp = (Re Rp) Rg (columns vary per key)
+        for j in range(3):
+            dxc = [col(offs["rerp"] + 3 * a_ + 0) * kd_row(_KD_RG + 0 + j)
+                   + col(offs["rerp"] + 3 * a_ + 1) * kd_row(_KD_RG + 3 + j)
+                   + col(offs["rerp"] + 3 * a_ + 2) * kd_row(_KD_RG + 6 + j)
+                   for a_ in range(3)]
+            u, v = chain_dxc(dxc, 6 + j)
+            jcu.append(u)
+            jcv.append(v)
+
+    gvals = [[None] * gram_w for _ in range(gram_w)]
+    for i in range(gram_w):
+        for j in range(i, gram_w):
+            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
+            gvals[i][j] = g
+            gvals[j][i] = g
+    if weight_fn is not None:
+        gvals[w][w] = rcost
+
+    # per-cam accumulators (image-minor grid: steps_per_cam consecutive
+    # revisits per cam block; np.int32 — see _fused_template_body)
+    @pl.when(pl.program_id(0) % np.int32(steps_per_cam) == 0)
+    def _():
+        hcc_ref[:] = jnp.zeros_like(hcc_ref)
+        gc_ref[:] = jnp.zeros_like(gc_ref)
+        wcc_ref[:] = jnp.zeros_like(wcc_ref)
+
+    cc = jnp.stack([jnp.stack([gvals[i][j] for j in range(a)], axis=-1)
+                    for i in range(a)], axis=1)               # (T, a, a)
+    hcc_ref[:] += jnp.sum(cc, axis=0)[None]
+    gc_ref[:] += jnp.sum(
+        jnp.stack([gvals[i][w] for i in range(a)], axis=-1), axis=0)[None,
+                                                                     None]
+    wcc_ref[:] += jnp.stack(
+        [jnp.sum(ju[i] * jcu[j] + jv[i] * jcv[j], axis=0)
+         for i in range(a) for j in range(cw)], axis=0)[None]
+
+    # per-block pieces
+    wic_ref[:] = jnp.stack([ju[a + i] * jcu[j] + jv[a + i] * jcv[j]
+                            for i in range(6) for j in range(cw)], axis=1)
+    wci_ref[:] = jnp.stack(
+        [jnp.stack([gvals[i][a + j] for j in range(6)], axis=-1)
+         for i in range(a)], axis=1)                           # (T, a, 6)
+    gii_ref[:] = jnp.stack(
+        [jnp.stack([gvals[a + i][a + j] for j in range(6)], axis=-1)
+         for i in range(6)], axis=1)                           # (T, 6, 6)
+    gi_ref[:] = jnp.stack([gvals[a + i][w] for i in range(6)], axis=-1)
+    corner_ref[:] = gvals[w][w][:, None]
+
+    # per-key c-gram + c-gradient, accumulated across the whole grid
+    hk_rows = [jnp.sum(jcu[i] * jcu[j] + jcv[i] * jcv[j], axis=0)
+               for i in range(cw) for j in range(cw)]
+    gk_rows = [jnp.sum(jcu[i] * r_u + jcv[i] * r_v, axis=0)
+               for i in range(cw)]
+    body = hk_rows + gk_rows
+    acc_rows = acc_ref.shape[0]
+    pad = [jnp.zeros_like(body[0])] * (acc_rows - len(body))
+    update = jnp.stack(body + pad, axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += update
+
+
+def make_pallas_mixed_grams_fused(widths, n_cams: int, n_ims: int,
+                                  loss: str = "linear", f_scale: float = 1.0,
+                                  loss_semantics: str = "component",
+                                  with_key_cols: bool = True,
+                                  tile: int = 8):
+    """Fused-reduction mixed/grouped gram builder (Pallas, TPU).
+
+    Contract (REDUCED pieces, vs _mixed_grams_factory's per-block):
+    grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask) ->
+    (hcc (C,a,a), hii (I,6,6), hkk_f (K,cw,cw), wci (C,I,a,6),
+     wck_f (C,K,a,cw), wik_f (I,K,6,cw), gc (C,a), gi (I,6),
+     gk_f (K,cw), cost). The image axis pads to the tile (pad blocks
+    replicate a real block with mask=0 — exact-zero contributions).
+    The tile stays at 8: this family's per-key output blocks OOM scoped
+    VMEM at 16 (see _mixed_grams_factory).
+    """
+    from pycamset_tpu.optim.losses import make_loss
+    a, bw = widths.a, widths.b
+    cw = 9 if with_key_cols else 6
+    assert a in (14, 15, 18, 22, 24) and bw == 6 and widths.c == cw
+    intr_w = a - 6
+    _, ppb = _layout(intr_w)
+    acc_rows = -(-(cw * cw + cw) // 8) * 8
+
+    t = tile
+    i_pad = -(-n_ims // t) * t
+    spc = i_pad // t
+    if loss != "linear":
+        rho_fn, weight_fn = make_loss(loss, f_scale)
+        kernel = _make_fused_mixed_kernel(rho_fn, weight_fn, intr_w,
+                                          semantics=loss_semantics,
+                                          with_key_cols=with_key_cols,
+                                          steps_per_cam=spc)
+    else:
+        kernel = _make_fused_mixed_kernel(intr_w=intr_w,
+                                          with_key_cols=with_key_cols,
+                                          steps_per_cam=spc)
+
+    def grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b, imask_b, kmask):
+        dtype = uv.dtype
+        _, k = mask.shape
+        packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
+        pts = keyp[:, 6:9] if with_key_cols else tpl[:, :3]
+        kd = pack_key_group_data(keyp[:, :6], pts).astype(dtype)
+        uv_t = uv.transpose(0, 2, 1)
+        if i_pad != n_ims:
+            reps = i_pad - n_ims
+
+            def padi(x, fill):
+                x = x.reshape(n_cams, n_ims, *x.shape[1:])
+                if fill == "edge":  # replicate a real block (NaN-safety)
+                    pad = jnp.repeat(x[:, :1], reps, axis=1)
+                else:
+                    pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
+                return jnp.concatenate([x, pad], axis=1).reshape(
+                    (n_cams * i_pad,) + x.shape[2:])
+
+            packed = padi(packed, "edge")
+            uv_t = padi(uv_t, "zero")
+            mask_p = padi(mask, "zero")
+            cmask_p = padi(cmask_b, "edge")
+            imask_p = padi(imask_b, "edge")
+        else:
+            mask_p, cmask_p, imask_p = mask, cmask_b, imask_b
+
+        b_pad = n_cams * i_pad
+        grid = (b_pad // t,)
+        (hcc, gc, wcc_r, wic_r, wci, gii, gi, corner,
+         acc) = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t, ppb), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KD_ROWS, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 2, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, k), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, a), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cw, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, a, a),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, a),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, a * cw, k),
+                             lambda i: (i // np.int32(spc), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6 * cw, k), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, a, 6), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6, 6), lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, 1), lambda i: (i, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((acc_rows, k), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_cams, a, a), dtype),
+                jax.ShapeDtypeStruct((n_cams, 1, a), dtype),
+                jax.ShapeDtypeStruct((n_cams, a * cw, k), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6 * cw, k), dtype),
+                jax.ShapeDtypeStruct((b_pad, a, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 6), dtype),
+                jax.ShapeDtypeStruct((b_pad, 1), dtype),
+                jax.ShapeDtypeStruct((acc_rows, k), dtype),
+            ),
+        )(packed, kd, uv_t, mask_p, cmask_p, imask_p, kmask.T)
+
+        wci_r = wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
+        hii = jnp.sum(gii.reshape(n_cams, i_pad, 6, 6)[:, :n_ims], axis=0)
+        gi_r = jnp.sum(gi.reshape(n_cams, i_pad, 6)[:, :n_ims], axis=0)
+        cost = jnp.sum(corner.reshape(n_cams, i_pad)[:, :n_ims])
+        wck_f = wcc_r.transpose(0, 2, 1).reshape(n_cams, k, a, cw)
+        wik_f = jnp.sum(
+            wic_r.reshape(n_cams, i_pad, 6 * cw, k)[:, :n_ims], axis=0
+        ).transpose(0, 2, 1).reshape(n_ims, k, 6, cw)
+        hkk_f = acc[:cw * cw].T.reshape(k, cw, cw)
+        gk_f = acc[cw * cw:cw * cw + cw].T
+        return (hcc, hii, hkk_f, wci_r, wck_f, wik_f, gc[:, 0], gi_r,
+                gk_f, cost)
+
+    return grams
+
+
 def make_pallas_mixed_grams(widths, loss: str = "linear",
                             f_scale: float = 1.0,
                             loss_semantics: str = "component"):

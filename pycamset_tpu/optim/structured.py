@@ -338,6 +338,7 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     import os
 
     a, b, c = widths.a, widths.b, widths.c
+    fused_grouped = None
     grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
                              loss_semantics=loss_semantics)
     # fused Pallas kernels cover the template / self-cal / free-point chains
@@ -441,12 +442,27 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted", "ProjectionFisheye"):
             # grouped multi-target template chain: the group pose columns
-            # ride the key grid, the 3D point comes from the template
+            # ride the key grid, the 3D point comes from the template.
+            # Fused-reduction variant under the same padding policy as the
+            # mixed chain (PYCAMSET_FUSED_MIXED forces either path); the
+            # one-hot group reductions then act on the already-reduced
+            # (C,K,...)/(I,K,...) pieces instead of per-block tensors.
             from pycamset_tpu.optim.pallas_grams import (
-                make_pallas_grouped_grams)
-            grams = make_pallas_grouped_grams(widths, loss=loss,
-                                              f_scale=f_scale,
-                                              loss_semantics=loss_semantics)
+                make_pallas_grouped_grams, make_pallas_mixed_grams_fused)
+            g_tile = 8
+            i_pad = -(-n_ims // g_tile) * g_tile
+            force = os.environ.get("PYCAMSET_FUSED_MIXED")
+            use_fused = ((i_pad - n_ims) <= 0.25 * n_ims if force is None
+                         else force != "0")
+            if use_fused:
+                fused_grouped = make_pallas_mixed_grams_fused(
+                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
+                    loss_semantics=loss_semantics, with_key_cols=False,
+                    tile=g_tile)
+            else:
+                grams = make_pallas_grouped_grams(
+                    widths, loss=loss, f_scale=f_scale,
+                    loss_semantics=loss_semantics)
 
     grouped = widths.key_link == key_type.PER_GROUP
     if grouped:
@@ -460,6 +476,28 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             n_groups = int(gok.max()) + 1
         onehot_kg = np.zeros((gok.size, n_groups), dtype=np.float32)
         onehot_kg[np.arange(gok.size), gok] = 1.0  # tiny: K x G
+
+    if fused_grouped is not None:
+
+        def neq_fused_grp(pieces: ParamPieces, uv, mask, tpl,
+                          colmask: ParamPieces):
+            cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+            im_b = jnp.tile(pieces.im, (n_cams, 1))
+            cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+            imask_b = jnp.tile(colmask.im, (n_cams, 1))
+            kg = jnp.asarray(onehot_kg, dtype=uv.dtype)
+            keyp = kg @ pieces.key
+            kmask = kg @ colmask.key
+            (hcc, hii, hkk_f, wci, wck_f, wik_f, gc, gi, gk_f,
+             cost) = fused_grouped(cam_b, im_b, keyp, tpl, uv, mask,
+                                   cmask_b, imask_b, kmask)
+            hkk = jnp.einsum("kg,kij->gij", kg, hkk_f)
+            gk = jnp.einsum("kg,ki->gi", kg, gk_f)
+            wck = jnp.einsum("kg,ckap->cgap", kg, wck_f)
+            wik = jnp.einsum("kg,ikbp->igbp", kg, wik_f)
+            return NormalEq(hcc, hii, hkk, wci, wck, wik, gc, gi, gk, cost)
+
+        return neq_fused_grp
 
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         # blocks are (cam-major, image-minor): per-cam / per-im parameter

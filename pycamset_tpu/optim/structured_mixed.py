@@ -160,6 +160,43 @@ def resolve_mixed_grams(op_fun: OptimFunction, widths: MixedWidths,
         f_scale=f_scale, loss_semantics=loss_semantics)
 
 
+def resolve_mixed_grams_fused(op_fun: OptimFunction, widths: MixedWidths,
+                              n_cams: int, n_ims: int, loss: str = "linear",
+                              f_scale: float = 1.0,
+                              loss_semantics: str = "component"):
+    """The FUSED-reduction mixed gram builder, or None when it does not
+    apply. Dispatch companion to resolve_mixed_grams for the single-device
+    backend (the sharded backend keeps the per-block contract — its
+    reductions are psums over the mesh). Applies on TPU for the canonical
+    chain when the image-axis padding to the tile of 8 stays under 25%;
+    PYCAMSET_FUSED_MIXED=0/1 forces either path."""
+    import os
+
+    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
+    if not (jax.default_backend() == "tpu"
+            and not os.environ.get("PYCAMSET_NO_PALLAS")
+            and widths.a in (14, 15, 18, 22, 24) and widths.b == 6
+            and (widths.ck, widths.cg) == (3, 6)
+            and widths.grp_cols == (0, 1, 2, 3, 4, 5)
+            and widths.key_cols == (6, 7, 8)
+            and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                              "GroupRigidTform3d", "FreePoint")
+            and names[0] in ("Projection", "ProjectionRational",
+                             "ProjectionThinPrism", "ProjectionTilted",
+                             "ProjectionFisheye")):
+        return None
+    tile = 8
+    i_pad = -(-n_ims // tile) * tile
+    force = os.environ.get("PYCAMSET_FUSED_MIXED")
+    use = ((i_pad - n_ims) <= 0.25 * n_ims if force is None else force != "0")
+    if not use:
+        return None
+    from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams_fused
+    return make_pallas_mixed_grams_fused(
+        GroupWidths(widths.a, widths.b, widths.c), n_cams, n_ims, loss=loss,
+        f_scale=f_scale, loss_semantics=loss_semantics, tile=tile)
+
+
 def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
                               n_cams: int, n_ims: int,
                               group_of_key: np.ndarray,
@@ -176,41 +213,30 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b = widths.a, widths.b
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
-    grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                                loss_semantics=loss_semantics)
+    fused = resolve_mixed_grams_fused(op_fun, widths, n_cams, n_ims,
+                                      loss=loss, f_scale=f_scale,
+                                      loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_mixed_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
     gok = np.asarray(group_of_key, dtype=np.int64)
     onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
     onehot_np[np.arange(gok.size), gok] = 1.0
 
-    def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
-        cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
-        im_b = jnp.tile(pieces.im, (n_cams, 1))
-        cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
-        imask_b = jnp.tile(colmask.im, (n_cams, 1))
-        oh = jnp.asarray(onehot_np, dtype=uv.dtype)
-
-        # c-axis = [chain-ordered grp | key columns]: scatter the two pieces
-        # into their chain positions
+    def scatter_c_axis(pieces, colmask, oh, dtype):
+        # c-axis = [chain-ordered grp | key columns]: scatter the two
+        # pieces into their chain positions
         k_pad = pieces.key.shape[0]
-        keyp = jnp.zeros((k_pad, widths.c), uv.dtype)
+        keyp = jnp.zeros((k_pad, widths.c), dtype)
         keyp = keyp.at[:, kk].set(pieces.key)
         keyp = keyp.at[:, gg_].set(oh @ pieces.grp)
-        kmask = jnp.zeros((k_pad, widths.c), uv.dtype)
+        kmask = jnp.zeros((k_pad, widths.c), dtype)
         kmask = kmask.at[:, kk].set(colmask.key)
         kmask = kmask.at[:, gg_].set(oh @ colmask.grp)
+        return keyp, kmask
 
-        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
-         cost) = grams(cam_b, im_b, keyp, tpl, uv, mask,
-                       cmask_b, imask_b, kmask)
-
-        hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
-        hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
-        gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
-        gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
-        wci = wci_b.reshape(n_cams, n_ims, a, b)
-        wck_f = wck_b.reshape(n_cams, n_ims, k_pad, a, widths.c).sum(axis=1)
-        wik_f = wik_b.reshape(n_cams, n_ims, k_pad, b, widths.c).sum(axis=0)
-
+    def split_c_axis(oh, hcc, hii, hkk_f, wci, wck_f, wik_f, gc, gi, gk_f,
+                     cost):
         # split the c-axis into per-key and (one-hot-reduced) per-group
         hkk = hkk_f[:, kk][:, :, kk]
         wkg = hkk_f[:, kk][:, :, gg_]
@@ -221,9 +247,35 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
         wig = jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_])
         gk = gk_f[:, kk]
         gg = jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_])
-
         return MixedNormalEq(hcc, hii, hkk, hgg, wci, wck, wik, wcg, wig,
                              wkg, gc, gi, gk, gg, cost)
+
+    def neq(pieces: MixedPieces, uv, mask, tpl, colmask: MixedPieces):
+        cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+        im_b = jnp.tile(pieces.im, (n_cams, 1))
+        cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+        imask_b = jnp.tile(colmask.im, (n_cams, 1))
+        oh = jnp.asarray(onehot_np, dtype=uv.dtype)
+        keyp, kmask = scatter_c_axis(pieces, colmask, oh, uv.dtype)
+
+        if fused is not None:
+            return split_c_axis(oh, *fused(cam_b, im_b, keyp, tpl, uv,
+                                           mask, cmask_b, imask_b, kmask))
+
+        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
+         cost) = grams(cam_b, im_b, keyp, tpl, uv, mask,
+                       cmask_b, imask_b, kmask)
+
+        k_pad = pieces.key.shape[0]
+        hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+        hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
+        gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+        gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
+        wci = wci_b.reshape(n_cams, n_ims, a, b)
+        wck_f = wck_b.reshape(n_cams, n_ims, k_pad, a, widths.c).sum(axis=1)
+        wik_f = wik_b.reshape(n_cams, n_ims, k_pad, b, widths.c).sum(axis=0)
+        return split_c_axis(oh, hcc, hii, hkk_f, wci, wck_f, wik_f, gc, gi,
+                            gk_f, cost)
 
     neq.onehot = onehot_np
     return neq

@@ -582,3 +582,53 @@ def test_pallas_selfcal_grams_fused_match_reduced_xla(
         assert r.shape == g.shape, (name, r.shape, g.shape)
         scale = np.abs(r).max() + 1e-12
         assert np.abs(r - g).max() / scale < 1e-6, name
+
+
+@pytest.mark.parametrize("with_key_cols,loss,model,tile,n_ims", [
+    (True, "linear", "standard", 4, 5),    # pad path (5 -> 8), spc=2
+    (True, "huber", "standard", 4, 5),     # robust, in-kernel rho
+    (True, "linear", "fisheye", 4, 5),     # a=14 polynomial arctan
+    (False, "linear", "standard", 4, 5),   # grouped chain (cw=6)
+    (True, "linear", "standard", 5, 5),    # no-pad path, spc=1
+])
+def test_pallas_mixed_grams_fused_match_reduced_xla(
+        monkeypatch, with_key_cols, loss, model, tile, n_ims):
+    """Fused-reduction mixed/grouped kernel vs the XLA gram path +
+    host-side reductions (the contract structured_mixed's fused neq path
+    relies on): in-kernel cam-axis accumulation of (hcc, gc, wck), the
+    per-block (wik, wci, gii, gi, cost) pieces, resident (hkk, gk)."""
+    from pycamset_tpu.optim.structured import make_block_grams
+
+    pg = _interp_shim(monkeypatch)
+    (op_fun, widths, cam_b, im_b, keyp, tpl, uv, mask, cmask, imask,
+     kmask) = _mixed_chain_fixture(with_key_cols, model=model)
+    n_cams = cam_b.shape[0] // n_ims
+    a, c = widths.a, widths.c
+    k_pad = mask.shape[1]
+
+    (gcc_b, gii_b, wci_b, hkk_ref, wck_b, wik_b, gc_b, gi_b, gk_ref,
+     cost_ref) = make_block_grams(op_fun, widths, loss=loss, f_scale=2.0)(
+        cam_b, im_b, keyp, tpl, uv, mask, cmask, imask, kmask)
+    hcc_ref = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+    hii_ref = gii_b.reshape(n_cams, n_ims, 6, 6).sum(axis=0)
+    wci_ref = wci_b.reshape(n_cams, n_ims, a, 6)
+    wck_ref = wck_b.reshape(n_cams, n_ims, k_pad, a, c).sum(axis=1)
+    wik_ref = wik_b.reshape(n_cams, n_ims, k_pad, 6, c).sum(axis=0)
+    gc_ref = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+    gi_ref = gi_b.reshape(n_cams, n_ims, 6).sum(axis=0)
+
+    (hcc, hii, hkk, wci, wck, wik, gc, gi, gk,
+     cost) = pg.make_pallas_mixed_grams_fused(
+        widths, n_cams, n_ims, loss=loss, f_scale=2.0,
+        with_key_cols=with_key_cols, tile=tile)(
+        cam_b, im_b, keyp, tpl, uv, mask, cmask, imask, kmask)
+
+    for name, r, g in [("hcc", hcc_ref, hcc), ("hii", hii_ref, hii),
+                       ("hkk", hkk_ref, hkk), ("wci", wci_ref, wci),
+                       ("wck", wck_ref, wck), ("wik", wik_ref, wik),
+                       ("gc", gc_ref, gc), ("gi", gi_ref, gi),
+                       ("gk", gk_ref, gk), ("cost", cost_ref, cost)]:
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, (name, r.shape, g.shape)
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name

@@ -328,9 +328,12 @@ def test_compiled_mixed_gram_parity():
         assert np.abs(r - g).max() / scale < 5e-4, name
 
 
-def test_compiled_grouped_gram_parity():
+@pytest.mark.parametrize("fused", [False, True])
+def test_compiled_grouped_gram_parity(fused):
     """The compiled grouped-template kernel (PER_GROUP c-axis, template
-    points) matches the XLA path on the chip."""
+    points) matches the XLA path on the chip — per-block AND
+    fused-reduction variants (the latter forced via PYCAMSET_FUSED_MIXED;
+    n_ims=8 divides the tile)."""
     import jax.numpy as jnp
 
     from pycamset_tpu.optim.blocks import (
@@ -345,7 +348,7 @@ def test_compiled_grouped_gram_parity():
         params = ParamSpec(key_type.PER_GROUP, 6)
 
     dtype = jnp.float32
-    n_cams, n_ims, n_groups = 3, 5, 2
+    n_cams, n_ims, n_groups = 3, (8 if fused else 5), 2
     rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
                              visibility=0.85, noise_px=0.4, seed=6)
     n_keys = rig["n_keys"]
@@ -375,11 +378,14 @@ def test_compiled_grouped_gram_parity():
     def build(no_pallas):
         if no_pallas:
             os.environ["PYCAMSET_NO_PALLAS"] = "1"
+        else:
+            os.environ["PYCAMSET_FUSED_MIXED"] = "1" if fused else "0"
         try:
             return make_structured_neq(op_fun, widths, n_cams, n_ims,
                                        group_of_key=gok, n_groups=n_groups)
         finally:
             os.environ.pop("PYCAMSET_NO_PALLAS", None)
+            os.environ.pop("PYCAMSET_FUSED_MIXED", None)
 
     ref = build(True)(pieces, uv, mask, tpl, colmask)
     got = build(False)(pieces, uv, mask, tpl, colmask)
@@ -433,6 +439,33 @@ def test_mixed_kernel_bench_key_width_fits_vmem():
         op_fun, widths, rig["n_cams"], rig["n_ims"], gok, 2)(
         pieces, uv, mask, tpl, colmask)
     assert np.isfinite(float(np.asarray(neq.cost)))
+
+
+def test_compiled_fused_mixed_neq_parity():
+    """The fused-reduction mixed kernel (compiled Mosaic) produces the
+    same MixedNormalEq as the XLA path on the chip. Forced via
+    PYCAMSET_FUSED_MIXED (the small chip rig pads past the 25%
+    auto-enable threshold at n_ims=5; n_ims=8 divides the tile)."""
+    from pycamset_tpu.optim.structured_mixed import make_mixed_structured_neq
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     _b) = _mixed_rig(n_ims=8)
+
+    def build(env, val):
+        os.environ[env] = val
+        try:
+            return make_mixed_structured_neq(
+                op_fun, widths, rig["n_cams"], rig["n_ims"], gok, 2)
+        finally:
+            os.environ.pop(env, None)
+
+    ref = build("PYCAMSET_NO_PALLAS", "1")(pieces, uv, mask, tpl, colmask)
+    got = build("PYCAMSET_FUSED_MIXED", "1")(pieces, uv, mask, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, name
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 5e-4, name
 
 
 def test_mixed_solve_pallas_matches_xla_minimum():

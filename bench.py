@@ -224,6 +224,62 @@ def mixed_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     return solve, pieces, (uv, mask, tpl), blocks
 
 
+def selfcal_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
+                    seed: int = 0):
+    """Self-cal chain (free target geometry) at north-star scale; served
+    by the fused-reduction self-cal kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycamset_tpu.config import default_device_dtype
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, FreePoint,
+                                           Projection, RigidTform3d)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        ParamPieces, build_block_arrays, chain_widths, make_structured_neq,
+        split_full_params)
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    dtype = default_device_dtype()
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.85, noise_px=0.3, seed=seed)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                            FreePoint()])
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(dtype)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["poses"].ravel(), rig["template"].ravel()])
+    pieces = split_full_params(jnp.asarray(full, dtype=dtype), op_fun,
+                               struct, n_cams, n_ims, n_keys, widths)
+    key = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
+    pieces = ParamPieces(pieces.cam, pieces.im, key)
+    # host-side colmask (captured constant; see standard_problem)
+    kmask = np.ones((k_pad, 3), dtype=dtype)
+    kmask[n_keys:] = 0.0
+    kmask[0] = 0.0
+    kmask[1] = 0.0
+    kmask[2, 0] = 0.0  # 7-coord gauge fix
+    cm_im = np.ones((n_ims, 6), dtype=dtype)
+    cm_im[0] = 0.0
+    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
+                          kmask)
+    tpl = np.zeros((k_pad, 3), dtype=dtype)  # captured: host numpy
+    neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
+
+    @jax.jit
+    def solve(p, uv_, mask_):
+        return structured_lm_solve(
+            lambda pp: neq_raw(pp, uv_, mask_, tpl, colmask), p,
+            max_nfev=100)
+
+    return solve, pieces, (uv, mask), blocks
+
+
 def run_problem(name, solve, pieces, args, n_real, noise_px, k_hi=12):
     """Compile, validate RMS, time, and emit one metric line."""
     import jax  # noqa: F401
@@ -266,6 +322,15 @@ def main():
         emit("ba16x100x2t_mixed_solve_s", m_s, m_blocks.n_real)
     except Exception as e:  # never lose the headline to a secondary metric
         log(f"mixed metric failed: {e!r}")
+
+    # --- self-cal (free target geometry) at north-star scale -----------
+    try:
+        s_solve, s_pieces, s_args, s_blocks = selfcal_problem()
+        s_s = run_problem("ba16x100_selfcal", s_solve, s_pieces, s_args,
+                          s_blocks.n_real, 0.3)
+        emit("ba16x100_selfcal_solve_s", s_s, s_blocks.n_real)
+    except Exception as e:
+        log(f"selfcal metric failed: {e!r}")
 
     # --- compute-bound point: 64 x 400 (7.78M detections) --------------
     try:

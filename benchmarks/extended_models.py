@@ -109,15 +109,17 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
             lambda pp: neq_raw(pp, uv_, mask_, tpl_, colmask), p,
             max_nfev=100)
 
+    import bench
+
     t0 = time.perf_counter()
     res = solve(pieces, uv, mask, tpl)
-    jax.block_until_ready(res.cost)
+    bench.fetch_scalar(res.cost)
     first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = solve(pieces, uv, mask, tpl)
-    jax.block_until_ready(res.cost)
-    warm = time.perf_counter() - t0
-    rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
+    # differenced fetch-forced timing (block_until_ready does not block
+    # through the tunnel — see bench.py::timed_solve)
+    warm = bench.timed_solve(solve, bench.perturbed(pieces, 4),
+                             (uv, mask, tpl))
+    rms = float(np.sqrt(float(np.asarray(res.cost)) / (2 * blocks.n_real)))
     print(f"{model:10s} {chain:8s} a={widths.a:2d} iters={int(res.nit):3d} "
           f"rms={rms:.4f} first={first:6.1f}s solve={warm:7.3f}s",
           flush=True)

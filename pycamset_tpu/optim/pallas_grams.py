@@ -1094,6 +1094,38 @@ def make_pallas_freepoint_grams(widths, loss: str = "linear",
     return grams
 
 
+def make_pallas_freepoint_grams_fused(widths, n_cams: int, n_ims: int,
+                                      loss: str = "linear",
+                                      f_scale: float = 1.0,
+                                      loss_semantics: str = "component",
+                                      tile: int | None = None):
+    """Fused-reduction builder for the pose-free free-point chain.
+
+    Same delegation as make_pallas_freepoint_grams — the fused self-cal
+    kernel runs with identity poses and fully-masked pose columns — but
+    the camera-axis reductions (hcc, gc, wck) fold in-kernel. Returns the
+    REDUCED contract with the zero-width pose fields stripped:
+    (hcc (C,a,a), hkk (K,3,3), wck (C,K,a,3), gc (C,a), gk (K,3), cost).
+    """
+    from pycamset_tpu.optim.structured import GroupWidths
+    a, bw, c = widths.a, widths.b, widths.c
+    assert a in (14, 15, 18, 22, 24) and (bw, c) == (0, 3)
+    inner = make_pallas_selfcal_grams_fused(
+        GroupWidths(a, 6, 3), n_cams, n_ims, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics, tile=tile)
+
+    def grams(cam_b, im_b, keyp, uv, mask, cmask_b, imask_b, kmask):
+        bb = mask.shape[0]
+        dtype = uv.dtype
+        im_fake = jnp.zeros((bb, 6), dtype)
+        imask_fake = jnp.zeros((bb, 6), dtype)
+        (hcc, _hii, hkk, _wci, wck, _wik, gc, _gi, gk, cost) = inner(
+            cam_b, im_fake, keyp, uv, mask, cmask_b, imask_fake, kmask)
+        return hcc, hkk, wck, gc, gk, cost
+
+    return grams
+
+
 # ------------------------------------------------- mixed / grouped chains
 #
 # Multi-target chains put a per-GROUP SE(3) between the image pose and the

@@ -433,6 +433,36 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                 "Extrinsic3D", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
                 "ProjectionTilted", "ProjectionFisheye"):
+            # fused-reduction delegation under the self-cal policy
+            # (PYCAMSET_FUSED_SELFCAL forces either path)
+            from pycamset_tpu.optim.pallas_grams import (
+                make_pallas_freepoint_grams_fused)
+            t = min((16, 8), key=lambda tt: -(-n_ims // tt) * tt)
+            i_pad = -(-n_ims // t) * t
+            force = os.environ.get("PYCAMSET_FUSED_SELFCAL")
+            use_fused = ((i_pad - n_ims) <= 0.25 * n_ims if force is None
+                         else force != "0")
+            if use_fused:
+                fused_fp = make_pallas_freepoint_grams_fused(
+                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
+                    loss_semantics=loss_semantics, tile=t)
+
+                def neq_fused_fp(pieces: ParamPieces, uv, mask, tpl,
+                                 colmask: ParamPieces):
+                    cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+                    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+                    hcc, hkk, wck, gc, gk, cost = fused_fp(
+                        cam_b, None, pieces.key, uv, mask, cmask_b, None,
+                        colmask.key)
+                    k_pad = mask.shape[1]
+                    dtype = uv.dtype
+                    return NormalEq(
+                        hcc, jnp.zeros((n_ims, 0, 0), dtype), hkk,
+                        jnp.zeros((n_cams, n_ims, a, 0), dtype), wck,
+                        jnp.zeros((n_ims, k_pad, 0, c), dtype),
+                        gc, jnp.zeros((n_ims, 0), dtype), gk, cost)
+
+                return neq_fused_fp
             grams = make_pallas_freepoint_grams(widths, loss=loss,
                                                 f_scale=f_scale,
                                                 loss_semantics=loss_semantics)

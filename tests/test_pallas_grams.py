@@ -632,3 +632,64 @@ def test_pallas_mixed_grams_fused_match_reduced_xla(
         assert r.shape == g.shape, (name, r.shape, g.shape)
         scale = np.abs(r).max() + 1e-12
         assert np.abs(r - g).max() / scale < 1e-6, name
+
+
+def test_pallas_freepoint_grams_fused_match_reduced_xla(monkeypatch):
+    """Fused freepoint delegation (identity poses, masked pose columns)
+    vs the XLA gram path + host reductions — the NormalEq pieces the
+    structured.py neq_fused_fp path consumes."""
+    import jax.numpy as jnp
+
+    pg = _interp_shim(monkeypatch)
+    from pycamset_tpu.optim.blocks import Extrinsic3D, FreePoint, Projection
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    n_ims = 5
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=4, visibility=0.9,
+                             noise_px=0.3, seed=11)
+    n_cams, n_keys = rig["n_cams"], rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), FreePoint()])
+    widths = chain_widths(op_fun)
+    a, c = widths.a, widths.c
+    assert (widths.b, c) == (0, 3)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["template"].ravel()])
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    keyp = jnp.zeros((k_pad, 3)).at[:n_keys].set(pieces.key)
+    blk_cam = np.repeat(np.arange(n_cams), n_ims)
+    bb = n_cams * n_ims
+    cam_b = pieces.cam[blk_cam]
+    im_b = jnp.zeros((bb, 0))
+    cmask = jnp.ones((bb, a)).at[:, 1].set(0.0)
+    imask = jnp.ones((bb, 0))
+    kmask = jnp.ones((k_pad, 3)).at[n_keys:].set(0.0).at[0].set(0.0)
+
+    (gcc_b, _, _, hkk_ref, wck_b, _, gc_b, _, gk_ref,
+     cost_ref) = make_block_grams(op_fun, widths)(
+        cam_b, im_b, keyp, jnp.zeros((k_pad, 3)), uv, mask,
+        cmask, imask, kmask)
+    hcc_ref = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+    wck_ref = wck_b.reshape(n_cams, n_ims, k_pad, a, c).sum(axis=1)
+    gc_ref = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+
+    hcc, hkk, wck, gc, gk, cost = pg.make_pallas_freepoint_grams_fused(
+        widths, n_cams, n_ims, tile=4)(
+        cam_b, None, keyp, uv, mask, cmask, None, kmask)
+
+    for name, r, g in [("hcc", hcc_ref, hcc), ("hkk", hkk_ref, hkk),
+                       ("wck", wck_ref, wck), ("gc", gc_ref, gc),
+                       ("gk", gk_ref, gk), ("cost", cost_ref, cost)]:
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, (name, r.shape, g.shape)
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 1e-6, name

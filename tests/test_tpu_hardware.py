@@ -441,6 +441,59 @@ def test_mixed_kernel_bench_key_width_fits_vmem():
     assert np.isfinite(float(np.asarray(neq.cost)))
 
 
+def test_fused_freepoint_neq_matches_per_block_on_chip():
+    """The fused freepoint delegation ((b,c)=(0,3): identity poses,
+    masked pose columns) matches the per-block kernel + XLA reductions
+    on the chip, forced via PYCAMSET_FUSED_SELFCAL."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.blocks import Extrinsic3D, FreePoint, Projection
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        ParamPieces, build_block_arrays, chain_widths, make_structured_neq,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    dtype = jnp.float32
+    n_cams, n_ims = 3, 8  # 8 ims: tile-8 no pad
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=4,
+                             visibility=0.9, noise_px=0.3, seed=12)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), FreePoint()])
+    widths = chain_widths(op_fun)
+    struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(dtype)
+    full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                           rig["template"].ravel()])
+    p = split_full_params(jnp.asarray(full, dtype), op_fun, struct,
+                          n_cams, n_ims, n_keys, widths)
+    key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
+    pieces = ParamPieces(p.cam, jnp.zeros((n_ims, 0), dtype), key)
+    kmask = jnp.ones((k_pad, 3), dtype).at[n_keys:].set(0.0).at[0].set(0.0)
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a), dtype),
+                          jnp.ones((n_ims, 0), dtype), kmask)
+    tpl = jnp.zeros((k_pad, 3), dtype)
+
+    def build(force):
+        os.environ["PYCAMSET_FUSED_SELFCAL"] = force
+        try:
+            return make_structured_neq(op_fun, widths, n_cams, n_ims)
+        finally:
+            os.environ.pop("PYCAMSET_FUSED_SELFCAL", None)
+
+    ref = build("0")(pieces, uv, mask, tpl, colmask)
+    got = build("1")(pieces, uv, mask, tpl, colmask)
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert r.shape == g.shape, name
+        if r.size == 0:
+            continue
+        scale = np.abs(r).max() + 1e-12
+        assert np.abs(r - g).max() / scale < 5e-4, name
+
+
 def test_compiled_fused_mixed_neq_parity():
     """The fused-reduction mixed kernel (compiled Mosaic) produces the
     same MixedNormalEq as the XLA path on the chip. Forced via

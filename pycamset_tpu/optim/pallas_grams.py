@@ -445,6 +445,27 @@ def template_gram_pallas(packed: jnp.ndarray, tpl_t: jnp.ndarray,
     return out[:b]
 
 
+def _pad_image_axis(n_cams: int, n_ims: int, i_pad: int):
+    """Pad the image-minor block axis to the tile multiple.
+
+    Returns padi(x, fill): (n_cams*n_ims, ...) -> (n_cams*i_pad, ...).
+    fill="edge" replicates a real block (NaN-safety: params stay finite),
+    fill="zero" zeroes (uv/mask rows — masked slots contribute exact 0).
+    """
+    reps = i_pad - n_ims
+
+    def padi(x, fill):
+        x = x.reshape(n_cams, n_ims, *x.shape[1:])
+        if fill == "edge":
+            pad = jnp.repeat(x[:, :1], reps, axis=1)
+        else:
+            pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
+        return jnp.concatenate([x, pad], axis=1).reshape(
+            (n_cams * i_pad,) + x.shape[2:])
+
+    return padi
+
+
 def _make_fused_template_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
                                 semantics: str = "component",
                                 steps_per_cam: int = 1):
@@ -530,7 +551,8 @@ def _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref, cmask_ref,
 def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
                                      loss: str = "linear",
                                      f_scale: float = 1.0,
-                                     loss_semantics: str = "component"):
+                                     loss_semantics: str = "component",
+                                     tile: int | None = None):
     """Fused-reduction template gram builder (Pallas, TPU).
 
     Contract differs from make_pallas_template_grams: it returns the
@@ -547,7 +569,7 @@ def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
     intr_w = a - 6
     _, ppb = _layout(intr_w)
 
-    t = BLOCK_TILE
+    t = tile if tile is not None else BLOCK_TILE
     i_pad = -(-n_ims // t) * t
     spc = i_pad // t
     if loss != "linear":
@@ -565,17 +587,7 @@ def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
         packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
         uv_t = uv.transpose(0, 2, 1)
         if i_pad != n_ims:
-            reps = i_pad - n_ims
-
-            def padi(x, fill):
-                x = x.reshape(n_cams, n_ims, *x.shape[1:])
-                if fill == "edge":  # replicate a real block (NaN-safety)
-                    pad = jnp.repeat(x[:, :1], reps, axis=1)
-                else:
-                    pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
-                return jnp.concatenate([x, pad], axis=1).reshape(
-                    (n_cams * i_pad,) + x.shape[2:])
-
+            padi = _pad_image_axis(n_cams, n_ims, i_pad)
             packed = padi(packed, "edge")
             uv_t = padi(uv_t, "zero")
             mask_p = padi(mask, "zero")
@@ -786,17 +798,7 @@ def make_pallas_selfcal_grams_fused(widths, n_cams: int, n_ims: int,
         packed = pack_block_params(cam_b, im_b, intr_w=intr_w)
         uv_t = uv.transpose(0, 2, 1)
         if i_pad != n_ims:
-            reps = i_pad - n_ims
-
-            def padi(x, fill):
-                x = x.reshape(n_cams, n_ims, *x.shape[1:])
-                if fill == "edge":  # replicate a real block (NaN-safety)
-                    pad = jnp.repeat(x[:, :1], reps, axis=1)
-                else:
-                    pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
-                return jnp.concatenate([x, pad], axis=1).reshape(
-                    (n_cams * i_pad,) + x.shape[2:])
-
+            padi = _pad_image_axis(n_cams, n_ims, i_pad)
             packed = padi(packed, "edge")
             uv_t = padi(uv_t, "zero")
             mask_p = padi(mask, "zero")
@@ -1565,17 +1567,7 @@ def make_pallas_mixed_grams_fused(widths, n_cams: int, n_ims: int,
         kd = pack_key_group_data(keyp[:, :6], pts).astype(dtype)
         uv_t = uv.transpose(0, 2, 1)
         if i_pad != n_ims:
-            reps = i_pad - n_ims
-
-            def padi(x, fill):
-                x = x.reshape(n_cams, n_ims, *x.shape[1:])
-                if fill == "edge":  # replicate a real block (NaN-safety)
-                    pad = jnp.repeat(x[:, :1], reps, axis=1)
-                else:
-                    pad = jnp.zeros((n_cams, reps) + x.shape[2:], x.dtype)
-                return jnp.concatenate([x, pad], axis=1).reshape(
-                    (n_cams * i_pad,) + x.shape[2:])
-
+            padi = _pad_image_axis(n_cams, n_ims, i_pad)
             packed = padi(packed, "edge")
             uv_t = padi(uv_t, "zero")
             mask_p = padi(mask, "zero")

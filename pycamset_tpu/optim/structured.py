@@ -317,6 +317,41 @@ def block_onehots(n_cams: int, n_ims: int):
     return blk_cam, blk_im, onehot_cam, onehot_im
 
 
+def resolve_block_grams(op_fun: OptimFunction, widths: GroupWidths,
+                        loss: str = "linear", f_scale: float = 1.0,
+                        loss_semantics: str = "component"):
+    """Per-BLOCK gram builder (the make_block_grams 10-tuple contract):
+    the served Pallas kernel on TPU when the chain matches a kernel
+    family, else the XLA closed form. Shared by make_structured_neq (as
+    the non-fused fallback) and the sharded backends, whose cross-device
+    reductions psum the per-block pieces over the mesh (the fused
+    in-kernel reductions are single-device by construction)."""
+    import os
+
+    a, b, c = widths.a, widths.b, widths.c
+    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
+    projs = ("Projection", "ProjectionRational", "ProjectionThinPrism",
+             "ProjectionTilted", "ProjectionFisheye")
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PYCAMSET_NO_PALLAS")
+            and a in (14, 15, 18, 22, 24) and names[0] in projs):
+        from pycamset_tpu.optim import pallas_grams as pg
+        kw = dict(loss=loss, f_scale=f_scale, loss_semantics=loss_semantics)
+        if (b, c) == (6, 0) and names[1:] == ("Extrinsic3D",
+                                              "TemplatePoints"):
+            return pg.make_pallas_template_grams(widths, **kw)
+        if (b, c) == (6, 3) and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                                              "FreePoint"):
+            return pg.make_pallas_selfcal_grams(widths, **kw)
+        if (b, c) == (0, 3) and names[1:] == ("Extrinsic3D", "FreePoint"):
+            return pg.make_pallas_freepoint_grams(widths, **kw)
+        if (b, c) == (6, 6) and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                                              "GroupTemplatePoints"):
+            return pg.make_pallas_grouped_grams(widths, **kw)
+    return make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                            loss_semantics=loss_semantics)
+
+
 def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         n_cams: int, n_ims: int, loss: str = "linear",
                         f_scale: float = 1.0,
@@ -339,15 +374,13 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
 
     a, b, c = widths.a, widths.b, widths.c
     fused_grouped = None
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                             loss_semantics=loss_semantics)
-    # fused Pallas kernels cover the template / self-cal / free-point chains
-    # on TPU (16x the XLA gram path), with robust-loss IRLS weights folded
-    # in-kernel; PYCAMSET_NO_PALLAS=1 disables
+    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
+    # fused-reduction Pallas kernels (cam-axis sums in-kernel) take over
+    # from the per-block resolver result when the padding policy allows;
+    # PYCAMSET_NO_PALLAS=1 disables all Pallas dispatch
     if (jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")):
-        from pycamset_tpu.optim.pallas_grams import (
-            make_pallas_freepoint_grams, make_pallas_selfcal_grams)
         names = tuple(type(bk).__name__ for bk in op_fun.blocks)
         if (b, c) == (6, 0) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "TemplatePoints") and names[0] in (
@@ -356,22 +389,18 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             # fused-reduction variant: column masks + cam-axis sums happen
             # in-kernel and only the small per-block pieces reach HBM. Its
             # per-cam accumulator needs the image axis padded to the block
-            # tile, so it only wins when that padding is small (measured:
-            # +17% at 64x400 where 400 % 16 == 0, but -18% at 16x100 where
-            # 100 -> 112 inflates the grid 12%). PYCAMSET_FUSED_TEMPLATE=0/1
-            # forces either path.
+            # tile; measured +17% at 64x400 (400 % 16 == 0) where the solve
+            # is compute-bound, and within tunnel noise (+-0.15 ms around
+            # 2.3-2.6 ms) at the dispatch-bound 16x100, so the simpler
+            # per-block kernel keeps rigs that pad >5%.
+            # PYCAMSET_FUSED_TEMPLATE=0/1 forces either path.
             from pycamset_tpu.optim.pallas_grams import (
-                BLOCK_TILE, make_pallas_template_grams,
-                make_pallas_template_grams_fused)
+                BLOCK_TILE, make_pallas_template_grams_fused)
             i_pad = -(-n_ims // BLOCK_TILE) * BLOCK_TILE
             force = os.environ.get("PYCAMSET_FUSED_TEMPLATE")
             use_fused = ((i_pad - n_ims) <= 0.05 * n_ims if force is None
                          else force != "0")
-            if not use_fused:
-                grams = make_pallas_template_grams(
-                    widths, loss=loss, f_scale=f_scale,
-                    loss_semantics=loss_semantics)
-            else:
+            if use_fused:
                 fused_grams = make_pallas_template_grams_fused(
                     widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
                     loss_semantics=loss_semantics)
@@ -426,9 +455,6 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         imask_b, colmask.key))
 
                 return neq_fused_sc
-            grams = make_pallas_selfcal_grams(widths, loss=loss,
-                                              f_scale=f_scale,
-                                              loss_semantics=loss_semantics)
         elif (b, c) == (0, 3) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "FreePoint") and names[0] in (
                 "Projection", "ProjectionRational", "ProjectionThinPrism",
@@ -463,9 +489,6 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         gc, jnp.zeros((n_ims, 0), dtype), gk, cost)
 
                 return neq_fused_fp
-            grams = make_pallas_freepoint_grams(widths, loss=loss,
-                                                f_scale=f_scale,
-                                                loss_semantics=loss_semantics)
         elif (b, c) == (6, 6) and a in (14, 15, 18, 22, 24) and names[1:] == (
                 "Extrinsic3D", "RigidTform3d", "GroupTemplatePoints"
                 ) and names[0] in (
@@ -478,7 +501,7 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
             # one-hot group reductions then act on the already-reduced
             # (C,K,...)/(I,K,...) pieces instead of per-block tensors.
             from pycamset_tpu.optim.pallas_grams import (
-                make_pallas_grouped_grams, make_pallas_mixed_grams_fused)
+                make_pallas_mixed_grams_fused)
             g_tile = 8
             i_pad = -(-n_ims // g_tile) * g_tile
             force = os.environ.get("PYCAMSET_FUSED_MIXED")
@@ -489,10 +512,6 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                     widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
                     loss_semantics=loss_semantics, with_key_cols=False,
                     tile=g_tile)
-            else:
-                grams = make_pallas_grouped_grams(
-                    widths, loss=loss, f_scale=f_scale,
-                    loss_semantics=loss_semantics)
 
     grouped = widths.key_link == key_type.PER_GROUP
     if grouped:

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
-    GroupWidths, NormalEq, ParamPieces, make_block_grams)
+    GroupWidths, NormalEq, ParamPieces, resolve_block_grams)
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
@@ -76,8 +76,8 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     """
     a, b, c = widths.a, widths.b, widths.c
     onehot_kg = _group_onehot(widths, group_of_key, n_groups)
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                             loss_semantics=loss_semantics)
+    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
     if n_cams % n_dev != 0:
         raise ValueError(f"{n_cams} cameras not divisible by {n_dev} devices")
@@ -88,7 +88,8 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     @partial(shard_map, mesh=mesh,
              in_specs=(piece_spec, P(DETECTION_AXIS), P(DETECTION_AXIS), P(),
                        piece_spec),
-             out_specs=NormalEq(*([P()] * 10)))
+             out_specs=NormalEq(*([P()] * 10)),
+             check_vma=False)  # Pallas grams inside on TPU: no vma
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         dtype = uv.dtype
         d = jax.lax.axis_index(DETECTION_AXIS)
@@ -173,8 +174,8 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
     """
     a, b, c = widths.a, widths.b, widths.c
     onehot_kg = _group_onehot(widths, group_of_key, n_groups)
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                             loss_semantics=loss_semantics)
+    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
     if n_ims % n_dev != 0:
         raise ValueError(f"{n_ims} images not divisible by {n_dev} devices")
@@ -185,7 +186,8 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
     @partial(shard_map, mesh=mesh,
              in_specs=(piece_spec, P(None, DETECTION_AXIS),
                        P(None, DETECTION_AXIS), P(), piece_spec),
-             out_specs=NormalEq(*([P()] * 10)))
+             out_specs=NormalEq(*([P()] * 10)),
+             check_vma=False)  # Pallas grams inside on TPU: no vma
     def neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         dtype = uv.dtype
         d = jax.lax.axis_index(DETECTION_AXIS)
@@ -285,8 +287,8 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
                          "chains (use cam/pose sharding)")
     if c == 0:
         raise ValueError("key-axis sharding needs key-linked parameters")
-    grams = make_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                             loss_semantics=loss_semantics)
+    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+                                loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
 
     def _check_divisible(k_pad: int):
@@ -305,7 +307,8 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
              in_specs=(piece_spec, P(None, None, DETECTION_AXIS),
                        P(None, None, DETECTION_AXIS), P(DETECTION_AXIS),
                        piece_spec),
-             out_specs=out_spec)
+             out_specs=out_spec,
+             check_vma=False)  # Pallas grams inside on TPU: no vma
     def _neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
         k_loc = mask.shape[-1]
         bb = n_cams * n_ims

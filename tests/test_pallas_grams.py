@@ -693,3 +693,101 @@ def test_pallas_freepoint_grams_fused_match_reduced_xla(monkeypatch):
         assert r.shape == g.shape, (name, r.shape, g.shape)
         scale = np.abs(r).max() + 1e-12
         assert np.abs(r - g).max() / scale < 1e-6, name
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_template_selfcal_random_mask_fuzz(monkeypatch, seed):
+    """Random 0/1 column masks (cam / pose / key), random visibility:
+    fused template AND self-cal kernels match the XLA path + reductions.
+    Guards the in-kernel mask folding against patterns the fixed-mask
+    parity tests don't cover."""
+    import jax.numpy as jnp
+
+    pg = _interp_shim(monkeypatch)
+    from pycamset_tpu.optim.blocks import (
+        Extrinsic3D, FreePoint, Projection, RigidTform3d, TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        build_block_arrays, chain_widths, make_block_grams,
+        split_full_params)
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rng = np.random.default_rng(100 + seed)
+    n_ims = int(rng.integers(3, 7))
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=4,
+                             visibility=float(rng.uniform(0.5, 1.0)),
+                             noise_px=0.5, seed=seed)
+    n_cams, n_keys = rig["n_cams"], rig["n_keys"]
+
+    for chain in ("template", "selfcal"):
+        blocks_list = [Projection(), Extrinsic3D()]
+        blocks_list += ([RigidTform3d(), FreePoint()] if chain == "selfcal"
+                        else [TemplatePoints()])
+        op_fun = OptimFunction(blocks_list)
+        widths = chain_widths(op_fun)
+        a, c = widths.a, widths.c
+        struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+        blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                    k_pad_multiple=8)
+        k_pad = blocks.uv.shape[1]
+        uv, mask = blocks.as_device(jnp.float64)
+        parts = [rig["intr"].ravel(), rig["extr"].ravel(),
+                 rig["poses"].ravel()]
+        if chain == "selfcal":
+            parts.append(rig["template"].ravel())
+        full = np.concatenate(parts)
+        pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                                   n_cams, n_ims, n_keys, widths)
+        bb = n_cams * n_ims
+        blk_cam = np.repeat(np.arange(n_cams), n_ims)
+        blk_im = np.tile(np.arange(n_ims), n_cams)
+        cam_b, im_b = pieces.cam[blk_cam], pieces.im[blk_im]
+        # random masks, constant per cam/im row (the production shape)
+        cm = jnp.asarray((rng.random((n_cams, a)) > 0.3).astype(float))[
+            blk_cam]
+        im_m = jnp.asarray((rng.random((n_ims, 6)) > 0.3).astype(float))[
+            blk_im]
+        if chain == "selfcal":
+            keyp = jnp.zeros((k_pad, 3)).at[:n_keys].set(pieces.key)
+            kmask = jnp.asarray(
+                (rng.random((k_pad, 3)) > 0.3).astype(float)
+            ).at[n_keys:].set(0.0)
+            args = (keyp, jnp.zeros((k_pad, 3)), uv, mask, cm, im_m, kmask)
+            ref = make_block_grams(op_fun, widths)(cam_b, im_b, *args)
+            got = pg.make_pallas_selfcal_grams_fused(
+                widths, n_cams, n_ims, tile=4)(
+                cam_b, im_b, keyp, uv, mask, cm, im_m, kmask)
+            (gcc_b, gii_b, wci_b, hkk_r, wck_b, wik_b, gc_b, gi_b, gk_r,
+             cost_r) = ref
+            refs = [gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1),
+                    gii_b.reshape(n_cams, n_ims, 6, 6).sum(axis=0),
+                    hkk_r,
+                    wci_b.reshape(n_cams, n_ims, a, 6),
+                    wck_b.reshape(n_cams, n_ims, k_pad, a, c).sum(axis=1),
+                    wik_b.reshape(n_cams, n_ims, k_pad, 6, c).sum(axis=0),
+                    gc_b.reshape(n_cams, n_ims, a).sum(axis=1),
+                    gi_b.reshape(n_cams, n_ims, 6).sum(axis=0),
+                    gk_r, cost_r]
+        else:
+            keyp = jnp.zeros((k_pad, 0))
+            tpl_pad = np.zeros((k_pad, 3))
+            tpl_pad[:n_keys] = rig["template"]
+            tpl = jnp.asarray(tpl_pad)
+            kmask = jnp.ones((k_pad, 0))
+            ref = make_block_grams(op_fun, widths)(
+                cam_b, im_b, keyp, tpl, uv, mask, cm, im_m, kmask)
+            hcc, hii, wci, gc, gi, cost = pg.make_pallas_template_grams_fused(
+                widths, n_cams, n_ims, tile=4)(
+                cam_b, im_b, tpl, uv, mask, cm, im_m)
+            got = (hcc, hii, wci, gc, gi, cost)
+            (gcc_b, gii_b, wci_b, _, _, _, gc_b, gi_b, _, cost_r) = ref
+            refs = [gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1),
+                    gii_b.reshape(n_cams, n_ims, 6, 6).sum(axis=0),
+                    wci_b.reshape(n_cams, n_ims, a, 6),
+                    gc_b.reshape(n_cams, n_ims, a).sum(axis=1),
+                    gi_b.reshape(n_cams, n_ims, 6).sum(axis=0), cost_r]
+        for i, (r, g) in enumerate(zip(refs, got)):
+            r, g = np.asarray(r), np.asarray(g)
+            assert r.shape == g.shape, (chain, i, r.shape, g.shape)
+            scale = np.abs(r).max() + 1e-12
+            assert np.abs(r - g).max() / scale < 1e-6, (chain, i)

@@ -20,12 +20,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from pycamset_tpu.config import default_device_dtype
 from pycamset_tpu.models.camera_set import CameraSet
 from pycamset_tpu.models.detections import TargetDetection
 from pycamset_tpu.ops.projection import intr9_from_k_dist, project_cam_points
-from pycamset_tpu.ops.transforms import pose_apply
+from pycamset_tpu.ops.rotations import matrix_to_rodrigues
+from pycamset_tpu.ops.transforms import pose_apply, rigid_fit
+from pycamset_tpu.ops.triangulation import triangulate_observations
 from pycamset_tpu.optim.lm import lm_solve
 from pycamset_tpu.optim.losses import make_loss
 from pycamset_tpu.utils.general_utils import ext_4x4_to_rod, make_4x4h_tform
@@ -54,14 +57,18 @@ class TargetTracker:
         from pycamset_tpu.optim.handlers import infer_shared_n_dist
         dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
         n_dist = infer_shared_n_dist(dists)
-        self._intr = jnp.asarray(np.stack([
+        # jit-captured constants stay HOST numpy (lowering embeds them as
+        # MLIR constants from the host; captured DEVICE arrays would force
+        # the tunnel's multi-minute first d2h during lowering — the round-3
+        # cold-start regression)
+        self._intr = np.stack([
             np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
-            for n, d in zip(names, dists)]), dtype=self._dtype)
-        self._extr = jnp.asarray(np.stack([
+            for n, d in zip(names, dists)]).astype(self._dtype)
+        self._extr = np.stack([
             np.concatenate(ext_4x4_to_rod(camset[n].extrinsic))
-            for n in names]), dtype=self._dtype)
-        self._tpl = jnp.asarray(target.point_data.reshape(-1, 3),
-                                dtype=self._dtype)
+            for n in names]).astype(self._dtype)
+        self._tpl = np.asarray(target.point_data.reshape(-1, 3),
+                               dtype=self._dtype)
         self.n_keys = int(self._tpl.shape[0])
         self.n_cams = len(names)
         self.max_detections = int(max_detections or self.n_cams * self.n_keys)
@@ -75,9 +82,10 @@ class TargetTracker:
         robust, rho, weight = self._robust, self._rho, self._weight
 
         def residuals(pose6, cam_i, key_i, uv, mask):
-            world = pose_apply(pose6, tpl[key_i])             # (N,3)
-            xc = jax.vmap(pose_apply)(extr[cam_i], world)     # (N,3)
-            pred = jax.vmap(project_cam_points)(intr[cam_i], xc)
+            tpl_j, extr_j, intr_j = map(jnp.asarray, (tpl, extr, intr))
+            world = pose_apply(pose6, tpl_j[key_i])           # (N,3)
+            xc = jax.vmap(pose_apply)(extr_j[cam_i], world)   # (N,3)
+            pred = jax.vmap(project_cam_points)(intr_j[cam_i], xc)
             return (pred - uv) * mask[:, None]
 
         def neq(pose6, cam_i, key_i, uv, mask):
@@ -116,6 +124,66 @@ class TargetTracker:
         self._solve_batch = jax.jit(jax.vmap(solve))
         self._residuals = jax.jit(residuals)
 
+        # ---- device seeding: triangulate every key seen by >= 2 cameras,
+        # rigid-fit the template onto the triangulated cloud per frame
+        # (rigid_fit's rank-2 completion covers planar targets), and
+        # forward-fill frames with too little data. Host PnP becomes a
+        # rescue path instead of a per-frame cost (it was O(frames x
+        # table) host time that dominated track_batch at 1k frames).
+        kmats_h = np.stack([np.asarray(camset[n].intrinsic, dtype=float)
+                            for n in names]).astype(self._dtype)
+        dists_h = np.stack([
+            np.concatenate([d, np.zeros(n_dist - d.size)])
+            for d in dists]).astype(self._dtype)
+        exts_h = np.stack([np.asarray(camset[n].extrinsic, dtype=float)
+                           for n in names])
+        proj_h = np.einsum("cij,cjk->cik",
+                           kmats_h.astype(float),
+                           exts_h[:, :3, :]).astype(self._dtype)
+
+        def seed_batch(uv_grid, mask_grid):
+            n_i, n_k, n_c = mask_grid.shape
+            cam_rows = jnp.broadcast_to(jnp.arange(n_c), (n_i * n_k, n_c))
+            pts = triangulate_observations(
+                jnp.asarray(proj_h), jnp.asarray(kmats_h),
+                jnp.asarray(dists_h), cam_rows,
+                uv_grid.reshape(n_i * n_k, n_c, 2),
+                mask_grid.reshape(n_i * n_k, n_c)).reshape(n_i, n_k, 3)
+            seen = jnp.sum(mask_grid, axis=-1) >= 2.0          # (I,K)
+            # unseen keys triangulate to garbage (possibly inf from a
+            # zero homogeneous w); zero them before the weighted fit
+            pts = jnp.where(seen[..., None],
+                            jnp.nan_to_num(pts, nan=0.0, posinf=0.0,
+                                           neginf=0.0), 0.0)
+            w = seen.astype(uv_grid.dtype)
+            frame_ok = jnp.sum(w, axis=-1) >= 3.0              # (I,)
+            w_safe = jnp.where(frame_ok[:, None], w, jnp.ones_like(w))
+            tpl_b = jnp.broadcast_to(jnp.asarray(tpl), (n_i,) + tpl.shape)
+            rmat, t = jax.vmap(rigid_fit)(tpl_b, pts, w_safe)
+            rod = jax.vmap(matrix_to_rodrigues)(rmat)
+            seeds = jnp.nan_to_num(jnp.concatenate([rod, t], axis=-1))
+            # forward-fill unseedable frames; leading ones take the first
+            # valid seed (argmax finds the first True)
+            init = jnp.where(jnp.any(frame_ok),
+                             seeds[jnp.argmax(frame_ok)],
+                             jnp.zeros((6,), seeds.dtype))
+
+            def step(carry, sv):
+                s, v = sv
+                out = jnp.where(v, s, carry)
+                return out, out
+
+            _, filled = lax.scan(step, init, (seeds, frame_ok))
+            return filled
+
+        def solve_batch_seeded(uv_grid, mask_grid, cam_i, key_i, uv, mask):
+            seeds = seed_batch(uv_grid, mask_grid)
+            res, cov = jax.vmap(solve)(seeds, cam_i, key_i, uv, mask)
+            return res, cov, seeds
+
+        self._seed_batch = jax.jit(seed_batch)
+        self._solve_batch_seeded = jax.jit(solve_batch_seeded)
+
     # ---------------------------------------------------------------- frames
 
     def _pack_frame(self, dd: np.ndarray):
@@ -144,12 +212,87 @@ class TargetTracker:
     def _pnp_seed(self, det: TargetDetection) -> np.ndarray | None:
         """Host PnP seed (target->world pose6) from the first camera that
         localises the target; None when no camera does."""
-        for cam in self.camset:
-            pose_c = self.target.target_pose_in_cam_image(det, cam, mode="nan")
-            if not np.any(np.isnan(pose_c)):
-                rvec, tvec = ext_4x4_to_rod(cam.cam_to_world @ pose_c)
-                return np.concatenate([rvec, tvec])
+        dd = det.return_flattened_keys(
+            self.target.point_data.shape[:-1]).get_data()
+        return self._pnp_seed_rows(dd)
+
+    def _pnp_seed_rows(self, rows: np.ndarray | None) -> np.ndarray | None:
+        """PnP seed from one frame's flattened-key rows [cam, im, key, u, v].
+
+        Works directly on the row slice (track_batch slices the sorted
+        table once; routing each frame through TargetDetection.get would
+        rescan the whole table per frame — O(frames x table) host time
+        that dominated the batch at 1k frames).
+        """
+        import cv2
+        if rows is None or not len(rows):
+            return None
+        tpl = np.asarray(self._tpl, dtype=np.float64)
+        cams_col = rows[:, 0].astype(int)
+        for ci, name in enumerate(self.camset.get_names()):
+            sel = rows[cams_col == ci]
+            if len(sel) < 6:
+                continue
+            cam = self.camset[name]
+            obj = tpl[sel[:, -3].astype(int)]
+            obs = sel[:, -2:].astype(np.float64)
+            dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))
+            if dist.size == 4:  # the fisheye marker width
+                obs = cv2.fisheye.undistortPoints(
+                    obs.reshape(1, -1, 2),
+                    np.asarray(cam.intrinsic, dtype=float),
+                    dist).reshape(-1, 2)
+                kmat, dist = np.eye(3), np.zeros(5)
+            else:
+                kmat = np.asarray(cam.intrinsic, dtype=float)
+            n_sols, rvecs, tvecs, errs = cv2.solvePnPGeneric(
+                obj.astype(np.float32), obs.astype(np.float32), kmat, dist)
+            if not n_sols:
+                continue
+            best = int(np.argmin(errs))
+            pose_c = make_4x4h_tform(rvecs[best], tvecs[best])
+            if np.any(np.isnan(pose_c)):
+                continue
+            rvec, tvec = ext_4x4_to_rod(cam.cam_to_world @ pose_c)
+            return np.concatenate([rvec, tvec])
         return None
+
+    def _pnp_rescue(self, res, cov_unit, seeds_d, dd_all, bounds, mask,
+                    dev_args):
+        """Re-seed frames whose rms signals a failed solve with host PnP
+        and re-dispatch; keep whichever solve is cheaper per frame.
+
+        Device triangulate+rigid-fit seeds are excellent when >= 3 keys
+        stereo-triangulate, but a frame seen well by only ONE camera can
+        seed badly; PnP handles exactly that case, so it runs as a
+        targeted rescue instead of a per-frame cost.
+        """
+        n_used = np.asarray(mask).sum(axis=1)
+        rms = np.sqrt(np.asarray(res.cost) / np.maximum(2 * n_used, 1))
+        med = float(np.median(rms[n_used >= 4])) if np.any(n_used >= 4) else 0.0
+        bad = (rms > max(10.0 * med, 2.0)) & (n_used >= 4)
+        if not np.any(bad):
+            return res, cov_unit
+        seeds = np.array(jax.device_get(seeds_d))
+        n_fixed = 0
+        for i in np.nonzero(bad)[0]:
+            s = self._pnp_seed_rows(dd_all[bounds[i]:bounds[i + 1]])
+            if s is not None:
+                seeds[i] = s
+                n_fixed += 1
+        if not n_fixed:
+            return res, cov_unit
+        res2, cov2 = jax.device_get(self._solve_batch(
+            jnp.asarray(seeds, dtype=self._dtype), *dev_args))
+        better = np.asarray(res2.cost) < np.asarray(res.cost)
+        pick = bad & better
+
+        def merge(a, b):
+            sel = pick.reshape((-1,) + (1,) * (np.ndim(a) - 1))
+            return np.where(sel, b, a)
+
+        return (jax.tree_util.tree_map(merge, res, res2),
+                merge(cov_unit, cov2))
 
     # ----------------------------------------------------------------- API
 
@@ -206,11 +349,17 @@ class TargetTracker:
                 "status": int(res.status), "pose_sigma": pose_sigma}
         return make_4x4h_tform(pose6[:3], pose6[3:]), info
 
-    def track_batch(self, detection: TargetDetection, inits=None):
+    def track_batch(self, detection: TargetDetection, inits=None,
+                    seed_mode: str = "auto"):
         """Poses for EVERY image in the detection table, in one dispatch.
 
-        :param inits: (I,6)/(I,4,4) seeds; default host PnP with
-            forward-fill for frames no camera localised.
+        :param inits: (I,6)/(I,4,4) seeds; default device seeding (below).
+        :param seed_mode: how to seed when ``inits`` is None. ``'auto'``
+            (default) computes seeds ON DEVICE inside the solve dispatch —
+            triangulate + rigid-fit per frame — then host-PnP-rescues any
+            frame whose rms signals a failed solve; ``'device'`` skips the
+            rescue; ``'pnp'`` is the per-frame host PnP path (the previous
+            behaviour, ~20x slower end-to-end at 1k frames).
         :return: (poses (I,4,4), info dict of per-frame rms/nit arrays).
         """
         if not detection.has_data():
@@ -221,32 +370,48 @@ class TargetTracker:
         dd_all = flat.get_data()
         n_frames = int(detection.max_ims)
         bounds = np.searchsorted(dd_all[:, 1], np.arange(n_frames + 1))
-        packs, seeds = [], []
-        last = None
-        for i in range(n_frames):
-            dd = dd_all[bounds[i]:bounds[i + 1]]
-            packs.append(self._pack_frame(dd))
-            if inits is None:
-                seed = self._pnp_seed(detection.get(im_num=i))
-                if seed is None:
-                    seed = last if last is not None else np.zeros(6)
-                last = seed
-                seeds.append(seed)
-        if inits is not None:
-            inits = np.asarray(inits, dtype=float)
-            if inits.ndim == 3:  # (I,4,4)
-                inits = np.stack([np.concatenate(ext_4x4_to_rod(t))
-                                  for t in inits])
-            seeds = list(inits)
-
+        packs = [self._pack_frame(dd_all[bounds[i]:bounds[i + 1]])
+                 for i in range(n_frames)]
         cam_i, key_i, uv, mask = (np.stack([p[i] for p in packs])
                                   for i in range(4))
-        res, cov_unit = self._solve_batch(
-            jnp.asarray(np.stack(seeds), dtype=self._dtype),
-            jnp.asarray(cam_i), jnp.asarray(key_i),
-            jnp.asarray(uv, dtype=self._dtype),
-            jnp.asarray(mask, dtype=self._dtype))
-        res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
+        dev_args = (jnp.asarray(cam_i), jnp.asarray(key_i),
+                    jnp.asarray(uv, dtype=self._dtype),
+                    jnp.asarray(mask, dtype=self._dtype))
+
+        use_device_seed = inits is None and seed_mode in ("auto", "device")
+        if use_device_seed:
+            im_c = dd_all[:, 1].astype(int)
+            key_c = dd_all[:, -3].astype(int)
+            cam_c = dd_all[:, 0].astype(int)
+            uv_grid = np.zeros((n_frames, self.n_keys, self.n_cams, 2))
+            mask_grid = np.zeros((n_frames, self.n_keys, self.n_cams))
+            uv_grid[im_c, key_c, cam_c] = dd_all[:, -2:]
+            mask_grid[im_c, key_c, cam_c] = 1.0
+            res, cov_unit, seeds_d = self._solve_batch_seeded(
+                jnp.asarray(uv_grid, dtype=self._dtype),
+                jnp.asarray(mask_grid, dtype=self._dtype), *dev_args)
+            res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
+            if seed_mode == "auto":
+                res, cov_unit = self._pnp_rescue(
+                    res, cov_unit, seeds_d, dd_all, bounds, mask, dev_args)
+        else:
+            if inits is not None:
+                inits = np.asarray(inits, dtype=float)
+                if inits.ndim == 3:  # (I,4,4)
+                    inits = np.stack([np.concatenate(ext_4x4_to_rod(t))
+                                      for t in inits])
+                seeds = list(inits)
+            else:  # seed_mode == 'pnp'
+                seeds, last = [], None
+                for i in range(n_frames):
+                    seed = self._pnp_seed_rows(dd_all[bounds[i]:bounds[i + 1]])
+                    if seed is None:
+                        seed = last if last is not None else np.zeros(6)
+                    last = seed
+                    seeds.append(seed)
+            res, cov_unit = self._solve_batch(
+                jnp.asarray(np.stack(seeds), dtype=self._dtype), *dev_args)
+            res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
         pose6 = np.asarray(res.x)
         self._last_pose = pose6[-1]
         n_used = mask.sum(axis=1)

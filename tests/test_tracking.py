@@ -103,5 +103,54 @@ def test_tracker_capacity_and_empty_frame():
         tr.track(empty)
 
 
+def test_device_seed_batch_quality():
+    """The in-dispatch triangulate + rigid-fit seeder lands close enough
+    to the true poses that LM converges in a few iterations."""
+    import jax.numpy as jnp
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=8)
+    tr = TargetTracker(cams, target)
+    flat = det.return_flattened_keys(
+        target.point_data.shape[:-1]).sort(["im_num"])
+    dd = flat.get_data()
+    n_frames = int(det.max_ims)
+    uv_grid = np.zeros((n_frames, tr.n_keys, tr.n_cams, 2))
+    mask_grid = np.zeros((n_frames, tr.n_keys, tr.n_cams))
+    im_c, key_c, cam_c = (dd[:, 1].astype(int), dd[:, 2].astype(int),
+                          dd[:, 0].astype(int))
+    uv_grid[im_c, key_c, cam_c] = dd[:, -2:]
+    mask_grid[im_c, key_c, cam_c] = 1.0
+    seeds = np.asarray(tr._seed_batch(jnp.asarray(uv_grid),
+                                      jnp.asarray(mask_grid)))
+    assert np.abs(seeds[:, 3:] - rig["poses"][:, 3:]).max() < 5e-3  # m
+    assert np.abs(seeds[:, :3] - rig["poses"][:, :3]).max() < 5e-3  # rad
+
+
+def test_track_batch_seed_modes_agree():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=6)
+    tr = TargetTracker(cams, target)
+    p_dev, i_dev = tr.track_batch(det, seed_mode="device")
+    p_pnp, i_pnp = tr.track_batch(det, seed_mode="pnp")
+    np.testing.assert_allclose(p_dev, p_pnp, atol=1e-5)
+    np.testing.assert_allclose(i_dev["rms"], i_pnp["rms"], atol=1e-6)
+
+
+def test_track_batch_monocular_frames_rescued():
+    """Frames seen by only ONE camera can't triangulate-seed; the auto
+    rescue PnP-reseeds them and they still recover the true pose."""
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=6, noise=0.1)
+    dd = det.get_data()
+    mono = {1, 4}  # frames stripped to camera 0 only
+    keep = ~(np.isin(dd[:, 1], list(mono)) & (dd[:, 0] != 0))
+    det_mono = TargetDetection(cam_names=["a", "b", "c"], data=dd[keep])
+    tr = TargetTracker(cams, target)
+    poses, info = tr.track_batch(det_mono)
+    assert np.abs(poses[:, :3, 3] - true[:, :3, 3]).max() < 1e-3
+    assert (info["n_used"] > 0).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

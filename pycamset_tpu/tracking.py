@@ -181,8 +181,25 @@ class TargetTracker:
             res, cov = jax.vmap(solve)(seeds, cam_i, key_i, uv, mask)
             return res, cov, seeds
 
+        def solve_stream(pose0, cam_i, key_i, uv, mask):
+            # ordered video: each frame warm-starts from the previous
+            # frame's solution; frames that lose the target (< 3 points
+            # cannot pin 6 dof) carry the pose forward unchanged
+            def step(carry, frame):
+                ci, ki, uvf, mf = frame
+                res, cov = solve(carry, ci, ki, uvf, mf)
+                tracked = jnp.sum(mf) >= 3.0
+                nxt = jnp.where(tracked, res.x, carry)
+                # an underdetermined solve may wander; report the carried
+                # pose for lost frames, not wherever LM drifted
+                return nxt, (res._replace(x=nxt), cov)
+
+            _, (res, cov) = lax.scan(step, pose0, (cam_i, key_i, uv, mask))
+            return res, cov
+
         self._seed_batch = jax.jit(seed_batch)
         self._solve_batch_seeded = jax.jit(solve_batch_seeded)
+        self._solve_stream = jax.jit(solve_stream)
 
     # ---------------------------------------------------------------- frames
 
@@ -365,18 +382,7 @@ class TargetTracker:
         if not detection.has_data():
             raise ValueError("detection table has no images")
         # one pass over the whole table (per-frame .get() would be O(I*N))
-        flat = detection.return_flattened_keys(
-            self.target.point_data.shape[:-1]).sort(["im_num"])
-        dd_all = flat.get_data()
-        n_frames = int(detection.max_ims)
-        bounds = np.searchsorted(dd_all[:, 1], np.arange(n_frames + 1))
-        packs = [self._pack_frame(dd_all[bounds[i]:bounds[i + 1]])
-                 for i in range(n_frames)]
-        cam_i, key_i, uv, mask = (np.stack([p[i] for p in packs])
-                                  for i in range(4))
-        dev_args = (jnp.asarray(cam_i), jnp.asarray(key_i),
-                    jnp.asarray(uv, dtype=self._dtype),
-                    jnp.asarray(mask, dtype=self._dtype))
+        dd_all, bounds, n_frames, mask, dev_args = self._pack_table(detection)
 
         use_device_seed = inits is None and seed_mode in ("auto", "device")
         if use_device_seed:
@@ -412,6 +418,58 @@ class TargetTracker:
             res, cov_unit = self._solve_batch(
                 jnp.asarray(np.stack(seeds), dtype=self._dtype), *dev_args)
             res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
+        return self._finalize_batch(res, cov_unit, mask)
+
+    def track_stream(self, detection: TargetDetection, init=None):
+        """Sequential warm-start tracking over a video sequence, in ONE
+        dispatch: each frame's LM solve is seeded by the previous frame's
+        solution (`lax.scan`), so temporal coherence replaces per-frame
+        seeding. Frames that lose the target (< 3 detections) carry the
+        previous pose forward (and report inf ``pose_sigma``).
+
+        Use this for ordered video; `track_batch` for unordered frames
+        (it triangulate-seeds each frame independently, in parallel).
+
+        :param init: 6-vector or 4x4 seed for the FIRST frame; default
+            host PnP on the first frame that any camera localises.
+        :return: (poses (I,4,4), info dict of per-frame rms/nit arrays).
+        """
+        if not detection.has_data():
+            raise ValueError("detection table has no images")
+        dd_all, bounds, n_frames, mask, dev_args = self._pack_table(detection)
+        if init is None:
+            for i in range(n_frames):
+                init = self._pnp_seed_rows(dd_all[bounds[i]:bounds[i + 1]])
+                if init is not None:
+                    break
+        if init is None:
+            raise ValueError("no PnP seed found in any frame and no init "
+                             "given for track_stream")
+        init = np.asarray(init, dtype=float)
+        if init.shape == (4, 4):
+            init = np.concatenate(ext_4x4_to_rod(init))
+        res, cov_unit = jax.device_get(self._solve_stream(
+            jnp.asarray(init, dtype=self._dtype), *dev_args))
+        return self._finalize_batch(res, cov_unit, mask)
+
+    def _pack_table(self, detection: TargetDetection):
+        """Whole-table packing shared by the batch paths: flatten + sort
+        once, slice per frame, stack to static (I, N) device args."""
+        flat = detection.return_flattened_keys(
+            self.target.point_data.shape[:-1]).sort(["im_num"])
+        dd_all = flat.get_data()
+        n_frames = int(detection.max_ims)
+        bounds = np.searchsorted(dd_all[:, 1], np.arange(n_frames + 1))
+        packs = [self._pack_frame(dd_all[bounds[i]:bounds[i + 1]])
+                 for i in range(n_frames)]
+        cam_i, key_i, uv, mask = (np.stack([p[i] for p in packs])
+                                  for i in range(4))
+        dev_args = (jnp.asarray(cam_i), jnp.asarray(key_i),
+                    jnp.asarray(uv, dtype=self._dtype),
+                    jnp.asarray(mask, dtype=self._dtype))
+        return dd_all, bounds, n_frames, mask, dev_args
+
+    def _finalize_batch(self, res, cov_unit, mask):
         pose6 = np.asarray(res.x)
         self._last_pose = pose6[-1]
         n_used = mask.sum(axis=1)

@@ -152,5 +152,30 @@ def test_track_batch_monocular_frames_rescued():
     assert (info["n_used"] > 0).all()
 
 
+def test_track_stream_warm_start_and_dropout():
+    """track_stream: one dispatch, each frame seeded by the previous
+    solution; a frame that loses the target carries the pose forward
+    with inf sigma instead of wandering."""
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=8, noise=0.2)
+    dd = det.get_data()
+    lost = 3  # strip frame 3 to two detections: 6 dof, 4 residuals
+    rows_lost = np.nonzero(dd[:, 1] == lost)[0]
+    keep = np.ones(len(dd), bool)
+    keep[rows_lost[2:]] = False
+    det2 = TargetDetection(cam_names=["a", "b", "c"], data=dd[keep])
+    tr = TargetTracker(cams, target)
+    poses, info = tr.track_stream(det2)
+    ok = np.arange(8) != lost
+    assert np.abs(poses[ok, :3, 3] - true[ok, :3, 3]).max() < 5e-4
+    assert np.isinf(info["pose_sigma"][lost]).all()
+    # the lost frame reports the PREVIOUS frame's pose, not a drifted one
+    np.testing.assert_allclose(poses[lost], poses[lost - 1], atol=1e-12)
+    # explicit init variant agrees on fully-seen frames
+    poses2, _ = tr.track_stream(det2, init=true[0])
+    np.testing.assert_allclose(poses2[ok], poses[ok], atol=1e-5)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -66,6 +66,10 @@ def _add_track(sub):
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--out", default=None,
                    help="write poses as JSON (default: print)")
+    p.add_argument("--stream", action="store_true",
+                   help="treat frames as ordered video: each frame "
+                        "warm-starts from the previous solution "
+                        "(track_stream) instead of independent seeding")
     p.add_argument("--no-cache", action="store_true",
                    help="skip the detection pickle cache")
 
@@ -147,7 +151,10 @@ def cmd_track(args) -> int:
         caching=not args.no_cache)
     tracker = TargetTracker(cams, target, loss=args.loss,
                             f_scale=args.f_scale)
-    poses, info = tracker.track_batch(detection)
+    if args.stream:
+        poses, info = tracker.track_stream(detection)
+    else:
+        poses, info = tracker.track_batch(detection)
     # inf sigmas (underdetermined frames) are not valid JSON -> null
     sig = [[float(v) if np.isfinite(v) else None for v in row]
            for row in info["pose_sigma"]]

@@ -450,6 +450,11 @@ class TargetTracker:
             init = np.concatenate(ext_4x4_to_rod(init))
         res, cov_unit = jax.device_get(self._solve_stream(
             jnp.asarray(init, dtype=self._dtype), *dev_args))
+        # recover frames the warm start lost (target jumped, occlusion
+        # ended on a different pose): PnP-reseed and keep the better solve
+        res, cov_unit = self._pnp_rescue(
+            res, cov_unit, np.asarray(res.x), dd_all, bounds, mask,
+            dev_args)
         return self._finalize_batch(res, cov_unit, mask)
 
     def _pack_table(self, detection: TargetDetection):

@@ -52,6 +52,25 @@ def test_cli_calibrate_and_info(cli_data, capsys):
         assert len(rec["pose_sigma"]) == 6
         assert all(v is None or v >= 0 for v in rec["pose_sigma"])
 
+    # ordered-video variant: warm-started frames land on the same poses
+    stream_json = cli_data / "poses_stream.json"
+    rc = main(["track", str(cli_data), "--camset",
+               str(cli_data / "optimised_cameras.camset"),
+               "--target", "charuco", "--nx", "20", "--ny", "20",
+               "--square", "4", "--legacy", "--stream",
+               "--out", str(stream_json)])
+    assert rc == 0
+    stream_records = json.loads(stream_json.read_text())
+    assert len(stream_records) == 5
+    # calibration images are NOT video (each frame is an unrelated board
+    # placement), so the warm start is a legitimately poor seed here and
+    # pose/basin equality with the batch solve is not expected — assert
+    # the stream path runs end-to-end and still converges acceptably
+    # (synthetic video accuracy is covered in test_tracking.py)
+    for rec, srec in zip(records, stream_records):
+        assert srec["rms_px"] < 5.0
+        assert srec["n_detections"] == rec["n_detections"]
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -317,21 +317,23 @@ def block_onehots(n_cams: int, n_ims: int):
     return blk_cam, blk_im, onehot_cam, onehot_im
 
 
+_PROJS = ("Projection", "ProjectionRational", "ProjectionThinPrism",
+          "ProjectionTilted", "ProjectionFisheye")
+
+
 def resolve_block_grams(op_fun: OptimFunction, widths: GroupWidths,
                         loss: str = "linear", f_scale: float = 1.0,
                         loss_semantics: str = "component"):
     """Per-BLOCK gram builder (the make_block_grams 10-tuple contract):
     the served Pallas kernel on TPU when the chain matches a kernel
     family, else the XLA closed form. Shared by make_structured_neq (as
-    the non-fused fallback) and the sharded backends, whose cross-device
-    reductions psum the per-block pieces over the mesh (the fused
-    in-kernel reductions are single-device by construction)."""
+    the non-fused fallback) and the sharded backends (as the fallback for
+    rigs the fused padding policy declines)."""
     import os
 
     a, b, c = widths.a, widths.b, widths.c
     names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-    projs = ("Projection", "ProjectionRational", "ProjectionThinPrism",
-             "ProjectionTilted", "ProjectionFisheye")
+    projs = _PROJS
     if (jax.default_backend() == "tpu"
             and not os.environ.get("PYCAMSET_NO_PALLAS")
             and a in (14, 15, 18, 22, 24) and names[0] in projs):
@@ -352,6 +354,92 @@ def resolve_block_grams(op_fun: OptimFunction, widths: GroupWidths,
                             loss_semantics=loss_semantics)
 
 
+def resolve_fused_grams(op_fun: OptimFunction, widths: GroupWidths,
+                        n_cams: int, n_ims: int, loss: str = "linear",
+                        f_scale: float = 1.0,
+                        loss_semantics: str = "component"):
+    """The FUSED-reduction Pallas gram builder for a pure structured chain,
+    or None when none applies (not on TPU, chain outside the kernel
+    families, or the image axis would pad past the family's threshold).
+
+    Fused kernels accumulate the cam-axis sums in-kernel, so the large
+    per-block coupling tensors (e.g. the (B, K, a, 3) point coupling,
+    106 MB at 16x100) never reach HBM. Their per-cam accumulators need
+    the image axis padded to the block tile — the padding policy per
+    family is encoded here, overridable by PYCAMSET_FUSED_TEMPLATE /
+    PYCAMSET_FUSED_SELFCAL / PYCAMSET_FUSED_MIXED (=0/1 forces).
+
+    n_cams/n_ims are the dims the builder will be CALLED with — the
+    sharded backends pass their per-device slab dims, so the in-kernel
+    accumulation stays shard-local and the cross-shard psum completes it.
+
+    :return: (family, grams) or None. family names the contract:
+        "template":  grams(cam_b, im_b, tpl, uv, mask, cmask_b, imask_b)
+                     -> (hcc, hii, wci, gc, gi, cost)
+        "selfcal":   grams(cam_b, im_b, keyp, uv, mask, cmask_b, imask_b,
+                     kmask) -> the 10 NormalEq fields
+        "freepoint": same signature as selfcal (im_b/imask_b ignored)
+                     -> (hcc, hkk, wck, gc, gk, cost)
+        "grouped":   grams(cam_b, im_b, keyp, tpl, uv, mask, cmask_b,
+                     imask_b, kmask) -> per-KEY-grid 10-tuple (the caller
+                     reduces the key-axis pieces with the group one-hot)
+    """
+    import os
+
+    a, b, c = widths.a, widths.b, widths.c
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("PYCAMSET_NO_PALLAS")
+            or a not in (14, 15, 18, 22, 24)):
+        return None
+    names = tuple(type(bk).__name__ for bk in op_fun.blocks)
+    if names[0] not in _PROJS:
+        return None
+    from pycamset_tpu.optim import pallas_grams as pg
+    kw = dict(loss=loss, f_scale=f_scale, loss_semantics=loss_semantics)
+
+    def pad_ok(tile, frac, env):
+        i_pad = -(-n_ims // tile) * tile
+        force = os.environ.get(env)
+        return ((i_pad - n_ims) <= frac * n_ims if force is None
+                else force != "0")
+
+    if (b, c) == (6, 0) and names[1:] == ("Extrinsic3D", "TemplatePoints"):
+        # measured +17% at 64x400 where the solve is compute-bound, and
+        # within tunnel noise at the dispatch-bound 16x100, so the simpler
+        # per-block kernel keeps rigs that pad >5%
+        from pycamset_tpu.optim.pallas_grams import BLOCK_TILE
+        if pad_ok(BLOCK_TILE, 0.05, "PYCAMSET_FUSED_TEMPLATE"):
+            return "template", pg.make_pallas_template_grams_fused(
+                widths, n_cams, n_ims, **kw)
+        return None
+    if (b, c) == (6, 3) and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                                          "FreePoint"):
+        # structural win (the point-coupling tensor never reaches HBM):
+        # default-on up to 25% padding; tile prefers 16, drops to 8 when
+        # that pads less (e.g. 100 -> 104 instead of 112)
+        t = min((16, 8), key=lambda tt: -(-n_ims // tt) * tt)
+        if pad_ok(t, 0.25, "PYCAMSET_FUSED_SELFCAL"):
+            return "selfcal", pg.make_pallas_selfcal_grams_fused(
+                widths, n_cams, n_ims, tile=t, **kw)
+        return None
+    if (b, c) == (0, 3) and names[1:] == ("Extrinsic3D", "FreePoint"):
+        # fused-reduction delegation under the self-cal policy
+        t = min((16, 8), key=lambda tt: -(-n_ims // tt) * tt)
+        if pad_ok(t, 0.25, "PYCAMSET_FUSED_SELFCAL"):
+            return "freepoint", pg.make_pallas_freepoint_grams_fused(
+                widths, n_cams, n_ims, tile=t, **kw)
+        return None
+    if (b, c) == (6, 6) and names[1:] == ("Extrinsic3D", "RigidTform3d",
+                                          "GroupTemplatePoints"):
+        # grouped multi-target template chain under the mixed-family
+        # policy (tile capped at 8 — BLOCK_TILE=16 OOMs scoped VMEM)
+        if pad_ok(8, 0.25, "PYCAMSET_FUSED_MIXED"):
+            return "grouped", pg.make_pallas_mixed_grams_fused(
+                widths, n_cams, n_ims, with_key_cols=False, tile=8, **kw)
+        return None
+    return None
+
+
 def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
                         n_cams: int, n_ims: int, loss: str = "linear",
                         f_scale: float = 1.0,
@@ -370,148 +458,72 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         tpl is the (K,3) template table (zeros when the chain has key params)
         and colmask is a ParamPieces of 0/1 unfixed masks.
     """
-    import os
-
     a, b, c = widths.a, widths.b, widths.c
-    fused_grouped = None
     grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
                                 loss_semantics=loss_semantics)
     # fused-reduction Pallas kernels (cam-axis sums in-kernel) take over
-    # from the per-block resolver result when the padding policy allows;
-    # PYCAMSET_NO_PALLAS=1 disables all Pallas dispatch
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("PYCAMSET_NO_PALLAS")):
-        names = tuple(type(bk).__name__ for bk in op_fun.blocks)
-        if (b, c) == (6, 0) and a in (14, 15, 18, 22, 24) and names[1:] == (
-                "Extrinsic3D", "TemplatePoints") and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted", "ProjectionFisheye"):
-            # fused-reduction variant: column masks + cam-axis sums happen
-            # in-kernel and only the small per-block pieces reach HBM. Its
-            # per-cam accumulator needs the image axis padded to the block
-            # tile; measured +17% at 64x400 (400 % 16 == 0) where the solve
-            # is compute-bound, and within tunnel noise (+-0.15 ms around
-            # 2.3-2.6 ms) at the dispatch-bound 16x100, so the simpler
-            # per-block kernel keeps rigs that pad >5%.
-            # PYCAMSET_FUSED_TEMPLATE=0/1 forces either path.
-            from pycamset_tpu.optim.pallas_grams import (
-                BLOCK_TILE, make_pallas_template_grams_fused)
-            i_pad = -(-n_ims // BLOCK_TILE) * BLOCK_TILE
-            force = os.environ.get("PYCAMSET_FUSED_TEMPLATE")
-            use_fused = ((i_pad - n_ims) <= 0.05 * n_ims if force is None
-                         else force != "0")
-            if use_fused:
-                fused_grams = make_pallas_template_grams_fused(
-                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
-                    loss_semantics=loss_semantics)
+    # from the per-block resolver result when the padding policy allows
+    # (see resolve_fused_grams; PYCAMSET_NO_PALLAS=1 disables all Pallas)
+    fused = resolve_fused_grams(op_fun, widths, n_cams, n_ims, loss=loss,
+                                f_scale=f_scale,
+                                loss_semantics=loss_semantics)
+    fused_grouped = None
+    if fused is not None:
+        family, fused_fn = fused
+        if family == "template":
 
-                def neq_fused(pieces: ParamPieces, uv, mask, tpl,
-                              colmask: ParamPieces):
-                    cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
-                    im_b = jnp.tile(pieces.im, (n_cams, 1))
-                    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
-                    imask_b = jnp.tile(colmask.im, (n_cams, 1))
-                    hcc, hii, wci, gc, gi, cost = fused_grams(
-                        cam_b, im_b, tpl, uv, mask, cmask_b, imask_b)
-                    k_pad = mask.shape[1]
-                    dtype = uv.dtype
-                    return NormalEq(
-                        hcc, hii, jnp.zeros((k_pad, 0, 0), dtype), wci,
-                        jnp.zeros((n_cams, k_pad, a, 0), dtype),
-                        jnp.zeros((n_ims, k_pad, b, 0), dtype),
-                        gc, gi, jnp.zeros((k_pad, 0), dtype), cost)
+            def neq_fused(pieces: ParamPieces, uv, mask, tpl,
+                          colmask: ParamPieces):
+                cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+                im_b = jnp.tile(pieces.im, (n_cams, 1))
+                cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+                imask_b = jnp.tile(colmask.im, (n_cams, 1))
+                hcc, hii, wci, gc, gi, cost = fused_fn(
+                    cam_b, im_b, tpl, uv, mask, cmask_b, imask_b)
+                k_pad = mask.shape[1]
+                dtype = uv.dtype
+                return NormalEq(
+                    hcc, hii, jnp.zeros((k_pad, 0, 0), dtype), wci,
+                    jnp.zeros((n_cams, k_pad, a, 0), dtype),
+                    jnp.zeros((n_ims, k_pad, b, 0), dtype),
+                    gc, gi, jnp.zeros((k_pad, 0), dtype), cost)
 
-                return neq_fused
-        elif (b, c) == (6, 3) and a in (14, 15, 18, 22, 24) and names[1:] == (
-                "Extrinsic3D", "RigidTform3d", "FreePoint") and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted", "ProjectionFisheye"):
-            # fused-reduction variant: unlike the template case the win is
-            # structural — the (B, K, a, 3) point-coupling tensor (106 MB
-            # at 16x100) never reaches HBM — so it is default-on up to 25%
-            # image padding. Tile prefers 16, dropping to 8 when that pads
-            # less (e.g. 100 -> 104 instead of 112).
-            # PYCAMSET_FUSED_SELFCAL=0/1 forces either path.
-            from pycamset_tpu.optim.pallas_grams import (
-                make_pallas_selfcal_grams_fused)
-            t = min((16, 8), key=lambda tt: -(-n_ims // tt) * tt)
-            i_pad = -(-n_ims // t) * t
-            force = os.environ.get("PYCAMSET_FUSED_SELFCAL")
-            use_fused = ((i_pad - n_ims) <= 0.25 * n_ims if force is None
-                         else force != "0")
-            if use_fused:
-                fused_sc = make_pallas_selfcal_grams_fused(
-                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
-                    loss_semantics=loss_semantics, tile=t)
+            return neq_fused
+        if family == "selfcal":
 
-                def neq_fused_sc(pieces: ParamPieces, uv, mask, tpl,
-                                 colmask: ParamPieces):
-                    cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
-                    im_b = jnp.tile(pieces.im, (n_cams, 1))
-                    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
-                    imask_b = jnp.tile(colmask.im, (n_cams, 1))
-                    return NormalEq(*fused_sc(
-                        cam_b, im_b, pieces.key, uv, mask, cmask_b,
-                        imask_b, colmask.key))
+            def neq_fused_sc(pieces: ParamPieces, uv, mask, tpl,
+                             colmask: ParamPieces):
+                cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+                im_b = jnp.tile(pieces.im, (n_cams, 1))
+                cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+                imask_b = jnp.tile(colmask.im, (n_cams, 1))
+                return NormalEq(*fused_fn(
+                    cam_b, im_b, pieces.key, uv, mask, cmask_b,
+                    imask_b, colmask.key))
 
-                return neq_fused_sc
-        elif (b, c) == (0, 3) and a in (14, 15, 18, 22, 24) and names[1:] == (
-                "Extrinsic3D", "FreePoint") and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted", "ProjectionFisheye"):
-            # fused-reduction delegation under the self-cal policy
-            # (PYCAMSET_FUSED_SELFCAL forces either path)
-            from pycamset_tpu.optim.pallas_grams import (
-                make_pallas_freepoint_grams_fused)
-            t = min((16, 8), key=lambda tt: -(-n_ims // tt) * tt)
-            i_pad = -(-n_ims // t) * t
-            force = os.environ.get("PYCAMSET_FUSED_SELFCAL")
-            use_fused = ((i_pad - n_ims) <= 0.25 * n_ims if force is None
-                         else force != "0")
-            if use_fused:
-                fused_fp = make_pallas_freepoint_grams_fused(
-                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
-                    loss_semantics=loss_semantics, tile=t)
+            return neq_fused_sc
+        if family == "freepoint":
 
-                def neq_fused_fp(pieces: ParamPieces, uv, mask, tpl,
-                                 colmask: ParamPieces):
-                    cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
-                    cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
-                    hcc, hkk, wck, gc, gk, cost = fused_fp(
-                        cam_b, None, pieces.key, uv, mask, cmask_b, None,
-                        colmask.key)
-                    k_pad = mask.shape[1]
-                    dtype = uv.dtype
-                    return NormalEq(
-                        hcc, jnp.zeros((n_ims, 0, 0), dtype), hkk,
-                        jnp.zeros((n_cams, n_ims, a, 0), dtype), wck,
-                        jnp.zeros((n_ims, k_pad, 0, c), dtype),
-                        gc, jnp.zeros((n_ims, 0), dtype), gk, cost)
+            def neq_fused_fp(pieces: ParamPieces, uv, mask, tpl,
+                             colmask: ParamPieces):
+                cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
+                cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
+                hcc, hkk, wck, gc, gk, cost = fused_fn(
+                    cam_b, None, pieces.key, uv, mask, cmask_b, None,
+                    colmask.key)
+                k_pad = mask.shape[1]
+                dtype = uv.dtype
+                return NormalEq(
+                    hcc, jnp.zeros((n_ims, 0, 0), dtype), hkk,
+                    jnp.zeros((n_cams, n_ims, a, 0), dtype), wck,
+                    jnp.zeros((n_ims, k_pad, 0, c), dtype),
+                    gc, jnp.zeros((n_ims, 0), dtype), gk, cost)
 
-                return neq_fused_fp
-        elif (b, c) == (6, 6) and a in (14, 15, 18, 22, 24) and names[1:] == (
-                "Extrinsic3D", "RigidTform3d", "GroupTemplatePoints"
-                ) and names[0] in (
-                "Projection", "ProjectionRational", "ProjectionThinPrism",
-                "ProjectionTilted", "ProjectionFisheye"):
-            # grouped multi-target template chain: the group pose columns
-            # ride the key grid, the 3D point comes from the template.
-            # Fused-reduction variant under the same padding policy as the
-            # mixed chain (PYCAMSET_FUSED_MIXED forces either path); the
-            # one-hot group reductions then act on the already-reduced
-            # (C,K,...)/(I,K,...) pieces instead of per-block tensors.
-            from pycamset_tpu.optim.pallas_grams import (
-                make_pallas_mixed_grams_fused)
-            g_tile = 8
-            i_pad = -(-n_ims // g_tile) * g_tile
-            force = os.environ.get("PYCAMSET_FUSED_MIXED")
-            use_fused = ((i_pad - n_ims) <= 0.25 * n_ims if force is None
-                         else force != "0")
-            if use_fused:
-                fused_grouped = make_pallas_mixed_grams_fused(
-                    widths, n_cams, n_ims, loss=loss, f_scale=f_scale,
-                    loss_semantics=loss_semantics, with_key_cols=False,
-                    tile=g_tile)
+            return neq_fused_fp
+        # "grouped": the group pose columns ride the key grid, the 3D
+        # point comes from the template; the one-hot group reductions act
+        # on the already-reduced (C,K,...)/(I,K,...) pieces below
+        fused_grouped = fused_fn
 
     grouped = widths.key_link == key_type.PER_GROUP
     if grouped:

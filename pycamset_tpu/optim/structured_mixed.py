@@ -165,11 +165,11 @@ def resolve_mixed_grams_fused(op_fun: OptimFunction, widths: MixedWidths,
                               f_scale: float = 1.0,
                               loss_semantics: str = "component"):
     """The FUSED-reduction mixed gram builder, or None when it does not
-    apply. Dispatch companion to resolve_mixed_grams for the single-device
-    backend (the sharded backend keeps the per-block contract — its
-    reductions are psums over the mesh). Applies on TPU for the canonical
-    chain when the image-axis padding to the tile of 8 stays under 25%;
-    PYCAMSET_FUSED_MIXED=0/1 forces either path."""
+    apply. Dispatch companion to resolve_mixed_grams; the sharded backend
+    passes its per-device slab dims as (n_cams, n_ims), so the in-kernel
+    accumulation stays shard-local and the cross-shard psum completes it.
+    Applies on TPU for the canonical chain when the image-axis padding to
+    the tile of 8 stays under 25%; PYCAMSET_FUSED_MIXED=0/1 forces."""
     import os
 
     names = tuple(type(bk).__name__ for bk in op_fun.blocks)

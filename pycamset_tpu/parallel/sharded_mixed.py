@@ -26,7 +26,7 @@ from jax import shard_map
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured_mixed import (
     MixedNormalEq, MixedPieces, MixedWidths, make_mixed_ops,
-    resolve_mixed_grams)
+    resolve_mixed_grams, resolve_mixed_grams_fused)
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
 
@@ -70,8 +70,6 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b, cw = widths.a, widths.b, widths.c
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
-    grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                                loss_semantics=loss_semantics)
     onehot_np = _group_onehot(group_of_key, n_groups)
 
     n_dev = mesh.devices.size
@@ -90,6 +88,16 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
         data_spec = P(None, DETECTION_AXIS)
     else:
         raise ValueError(f"unknown shard_axis {shard_axis!r}")
+
+    # fused-reduction kernel built for the per-device slab dims: its
+    # in-kernel cam-axis accumulation is shard-local by construction and
+    # returns exactly the locally-reduced pieces; the psum completes them
+    fused = resolve_mixed_grams_fused(op_fun, widths, c_loc, i_loc,
+                                      loss=loss, f_scale=f_scale,
+                                      loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_mixed_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
 
     piece_spec = MixedPieces(P(), P(), P(), P())
 
@@ -121,19 +129,26 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
         keyp, kmask = _chain_key_rows(widths, pieces.key, pieces.grp,
                                       colmask.key, colmask.grp, oh)
 
-        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
-         cost) = grams(cam_b, im_b, keyp, tpl,
-                       uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
-                       cmask_b, imask_b, kmask)
+        uv_l = uv.reshape(bb, k_pad, 2)
+        mask_l = mask.reshape(bb, k_pad)
 
-        # local reductions over this device's slab
-        hcc_loc = gcc_b.reshape(c_loc, i_loc, a, a).sum(axis=1)
-        gc_loc = gc_b.reshape(c_loc, i_loc, a).sum(axis=1)
-        wck_f = wck_b.reshape(c_loc, i_loc, k_pad, a, cw).sum(axis=1)
-        hii_loc = gii_b.reshape(c_loc, i_loc, b, b).sum(axis=0)
-        gi_loc = gi_b.reshape(c_loc, i_loc, b).sum(axis=0)
-        wik_f = wik_b.reshape(c_loc, i_loc, k_pad, b, cw).sum(axis=0)
-        wci_loc = wci_b.reshape(c_loc, i_loc, a, b)
+        if fused is not None:
+            (hcc_loc, hii_loc, hkk_f, wci_loc, wck_f, wik_f, gc_loc,
+             gi_loc, gk_f, cost) = fused(cam_b, im_b, keyp, tpl, uv_l,
+                                         mask_l, cmask_b, imask_b, kmask)
+        else:
+            (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
+             cost) = grams(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                           cmask_b, imask_b, kmask)
+
+            # local reductions over this device's slab
+            hcc_loc = gcc_b.reshape(c_loc, i_loc, a, a).sum(axis=1)
+            gc_loc = gc_b.reshape(c_loc, i_loc, a).sum(axis=1)
+            wck_f = wck_b.reshape(c_loc, i_loc, k_pad, a, cw).sum(axis=1)
+            hii_loc = gii_b.reshape(c_loc, i_loc, b, b).sum(axis=0)
+            gi_loc = gi_b.reshape(c_loc, i_loc, b).sum(axis=0)
+            wik_f = wik_b.reshape(c_loc, i_loc, k_pad, b, cw).sum(axis=0)
+            wci_loc = wci_b.reshape(c_loc, i_loc, a, b)
 
         # split the c-axis into per-key and (one-hot-reduced) per-group
         # pieces; every term is a partial sum the psum completes
@@ -199,8 +214,15 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b, cw = widths.a, widths.b, widths.c
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
-    grams = resolve_mixed_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                                loss_semantics=loss_semantics)
+    # fused kernel: every block is local under key sharding, so the
+    # in-kernel accumulations are complete for the local key slice; the
+    # per-key pieces stay sharded and the small partial sums psum
+    fused = resolve_mixed_grams_fused(op_fun, widths, n_cams, n_ims,
+                                      loss=loss, f_scale=f_scale,
+                                      loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_mixed_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
     onehot_np = _group_onehot(group_of_key, n_groups)
     n_keys = onehot_np.shape[0]
     n_dev = mesh.devices.size
@@ -238,13 +260,24 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
         keyp, kmask = _chain_key_rows(widths, pieces.key, pieces.grp,
                                       colmask.key, colmask.grp, oh)
 
-        (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
-         cost) = grams(cam_b, im_b, keyp, tpl,
-                       uv.reshape(bb, k_loc, 2), mask.reshape(bb, k_loc),
-                       cmask_b, imask_b, kmask)
+        uv_l = uv.reshape(bb, k_loc, 2)
+        mask_l = mask.reshape(bb, k_loc)
 
-        wck_f = wck_b.reshape(n_cams, n_ims, k_loc, a, cw).sum(axis=1)
-        wik_f = wik_b.reshape(n_cams, n_ims, k_loc, b, cw).sum(axis=0)
+        if fused is not None:
+            (hcc_p, hii_p, hkk_f, wci_p, wck_f, wik_f, gc_p, gi_p, gk_f,
+             cost) = fused(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                           cmask_b, imask_b, kmask)
+        else:
+            (gcc_b, gii_b, wci_b, hkk_f, wck_b, wik_b, gc_b, gi_b, gk_f,
+             cost) = grams(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                           cmask_b, imask_b, kmask)
+            hcc_p = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+            hii_p = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
+            wci_p = wci_b.reshape(n_cams, n_ims, a, b)
+            gc_p = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+            gi_p = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
+            wck_f = wck_b.reshape(n_cams, n_ims, k_loc, a, cw).sum(axis=1)
+            wik_f = wik_b.reshape(n_cams, n_ims, k_loc, b, cw).sum(axis=0)
 
         # per-key pieces: stay local/sharded
         hkk = hkk_f[:, kk][:, :, kk]
@@ -256,14 +289,14 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
         # per-group and per-cam/per-im pieces: partial sums over this
         # device's keys, completed by one psum of SMALL tensors
         small = (
-            gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1),
-            gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0),
-            wci_b.reshape(n_cams, n_ims, a, b),
+            hcc_p,
+            hii_p,
+            wci_p,
             jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, gg_][:, :, gg_]),
             jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, gg_]),
             jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_]),
-            gc_b.reshape(n_cams, n_ims, a).sum(axis=1),
-            gi_b.reshape(n_cams, n_ims, b).sum(axis=0),
+            gc_p,
+            gi_p,
             jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_]),
             cost,
         )

@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
-    GroupWidths, NormalEq, ParamPieces, resolve_block_grams)
+    GroupWidths, NormalEq, ParamPieces, resolve_block_grams,
+    resolve_fused_grams)
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 from pycamset_tpu.parallel.mesh import DETECTION_AXIS
 
@@ -76,12 +77,20 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
     """
     a, b, c = widths.a, widths.b, widths.c
     onehot_kg = _group_onehot(widths, group_of_key, n_groups)
-    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                                loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
     if n_cams % n_dev != 0:
         raise ValueError(f"{n_cams} cameras not divisible by {n_dev} devices")
     c_loc = n_cams // n_dev
+
+    # fused-reduction kernels built for the per-device slab dims: their
+    # in-kernel cam-axis accumulation is shard-local by construction, and
+    # the psum below completes the cross-shard reductions
+    fused = resolve_fused_grams(op_fun, widths, c_loc, n_ims, loss=loss,
+                                f_scale=f_scale,
+                                loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_block_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
 
     piece_spec = ParamPieces(P(), P(), P())
 
@@ -113,19 +122,46 @@ def make_sharded_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         else:
             keyp, kmask = pieces.key, colmask.key
 
-        (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(cam_b, im_b, keyp, tpl,
-                       uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
-                       cmask_b, imask_b, kmask)
+        uv_l = uv.reshape(bb, k_pad, 2)
+        mask_l = mask.reshape(bb, k_pad)
 
-        # local reductions (cam-major slab)
-        hcc_loc = gcc_b.reshape(c_loc, n_ims, a, a).sum(axis=1)
-        gc_loc = gc_b.reshape(c_loc, n_ims, a).sum(axis=1)
-        wck_loc = wck_b.reshape(c_loc, n_ims, k_pad, a, c).sum(axis=1)
-        hii = gii_b.reshape(c_loc, n_ims, b, b).sum(axis=0)
-        gi = gi_b.reshape(c_loc, n_ims, b).sum(axis=0)
-        wik = wik_b.reshape(c_loc, n_ims, k_pad, b, c).sum(axis=0)
-        wci_loc = wci_b.reshape(c_loc, n_ims, a, b)
+        if fused is not None:
+            family, fused_fn = fused
+            if family == "template":
+                hcc_loc, hii, wci_loc, gc_loc, gi, cost = fused_fn(
+                    cam_b, im_b, tpl, uv_l, mask_l, cmask_b, imask_b)
+                hkk = jnp.zeros((k_pad, 0, 0), dtype)
+                wck_loc = jnp.zeros((c_loc, k_pad, a, 0), dtype)
+                wik = jnp.zeros((n_ims, k_pad, b, 0), dtype)
+                gk = jnp.zeros((k_pad, 0), dtype)
+            elif family == "selfcal":
+                (hcc_loc, hii, hkk, wci_loc, wck_loc, wik, gc_loc, gi, gk,
+                 cost) = fused_fn(cam_b, im_b, keyp, uv_l, mask_l, cmask_b,
+                                  imask_b, kmask)
+            elif family == "freepoint":
+                hcc_loc, hkk, wck_loc, gc_loc, gk, cost = fused_fn(
+                    cam_b, None, keyp, uv_l, mask_l, cmask_b, None, kmask)
+                hii = jnp.zeros((n_ims, 0, 0), dtype)
+                wci_loc = jnp.zeros((c_loc, n_ims, a, 0), dtype)
+                wik = jnp.zeros((n_ims, k_pad, 0, c), dtype)
+                gi = jnp.zeros((n_ims, 0), dtype)
+            else:  # "grouped": per-KEY pieces, group-reduced below
+                (hcc_loc, hii, hkk, wci_loc, wck_loc, wik, gc_loc, gi, gk,
+                 cost) = fused_fn(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                                  cmask_b, imask_b, kmask)
+        else:
+            (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
+             cost) = grams(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                           cmask_b, imask_b, kmask)
+
+            # local reductions (cam-major slab)
+            hcc_loc = gcc_b.reshape(c_loc, n_ims, a, a).sum(axis=1)
+            gc_loc = gc_b.reshape(c_loc, n_ims, a).sum(axis=1)
+            wck_loc = wck_b.reshape(c_loc, n_ims, k_pad, a, c).sum(axis=1)
+            hii = gii_b.reshape(c_loc, n_ims, b, b).sum(axis=0)
+            gi = gi_b.reshape(c_loc, n_ims, b).sum(axis=0)
+            wik = wik_b.reshape(c_loc, n_ims, k_pad, b, c).sum(axis=0)
+            wci_loc = wci_b.reshape(c_loc, n_ims, a, b)
 
         if onehot_kg is not None:  # reduce key-axis pieces to per-group
             kg = jnp.asarray(onehot_kg, dtype=dtype)
@@ -174,12 +210,20 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
     """
     a, b, c = widths.a, widths.b, widths.c
     onehot_kg = _group_onehot(widths, group_of_key, n_groups)
-    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                                loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
     if n_ims % n_dev != 0:
         raise ValueError(f"{n_ims} images not divisible by {n_dev} devices")
     i_loc = n_ims // n_dev
+
+    # fused-reduction kernels built for the per-device image slab: the
+    # in-kernel cam-axis sums cover only local images, so they are partial
+    # and the psum below completes them
+    fused = resolve_fused_grams(op_fun, widths, n_cams, i_loc, loss=loss,
+                                f_scale=f_scale,
+                                loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_block_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
 
     piece_spec = ParamPieces(P(), P(), P())
 
@@ -211,21 +255,50 @@ def make_pose_sharded_structured_neq(op_fun: OptimFunction,
         else:
             keyp, kmask = pieces.key, colmask.key
 
-        (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(cam_b, im_b, keyp, tpl,
-                       uv.reshape(bb, k_pad, 2), mask.reshape(bb, k_pad),
-                       cmask_b, imask_b, kmask)
+        uv_l = uv.reshape(bb, k_pad, 2)
+        mask_l = mask.reshape(bb, k_pad)
 
-        # local reductions (image-slab): per-cam pieces are partial sums
-        # (completed by the psum), per-image pieces are placed at the
-        # device's image offset
-        hcc = gcc_b.reshape(n_cams, i_loc, a, a).sum(axis=1)
-        gc = gc_b.reshape(n_cams, i_loc, a).sum(axis=1)
-        wck = wck_b.reshape(n_cams, i_loc, k_pad, a, c).sum(axis=1)
-        hii_loc = gii_b.reshape(n_cams, i_loc, b, b).sum(axis=0)
-        gi_loc = gi_b.reshape(n_cams, i_loc, b).sum(axis=0)
-        wik_loc = wik_b.reshape(n_cams, i_loc, k_pad, b, c).sum(axis=0)
-        wci_loc = wci_b.reshape(n_cams, i_loc, a, b)
+        if fused is not None:
+            # per-cam pieces come out as partial sums over this device's
+            # images (completed by the psum); per-image pieces are local
+            family, fused_fn = fused
+            if family == "template":
+                hcc, hii_loc, wci_loc, gc, gi_loc, cost = fused_fn(
+                    cam_b, im_b, tpl, uv_l, mask_l, cmask_b, imask_b)
+                hkk = jnp.zeros((k_pad, 0, 0), dtype)
+                wck = jnp.zeros((n_cams, k_pad, a, 0), dtype)
+                wik_loc = jnp.zeros((i_loc, k_pad, b, 0), dtype)
+                gk = jnp.zeros((k_pad, 0), dtype)
+            elif family == "selfcal":
+                (hcc, hii_loc, hkk, wci_loc, wck, wik_loc, gc, gi_loc, gk,
+                 cost) = fused_fn(cam_b, im_b, keyp, uv_l, mask_l, cmask_b,
+                                  imask_b, kmask)
+            elif family == "freepoint":
+                hcc, hkk, wck, gc, gk, cost = fused_fn(
+                    cam_b, None, keyp, uv_l, mask_l, cmask_b, None, kmask)
+                hii_loc = jnp.zeros((i_loc, 0, 0), dtype)
+                wci_loc = jnp.zeros((n_cams, i_loc, a, 0), dtype)
+                wik_loc = jnp.zeros((i_loc, k_pad, 0, c), dtype)
+                gi_loc = jnp.zeros((i_loc, 0), dtype)
+            else:  # "grouped": per-KEY pieces, group-reduced below
+                (hcc, hii_loc, hkk, wci_loc, wck, wik_loc, gc, gi_loc, gk,
+                 cost) = fused_fn(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                                  cmask_b, imask_b, kmask)
+        else:
+            (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
+             cost) = grams(cam_b, im_b, keyp, tpl, uv_l, mask_l,
+                           cmask_b, imask_b, kmask)
+
+            # local reductions (image-slab): per-cam pieces are partial
+            # sums (completed by the psum), per-image pieces are placed at
+            # the device's image offset
+            hcc = gcc_b.reshape(n_cams, i_loc, a, a).sum(axis=1)
+            gc = gc_b.reshape(n_cams, i_loc, a).sum(axis=1)
+            wck = wck_b.reshape(n_cams, i_loc, k_pad, a, c).sum(axis=1)
+            hii_loc = gii_b.reshape(n_cams, i_loc, b, b).sum(axis=0)
+            gi_loc = gi_b.reshape(n_cams, i_loc, b).sum(axis=0)
+            wik_loc = wik_b.reshape(n_cams, i_loc, k_pad, b, c).sum(axis=0)
+            wci_loc = wci_b.reshape(n_cams, i_loc, a, b)
 
         if onehot_kg is not None:  # reduce key-axis pieces to per-group
             kg = jnp.asarray(onehot_kg, dtype=dtype)
@@ -287,8 +360,16 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
                          "chains (use cam/pose sharding)")
     if c == 0:
         raise ValueError("key-axis sharding needs key-linked parameters")
-    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
+    # fused kernels: every block is local under key sharding (the devices
+    # split the lane/key axis), so the in-kernel accumulations are complete
+    # for the local key slice — the per-key pieces stay sharded and only
+    # the small per-cam/per-im partial sums psum, exactly as per-block
+    fused = resolve_fused_grams(op_fun, widths, n_cams, n_ims, loss=loss,
+                                f_scale=f_scale,
                                 loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_block_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
     n_dev = mesh.devices.size
 
     def _check_divisible(k_pad: int):
@@ -310,6 +391,7 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
              out_specs=out_spec,
              check_vma=False)  # Pallas grams inside on TPU: no vma
     def _neq(pieces: ParamPieces, uv, mask, tpl, colmask: ParamPieces):
+        dtype = uv.dtype
         k_loc = mask.shape[-1]
         bb = n_cams * n_ims
         cam_b = jnp.repeat(pieces.cam, n_ims, axis=0)
@@ -317,20 +399,37 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
         cmask_b = jnp.repeat(colmask.cam, n_ims, axis=0)
         imask_b = jnp.tile(colmask.im, (n_cams, 1))
 
-        (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
-         cost) = grams(cam_b, im_b, pieces.key, tpl,
-                       uv.reshape(bb, k_loc, 2), mask.reshape(bb, k_loc),
-                       cmask_b, imask_b, colmask.key)
+        uv_l = uv.reshape(bb, k_loc, 2)
+        mask_l = mask.reshape(bb, k_loc)
 
-        # per-cam/per-im pieces: partial sums over this device's keys,
-        # completed by a psum of SMALL tensors; per-key pieces stay local
-        hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
-        hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
-        gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
-        gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
-        wci = wci_b.reshape(n_cams, n_ims, a, b)
-        wck = wck_b.reshape(n_cams, n_ims, k_loc, a, c).sum(axis=1)
-        wik = wik_b.reshape(n_cams, n_ims, k_loc, b, c).sum(axis=0)
+        if fused is not None:
+            family, fused_fn = fused
+            if family == "selfcal":
+                (hcc, hii, hkk, wci, wck, wik, gc, gi, gk,
+                 cost) = fused_fn(cam_b, im_b, pieces.key, uv_l, mask_l,
+                                  cmask_b, imask_b, colmask.key)
+            else:  # freepoint (template/grouped rejected above: c > 0)
+                hcc, hkk, wck, gc, gk, cost = fused_fn(
+                    cam_b, None, pieces.key, uv_l, mask_l, cmask_b, None,
+                    colmask.key)
+                hii = jnp.zeros((n_ims, 0, 0), dtype)
+                wci = jnp.zeros((n_cams, n_ims, a, 0), dtype)
+                wik = jnp.zeros((n_ims, k_loc, 0, c), dtype)
+                gi = jnp.zeros((n_ims, 0), dtype)
+        else:
+            (gcc_b, gii_b, wci_b, hkk, wck_b, wik_b, gc_b, gi_b, gk,
+             cost) = grams(cam_b, im_b, pieces.key, tpl, uv_l, mask_l,
+                           cmask_b, imask_b, colmask.key)
+
+            # per-cam/per-im pieces: partial sums over this device's keys,
+            # completed by a psum of SMALL tensors; per-key pieces local
+            hcc = gcc_b.reshape(n_cams, n_ims, a, a).sum(axis=1)
+            hii = gii_b.reshape(n_cams, n_ims, b, b).sum(axis=0)
+            gc = gc_b.reshape(n_cams, n_ims, a).sum(axis=1)
+            gi = gi_b.reshape(n_cams, n_ims, b).sum(axis=0)
+            wci = wci_b.reshape(n_cams, n_ims, a, b)
+            wck = wck_b.reshape(n_cams, n_ims, k_loc, a, c).sum(axis=1)
+            wik = wik_b.reshape(n_cams, n_ims, k_loc, b, c).sum(axis=0)
 
         small = (hcc, hii, wci, gc, gi, cost)
         hcc, hii, wci, gc, gi, cost = jax.tree_util.tree_map(

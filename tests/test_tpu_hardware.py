@@ -760,3 +760,135 @@ def test_sharded_mixed_solver_on_chip_one_device_mesh():
     rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
     assert np.isfinite(rms)
     assert rms < 2.0 * 0.4, rms
+
+
+@pytest.mark.parametrize("chain,shard_axis,n_ims", [
+    ("template", "cam", 16), ("template", "pose", 16),
+    ("selfcal", "cam", 8), ("selfcal", "pose", 8),
+    ("selfcal", "key", 8)])
+def test_sharded_fused_neq_parity_on_chip(chain, shard_axis, n_ims):
+    """FUSED Pallas kernels inside the sharded backends (per-device slab
+    dims; in-kernel accumulation completed by the psum) must match the
+    per-block kernel path on a real 1-device mesh. Tile-aligned image
+    axes so the fused padding policy engages (16 for template, 8-ok for
+    self-cal) — the small-rig sharded tests above only ever exercise the
+    per-block fallback."""
+    import jax
+
+    from pycamset_tpu.optim.structured import (
+        make_structured_neq, resolve_fused_grams)
+    from pycamset_tpu.parallel.mesh import detection_mesh
+    from pycamset_tpu.parallel.sharded_structured import (
+        make_key_sharded_structured_neq, make_pose_sharded_structured_neq,
+        make_sharded_structured_neq, shard_block_arrays, shard_key_arrays)
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, blocks,
+     rig) = _rig_problem(chain=chain, n_cams=2, n_ims=n_ims)
+    n_cams = rig["n_cams"]
+    mesh = detection_mesh()          # the one real device
+    assert resolve_fused_grams(op_fun, widths, n_cams, n_ims) is not None
+
+    make = {"cam": make_sharded_structured_neq,
+            "pose": make_pose_sharded_structured_neq,
+            "key": make_key_sharded_structured_neq}[shard_axis]
+    neq_sh = jax.jit(make(op_fun, widths, n_cams, n_ims, mesh))
+    if shard_axis == "key":
+        uv_s, mask_s, tpl_s, pieces_s, colmask_s = shard_key_arrays(
+            mesh, uv, mask, tpl, pieces, colmask, n_cams)
+        got = neq_sh(pieces_s, uv_s, mask_s, tpl_s, colmask_s)
+    else:
+        uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                          shard_axis=shard_axis)
+        got = neq_sh(pieces, uv_s, mask_s, tpl, colmask)
+
+    env = ("PYCAMSET_FUSED_TEMPLATE" if chain == "template"
+           else "PYCAMSET_FUSED_SELFCAL")
+    os.environ[env] = "0"            # reference: the per-block kernel path
+    try:
+        neq_ref = jax.jit(make_structured_neq(op_fun, widths, n_cams,
+                                              n_ims))
+    finally:
+        os.environ.pop(env, None)
+    ref = neq_ref(pieces, uv, mask, tpl, colmask)
+
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        if r.size == 0:
+            continue
+        rel = np.abs(r - g).max() / (np.abs(r).max() + 1e-12)
+        assert rel < 5e-4, (name, rel)  # f32 accumulation-order tolerance
+
+
+@pytest.mark.parametrize("shard_axis", ["cam", "pose", "key"])
+def test_sharded_fused_mixed_neq_parity_on_chip(shard_axis):
+    """The fused MIXED kernel inside the sharded mixed backend matches the
+    per-block XLA path on a real 1-device mesh (n_ims=8: tile-aligned, so
+    resolve_mixed_grams_fused engages for the per-device slab)."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sharded_mixed import _problem
+
+    from pycamset_tpu.optim.structured_mixed import (
+        MixedPieces, make_mixed_structured_neq, resolve_mixed_grams_fused)
+    from pycamset_tpu.parallel.mesh import DETECTION_AXIS, detection_mesh
+    from pycamset_tpu.parallel.sharded_mixed import (
+        make_key_sharded_mixed_neq, make_sharded_mixed_neq)
+    from pycamset_tpu.parallel.sharded_structured import shard_block_arrays
+
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok, rig,
+     _b) = _problem(n_cams=2, n_ims=8, dtype=jnp.float32)
+    n_cams, n_ims = rig["n_cams"], rig["n_ims"]
+    mesh = detection_mesh()
+    assert resolve_mixed_grams_fused(op_fun, widths, n_cams,
+                                     n_ims) is not None
+
+    if shard_axis == "key":
+        k_pad = mask.shape[-1]
+        key_row = NamedSharding(mesh, P(DETECTION_AXIS))
+        rep = NamedSharding(mesh, P())
+        uv_s = jax.device_put(
+            jnp.reshape(uv, (n_cams, n_ims, k_pad, 2)),
+            NamedSharding(mesh, P(None, None, DETECTION_AXIS, None)))
+        mask_s = jax.device_put(
+            jnp.reshape(mask, (n_cams, n_ims, k_pad)),
+            NamedSharding(mesh, P(None, None, DETECTION_AXIS)))
+        tpl_s = jax.device_put(tpl, key_row)
+        pieces_s = MixedPieces(jax.device_put(pieces.cam, rep),
+                               jax.device_put(pieces.im, rep),
+                               jax.device_put(pieces.key, key_row),
+                               jax.device_put(pieces.grp, rep))
+        colmask_s = MixedPieces(jax.device_put(colmask.cam, rep),
+                                jax.device_put(colmask.im, rep),
+                                jax.device_put(colmask.key, key_row),
+                                jax.device_put(colmask.grp, rep))
+        neq_sh = jax.jit(make_key_sharded_mixed_neq(
+            op_fun, widths, n_cams, n_ims, mesh, gok, 2))
+        got = neq_sh(pieces_s, uv_s, mask_s, tpl_s, colmask_s)
+    else:
+        neq_sh = jax.jit(make_sharded_mixed_neq(
+            op_fun, widths, n_cams, n_ims, mesh, gok, 2,
+            shard_axis=shard_axis))
+        uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                          shard_axis=shard_axis)
+        got = neq_sh(pieces, uv_s, mask_s, tpl, colmask)
+
+    os.environ["PYCAMSET_FUSED_MIXED"] = "0"
+    try:
+        neq_ref = jax.jit(make_mixed_structured_neq(
+            op_fun, widths, n_cams, n_ims, gok, 2))
+    finally:
+        os.environ.pop("PYCAMSET_FUSED_MIXED", None)
+    ref = neq_ref(pieces, uv, mask, tpl, colmask)
+
+    for name, r, g in zip(ref._fields, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        if r.size == 0:
+            continue
+        rel = np.abs(r - g).max() / (np.abs(r).max() + 1e-12)
+        assert rel < 5e-4, (name, rel)

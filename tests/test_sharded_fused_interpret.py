@@ -183,6 +183,27 @@ def test_pose_sharded_fused_selfcal_local_slabs(fused_on_cpu):
     _assert_neq_close(ref, got)
 
 
+def test_cam_sharded_fused_selfcal_with_image_padding(fused_on_cpu):
+    """i_loc = 20 pads to 24 inside the kernel (tile 8, 20% <= the 25%
+    policy): exercises the _pad_image_axis edge-replication and the
+    [:, :n_ims] trimming INSIDE the shard_map region."""
+    from pycamset_tpu.optim.structured import resolve_fused_grams
+
+    n_cams, n_ims = 8, 20
+    (op_fun, widths, pieces, colmask, uv, mask,
+     tpl) = _selfcal_setup(n_cams, n_ims)
+    ref = _ref_neq(fused_on_cpu, make_structured_neq, op_fun, widths,
+                   n_cams, n_ims)(pieces, uv, mask, tpl, colmask)
+
+    mesh = detection_mesh(8)
+    assert resolve_fused_grams(op_fun, widths, 1, n_ims) is not None
+    neq = jax.jit(make_sharded_structured_neq(op_fun, widths, n_cams,
+                                              n_ims, mesh))
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
+    got = neq(pieces, uv_s, mask_s, tpl, colmask)
+    _assert_neq_close(ref, got)
+
+
 def test_key_sharded_fused_selfcal_local_keys(fused_on_cpu):
     """k_loc = k_pad/8 on the self-cal chain: per-key pieces stay sharded
     (lane axis sliced), per-cam/per-im partial sums psum."""

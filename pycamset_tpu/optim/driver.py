@@ -231,13 +231,23 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
         def residual_fn(x):
             return loss_fn(x).reshape(-1, 2)
 
-    elif backend in ("auto", "structured"):
+    elif backend in ("auto", "structured", "sharded"):
         from pycamset_tpu.optim.structured import UnsupportedChain
+        mesh = None
+        if backend == "sharded":
+            # multi-device solve over a 1-D detection mesh: shard_map +
+            # psum around the same structured/mixed backends (and the same
+            # Pallas kernels). problem_opts: "mesh" (default: all devices),
+            # "shard_axis" ('auto'|'cam'|'pose'|'key').
+            from pycamset_tpu.parallel.mesh import detection_mesh
+            mesh = param_handler.problem_opts.get("mesh") or detection_mesh()
+            logging.info(f"Sharding the solve over {mesh.devices.size} "
+                         "device(s)")
         try:
             from pycamset_tpu.optim.structured_driver import (
                 build_structured_problem)
             solve_fn, residual_fn, init_params = build_structured_problem(
-                param_handler, dtype=dtype)
+                param_handler, dtype=dtype, mesh=mesh)
             logging.info("Using the structured (Schur) backend")
         except UnsupportedChain as e:
             try:
@@ -247,11 +257,11 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
                     build_mixed_structured_problem)
                 solve_fn, residual_fn, init_params = (
                     build_mixed_structured_problem(param_handler,
-                                                   dtype=dtype))
+                                                   dtype=dtype, mesh=mesh))
                 logging.info(
                     "Using the mixed (key+group) structured backend")
             except UnsupportedChain:
-                if backend == "structured":
+                if backend in ("structured", "sharded"):
                     raise e
                 logging.info(f"Structured backend unavailable ({e}); "
                              "falling back to the generic backend")

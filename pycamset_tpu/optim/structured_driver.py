@@ -14,7 +14,43 @@ from pycamset_tpu.optim.structured import (
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 
 
-def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
+def _resolve_shard_axis(param_handler, mesh, n_cams: int,
+                        n_ims_grid: int) -> tuple[str, int]:
+    """(shard_axis, n_ims_grid) for a mesh run: 'auto' picks the axis that
+    divides the mesh (pose pads any rig); the image grid rounds up to a
+    device multiple when the pose axis is chosen."""
+    from pycamset_tpu.parallel.sharded_structured import choose_shard_axis
+
+    n_dev = mesh.devices.size
+    shard_axis = param_handler.problem_opts.get("shard_axis", "auto")
+    if shard_axis == "auto":
+        shard_axis = choose_shard_axis(n_cams, n_ims_grid, n_dev)
+    if shard_axis == "pose" and n_ims_grid % n_dev:
+        n_ims_grid = -(-n_ims_grid // n_dev) * n_dev
+    return shard_axis, n_ims_grid
+
+
+def _place_key_sharded(mesh, uv_d, mask_d, tpl_d, n_cams: int):
+    """Reshape the (B, K[,2]) block data camera-major and shard the key
+    axis over the mesh (the layout make_key_sharded_* expects)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pycamset_tpu.parallel.mesh import DETECTION_AXIS
+
+    b, k = mask_d.shape
+    n_ims = b // n_cams
+    uv_s = jax.device_put(
+        jnp.reshape(uv_d, (n_cams, n_ims, k, 2)),
+        NamedSharding(mesh, P(None, None, DETECTION_AXIS, None)))
+    mask_s = jax.device_put(
+        jnp.reshape(mask_d, (n_cams, n_ims, k)),
+        NamedSharding(mesh, P(None, None, DETECTION_AXIS)))
+    tpl_s = jax.device_put(tpl_d, NamedSharding(mesh, P(DETECTION_AXIS)))
+    return uv_s, mask_s, tpl_s
+
+
+def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
+                             mesh=None):
     """Compile a handler's problem onto the structured backend.
 
     :return: (solve_fn(x0_free)->(x_free, SLMResult), residual_fn(x_free),
@@ -27,6 +63,12 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
     wall time for one-off solves (20-300 s vs tens of ms). Pad images carry
     replicated pose values, zero masks and zero column masks, so they
     contribute nothing.
+
+    :param mesh: a jax.sharding.Mesh — shard the solve over its devices
+        (backend="sharded"). problem_opts["shard_axis"] picks 'cam', 'pose',
+        'key' or 'auto' (default: the axis that divides the mesh; the pose
+        axis pads any rig). The same fused/per-block Pallas kernels serve
+        the shard_map regions.
     """
     op_fun: OptimFunction = param_handler.op_fun
     widths = chain_widths(op_fun)
@@ -43,6 +85,10 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         n_ims_grid = ((n_ims_true + im_bucket - 1) // im_bucket) * im_bucket
     else:
         n_ims_grid = n_ims_true
+    shard_axis = None
+    if mesh is not None:
+        shard_axis, n_ims_grid = _resolve_shard_axis(
+            param_handler, mesh, n_cams, n_ims_grid)
 
     dd = param_handler.get_detection_data(flatten=True)
     blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
@@ -127,7 +173,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         cm_im = np.zeros((n_ims_grid, 0), dtype=dtype)
     colmask = ParamPieces(np.asarray(p_cm.cam, dtype=dtype), cm_im, cm_key)
 
-    neq_raw = make_structured_neq(
+    neq_raw = None if mesh is not None else make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,
         loss=param_handler.problem_opts.get("loss", "linear"),
         f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
@@ -145,12 +191,34 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         dim = n_cams * widths.a + n_ims_grid * widths.b
         reduced_solver = "cg" if dim > 4096 else "dense"
 
-    @jax.jit
-    def solve_impl(x_pieces, uv, mask, tpl):
-        def neq_fn(p):
-            return neq_raw(p, uv, mask, tpl, colmask)
-        return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
-                                   reduced_solver=reduced_solver)
+    if mesh is not None:
+        from pycamset_tpu.parallel.sharded_structured import (
+            make_sharded_structured_solver, shard_block_arrays)
+        solve_impl = make_sharded_structured_solver(
+            op_fun, widths, n_cams, n_ims_grid, mesh, colmask,
+            max_nfev=max_nfev,
+            loss=param_handler.problem_opts.get("loss", "linear"),
+            f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
+            reduced_solver=reduced_solver, shard_axis=shard_axis,
+            group_of_key=gok_pad, n_groups=n_groups if grouped else None,
+            loss_semantics=param_handler.problem_opts.get(
+                "loss_semantics", "component"))
+        if shard_axis == "key":
+            uv_s, mask_s, tpl_s = _place_key_sharded(mesh, uv_d, mask_d,
+                                                     tpl_d, n_cams)
+        else:
+            uv_s, mask_s = shard_block_arrays(mesh, uv_d, mask_d, n_cams,
+                                              shard_axis=shard_axis)
+            tpl_s = tpl_d
+    else:
+        uv_s, mask_s, tpl_s = uv_d, mask_d, tpl_d
+
+        @jax.jit
+        def solve_impl(x_pieces, uv, mask, tpl):
+            def neq_fn(p):
+                return neq_raw(p, uv, mask, tpl, colmask)
+            return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
+                                       reduced_solver=reduced_solver)
 
     point_fn = op_fun.make_point_fn()
     # captured constants stay host-side (see colmask note above)
@@ -184,7 +252,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
         return to_pieces(full)
 
     def solve_fn(x_free: np.ndarray):
-        res: SLMResult = solve_impl(apply_free(x_free), uv_d, mask_d, tpl_d)
+        res: SLMResult = solve_impl(apply_free(x_free), uv_s, mask_s, tpl_s)
         x_pieces = jax.tree_util.tree_map(np.asarray, res.x)
         full = np.asarray(merge_pieces_to_full(
             ParamPieces(jnp.asarray(x_pieces.cam, dtype=jnp.float64),
@@ -203,11 +271,13 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128):
 
 
 def build_mixed_structured_problem(param_handler, dtype,
-                                   k_pad_multiple: int = 128):
+                                   k_pad_multiple: int = 128, mesh=None):
     """Compile a MIXED PER_KEY + PER_GROUP chain (multi-target
     self-calibration) onto the arrow-structured backend
     (optim/structured_mixed.py). Same contract as build_structured_problem;
-    raises UnsupportedChain when the chain is not mixed.
+    raises UnsupportedChain when the chain is not mixed. `mesh` shards the
+    solve (backend="sharded"; problem_opts["shard_axis"] as in
+    build_structured_problem).
     """
     from pycamset_tpu.optim.structured import UnsupportedChain
     from pycamset_tpu.optim.structured_mixed import (
@@ -237,6 +307,10 @@ def build_mixed_structured_problem(param_handler, dtype,
     im_bucket = param_handler.problem_opts.get("im_bucket", 8)
     n_ims_grid = (((n_ims + im_bucket - 1) // im_bucket) * im_bucket
                   if im_bucket else n_ims)
+    shard_axis = None
+    if mesh is not None:
+        shard_axis, n_ims_grid = _resolve_shard_axis(
+            param_handler, mesh, n_cams, n_ims_grid)
 
     dd = param_handler.get_detection_data(flatten=True)
     blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
@@ -324,24 +398,43 @@ def build_mixed_structured_problem(param_handler, dtype,
         tpl_pad[:n_keys] = flat_tpl
         tpl_pad[n_keys:] = flat_tpl[0]
 
-    neq_raw = make_mixed_structured_neq(
-        op_fun, widths, n_cams, n_ims_grid, group_of_key=gok_pad,
-        n_groups=n_groups,
+    uv_d, mask_d = blocks.as_device(dtype)
+    tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
+    max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
+    loss_kw = dict(
         loss=param_handler.problem_opts.get("loss", "linear"),
         f_scale=float(param_handler.problem_opts.get("f_scale", 1.0)),
         loss_semantics=param_handler.problem_opts.get(
             "loss_semantics", "component"))
-    ops = make_mixed_ops(neq_raw.onehot)
-    uv_d, mask_d = blocks.as_device(dtype)
-    tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
-    max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
 
-    @jax.jit
-    def solve_impl(x_pieces, uv, mask, tpl):
-        def neq_fn(p):
-            return neq_raw(p, uv, mask, tpl, colmask)
-        return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
-                                   ops=ops)
+    if mesh is not None:
+        from pycamset_tpu.parallel.sharded_mixed import (
+            make_sharded_mixed_solver)
+        from pycamset_tpu.parallel.sharded_structured import (
+            shard_block_arrays)
+        solve_impl = make_sharded_mixed_solver(
+            op_fun, widths, n_cams, n_ims_grid, mesh, colmask, gok_pad,
+            n_groups, max_nfev=max_nfev, shard_axis=shard_axis, **loss_kw)
+        if shard_axis == "key":
+            uv_s, mask_s, tpl_s = _place_key_sharded(mesh, uv_d, mask_d,
+                                                     tpl_d, n_cams)
+        else:
+            uv_s, mask_s = shard_block_arrays(mesh, uv_d, mask_d, n_cams,
+                                              shard_axis=shard_axis)
+            tpl_s = tpl_d
+    else:
+        uv_s, mask_s, tpl_s = uv_d, mask_d, tpl_d
+        neq_raw = make_mixed_structured_neq(
+            op_fun, widths, n_cams, n_ims_grid, group_of_key=gok_pad,
+            n_groups=n_groups, **loss_kw)
+        ops = make_mixed_ops(neq_raw.onehot)
+
+        @jax.jit
+        def solve_impl(x_pieces, uv, mask, tpl):
+            def neq_fn(p):
+                return neq_raw(p, uv, mask, tpl, colmask)
+            return structured_lm_solve(neq_fn, x_pieces, max_nfev=max_nfev,
+                                       ops=ops)
 
     point_fn = op_fun.make_point_fn()
     # captured constants stay host-side (see colmask note above)
@@ -377,7 +470,7 @@ def build_mixed_structured_problem(param_handler, dtype,
         return to_pieces(full)
 
     def solve_fn(x_free: np.ndarray):
-        res: SLMResult = solve_impl(apply_free(x_free), uv_d, mask_d, tpl_d)
+        res: SLMResult = solve_impl(apply_free(x_free), uv_s, mask_s, tpl_s)
         full = from_pieces(jax.tree_util.tree_map(np.asarray, res.x))
         return full[free_idx], res
 

@@ -182,7 +182,8 @@ def run_stereo_calibration(
             fixed_params=fixed_params, options=problem_options)
 
     _opt_result, solved_cams = run_bundle_adjustment(
-        param_handler=param_handler, threads=threads)
+        param_handler=param_handler, threads=threads,
+        backend=param_handler.problem_opts.get("backend", "auto"))
     param_handler.camset = solved_cams
 
     if save:

@@ -152,3 +152,19 @@ def test_sharded_backend_mixed_chain():
     res_sh, _ = run_bundle_adjustment(handler2, backend="sharded")
     assert res_sh.cost == pytest.approx(res_ref.cost, rel=1e-6)
     np.testing.assert_allclose(res_sh.x, res_ref.x, rtol=1e-4, atol=1e-7)
+
+
+def test_pipeline_backend_option():
+    """problem_options={"backend": "sharded"} reaches the solver through
+    the calibrate_cameras pipeline layer (run_stereo_calibration)."""
+    from pycamset_tpu.calibration.camera_calibrator import (
+        run_stereo_calibration)
+
+    handler, _rig = _template_handler()
+    handler.problem_opts["backend"] = "sharded"
+    solved = run_stereo_calibration(
+        handler.camset, handler.detection, handler.target,
+        param_handler=handler, save=False)
+    err = np.mean(np.linalg.norm(
+        solved.calibration_result.reshape(-1, 2), axis=1))
+    assert err < 0.4

@@ -168,3 +168,19 @@ def test_pipeline_backend_option():
     err = np.mean(np.linalg.norm(
         solved.calibration_result.reshape(-1, 2), axis=1))
     assert err < 0.4
+
+
+def test_sharded_backend_robust_loss_parity():
+    """Robust loss options plumb through the sharded builders (loss folds
+    into the per-shard grams as IRLS weights; parity vs single-device)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    def handler():
+        h, _ = _template_handler(seed=11)
+        h.problem_opts.update({"loss": "huber", "f_scale": 2.0})
+        return h
+
+    res_ref, _ = run_bundle_adjustment(handler(), backend="structured")
+    res_sh, _ = run_bundle_adjustment(handler(), backend="sharded")
+    assert res_sh.cost == pytest.approx(res_ref.cost, rel=1e-6)
+    np.testing.assert_allclose(res_sh.x, res_ref.x, rtol=1e-4, atol=1e-7)

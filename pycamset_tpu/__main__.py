@@ -49,6 +49,12 @@ def _add_calibrate(sub):
                         "tilted (Scheimpflug)")
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--max-nfev", type=int, default=100)
+    p.add_argument("--backend",
+                   choices=["auto", "structured", "sharded", "generic",
+                            "scipy"],
+                   default="auto",
+                   help="solver backend; 'sharded' splits the solve over "
+                        "every local device (mesh + psum)")
     p.add_argument("--high-distortion", action="store_true")
     p.add_argument("--draw", action="store_true")
 
@@ -90,7 +96,7 @@ def cmd_calibrate(args) -> int:
     from pycamset_tpu import calibrate_cameras
     opts = {"outliers": args.outliers, "loss": args.loss,
             "f_scale": args.f_scale, "max_nfev": args.max_nfev,
-            "camera_model": args.camera_model}
+            "camera_model": args.camera_model, "backend": args.backend}
 
     target = _make_target(args)
 

@@ -109,3 +109,18 @@ def test_cli_info_uncertainty(tmp_path):
 
     rc = main(["info", str(path), "--uncertainty"])
     assert rc == 0
+
+
+def test_cli_calibrate_sharded_backend(cli_data, capsys):
+    """--backend sharded routes the CLI calibrate through the multi-device
+    solve (8 virtual CPU devices in the test tier)."""
+    from pycamset_tpu.__main__ import main
+    rc = main(["calibrate", str(cli_data), "--target", "charuco",
+               "--nx", "20", "--ny", "20", "--square", "4", "--legacy",
+               "--outliers", "n", "--max-nfev", "25",
+               "--backend", "sharded"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean reprojection error" in out
+    err = float(out.rsplit("error", 1)[1].split("px")[0])
+    assert err < 1.8

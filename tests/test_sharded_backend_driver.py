@@ -184,3 +184,42 @@ def test_sharded_backend_robust_loss_parity():
     res_sh, _ = run_bundle_adjustment(handler(), backend="sharded")
     assert res_sh.cost == pytest.approx(res_ref.cost, rel=1e-6)
     np.testing.assert_allclose(res_sh.x, res_ref.x, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_backend_freepoint_chain():
+    """Pose-free (SfM) chain through backend="sharded": zero-width image
+    params ride the pose-sharded grid (auto axis buckets 1 image to 8)."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (FreePointBundleHandler,
+                                             FreePointTarget)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=4, n_ims=1, grid=7, visibility=1.0,
+                             noise_px=0.2, seed=17)
+    k_mats, exts, dists = [], [], []
+    for c in range(4):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c", "d"], exts, k_mats, dists, [[1600, 1200]] * 4))
+    rng = np.random.default_rng(3)
+    pts0 = rig["template"] + rng.normal(size=rig["template"].shape) * 0.002
+    det = TargetDetection(cam_names=["a", "b", "c", "d"], data=rig["dd"])
+    fixed = {n: {"int": k, "dst": d, "ext": e}
+             for n, k, d, e in zip("abcd", k_mats, dists, exts)}
+
+    def handler():
+        return FreePointBundleHandler(
+            cams, FreePointTarget(pts0.reshape(1, -1, 3)), det,
+            fixed_params=fixed, options={"outliers": "n"})
+
+    res_ref, _ = run_bundle_adjustment(handler(), backend="structured")
+    res_sh, _ = run_bundle_adjustment(handler(), backend="sharded")
+    assert res_sh.cost == pytest.approx(res_ref.cost, rel=1e-6)
+    np.testing.assert_allclose(res_sh.x, res_ref.x, rtol=1e-4, atol=1e-7)

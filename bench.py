@@ -93,6 +93,53 @@ def perturbed(pieces, n: int, eps: float = 1e-10):
     return out
 
 
+def template_colmask(n_cams, n_ims, widths, k_pad, dtype):
+    """Unfixed masks for the bench TEMPLATE problem (pose 0 = gauge).
+
+    Host numpy (captured closure constants must never be device arrays —
+    see standard_problem). Shared with benchmarks/sharded_bench.py so the
+    sharded timings constrain the SAME problem as the headline metrics."""
+    from pycamset_tpu.optim.structured import ParamPieces
+    cm_im = np.ones((n_ims, widths.b), dtype=dtype)
+    cm_im[0] = 0.0
+    return ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
+                       np.ones((k_pad, 0), dtype=dtype))
+
+
+def selfcal_colmask(n_cams, n_ims, n_keys, k_pad, widths, dtype):
+    """Unfixed masks for the bench SELF-CAL problem: pad keys frozen,
+    7-coordinate gauge (points 0, 1 and x of 2), pose 0 fixed."""
+    from pycamset_tpu.optim.structured import ParamPieces
+    kmask = np.ones((k_pad, 3), dtype=dtype)
+    kmask[n_keys:] = 0.0
+    kmask[0] = 0.0
+    kmask[1] = 0.0
+    kmask[2, 0] = 0.0
+    cm_im = np.ones((n_ims, 6), dtype=dtype)
+    cm_im[0] = 0.0
+    return ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
+                       kmask)
+
+
+def mixed_colmask_groups(n_cams, n_ims, n_keys, k_pad, dtype):
+    """(colmask, group_of_key) for the bench MIXED 2-target problem:
+    grid halves as the two targets, group 0's relative pose fixed."""
+    from pycamset_tpu.optim.structured_mixed import MixedPieces
+    gok = np.zeros(k_pad, np.int64)
+    gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
+    kmask = np.ones((k_pad, 3), dtype=dtype)
+    kmask[n_keys:] = 0.0
+    kmask[0] = 0.0
+    kmask[1] = 0.0
+    kmask[2, 0] = 0.0  # 7-coord gauge fix
+    cm_im = np.ones((n_ims, 6), dtype=dtype)
+    cm_im[0] = 0.0
+    cm_grp = np.ones((2, 6), dtype=dtype)
+    cm_grp[0] = 0.0
+    return MixedPieces(np.ones((n_cams, 15), dtype=dtype), cm_im, kmask,
+                       cm_grp), gok
+
+
 def standard_problem(n_cams: int, n_ims: int, grid: int = 19, seed: int = 0):
     """Standard-chain structured problem; returns (solve, pieces, args,
     blocks, struct)."""
@@ -143,10 +190,7 @@ def standard_problem(n_cams: int, n_ims: int, grid: int = 19, seed: int = 0):
                          jnp.zeros((k_pad, 0), dtype=dtype))
     # captured closure constant: MUST stay host numpy (lowering a captured
     # device array fetches it through the tunnel's minutes-slow first d2h)
-    cm_im = np.ones((n_ims, widths.b), dtype=dtype)
-    cm_im[0] = 0.0
-    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
-                          np.ones((k_pad, 0), dtype=dtype))
+    colmask = template_colmask(n_cams, n_ims, widths, k_pad, dtype)
 
     neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
 
@@ -188,8 +232,6 @@ def mixed_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     k_pad = blocks.uv.shape[1]
     uv, mask = blocks.as_device(dtype)
     # two targets: the two halves of the grid, group 1 offset slightly
-    gok = np.zeros(k_pad, np.int64)
-    gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
     grp = np.array([[0.0] * 6, [0.04, -0.02, 0.06, 0.01, -0.02, 0.03]])
     key_pad = np.concatenate(
         [rig["template"], np.repeat(rig["template"][:1], k_pad - n_keys, 0)])
@@ -199,17 +241,7 @@ def mixed_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         jnp.asarray(key_pad, dtype),
         jnp.asarray(grp, dtype))
     # host-side colmask (captured constant; see standard_problem)
-    kmask = np.ones((k_pad, 3), dtype=dtype)
-    kmask[n_keys:] = 0.0
-    kmask[0] = 0.0
-    kmask[1] = 0.0
-    kmask[2, 0] = 0.0  # 7-coord gauge fix
-    cm_im = np.ones((n_ims, 6), dtype=dtype)
-    cm_im[0] = 0.0
-    cm_grp = np.ones((2, 6), dtype=dtype)
-    cm_grp[0] = 0.0
-    colmask = MixedPieces(np.ones((n_cams, 15), dtype=dtype), cm_im, kmask,
-                          cm_grp)
+    colmask, gok = mixed_colmask_groups(n_cams, n_ims, n_keys, k_pad, dtype)
     tpl = jnp.zeros((k_pad, 3), dtype)
 
     neq = make_mixed_structured_neq(op_fun, widths, n_cams, n_ims, gok, 2)
@@ -259,15 +291,7 @@ def selfcal_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     key = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
     pieces = ParamPieces(pieces.cam, pieces.im, key)
     # host-side colmask (captured constant; see standard_problem)
-    kmask = np.ones((k_pad, 3), dtype=dtype)
-    kmask[n_keys:] = 0.0
-    kmask[0] = 0.0
-    kmask[1] = 0.0
-    kmask[2, 0] = 0.0  # 7-coord gauge fix
-    cm_im = np.ones((n_ims, 6), dtype=dtype)
-    cm_im[0] = 0.0
-    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
-                          kmask)
+    colmask = selfcal_colmask(n_cams, n_ims, n_keys, k_pad, widths, dtype)
     tpl = np.zeros((k_pad, 3), dtype=dtype)  # captured: host numpy
     neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
 

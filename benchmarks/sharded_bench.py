@@ -28,8 +28,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import (fetch_scalar, log, mixed_problem, perturbed,  # noqa: E402
-                   selfcal_problem, standard_problem, timed_solve)
+from bench import (fetch_scalar, log, mixed_colmask_groups,  # noqa: E402
+                   mixed_problem, perturbed, selfcal_colmask,
+                   selfcal_problem, standard_problem, template_colmask,
+                   timed_solve)
 
 
 def _sharded_standard(n_cams, n_ims, fused_env: str | None):
@@ -52,11 +54,7 @@ def _sharded_standard(n_cams, n_ims, fused_env: str | None):
     widths = chain_widths(op_fun)
     dtype = uv.dtype
     k_pad = mask.shape[1]
-    cm_im = np.ones((n_ims, widths.b), dtype=dtype)
-    cm_im[0] = 0.0
-    from pycamset_tpu.optim.structured import ParamPieces
-    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
-                          np.ones((k_pad, 0), dtype=dtype))
+    colmask = template_colmask(n_cams, n_ims, widths, k_pad, dtype)
 
     mesh = detection_mesh()
     uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)
@@ -88,16 +86,8 @@ def _sharded_selfcal(n_cams, n_ims, fused_env: str | None):
     widths = chain_widths(op_fun)
     dtype = uv.dtype
     k_pad = mask.shape[1]
-    n_keys = blocks.n_keys
-    kmask = np.ones((k_pad, 3), dtype=dtype)
-    kmask[n_keys:] = 0.0
-    kmask[0] = 0.0
-    kmask[1] = 0.0
-    kmask[2, 0] = 0.0
-    cm_im = np.ones((n_ims, 6), dtype=dtype)
-    cm_im[0] = 0.0
-    colmask = ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
-                          kmask)
+    colmask = selfcal_colmask(n_cams, n_ims, blocks.n_keys, k_pad, widths,
+                              dtype)
     tpl = np.zeros((k_pad, 3), dtype=dtype)
 
     mesh = detection_mesh()
@@ -132,20 +122,8 @@ def _sharded_mixed(n_cams, n_ims, fused_env: str | None):
     widths = mixed_chain_widths(op_fun)
     dtype = uv.dtype
     k_pad = mask.shape[1]
-    n_keys = blocks.n_keys
-    gok = np.zeros(k_pad, np.int64)
-    gok[:n_keys] = np.arange(n_keys) >= n_keys // 2
-    kmask = np.ones((k_pad, 3), dtype=dtype)
-    kmask[n_keys:] = 0.0
-    kmask[0] = 0.0
-    kmask[1] = 0.0
-    kmask[2, 0] = 0.0
-    cm_im = np.ones((n_ims, 6), dtype=dtype)
-    cm_im[0] = 0.0
-    cm_grp = np.ones((2, 6), dtype=dtype)
-    cm_grp[0] = 0.0
-    colmask = MixedPieces(np.ones((n_cams, 15), dtype=dtype), cm_im, kmask,
-                          cm_grp)
+    colmask, gok = mixed_colmask_groups(n_cams, n_ims, blocks.n_keys,
+                                        k_pad, dtype)
 
     mesh = detection_mesh()
     uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams)

@@ -459,14 +459,15 @@ def make_structured_neq(op_fun: OptimFunction, widths: GroupWidths,
         and colmask is a ParamPieces of 0/1 unfixed masks.
     """
     a, b, c = widths.a, widths.b, widths.c
-    grams = resolve_block_grams(op_fun, widths, loss=loss, f_scale=f_scale,
-                                loss_semantics=loss_semantics)
-    # fused-reduction Pallas kernels (cam-axis sums in-kernel) take over
-    # from the per-block resolver result when the padding policy allows
+    # fused-reduction Pallas kernels (cam-axis sums in-kernel) supersede
+    # the per-block builder when the padding policy allows
     # (see resolve_fused_grams; PYCAMSET_NO_PALLAS=1 disables all Pallas)
     fused = resolve_fused_grams(op_fun, widths, n_cams, n_ims, loss=loss,
                                 f_scale=f_scale,
                                 loss_semantics=loss_semantics)
+    grams = None if fused is not None else resolve_block_grams(
+        op_fun, widths, loss=loss, f_scale=f_scale,
+        loss_semantics=loss_semantics)
     fused_grouped = None
     if fused is not None:
         family, fused_fn = fused

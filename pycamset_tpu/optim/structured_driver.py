@@ -23,30 +23,14 @@ def _resolve_shard_axis(param_handler, mesh, n_cams: int,
 
     n_dev = mesh.devices.size
     shard_axis = param_handler.problem_opts.get("shard_axis", "auto")
+    if shard_axis not in ("auto", "cam", "pose", "key"):
+        raise ValueError(f"unknown shard_axis {shard_axis!r} "
+                         "(expected 'auto', 'cam', 'pose' or 'key')")
     if shard_axis == "auto":
         shard_axis = choose_shard_axis(n_cams, n_ims_grid, n_dev)
     if shard_axis == "pose" and n_ims_grid % n_dev:
         n_ims_grid = -(-n_ims_grid // n_dev) * n_dev
     return shard_axis, n_ims_grid
-
-
-def _place_key_sharded(mesh, uv_d, mask_d, tpl_d, n_cams: int):
-    """Reshape the (B, K[,2]) block data camera-major and shard the key
-    axis over the mesh (the layout make_key_sharded_* expects)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from pycamset_tpu.parallel.mesh import DETECTION_AXIS
-
-    b, k = mask_d.shape
-    n_ims = b // n_cams
-    uv_s = jax.device_put(
-        jnp.reshape(uv_d, (n_cams, n_ims, k, 2)),
-        NamedSharding(mesh, P(None, None, DETECTION_AXIS, None)))
-    mask_s = jax.device_put(
-        jnp.reshape(mask_d, (n_cams, n_ims, k)),
-        NamedSharding(mesh, P(None, None, DETECTION_AXIS)))
-    tpl_s = jax.device_put(tpl_d, NamedSharding(mesh, P(DETECTION_AXIS)))
-    return uv_s, mask_s, tpl_s
 
 
 def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
@@ -204,8 +188,10 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
             loss_semantics=param_handler.problem_opts.get(
                 "loss_semantics", "component"))
         if shard_axis == "key":
-            uv_s, mask_s, tpl_s = _place_key_sharded(mesh, uv_d, mask_d,
-                                                     tpl_d, n_cams)
+            from pycamset_tpu.parallel.sharded_structured import (
+                shard_key_data)
+            uv_s, mask_s, tpl_s = shard_key_data(mesh, uv_d, mask_d,
+                                                 tpl_d, n_cams)
         else:
             uv_s, mask_s = shard_block_arrays(mesh, uv_d, mask_d, n_cams,
                                               shard_axis=shard_axis)
@@ -416,8 +402,10 @@ def build_mixed_structured_problem(param_handler, dtype,
             op_fun, widths, n_cams, n_ims_grid, mesh, colmask, gok_pad,
             n_groups, max_nfev=max_nfev, shard_axis=shard_axis, **loss_kw)
         if shard_axis == "key":
-            uv_s, mask_s, tpl_s = _place_key_sharded(mesh, uv_d, mask_d,
-                                                     tpl_d, n_cams)
+            from pycamset_tpu.parallel.sharded_structured import (
+                shard_key_data)
+            uv_s, mask_s, tpl_s = shard_key_data(mesh, uv_d, mask_d,
+                                                 tpl_d, n_cams)
         else:
             uv_s, mask_s = shard_block_arrays(mesh, uv_d, mask_d, n_cams,
                                               shard_axis=shard_axis)

@@ -443,6 +443,24 @@ def make_key_sharded_structured_neq(op_fun: OptimFunction,
     return neq
 
 
+def shard_key_data(mesh: Mesh, uv, mask, tpl, n_cams: int):
+    """Place (B, K[,2]) block DATA camera-major with the key axis sharded
+    over the mesh — the layout make_key_sharded_* expects. Shared by
+    shard_key_arrays and the driver (backend="sharded", shard_axis="key";
+    parameters there are rebuilt per solve and resharded by the shard_map
+    in_specs)."""
+    b, k = np.shape(mask)
+    n_ims = b // n_cams
+    uv_c = jax.device_put(jnp.reshape(uv, (n_cams, n_ims, k, 2)),
+                          NamedSharding(mesh, P(None, None, DETECTION_AXIS,
+                                                None)))
+    mask_c = jax.device_put(jnp.reshape(mask, (n_cams, n_ims, k)),
+                            NamedSharding(mesh, P(None, None,
+                                                  DETECTION_AXIS)))
+    tpl_s = jax.device_put(tpl, NamedSharding(mesh, P(DETECTION_AXIS)))
+    return uv_c, mask_c, tpl_s
+
+
 def shard_key_arrays(mesh: Mesh, uv, mask, tpl, pieces: ParamPieces,
                      colmask: ParamPieces, n_cams: int):
     """Place a block-grid problem with the KEY axis sharded over the mesh.
@@ -451,16 +469,9 @@ def shard_key_arrays(mesh: Mesh, uv, mask, tpl, pieces: ParamPieces,
     :return: (uv (C,I,K,2), mask (C,I,K), tpl, pieces, colmask) with the
         key axes sharded and everything else replicated.
     """
-    b, k = np.shape(mask)
-    n_ims = b // n_cams
-    key_sh = NamedSharding(mesh, P(None, None, DETECTION_AXIS))
+    uv_c, mask_c, tpl_s = shard_key_data(mesh, uv, mask, tpl, n_cams)
     row_sh = NamedSharding(mesh, P(DETECTION_AXIS))
     rep = NamedSharding(mesh, P())
-    uv_c = jax.device_put(jnp.reshape(uv, (n_cams, n_ims, k, 2)),
-                          NamedSharding(mesh, P(None, None, DETECTION_AXIS,
-                                                None)))
-    mask_c = jax.device_put(jnp.reshape(mask, (n_cams, n_ims, k)), key_sh)
-    tpl_s = jax.device_put(tpl, row_sh)
     pieces_s = ParamPieces(jax.device_put(pieces.cam, rep),
                            jax.device_put(pieces.im, rep),
                            jax.device_put(pieces.key, row_sh))
@@ -541,12 +552,15 @@ def make_sharded_structured_solver(op_fun: OptimFunction, widths: GroupWidths,
         neq = make_key_sharded_structured_neq(
             op_fun, widths, n_cams, n_ims, mesh, loss=loss, f_scale=f_scale,
             loss_semantics=loss_semantics)
-    else:
+    elif shard_axis in ("cam", "pose"):
         make = (make_pose_sharded_structured_neq if shard_axis == "pose"
                 else make_sharded_structured_neq)
         neq = make(op_fun, widths, n_cams, n_ims, mesh, loss=loss,
                    f_scale=f_scale, group_of_key=group_of_key,
                    n_groups=n_groups, loss_semantics=loss_semantics)
+    else:  # same contract as the mixed backend: typos fail loudly
+        raise ValueError(f"unknown shard_axis {shard_axis!r} "
+                         "(expected 'cam', 'pose' or 'key')")
 
     @jax.jit
     def solve(pieces: ParamPieces, uv, mask, tpl) -> SLMResult:

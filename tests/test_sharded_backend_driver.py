@@ -223,3 +223,30 @@ def test_sharded_backend_freepoint_chain():
     res_sh, _ = run_bundle_adjustment(handler(), backend="sharded")
     assert res_sh.cost == pytest.approx(res_ref.cost, rel=1e-6)
     np.testing.assert_allclose(res_sh.x, res_ref.x, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_backend_rejects_unknown_axis():
+    """Typo'd shard_axis fails loudly (both the driver and the structured
+    builder now validate, matching the mixed backend's contract)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.parallel.mesh import detection_mesh
+    from pycamset_tpu.parallel.sharded_structured import (
+        make_sharded_structured_solver)
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, Projection,
+                                           TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import ParamPieces, chain_widths
+
+    handler, _ = _template_handler()
+    handler.problem_opts["shard_axis"] = "Pose"  # wrong case
+    with pytest.raises(ValueError, match="unknown shard_axis"):
+        run_bundle_adjustment(handler, backend="sharded")
+
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
+    widths = chain_widths(op_fun)
+    cm = ParamPieces(np.ones((8, widths.a)), np.ones((8, widths.b)),
+                     np.ones((8, 0)))
+    with pytest.raises(ValueError, match="unknown shard_axis"):
+        make_sharded_structured_solver(op_fun, widths, 8, 8,
+                                       detection_mesh(8), cm,
+                                       shard_axis="poze")

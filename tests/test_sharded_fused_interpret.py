@@ -282,3 +282,107 @@ def test_sharded_fused_mixed_local_slabs(fused_on_cpu, shard_axis, n_cams,
                                           shard_axis=shard_axis)
         got = neq(pieces, uv_s, mask_s, tpl, colmask)
     _assert_neq_close(ref, got)
+
+
+def _freepoint_setup(n_cams, n_ims, grid=4, seed=13):
+    from pycamset_tpu.optim.blocks import FreePoint
+
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.9, noise_px=0.4, seed=seed)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), FreePoint()])
+    widths = chain_widths(op_fun)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    cam = jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], axis=1))
+    key = jnp.concatenate([jnp.asarray(rig["template"]),
+                           jnp.tile(jnp.asarray(rig["template"][:1]),
+                                    (k_pad - n_keys, 1))])
+    pieces = ParamPieces(cam, jnp.zeros((n_ims, 0)), key)
+    kmask = (jnp.ones((k_pad, 3)).at[n_keys:].set(0.0).at[:3].set(0.0))
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a)).at[0].set(0.0),
+                          jnp.zeros((n_ims, 0)), kmask)
+    tpl = jnp.zeros((k_pad, 3))
+    return op_fun, widths, pieces, colmask, uv, mask, tpl
+
+
+@pytest.mark.parametrize("shard_axis,n_cams,n_ims",
+                         [("cam", 8, 8), ("pose", 2, 64), ("key", 2, 8)])
+def test_sharded_fused_freepoint_all_axes(fused_on_cpu, shard_axis, n_cams,
+                                          n_ims):
+    """The fused FREEPOINT branches (zero-width pose fillers) on all three
+    sharding axes vs the XLA closed form."""
+    (op_fun, widths, pieces, colmask, uv, mask,
+     tpl) = _freepoint_setup(n_cams, n_ims)
+    ref = _ref_neq(fused_on_cpu, make_structured_neq, op_fun, widths,
+                   n_cams, n_ims)(pieces, uv, mask, tpl, colmask)
+
+    mesh = detection_mesh(8)
+    if shard_axis == "key":
+        neq = jax.jit(make_key_sharded_structured_neq(
+            op_fun, widths, n_cams, n_ims, mesh))
+        uv_s, mask_s, tpl_s, pieces_s, colmask_s = shard_key_arrays(
+            mesh, uv, mask, tpl, pieces, colmask, n_cams)
+        got = neq(pieces_s, uv_s, mask_s, tpl_s, colmask_s)
+    else:
+        make = (make_sharded_structured_neq if shard_axis == "cam"
+                else make_pose_sharded_structured_neq)
+        neq = jax.jit(make(op_fun, widths, n_cams, n_ims, mesh))
+        uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                          shard_axis=shard_axis)
+        got = neq(pieces, uv_s, mask_s, tpl, colmask)
+    _assert_neq_close(ref, got)
+
+
+def _grouped_setup(n_cams, n_ims, grid=4, seed=21, n_groups=2):
+    from pycamset_tpu.optim.blocks import GroupTemplatePoints, RigidTform3d
+
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=0.9, noise_px=0.4, seed=seed)
+    n_keys = rig["n_keys"]
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                            GroupTemplatePoints()])
+    widths = chain_widths(op_fun)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+    tpl_pad[n_keys:] = rig["template"][0]
+    gok = np.concatenate([(np.arange(n_keys) >= n_keys // 2).astype(np.int64),
+                          np.zeros(k_pad - n_keys, np.int64)])
+    cam = jnp.asarray(np.concatenate([rig["intr"], rig["extr"]], axis=1))
+    grp = jnp.asarray(np.array([[0.0] * 6,
+                                [0.02, -0.01, 0.03, 0.005, -0.01, 0.02]]))
+    pieces = ParamPieces(cam, jnp.asarray(rig["poses"]), grp)
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a)),
+                          jnp.ones((n_ims, widths.b)).at[0].set(0.0),
+                          jnp.ones((n_groups, 6)).at[0].set(0.0))
+    return (op_fun, widths, pieces, colmask, uv, mask,
+            jnp.asarray(tpl_pad), gok, n_groups)
+
+
+@pytest.mark.parametrize("shard_axis,n_cams,n_ims",
+                         [("cam", 8, 8), ("pose", 2, 64)])
+def test_sharded_fused_grouped_axes(fused_on_cpu, shard_axis, n_cams,
+                                    n_ims):
+    """The fused GROUPED branches (per-key pieces group-reduced before the
+    psum) on the cam and pose axes vs the XLA closed form."""
+    (op_fun, widths, pieces, colmask, uv, mask, tpl, gok,
+     n_groups) = _grouped_setup(n_cams, n_ims)
+    ref = _ref_neq(fused_on_cpu, make_structured_neq, op_fun, widths,
+                   n_cams, n_ims, group_of_key=gok,
+                   n_groups=n_groups)(pieces, uv, mask, tpl, colmask)
+
+    mesh = detection_mesh(8)
+    make = (make_sharded_structured_neq if shard_axis == "cam"
+            else make_pose_sharded_structured_neq)
+    neq = jax.jit(make(op_fun, widths, n_cams, n_ims, mesh,
+                       group_of_key=gok, n_groups=n_groups))
+    uv_s, mask_s = shard_block_arrays(mesh, uv, mask, n_cams,
+                                      shard_axis=shard_axis)
+    got = neq(pieces, uv_s, mask_s, tpl, colmask)
+    _assert_neq_close(ref, got)

@@ -663,6 +663,24 @@ def schur_solve(neq: NormalEq, damp: ParamPieces, method: str = "dense",
     if method == "cg":
         dxc, dxi = _reduced_cg(neq, hcc, hii, uck, uik, gc, gi,
                                cg_tol, cg_maxiter)
+    elif c == 0 and b:
+        # no point blocks -> the pose system is exactly block-diagonal
+        # (hii), so eliminate the poses batched and solve only the (C*a)
+        # camera system. The general branch below would assemble and
+        # Cholesky-factor the full (C*a + I*b) matrix (3360 dims at
+        # 64x400; its (I,I,b,b) coupling is identically zero here), which
+        # dominates the non-kernel iteration time at scale and rules the
+        # dense path out entirely for huge pose counts.
+        iinv = _normalized_inv(hii)                            # (I,b,b)
+        uci = jnp.einsum("ciab,ibq->ciaq", neq.wci, iinv)      # (C,I,a,b)
+        scc = -jnp.einsum("ciaq,dizq->cdaz", uci, neq.wci)     # (C,C,a,a)
+        scc = _block_diag_add(scc, hcc)
+        rc = gc - jnp.einsum("ciaq,iq->ca", uci, gi)
+        amat = scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a)
+        dxc = _psd_solve(amat, -rc.reshape(-1)).reshape(c_, a)
+        ri = -gi - jnp.einsum("ciab,ca->ib", neq.wci, dxc)
+        dxi = jnp.einsum("ibq,iq->ib", iinv, ri)
+        return ParamPieces(dxc, dxi, jnp.zeros((k_, c), dtype))
     else:
         if c:
             scc = -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck)    # (C,C,a,a)

@@ -173,6 +173,11 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
     reduced_solver = param_handler.problem_opts.get("reduced_solver", "auto")
     if reduced_solver == "auto":
         dim = n_cams * widths.a + n_ims_grid * widths.b
+        if widths.c == 0 and widths.b:
+            # schur_solve eliminates the (block-diagonal) pose system
+            # batched for chains without point blocks, so the dense path
+            # only ever factors the (C*a) camera system
+            dim = n_cams * widths.a
         reduced_solver = "cg" if dim > 4096 else "dense"
 
     if mesh is not None:

@@ -282,3 +282,66 @@ def test_structured_lm_with_cg_converges():
     res = solve(pieces)
     rms = float(np.sqrt(float(res.cost) / (2 * blocks.n_real)))
     assert rms < 1e-6, f"CG-based LM failed to converge: {rms}"
+
+
+def test_pose_elimination_with_padded_and_fixed_poses():
+    """The c==0 dense fast path (batched pose elimination) matches the
+    densified damped solve, returns exact-zero steps for fully-masked
+    (padded) pose slots and the gauge-fixed pose, and agrees with CG."""
+    rig = make_synthetic_rig(n_cams=4, n_ims=6, grid=5, visibility=0.9,
+                             noise_px=0.4, seed=11)
+    chain = [Projection(), Extrinsic3D(), TemplatePoints()]
+    op_fun, widths, struct, full = setup_problem(chain, rig, False)
+    n_cams, n_keys = rig["n_cams"], rig["n_keys"]
+    n_ims = rig["n_ims"] + 2  # two padded pose slots (mask 0 everywhere)
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    tpl_pad = np.zeros((k_pad, 3))
+    tpl_pad[:n_keys] = rig["template"]
+
+    pieces0 = split_full_params(jnp.asarray(full), op_fun, struct,
+                                n_cams, rig["n_ims"], n_keys, widths)
+    im = jnp.concatenate([pieces0.im, jnp.tile(pieces0.im[:1], (2, 1))])
+    pieces = ParamPieces(pieces0.cam, im, jnp.zeros((k_pad, 0)))
+    cm_im = jnp.ones((n_ims, widths.b)).at[0].set(0.0)
+    cm_im = cm_im.at[rig["n_ims"]:].set(0.0)  # padded slots are fixed
+    colmask = ParamPieces(jnp.ones((n_cams, widths.a)), cm_im,
+                          jnp.ones((k_pad, 0)))
+    neq = make_structured_neq(op_fun, widths, n_cams, n_ims)(
+        pieces, uv, mask, jnp.asarray(tpl_pad), colmask)
+
+    from pycamset_tpu.optim.structured import neq_diag
+    lam = 1e-3
+    damp = ParamPieces(*[lam * jnp.maximum(x, 1e-8) for x in neq_diag(neq)])
+    dx = schur_solve(neq, damp, method="dense")
+
+    # padded + gauge-fixed pose rows take exact zero steps
+    dx_im = np.asarray(dx.im)
+    np.testing.assert_array_equal(dx_im[0], 0.0)
+    np.testing.assert_array_equal(dx_im[rig["n_ims"]:], 0.0)
+
+    # parity with the densified damped normal equations
+    jtj, grad = dense_from_structured(neq, n_cams, n_ims, n_keys, widths,
+                                      n_cams * widths.a + n_ims * widths.b)
+    diag = np.maximum(np.diag(jtj), 1e-8)
+    dx_dense = np.linalg.solve(jtj + np.diag(lam * diag), -grad)
+    cam_idx, im_idx, _ = index_map(n_cams, n_ims, n_keys, widths)
+    flat = np.zeros(jtj.shape[0])
+    for cc in range(n_cams):
+        for j in range(widths.a):
+            flat[cam_idx(cc, j)] = np.asarray(dx.cam)[cc, j]
+    for ii in range(n_ims):
+        for j in range(widths.b):
+            flat[im_idx(ii, j)] = dx_im[ii, j]
+    np.testing.assert_allclose(flat, dx_dense, rtol=1e-6, atol=1e-10)
+
+    # matrix-free CG agrees with the eliminated dense path
+    dx_cg = schur_solve(neq, damp, method="cg", cg_tol=1e-12,
+                        cg_maxiter=2000)
+    for name, a_, b_ in zip(["cam", "im"], [dx.cam, dx.im],
+                            [dx_cg.cam, dx_cg.im]):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        scale = np.abs(a_).max() + 1e-12
+        assert np.abs(a_ - b_).max() / scale < 1e-6, name

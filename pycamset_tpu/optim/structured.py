@@ -776,27 +776,45 @@ def _block_diag_add(full: jnp.ndarray, diag_blocks: jnp.ndarray) -> jnp.ndarray:
     return full + eye[:, :, None, None] * diag_blocks[:, None, :, :]
 
 
+def _cho_refine_solve(a_n: jnp.ndarray, rhs_n: jnp.ndarray) -> jnp.ndarray:
+    """XLA Cholesky + two iterative-refinement steps on the (already
+    Jacobi-normalized) system — refinement recovers step accuracy lost to
+    the finite-precision factorisation (matters for the f32 TPU path)."""
+    chol, lower = jax.scipy.linalg.cho_factor(a_n)
+    sol = jax.scipy.linalg.cho_solve((chol, lower), rhs_n)
+    for _ in range(2):
+        resid = rhs_n - a_n @ sol
+        sol = sol + jax.scipy.linalg.cho_solve((chol, lower), resid)
+    return sol
+
+
 def _psd_solve(amat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Jacobi-normalized Cholesky solve.
+    """Jacobi-normalized dense SPD solve.
 
     Symmetric diagonal scaling maps the system to unit diagonal, removing the
     fx^2-vs-rotation scale disparity that makes the raw system cond ~1e10 —
     essential for the float32 TPU path. The ridge is relative to the unit
     diagonal and scaled to the dtype's precision.
+
+    OPT-IN (PYCAMSET_PALLAS_CHOL=1, TPU f32, n <= 1024): the factor+solve
+    runs in ONE Pallas launch (ops/pallas_cholesky.py) with a residual
+    self-check falling back to the XLA path via lax.cond. Default stays
+    on XLA Cholesky: inside the compiled LM loop the runtime pipelines
+    its While-step latency to 0.15-0.3 ms, beating the kernel's strictly
+    sequential 0.4-0.6 ms (A/B story in docs/performance.md).
     """
     n = amat.shape[0]
     d = jnp.sqrt(jnp.clip(jnp.diag(amat), 1e-30, None))
     a_n = amat / d[:, None] / d[None, :]
     ridge = jnp.asarray(10.0, amat.dtype) * jnp.finfo(amat.dtype).eps
     a_n = a_n + ridge * jnp.eye(n, dtype=amat.dtype)
-    chol, lower = jax.scipy.linalg.cho_factor(a_n)
     rhs_n = rhs / d
-    sol = jax.scipy.linalg.cho_solve((chol, lower), rhs_n)
-    # two steps of iterative refinement: recovers step accuracy lost to the
-    # finite-precision factorisation (matters for the f32 TPU path)
-    for _ in range(2):
-        resid = rhs_n - a_n @ sol
-        sol = sol + jax.scipy.linalg.cho_solve((chol, lower), resid)
+    from pycamset_tpu.ops.pallas_cholesky import (pallas_psd_solve,
+                                                  use_pallas_psd)
+    if use_pallas_psd(n, amat.dtype):
+        sol = pallas_psd_solve(a_n, rhs_n, fallback=_cho_refine_solve)
+    else:
+        sol = _cho_refine_solve(a_n, rhs_n)
     return sol / d
 
 

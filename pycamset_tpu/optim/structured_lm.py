@@ -120,7 +120,19 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
         nfev = s.nfev + 1
 
         g = grad_fn(s.neq)
-        pred_red = -(_pdot(dx, g) + 0.5 * _pdot(dx, matvec_fn(s.neq, dx)))
+        if reduced_solver == "dense":
+            # the refined dense solve makes (H + D)dx = -g hold to ~1e-6,
+            # so H dx = -g - D dx and the model reduction needs NO H
+            # matvec: pred_red = (dx'D dx - dx'g)/2 (scipy's formula).
+            # Saves ~10 einsums per iteration — and one psum round in the
+            # sharded backends, whose ops-injected matvec reduces over the
+            # mesh. The CG path keeps the exact matvec: its steps can be
+            # inexact enough (tol/maxiter) to corrupt rho through the
+            # identity.
+            ddx = jax.tree_util.tree_map(lambda dmp, x_: dmp * x_, damp, dx)
+            pred_red = 0.5 * (_pdot(dx, ddx) - _pdot(dx, g))
+        else:
+            pred_red = -(_pdot(dx, g) + 0.5 * _pdot(dx, matvec_fn(s.neq, dx)))
         act_red = s.neq.cost - neq_new.cost
         rho = act_red / jnp.maximum(pred_red, jnp.finfo(dtype).tiny)
         ok = jnp.isfinite(neq_new.cost) & (act_red > 0)

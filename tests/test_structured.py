@@ -345,3 +345,45 @@ def test_pose_elimination_with_padded_and_fixed_poses():
         a_, b_ = np.asarray(a_), np.asarray(b_)
         scale = np.abs(a_).max() + 1e-12
         assert np.abs(a_ - b_).max() / scale < 1e-6, name
+
+
+def test_pred_red_identity_matches_exact_matvec():
+    """The dense-path model reduction uses (dx'D dx - dx'g)/2 instead of
+    the H matvec (structured_lm.py); with the refined dense solve the two
+    agree to solver precision on a real self-cal system."""
+    rig = make_synthetic_rig(n_cams=3, n_ims=6, grid=5, visibility=0.9,
+                             noise_px=0.4, seed=7)
+    chain = [Projection(), Extrinsic3D(), RigidTform3d(), FreePoint()]
+    op_fun, widths, struct, full = setup_problem(chain, rig, True)
+    n_cams, n_ims, n_keys = rig["n_cams"], rig["n_ims"], rig["n_keys"]
+    blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys,
+                                k_pad_multiple=8)
+    k_pad = blocks.uv.shape[1]
+    uv, mask = blocks.as_device(jnp.float64)
+    pieces = split_full_params(jnp.asarray(full), op_fun, struct,
+                               n_cams, n_ims, n_keys, widths)
+    key = jnp.zeros((k_pad, widths.c)).at[:n_keys].set(pieces.key)
+    pieces = ParamPieces(pieces.cam, pieces.im, key)
+    colmask = ParamPieces(jnp.ones_like(pieces.cam),
+                          jnp.ones_like(pieces.im),
+                          jnp.ones((k_pad, widths.c)).at[n_keys:].set(0.0))
+    neq = make_structured_neq(op_fun, widths, n_cams, n_ims)(
+        pieces, uv, mask, jnp.zeros((k_pad, 3)), colmask)
+
+    from pycamset_tpu.optim.structured import neq_diag
+    lam = 1e-3
+    damp = ParamPieces(*[lam * jnp.maximum(x, 1e-8) for x in neq_diag(neq)])
+    dx = schur_solve(neq, damp, method="dense")
+
+    g = ParamPieces(neq.gc, neq.gi, neq.gk)
+
+    def pdot(p1, p2):
+        return sum(float(jnp.sum(a * b)) for a, b in
+                   zip(jax.tree_util.tree_leaves(p1),
+                       jax.tree_util.tree_leaves(p2)))
+
+    pred_exact = -(pdot(dx, g) + 0.5 * pdot(dx, neq_matvec(neq, dx)))
+    ddx = jax.tree_util.tree_map(lambda d_, x_: d_ * x_, damp, dx)
+    pred_ident = 0.5 * (pdot(dx, ddx) - pdot(dx, g))
+    assert pred_exact > 0 and pred_ident > 0
+    assert abs(pred_ident - pred_exact) / pred_exact < 1e-6

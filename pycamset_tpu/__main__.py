@@ -41,12 +41,14 @@ def _add_calibrate(sub):
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
     p.add_argument("--camera-model",
-                   choices=["standard", "rational", "thin_prism", "tilted",
-                            "fisheye"],
+                   choices=["auto", "standard", "rational", "thin_prism",
+                            "tilted", "fisheye"],
                    default="standard",
                    help="distortion model: 5-coef Brown-Conrady (standard), "
                         "8-coef rational, 12-coef thin-prism, or 14-coef "
-                        "tilted (Scheimpflug)")
+                        "tilted (Scheimpflug); 'auto' cross-validates the "
+                        "Brown-family models on held-out images and picks "
+                        "the simplest one within 2%% of the best")
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--max-nfev", type=int, default=100)
     p.add_argument("--backend",

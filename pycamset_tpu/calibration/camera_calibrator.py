@@ -82,12 +82,27 @@ def calibrate_cameras(
     root = Path(f_loc)
     out_dir = root if save_loc is None else save_loc
     camera_model = (problem_options or {}).get("camera_model", "standard")
-    tail = _cache_tail(camera_model)
 
     detections, camera_res = detect_datapoints_in_imfile(f_loc=root,
         caching=save, calibration_target=calibration_target, draw=draw,
         n_lim=n_lim)
     validate_detections(detections, calibration_target)
+
+    if camera_model == "auto":
+        # cross-validated model selection: train each candidate on a split
+        # of the images, score pose-only solves on the holdout, prefer
+        # fewer parameters at equal holdout error (model_select.py)
+        from pycamset_tpu.calibration.model_select import select_camera_model
+        select_kw = (problem_options or {}).get("model_select", {})
+        ba_opts = {k: v for k, v in (problem_options or {}).items()
+                   if k not in ("camera_model", "model_select")}
+        camera_model, _scores = select_camera_model(
+            detections, calibration_target, initial_cams=initial_cams,
+            cam_res=camera_res, fixed_params=fixed_params,
+            problem_options=ba_opts, **select_kw)
+        problem_options = {**(problem_options or {}),
+                           "camera_model": camera_model}
+    tail = _cache_tail(camera_model)
 
     if initial_cams is not None:
         logging.info("Seeding the bundle adjustment from the cameras "

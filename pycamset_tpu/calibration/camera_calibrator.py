@@ -92,7 +92,8 @@ def calibrate_cameras(
         # cross-validated model selection: train each candidate on a split
         # of the images, score pose-only solves on the holdout, prefer
         # fewer parameters at equal holdout error (model_select.py)
-        from pycamset_tpu.calibration.model_select import select_camera_model
+        from pycamset_tpu.calibration.model_select import (
+            _family_seed, select_camera_model)
         select_kw = (problem_options or {}).get("model_select", {})
         ba_opts = {k: v for k, v in (problem_options or {}).items()
                    if k not in ("camera_model", "model_select")}
@@ -102,6 +103,12 @@ def calibrate_cameras(
             problem_options=ba_opts, **select_kw)
         problem_options = {**(problem_options or {}),
                            "camera_model": camera_model}
+        if initial_cams is not None:
+            # caller-passed seeds whose projection family differs from the
+            # winner would otherwise be reinterpreted coefficient-by-
+            # coefficient (Brown k3 is not Kannala-Brandt k3); apply the
+            # same family-width correction the selection scored with
+            initial_cams = _family_seed(initial_cams, camera_model)
     tail = _cache_tail(camera_model)
 
     if initial_cams is not None:

@@ -32,16 +32,15 @@ from typing import NamedTuple, Sequence
 import numpy as np
 
 from pycamset_tpu.models.detections import TargetDetection
+# intrinsic parameter count per camera, the parsimony ordering — the
+# handlers' validation table is the single source of truth
+from pycamset_tpu.optim.handlers import _CAMERA_MODELS as _MODEL_WIDTHS
 
 # fisheye is excluded by default: it is a different projection family
 # (Kannala-Brandt theta-polynomial, for >100 deg lenses) whose cv2 seeding
 # rejects narrow-lens data outright — ask for it explicitly when the rig
 # is actually fisheye.
 DEFAULT_CANDIDATES = ("standard", "rational", "thin_prism", "tilted")
-
-# intrinsic parameter count per camera, the parsimony ordering
-_MODEL_WIDTHS = {"standard": 9, "rational": 12, "thin_prism": 16,
-                 "tilted": 18, "fisheye": 8}
 
 
 class ModelScore(NamedTuple):
@@ -174,10 +173,13 @@ def pick_model(scores: Sequence[ModelScore],
     intrinsic parameters wins — extra coefficients must EARN their keep
     on data they were not fitted to.
     """
-    if not scores:
-        raise ValueError("no candidate model produced a score")
-    best = min(s.holdout_rms for s in scores)
-    viable = [s for s in scores if s.holdout_rms <= best * (1 + parsimony_tol)]
+    # a candidate whose pose solves diverged scores NaN without raising;
+    # treat it as failed rather than letting NaN poison min()
+    finite = [s for s in scores if np.isfinite(s.holdout_rms)]
+    if not finite:
+        raise ValueError("no candidate model produced a finite score")
+    best = min(s.holdout_rms for s in finite)
+    viable = [s for s in finite if s.holdout_rms <= best * (1 + parsimony_tol)]
     return min(viable, key=lambda s: (s.n_intr, s.holdout_rms))
 
 

@@ -84,6 +84,18 @@ class TestPickModel:
         with pytest.raises(ValueError):
             pick_model([])
 
+    def test_nan_scores_are_failed_candidates(self):
+        # a NaN-first ordering must not poison min(): the NaN candidate
+        # is dropped like a raised one, regardless of position
+        scores = [
+            ModelScore("rational", 12, 0.1, float("nan"), 100, 20),
+            ModelScore("standard", 9, 0.3, 0.50, 100, 20),
+        ]
+        assert pick_model(scores).model == "standard"
+        assert pick_model(scores[::-1]).model == "standard"
+        with pytest.raises(ValueError, match="finite"):
+            pick_model([scores[0]])
+
 
 def _rig_cams_det(camera_model: str, seed: int, n_ims: int = 14,
                   noise_px: float = 0.05, pose_scale=(0.4, 0.15)):

@@ -16,7 +16,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
-    "ChArUco", "Ccube", "TargetTracker",
+    "ChArUco", "Ccube", "TargetTracker", "export_tracker",
+    "load_tracker_artifact",
 ]
 
 _LAZY = {
@@ -27,6 +28,9 @@ _LAZY = {
     "ChArUco": ("pycamset_tpu.models.charuco", "ChArUco"),
     "Ccube": ("pycamset_tpu.models.ccube", "Ccube"),
     "TargetTracker": ("pycamset_tpu.tracking", "TargetTracker"),
+    "export_tracker": ("pycamset_tpu.serving", "export_tracker"),
+    "load_tracker_artifact": ("pycamset_tpu.serving",
+                              "load_tracker_artifact"),
 }
 
 

@@ -120,8 +120,28 @@ class TargetTracker:
             cov_unit = jnp.linalg.inv(jtj + ridge * eye)
             return res, cov_unit
 
+        # packed output row [x(6) | cost | nit | status | cov(36)]: every
+        # host path fetches ONE device array — the tunnel charges a fixed
+        # ~0.1 s per fetched leaf, so an 8-leaf LMResult pytree costs more
+        # in transport than the 1024-frame solve itself
+        PACK_W = 45
+
+        def pack_out(res, cov):
+            return jnp.concatenate([
+                res.x,
+                res.cost[..., None],
+                res.nit.astype(res.x.dtype)[..., None],
+                res.status.astype(res.x.dtype)[..., None],
+                cov.reshape(cov.shape[:-2] + (36,))], axis=-1)
+
+        def solve_packed(pose0, cam_i, key_i, uv, mask):
+            return pack_out(*solve(pose0, cam_i, key_i, uv, mask))
+
+        self._pack_w = PACK_W
         self._solve = jax.jit(solve)
+        self._solve_p = jax.jit(solve_packed)
         self._solve_batch = jax.jit(jax.vmap(solve))
+        self._solve_batch_p = jax.jit(jax.vmap(solve_packed))
         self._residuals = jax.jit(residuals)
 
         # ---- device seeding: triangulate every key seen by >= 2 cameras,
@@ -144,11 +164,16 @@ class TargetTracker:
         def seed_batch(uv_grid, mask_grid):
             n_i, n_k, n_c = mask_grid.shape
             cam_rows = jnp.broadcast_to(jnp.arange(n_c), (n_i * n_k, n_c))
+            # seeding-grade inhomogeneous DLT: the batched 4x4 eigh of the
+            # homogeneous path costs ~3x the whole batch LM solve at 1k
+            # frames; the 3x3 closed form is pure VPU arithmetic and the
+            # seeds feed an LM refinement anyway
             pts = triangulate_observations(
                 jnp.asarray(proj_h), jnp.asarray(kmats_h),
                 jnp.asarray(dists_h), cam_rows,
                 uv_grid.reshape(n_i * n_k, n_c, 2),
-                mask_grid.reshape(n_i * n_k, n_c)).reshape(n_i, n_k, 3)
+                mask_grid.reshape(n_i * n_k, n_c),
+                method="inhomogeneous").reshape(n_i, n_k, 3)
             seen = jnp.sum(mask_grid, axis=-1) >= 2.0          # (I,K)
             # unseen keys triangulate to garbage (possibly inf from a
             # zero homogeneous w); zero them before the weighted fit
@@ -178,8 +203,8 @@ class TargetTracker:
 
         def solve_batch_seeded(uv_grid, mask_grid, cam_i, key_i, uv, mask):
             seeds = seed_batch(uv_grid, mask_grid)
-            res, cov = jax.vmap(solve)(seeds, cam_i, key_i, uv, mask)
-            return res, cov, seeds
+            out = jax.vmap(solve_packed)(seeds, cam_i, key_i, uv, mask)
+            return out, seeds
 
         def solve_stream(pose0, cam_i, key_i, uv, mask):
             # ordered video: each frame warm-starts from the previous
@@ -192,10 +217,10 @@ class TargetTracker:
                 nxt = jnp.where(tracked, res.x, carry)
                 # an underdetermined solve may wander; report the carried
                 # pose for lost frames, not wherever LM drifted
-                return nxt, (res._replace(x=nxt), cov)
+                return nxt, pack_out(res._replace(x=nxt), cov)
 
-            _, (res, cov) = lax.scan(step, pose0, (cam_i, key_i, uv, mask))
-            return res, cov
+            _, out = lax.scan(step, pose0, (cam_i, key_i, uv, mask))
+            return out
 
         self._seed_batch = jax.jit(seed_batch)
         self._solve_batch_seeded = jax.jit(solve_batch_seeded)
@@ -274,8 +299,7 @@ class TargetTracker:
             return np.concatenate([rvec, tvec])
         return None
 
-    def _pnp_rescue(self, res, cov_unit, seeds_d, dd_all, bounds, mask,
-                    dev_args):
+    def _pnp_rescue(self, out, seeds_d, dd_all, bounds, mask, dev_args):
         """Re-seed frames whose rms signals a failed solve with host PnP
         and re-dispatch; keep whichever solve is cheaper per frame.
 
@@ -283,13 +307,15 @@ class TargetTracker:
         stereo-triangulate, but a frame seen well by only ONE camera can
         seed badly; PnP handles exactly that case, so it runs as a
         targeted rescue instead of a per-frame cost.
+
+        ``out`` is the packed host-side (I, 45) result matrix.
         """
         n_used = np.asarray(mask).sum(axis=1)
-        rms = np.sqrt(np.asarray(res.cost) / np.maximum(2 * n_used, 1))
+        rms = np.sqrt(out[:, 6] / np.maximum(2 * n_used, 1))
         med = float(np.median(rms[n_used >= 4])) if np.any(n_used >= 4) else 0.0
         bad = (rms > max(10.0 * med, 2.0)) & (n_used >= 4)
         if not np.any(bad):
-            return res, cov_unit
+            return out
         seeds = np.array(jax.device_get(seeds_d))
         n_fixed = 0
         for i in np.nonzero(bad)[0]:
@@ -298,18 +324,11 @@ class TargetTracker:
                 seeds[i] = s
                 n_fixed += 1
         if not n_fixed:
-            return res, cov_unit
-        res2, cov2 = jax.device_get(self._solve_batch(
-            jnp.asarray(seeds, dtype=self._dtype), *dev_args))
-        better = np.asarray(res2.cost) < np.asarray(res.cost)
-        pick = bad & better
-
-        def merge(a, b):
-            sel = pick.reshape((-1,) + (1,) * (np.ndim(a) - 1))
-            return np.where(sel, b, a)
-
-        return (jax.tree_util.tree_map(merge, res, res2),
-                merge(cov_unit, cov2))
+            return out
+        out2 = np.asarray(jax.device_get(self._solve_batch_p(
+            jnp.asarray(seeds, dtype=self._dtype), *dev_args)))
+        pick = bad & (out2[:, 6] < out[:, 6])
+        return np.where(pick[:, None], out2, out)
 
     # ----------------------------------------------------------------- API
 
@@ -338,18 +357,18 @@ class TargetTracker:
             init = np.concatenate(ext_4x4_to_rod(init))
 
         cam_i, key_i, uv, mask = self._pack_frame(dd)
-        res, cov_unit = self._solve(
+        out = np.asarray(jax.device_get(self._solve_p(
             jnp.asarray(init, dtype=self._dtype),
             jnp.asarray(cam_i), jnp.asarray(key_i),
             jnp.asarray(uv, dtype=self._dtype),
-            jnp.asarray(mask, dtype=self._dtype))
-        res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
-        pose6 = np.asarray(res.x)
+            jnp.asarray(mask, dtype=self._dtype))))  # ONE transfer
+        pose6, cost = out[:6], float(out[6])
+        cov_unit = out[9:45].reshape(6, 6)
         self._last_pose = pose6
         n_used = int(mask.sum())
         dof = 2 * n_used - 6
         if dof >= 1:
-            sigma2 = float(res.cost) / dof
+            sigma2 = cost / dof
             pose_sigma = np.sqrt(np.clip(np.diag(cov_unit) * sigma2,
                                          0.0, None))
             # degenerate-but-overdetermined geometry (e.g. collinear
@@ -361,9 +380,9 @@ class TargetTracker:
             # the residuals say nothing about its error — report inf, not
             # a confident 0
             pose_sigma = np.full(6, np.inf)
-        info = {"rms": float(np.sqrt(float(res.cost) / (2 * n_used))),
-                "nit": int(res.nit), "n_used": n_used,
-                "status": int(res.status), "pose_sigma": pose_sigma}
+        info = {"rms": float(np.sqrt(cost / (2 * n_used))),
+                "nit": int(out[7]), "n_used": n_used,
+                "status": int(out[8]), "pose_sigma": pose_sigma}
         return make_4x4h_tform(pose6[:3], pose6[3:]), info
 
     def track_batch(self, detection: TargetDetection, inits=None,
@@ -393,13 +412,13 @@ class TargetTracker:
             mask_grid = np.zeros((n_frames, self.n_keys, self.n_cams))
             uv_grid[im_c, key_c, cam_c] = dd_all[:, -2:]
             mask_grid[im_c, key_c, cam_c] = 1.0
-            res, cov_unit, seeds_d = self._solve_batch_seeded(
+            out_d, seeds_d = self._solve_batch_seeded(
                 jnp.asarray(uv_grid, dtype=self._dtype),
                 jnp.asarray(mask_grid, dtype=self._dtype), *dev_args)
-            res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
+            out = np.asarray(jax.device_get(out_d))  # ONE transfer
             if seed_mode == "auto":
-                res, cov_unit = self._pnp_rescue(
-                    res, cov_unit, seeds_d, dd_all, bounds, mask, dev_args)
+                out = self._pnp_rescue(
+                    out, seeds_d, dd_all, bounds, mask, dev_args)
         else:
             if inits is not None:
                 inits = np.asarray(inits, dtype=float)
@@ -415,10 +434,10 @@ class TargetTracker:
                         seed = last if last is not None else np.zeros(6)
                     last = seed
                     seeds.append(seed)
-            res, cov_unit = self._solve_batch(
-                jnp.asarray(np.stack(seeds), dtype=self._dtype), *dev_args)
-            res, cov_unit = jax.device_get((res, cov_unit))  # ONE transfer
-        return self._finalize_batch(res, cov_unit, mask)
+            out = np.asarray(jax.device_get(self._solve_batch_p(
+                jnp.asarray(np.stack(seeds), dtype=self._dtype),
+                *dev_args)))  # ONE transfer
+        return self._finalize_batch(out, mask)
 
     def track_stream(self, detection: TargetDetection, init=None):
         """Sequential warm-start tracking over a video sequence, in ONE
@@ -448,14 +467,13 @@ class TargetTracker:
         init = np.asarray(init, dtype=float)
         if init.shape == (4, 4):
             init = np.concatenate(ext_4x4_to_rod(init))
-        res, cov_unit = jax.device_get(self._solve_stream(
-            jnp.asarray(init, dtype=self._dtype), *dev_args))
+        out = np.asarray(jax.device_get(self._solve_stream(
+            jnp.asarray(init, dtype=self._dtype), *dev_args)))
         # recover frames the warm start lost (target jumped, occlusion
         # ended on a different pose): PnP-reseed and keep the better solve
-        res, cov_unit = self._pnp_rescue(
-            res, cov_unit, np.asarray(res.x), dd_all, bounds, mask,
-            dev_args)
-        return self._finalize_batch(res, cov_unit, mask)
+        out = self._pnp_rescue(out, out[:, :6], dd_all, bounds, mask,
+                               dev_args)
+        return self._finalize_batch(out, mask)
 
     def _pack_table(self, detection: TargetDetection):
         """Whole-table packing shared by the batch paths: flatten + sort
@@ -463,12 +481,17 @@ class TargetTracker:
         (a per-frame Python pack loop costs O(frames) host time — it was
         a visible slice of the 1k-frame batch budget on a one-core host)."""
         flat = detection.return_flattened_keys(
-            self.target.point_data.shape[:-1]).sort(["im_num"])
+            self.target.point_data.shape[:-1])
         dd_all = flat.get_data()
         n_frames = int(detection.max_ims)
         n_max = self.max_detections
         if dd_all is None or not len(dd_all):
             dd_all = np.zeros((0, 5))
+        elif np.any(np.diff(dd_all[:, 1]) < 0):
+            # frame-sort only when needed (detection tables usually arrive
+            # im-ordered; the TargetDetection.sort path costs a defensive
+            # copy per call — a visible slice of the 1k-frame budget)
+            dd_all = dd_all[np.argsort(dd_all[:, 1], kind="stable")]
         bounds = np.searchsorted(dd_all[:, 1], np.arange(n_frames + 1))
         im_col = dd_all[:, 1].astype(np.int64)
         pos = np.arange(len(dd_all)) - bounds[im_col]  # slot within frame
@@ -492,21 +515,22 @@ class TargetTracker:
                     jnp.asarray(mask, dtype=self._dtype))
         return dd_all, bounds, n_frames, mask, dev_args
 
-    def _finalize_batch(self, res, cov_unit, mask):
-        pose6 = np.asarray(res.x)
+    def _finalize_batch(self, out, mask):
+        """Packed (I, 45) result rows [x|cost|nit|status|cov] -> API."""
+        pose6, cost = out[:, :6], out[:, 6]
+        cov_unit = out[:, 9:45].reshape(-1, 6, 6)
         self._last_pose = pose6[-1]
         n_used = mask.sum(axis=1)
-        rms = np.sqrt(np.asarray(res.cost) / np.maximum(2 * n_used, 1))
+        rms = np.sqrt(cost / np.maximum(2 * n_used, 1))
         dof = 2 * n_used - 6
-        sigma2 = np.asarray(res.cost) / np.maximum(dof, 1)
+        sigma2 = cost / np.maximum(dof, 1)
         pose_sigma = np.sqrt(np.clip(
-            np.einsum("fii->fi", np.asarray(cov_unit))
-            * sigma2[:, None], 0.0, None))
+            np.einsum("fii->fi", cov_unit) * sigma2[:, None], 0.0, None))
         # underdetermined frames (<= 3 points) are unconstrained, not
         # perfectly certain; degenerate geometry keeps the inf sentinel
         # instead of leaking NaN through the ridged inverse
         pose_sigma[dof < 1] = np.inf
         pose_sigma[~np.isfinite(pose_sigma)] = np.inf
         poses = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
-        return poses, {"rms": rms, "nit": np.asarray(res.nit),
+        return poses, {"rms": rms, "nit": out[:, 7].astype(int),
                        "n_used": n_used, "pose_sigma": pose_sigma}

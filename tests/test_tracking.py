@@ -126,6 +126,42 @@ def test_device_seed_batch_quality():
     assert np.abs(seeds[:, :3] - rig["poses"][:, :3]).max() < 5e-3  # rad
 
 
+def test_inhomogeneous_triangulation_matches_homogeneous():
+    """The seeding-grade 3x3 closed-form DLT agrees with the accuracy-
+    grade 4x4 eigh path on finite points (clean and noisy), and padding
+    rows stay finite."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.ops.triangulation import triangulate_observations
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=4, n_ims=3, grid=6, visibility=1.0,
+                             noise_px=0.2, seed=5)
+    kmats = np.stack([np.array([[i[0], 0, i[1]], [0, i[2], i[3]],
+                                [0, 0, 1]]) for i in rig["intr"]])
+    dists = np.stack([i[4:] for i in rig["intr"]])
+    exts = np.stack([make_4x4h_tform(e[:3], e[3:]) for e in rig["extr"]])
+    proj = np.einsum("cij,cjk->cik", kmats, exts[:, :3, :])
+    dd = rig["dd"]
+    # pack per (im, key): up to 4 views each
+    n_pts = 3 * 36
+    uv = np.zeros((n_pts, 4, 2))
+    mask = np.zeros((n_pts, 4))
+    rows = (dd[:, 1] * 36 + dd[:, 2]).astype(int)
+    uv[rows, dd[:, 0].astype(int)] = dd[:, 3:5]
+    mask[rows, dd[:, 0].astype(int)] = 1.0
+    cam_idx = np.broadcast_to(np.arange(4), (n_pts, 4))
+    args = (jnp.asarray(proj), jnp.asarray(kmats), jnp.asarray(dists),
+            jnp.asarray(cam_idx), jnp.asarray(uv), jnp.asarray(mask))
+    p_h = np.asarray(triangulate_observations(*args))
+    p_i = np.asarray(triangulate_observations(*args,
+                                              method="inhomogeneous"))
+    seen = mask.sum(axis=1) >= 2
+    np.testing.assert_allclose(p_i[seen], p_h[seen], atol=1e-5)
+    assert np.all(np.isfinite(p_i))  # padding rows (det ~ 0) stay finite
+
+
 def test_track_batch_seed_modes_agree():
     from pycamset_tpu.tracking import TargetTracker
     cams, target, det, true, rig = _rig(n_ims=6)

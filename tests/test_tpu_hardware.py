@@ -892,3 +892,24 @@ def test_sharded_fused_mixed_neq_parity_on_chip(shard_axis):
             continue
         rel = np.abs(r - g).max() / (np.abs(r).max() + 1e-12)
         assert rel < 5e-4, (name, rel)
+
+
+def test_serving_artifact_roundtrip_on_chip(tmp_path):
+    """jax.export artifacts must serialize, reload, and bit-match the
+    live tracker ON THE TPU backend (the CPU tier proves the logic; the
+    chip run proves Mosaic/XLA-TPU lowering of the exported StableHLO)."""
+    from tests.test_tracking import _rig
+
+    from pycamset_tpu.serving import export_tracker, load_tracker_artifact
+    from pycamset_tpu.tracking import TargetTracker
+
+    cams, target, det, true, rig = _rig(n_ims=6)
+    tracker = TargetTracker(cams, target)
+    ref_poses, ref_info = tracker.track_batch(det, seed_mode="device")
+    path = export_tracker(tracker, tmp_path / "rig.trkz")
+    srv = load_tracker_artifact(path)
+    poses, info = srv.track_batch(det)
+    np.testing.assert_allclose(poses, ref_poses, atol=1e-9)
+    np.testing.assert_allclose(poses, true, atol=5e-2)
+    p_st, _ = srv.track_stream(det)
+    np.testing.assert_allclose(p_st, true, atol=5e-2)

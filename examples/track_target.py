@@ -28,3 +28,14 @@ tracker = TargetTracker(cams, target, loss="huber")   # robust to outliers
 poses, info = tracker.track_batch(detections)         # all frames, 1 dispatch
 for i, (pose, rms) in enumerate(zip(poses, info["rms"])):
     print(f"frame {i}: t = {pose[:3, 3].round(4)}  rms = {rms:.2f} px")
+
+# --- production serving: freeze the compiled programs into an artifact ---
+# a serving process loads this file and answers poses with no calibration
+# stack and no retracing (jax.export StableHLO, symbolic frame axis)
+from pycamset_tpu import export_tracker, load_tracker_artifact  # noqa: E402
+
+export_tracker(tracker, data / "rig.trkz")
+
+server = load_tracker_artifact(data / "rig.trkz")     # elsewhere, same platform
+poses, info = server.track_batch(detections)          # bit-identical results
+poses, info = server.track_stream(detections)         # ordered video, warm-start

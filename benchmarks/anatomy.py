@@ -113,12 +113,76 @@ def run_ns(n_cams, n_ims, label, lo_it=2, hi_it=5, ev_lo=2, ev_hi=12):
     return t_iter, t_eval
 
 
+def run_mixed(label="mixed16x100x2t", lo_it=2, hi_it=5, ev_lo=2, ev_hi=12):
+    """Same decomposition for the mixed 2-target self-cal chain."""
+    import jax
+
+    import bench as b
+    from pycamset_tpu.config import default_device_dtype
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, FreePoint,
+                                           GroupRigidTform3d, Projection,
+                                           RigidTform3d)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+    from pycamset_tpu.optim.structured_mixed import (
+        make_mixed_ops, make_mixed_structured_neq, mixed_chain_widths)
+
+    _s, pieces, args, blocks = b.mixed_problem()
+    n_cams, n_ims = 16, 100
+    dtype = default_device_dtype()
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), RigidTform3d(),
+                            GroupRigidTform3d(), FreePoint()])
+    widths = mixed_chain_widths(op_fun)
+    k_pad = blocks.uv.shape[1]
+    n_keys = 361  # bench mixed problem: 19x19 grid
+    colmask, gok = b.mixed_colmask_groups(n_cams, n_ims, n_keys, k_pad,
+                                          dtype)
+    neq = make_mixed_structured_neq(op_fun, widths, n_cams, n_ims, gok, 2)
+    ops = make_mixed_ops(neq.onehot)
+
+    def make_forced(n):
+        @jax.jit
+        def run(p, uv_, mask_, tpl_):
+            res = structured_lm_solve(
+                lambda q: neq(q, uv_, mask_, tpl_, colmask), p,
+                max_nfev=n, ops=ops)
+            return res.cost
+        return run
+
+    def make_evals(n):
+        @jax.jit
+        def run(p, uv_, mask_, tpl_):
+            def step(q, _):
+                nn = neq(q, uv_, mask_, tpl_, colmask)
+                return q._replace(cam=q.cam + 1e-14 * nn.cost), nn.cost
+            _, costs = jax.lax.scan(step, p, None, length=n)
+            return costs[-1]
+        return run
+
+    pieces_list = perturbed(pieces, 4)
+    f_lo, f_hi = make_forced(lo_it), make_forced(hi_it)
+    e_lo, e_hi = make_evals(ev_lo), make_evals(ev_hi)
+    for f in (f_lo, f_hi, e_lo, e_hi):
+        fetch_scalar(f(pieces, *args))
+    t_iter = (timed(lambda p: f_hi(p, *args), pieces_list)
+              - timed(lambda p: f_lo(p, *args), pieces_list)) / (hi_it - lo_it)
+    t_eval = (timed(lambda p: e_hi(p, *args), pieces_list)
+              - timed(lambda p: e_lo(p, *args), pieces_list)) / (ev_hi - ev_lo)
+    log(f"{label}: dets={blocks.n_real}")
+    log(f"  per LM iteration: {t_iter * 1e3:.2f} ms")
+    log(f"  per neq eval:     {t_eval * 1e3:.2f} ms")
+    log(f"  non-eval share:   {(t_iter - t_eval) * 1e3:.2f} ms")
+    return t_iter, t_eval
+
+
 def main():
     which = sys.argv[1:] or ["ns", "big"]
     if "ns" in which:
         run_ns(16, 100, "ns16x100")
     if "big" in which:
         run_ns(64, 400, "big64x400")
+    if "mixed" in which:
+        run_mixed()
 
 
 if __name__ == "__main__":

@@ -66,8 +66,9 @@ def _add_track(sub):
     p = sub.add_parser(
         "track", help="per-frame target poses against a calibrated rig")
     p.add_argument("folder", help="folder with one image subfolder per camera")
-    p.add_argument("--camset", required=True,
-                   help="calibrated rig (.camset file)")
+    p.add_argument("--camset",
+                   help="calibrated rig (.camset file); or serve from a "
+                        "frozen --artifact instead")
     _add_target_args(p)
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
@@ -80,6 +81,14 @@ def _add_track(sub):
                         "(track_stream) instead of independent seeding")
     p.add_argument("--no-cache", action="store_true",
                    help="skip the detection pickle cache")
+    p.add_argument("--export-artifact", default=None, metavar="FILE",
+                   help="after tracking, freeze the compiled solver into "
+                        "a serving artifact (jax.export StableHLO) a "
+                        "process without the calibration stack can load")
+    p.add_argument("--artifact", default=None, metavar="FILE",
+                   help="serve from a frozen artifact instead of "
+                        "compiling from --camset (same platform as the "
+                        "export; device seeding, no PnP rescue)")
 
 
 def _add_info(sub):
@@ -152,17 +161,31 @@ def cmd_track(args) -> int:
     from pycamset_tpu.tracking import TargetTracker
     from pycamset_tpu.utils.saving import load_CameraSet
 
-    cams = load_CameraSet(args.camset)
+    if bool(args.camset) == bool(args.artifact):
+        print("track needs exactly one of --camset or --artifact")
+        return 2
     target = _make_target(args)
     detection, _ = detect_datapoints_in_imfile(
         f_loc=Path(args.folder), calibration_target=target,
         caching=not args.no_cache)
-    tracker = TargetTracker(cams, target, loss=args.loss,
-                            f_scale=args.f_scale)
+    if args.artifact:
+        from pycamset_tpu.serving import load_tracker_artifact
+        tracker = load_tracker_artifact(args.artifact)
+    else:
+        cams = load_CameraSet(args.camset)
+        tracker = TargetTracker(cams, target, loss=args.loss,
+                                f_scale=args.f_scale)
     if args.stream:
         poses, info = tracker.track_stream(detection)
     else:
         poses, info = tracker.track_batch(detection)
+    if args.export_artifact:
+        if args.artifact:
+            print("--export-artifact needs a live --camset tracker")
+            return 2
+        from pycamset_tpu.serving import export_tracker
+        export_tracker(tracker, args.export_artifact)
+        print(f"serving artifact -> {args.export_artifact}")
     # inf sigmas (underdetermined frames) are not valid JSON -> null
     sig = [[float(v) if np.isfinite(v) else None for v in row]
            for row in info["pose_sigma"]]

@@ -71,6 +71,30 @@ def test_cli_calibrate_and_info(cli_data, capsys):
         assert srec["rms_px"] < 5.0
         assert srec["n_detections"] == rec["n_detections"]
 
+    # serving artifact round trip: freeze from the live tracker, then
+    # serve the same frames from the artifact without --camset
+    art = cli_data / "rig.trkz"
+    rc = main(["track", str(cli_data), "--camset",
+               str(cli_data / "optimised_cameras.camset"),
+               "--target", "charuco", "--nx", "20", "--ny", "20",
+               "--square", "4", "--legacy", "--export-artifact", str(art),
+               "--out", str(cli_data / "poses_live.json")])
+    assert rc == 0 and art.exists()
+    art_json = cli_data / "poses_art.json"
+    rc = main(["track", str(cli_data), "--artifact", str(art),
+               "--target", "charuco", "--nx", "20", "--ny", "20",
+               "--square", "4", "--legacy", "--out", str(art_json)])
+    assert rc == 0
+    art_records = json.loads(art_json.read_text())
+    live_records = json.loads((cli_data / "poses_live.json").read_text())
+    for lrec, arec in zip(live_records, art_records):
+        np.testing.assert_allclose(arec["pose"], lrec["pose"], atol=1e-9)
+
+    # exactly one of --camset/--artifact
+    assert main(["track", str(cli_data), "--target", "charuco",
+                 "--nx", "20", "--ny", "20", "--square", "4",
+                 "--legacy"]) == 2
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

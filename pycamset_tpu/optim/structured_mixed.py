@@ -42,8 +42,8 @@ import numpy as np
 from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
-    GroupWidths, UnsupportedChain, _block_diag_add, _normalized_inv,
-    _psd_solve, make_block_grams)
+    GroupWidths, UnsupportedChain, _normalized_inv, _psd_solve,
+    make_block_grams)
 
 
 class MixedWidths(NamedTuple):
@@ -322,12 +322,25 @@ def make_mixed_ops(onehot_np: np.ndarray):
         """(H + diag(damp)) dx = -g: eliminate keys, dense-solve
         [cam | pose | group], back-substitute. Group counts are tiny, so
         the dense reduced solve always applies (the cg option is accepted
-        for signature parity and currently solves dense)."""
+        for signature parity and currently solves dense).
+
+        The key-elimination corrections are ONE stacked contraction: per
+        key, V(k) (ck, R) gathers every reduced column the key couples to
+        (cam blocks, pose blocks, its group's block via the one-hot), and
+        the whole correction matrix is sum_k V(k)^T Hkk(k)^-1 V(k) — a
+        single (K*ck, R)x(K*ck, R) MXU matmul instead of six separately
+        shaped einsums (measured: the non-eval share of a mixed LM
+        iteration drops with the fused assembly; benchmarks/anatomy.py).
+        """
+        import jax.scipy.linalg as jsl
+
         oh = jnp.asarray(onehot_np, dtype=neq.gc.dtype)
         c_, i_, g_ = neq.hcc.shape[0], neq.hii.shape[0], neq.hgg.shape[0]
         a, b = neq.hcc.shape[2], neq.hii.shape[2]
         cg = neq.hgg.shape[2]
+        k_, ck = neq.hkk.shape[0], neq.hkk.shape[2]
         dtype = neq.gc.dtype
+        na, nb, ng = c_ * a, i_ * b, g_ * cg
 
         hcc = neq.hcc + jax.vmap(jnp.diag)(damp.cam)
         hii = neq.hii + jax.vmap(jnp.diag)(damp.im)
@@ -335,51 +348,37 @@ def make_mixed_ops(onehot_np: np.ndarray):
         hgg = neq.hgg + jax.vmap(jnp.diag)(damp.grp)
 
         kinv = _normalized_inv(hkk)                            # (K,ck,ck)
-        uck = jnp.einsum("ckap,kpq->ckaq", neq.wck, kinv)
-        uik = jnp.einsum("ikbp,kpq->ikbq", neq.wik, kinv)
-        vkg = jnp.einsum("kpq,kpr->kqr", kinv, neq.wkg)        # (K,ck,cg)
 
-        scc = _block_diag_add(
-            -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck), hcc)
-        sci = neq.wci - jnp.einsum("ckap,ikbp->ciab", uck, neq.wik)
-        sii = _block_diag_add(
-            -jnp.einsum("ikap,jkbp->ijab", uik, neq.wik), hii)
-        scg = neq.wcg - jnp.einsum("ckap,kpq,kg->cgaq", uck, neq.wkg, oh)
-        sig = neq.wig - jnp.einsum("ikbp,kpq,kg->igbq", uik, neq.wkg, oh)
-        # each key couples to ONE group: the group-group correction is
-        # block-diagonal per group
-        sgg_corr = jnp.einsum("kpq,kpr,kg->gqr", neq.wkg, vkg, oh)
-        sgg = _block_diag_add(jnp.zeros((g_, g_, cg, cg), dtype),
-                              hgg - sgg_corr)
+        # V: (K, ck, R) — every reduced-system column each key couples to
+        vc = neq.wck.transpose(1, 3, 0, 2).reshape(k_, ck, na)
+        vi = neq.wik.transpose(1, 3, 0, 2).reshape(k_, ck, nb)
+        vg = (oh[:, None, :, None]
+              * neq.wkg[:, :, None, :]).reshape(k_, ck, ng)
+        v = jnp.concatenate([vc, vi, vg], axis=2)
+        t = jnp.einsum("kpq,kqr->kpr", kinv, v)
+        s_corr = jnp.einsum("kpr,kps->rs", v, t)               # one matmul
+
+        # direct (non-key) couplings of the reduced system
+        wci_f = neq.wci.transpose(0, 2, 1, 3).reshape(na, nb)
+        wcg_f = neq.wcg.transpose(0, 2, 1, 3).reshape(na, ng)
+        wig_f = neq.wig.transpose(0, 2, 1, 3).reshape(nb, ng)
+        top = jnp.concatenate([jsl.block_diag(*hcc), wci_f, wcg_f], axis=1)
+        mid = jnp.concatenate([wci_f.T, jsl.block_diag(*hii), wig_f],
+                              axis=1)
+        bot = jnp.concatenate([wcg_f.T, wig_f.T, jsl.block_diag(*hgg)],
+                              axis=1)
+        amat = jnp.concatenate([top, mid, bot], axis=0) - s_corr
 
         tk = jnp.einsum("kpq,kq->kp", kinv, neq.gk)
-        gc = neq.gc - jnp.einsum("ckaq,kq->ca", uck, neq.gk)
-        gi = neq.gi - jnp.einsum("ikbq,kq->ib", uik, neq.gk)
-        gg = neq.gg - jnp.einsum("kpq,kp,kg->gq", neq.wkg, tk, oh)
-
-        def flat(m, rows, rdim, cols, cdim):
-            return m.transpose(0, 2, 1, 3).reshape(rows * rdim, cols * cdim)
-
-        top = jnp.concatenate([flat(scc, c_, a, c_, a),
-                               flat(sci, c_, a, i_, b),
-                               flat(scg, c_, a, g_, cg)], axis=1)
-        mid = jnp.concatenate([flat(sci, c_, a, i_, b).T,
-                               flat(sii, i_, b, i_, b),
-                               flat(sig, i_, b, g_, cg)], axis=1)
-        bot = jnp.concatenate([flat(scg, c_, a, g_, cg).T,
-                               flat(sig, i_, b, g_, cg).T,
-                               flat(sgg, g_, cg, g_, cg)], axis=1)
-        amat = jnp.concatenate([top, mid, bot], axis=0)
-        rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1),
-                                gg.reshape(-1)])
+        g_base = jnp.concatenate([neq.gc.reshape(-1), neq.gi.reshape(-1),
+                                  neq.gg.reshape(-1)])
+        rhs = -(g_base - jnp.einsum("kpr,kp->r", v, tk))
         sol = _psd_solve(amat, rhs)
-        dxc = sol[:c_ * a].reshape(c_, a)
-        dxi = sol[c_ * a:c_ * a + i_ * b].reshape(i_, b)
-        dxg = sol[c_ * a + i_ * b:].reshape(g_, cg)
+        dxc = sol[:na].reshape(c_, a)
+        dxi = sol[na:na + nb].reshape(i_, b)
+        dxg = sol[na + nb:].reshape(g_, cg)
 
-        rk = (-neq.gk - jnp.einsum("ckap,ca->kp", neq.wck, dxc)
-              - jnp.einsum("ikbp,ib->kp", neq.wik, dxi)
-              - jnp.einsum("kpq,kq->kp", neq.wkg, oh @ dxg))
+        rk = -neq.gk - jnp.einsum("kpr,r->kp", v, sol)
         dxk = jnp.einsum("kpq,kq->kp", kinv, rk)
         return MixedPieces(dxc, dxi, dxk, dxg)
 

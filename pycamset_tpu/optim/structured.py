@@ -682,37 +682,36 @@ def schur_solve(neq: NormalEq, damp: ParamPieces, method: str = "dense",
         dxi = jnp.einsum("ibq,iq->ib", iinv, ri)
         return ParamPieces(dxc, dxi, jnp.zeros((k_, c), dtype))
     else:
-        if c:
-            scc = -jnp.einsum("ckap,dkbp->cdab", uck, neq.wck)    # (C,C,a,a)
-            sci = -jnp.einsum("ckap,ikbp->ciab", uck, neq.wik)    # (C,I,a,b)
-            sii = -jnp.einsum("ikap,jkbp->ijab", uik, neq.wik)    # (I,I,b,b)
-        else:
-            scc = jnp.zeros((c_, c_, a, a), dtype)
-            sci = jnp.zeros((c_, i_, a, b), dtype)
-            sii = jnp.zeros((i_, i_, b, b), dtype)
-
-        scc = _block_diag_add(scc, hcc)
-
+        # base: direct couplings + damped block diagonals, flat (R, R)
+        import jax.scipy.linalg as jsl
+        na, nb = c_ * a, i_ * b
         if b:
-            sci = sci + neq.wci
-            sii = _block_diag_add(sii, hii)
-            # assemble the dense reduced (cam+pose) system
-            top = jnp.concatenate([
-                scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a),
-                sci.transpose(0, 2, 1, 3).reshape(c_ * a, i_ * b)], axis=1)
-            bot = jnp.concatenate([
-                sci.transpose(1, 3, 0, 2).reshape(i_ * b, c_ * a),
-                sii.transpose(0, 2, 1, 3).reshape(i_ * b, i_ * b)], axis=1)
+            wci_f = neq.wci.transpose(0, 2, 1, 3).reshape(na, nb)
+            top = jnp.concatenate([jsl.block_diag(*hcc), wci_f], axis=1)
+            bot = jnp.concatenate([wci_f.T, jsl.block_diag(*hii)], axis=1)
             amat = jnp.concatenate([top, bot], axis=0)
             rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
-            sol = _psd_solve(amat, rhs)
-            dxc = sol[: c_ * a].reshape(c_, a)
-            dxi = sol[c_ * a:].reshape(i_, b)
         else:
-            amat = scc.transpose(0, 2, 1, 3).reshape(c_ * a, c_ * a)
-            sol = _psd_solve(amat, -gc.reshape(-1))
-            dxc = sol.reshape(c_, a)
-            dxi = jnp.zeros((i_, b), dtype)
+            amat = jsl.block_diag(*hcc)
+            rhs = -gc.reshape(-1)
+        if c:
+            # the point-elimination correction is ONE stacked contraction:
+            # per point, V(k) (c, R) gathers every reduced column the
+            # point couples to, and sum_k V(k)^T Hkk(k)^-1 V(k) is a
+            # single (K*c, R)x(K*c, R) MXU matmul instead of the three
+            # separately shaped scc/sci/sii einsums + assembly
+            vc = neq.wck.transpose(1, 3, 0, 2).reshape(k_, c, na)
+            if b:
+                vi = neq.wik.transpose(1, 3, 0, 2).reshape(k_, c, nb)
+                v = jnp.concatenate([vc, vi], axis=2)
+            else:
+                v = vc
+            t = jnp.einsum("kpq,kqr->kpr", kinv, v)
+            amat = amat - jnp.einsum("kpr,kps->rs", v, t)
+        sol = _psd_solve(amat, rhs)
+        dxc = sol[:na].reshape(c_, a)
+        dxi = (sol[na:].reshape(i_, b) if b
+               else jnp.zeros((i_, b), dtype))
 
     # --- back-substitute points -------------------------------------------
     if c:

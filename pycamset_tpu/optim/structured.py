@@ -306,19 +306,20 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
     return grams
 
 
-def block_onehots(n_cams: int, n_ims: int):
-    """(C,B) and (I,B) one-hot block->cam / block->im matrices (row-major)."""
-    blk_cam = np.repeat(np.arange(n_cams), n_ims)
-    blk_im = np.tile(np.arange(n_ims), n_cams)
-    onehot_cam = np.zeros((n_cams, n_cams * n_ims), dtype=np.float32)
-    onehot_cam[blk_cam, np.arange(n_cams * n_ims)] = 1.0
-    onehot_im = np.zeros((n_ims, n_cams * n_ims), dtype=np.float32)
-    onehot_im[blk_im, np.arange(n_cams * n_ims)] = 1.0
-    return blk_cam, blk_im, onehot_cam, onehot_im
-
-
 _PROJS = ("Projection", "ProjectionRational", "ProjectionThinPrism",
           "ProjectionTilted", "ProjectionFisheye")
+
+
+def fused_tile_pad_ok(n_ims: int, tile: int, frac: float, env: str) -> bool:
+    """Shared fused-kernel acceptance rule (all families, incl. mixed):
+    pad the image axis to the block tile only when the padding stays
+    under ``frac`` of the real images; the env var (=0/1) forces."""
+    import os
+
+    i_pad = -(-n_ims // tile) * tile
+    force = os.environ.get(env)
+    return ((i_pad - n_ims) <= frac * n_ims if force is None
+            else force != "0")
 
 
 def resolve_block_grams(op_fun: OptimFunction, widths: GroupWidths,
@@ -398,10 +399,7 @@ def resolve_fused_grams(op_fun: OptimFunction, widths: GroupWidths,
     kw = dict(loss=loss, f_scale=f_scale, loss_semantics=loss_semantics)
 
     def pad_ok(tile, frac, env):
-        i_pad = -(-n_ims // tile) * tile
-        force = os.environ.get(env)
-        return ((i_pad - n_ims) <= frac * n_ims if force is None
-                else force != "0")
+        return fused_tile_pad_ok(n_ims, tile, frac, env)
 
     if (b, c) == (6, 0) and names[1:] == ("Extrinsic3D", "TemplatePoints"):
         # measured +17% at 64x400 where the solve is compute-bound, and

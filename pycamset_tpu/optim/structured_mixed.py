@@ -185,11 +185,9 @@ def resolve_mixed_grams_fused(op_fun: OptimFunction, widths: MixedWidths,
                              "ProjectionThinPrism", "ProjectionTilted",
                              "ProjectionFisheye")):
         return None
+    from pycamset_tpu.optim.structured import fused_tile_pad_ok
     tile = 8
-    i_pad = -(-n_ims // tile) * tile
-    force = os.environ.get("PYCAMSET_FUSED_MIXED")
-    use = ((i_pad - n_ims) <= 0.25 * n_ims if force is None else force != "0")
-    if not use:
+    if not fused_tile_pad_ok(n_ims, tile, 0.25, "PYCAMSET_FUSED_MIXED"):
         return None
     from pycamset_tpu.optim.pallas_grams import make_pallas_mixed_grams_fused
     return make_pallas_mixed_grams_fused(

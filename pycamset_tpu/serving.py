@@ -165,31 +165,32 @@ class ServingTracker:
         return self._finalize(jax.device_get(out), mask)
 
     def _grids(self, dd_all, n_frames):
-        im_c = dd_all[:, 1].astype(int)
-        key_c = dd_all[:, -3].astype(int)
-        cam_c = dd_all[:, 0].astype(int)
-        uv_grid = np.zeros((n_frames, self.n_keys, self.n_cams, 2),
-                           dtype=self._dtype)
-        mask_grid = np.zeros((n_frames, self.n_keys, self.n_cams),
-                             dtype=self._dtype)
-        uv_grid[im_c, key_c, cam_c] = dd_all[:, -2:]
-        mask_grid[im_c, key_c, cam_c] = 1.0
-        return uv_grid, mask_grid
+        from pycamset_tpu.tracking import TargetTracker
+        return TargetTracker._obs_grids(self, dd_all, n_frames)
 
     def _device_seed(self, dd_all, n_frames, dev_args):
-        """Triangulation seed of the first frame >= 2 cameras see."""
+        """Triangulation seed of the first genuinely seedable frame:
+        >= 3 keys each observed by >= 2 cameras (the seeder's own
+        frame_ok rule — a weaker test would hand back its zeros
+        fallback pose and silently warm-start the stream from
+        identity)."""
         import jax
 
         im_c = dd_all[:, 1].astype(int)
         for i in range(n_frames):
             rows = dd_all[im_c == i]
-            if len(rows) and len(np.unique(rows[:, 0])) >= 2:
-                r = rows.copy()
-                r[:, 1] = 0  # renumber the single frame for a 1-grid
-                uv_g, m_g = self._grids(r, 1)
-                _out, seeds = self._exp_batch.call(
-                    uv_g, m_g, *(np.asarray(a[i:i + 1]) for a in dev_args))
-                return np.asarray(jax.device_get(seeds))[0]
+            if not len(rows):
+                continue
+            pairs = np.unique(rows[:, [0, -3]].astype(int), axis=0)
+            _keys, ncams = np.unique(pairs[:, 1], return_counts=True)
+            if int((ncams >= 2).sum()) < 3:
+                continue
+            r = rows.copy()
+            r[:, 1] = 0  # renumber the single frame for a 1-grid
+            uv_g, m_g = self._grids(r, 1)
+            _out, seeds = self._exp_batch.call(
+                uv_g, m_g, *(np.asarray(a[i:i + 1]) for a in dev_args))
+            return np.asarray(jax.device_get(seeds))[0]
         return None
 
 

@@ -216,8 +216,12 @@ class TargetTracker:
                 tracked = jnp.sum(mf) >= 3.0
                 nxt = jnp.where(tracked, res.x, carry)
                 # an underdetermined solve may wander; report the carried
-                # pose for lost frames, not wherever LM drifted
-                return nxt, pack_out(res._replace(x=nxt), cov)
+                # pose for lost frames, not wherever LM drifted — and an
+                # inf cost, so the published rms never describes residuals
+                # of a pose that was not actually evaluated
+                cost = jnp.where(tracked, res.cost,
+                                 jnp.asarray(jnp.inf, res.cost.dtype))
+                return nxt, pack_out(res._replace(x=nxt, cost=cost), cov)
 
             _, out = lax.scan(step, pose0, (cam_i, key_i, uv, mask))
             return out
@@ -227,6 +231,21 @@ class TargetTracker:
         self._solve_stream = jax.jit(solve_stream)
 
     # ---------------------------------------------------------------- frames
+
+    def _obs_grids(self, dd_all: np.ndarray, n_frames: int):
+        """(I, K, C, 2) uv grid + (I, K, C) mask from flattened rows —
+        the device seeder's input layout. Shared with ServingTracker
+        (one copy of the packing keeps artifact results bit-identical)."""
+        im_c = dd_all[:, 1].astype(int)
+        key_c = dd_all[:, -3].astype(int)
+        cam_c = dd_all[:, 0].astype(int)
+        uv_grid = np.zeros((n_frames, self.n_keys, self.n_cams, 2),
+                           dtype=self._dtype)
+        mask_grid = np.zeros((n_frames, self.n_keys, self.n_cams),
+                             dtype=self._dtype)
+        uv_grid[im_c, key_c, cam_c] = dd_all[:, -2:]
+        mask_grid[im_c, key_c, cam_c] = 1.0
+        return uv_grid, mask_grid
 
     def _pack_frame(self, dd: np.ndarray):
         """One frame's detection rows [cam, (im,) key..., u, v] -> padded
@@ -400,21 +419,19 @@ class TargetTracker:
         """
         if not detection.has_data():
             raise ValueError("detection table has no images")
+        if seed_mode not in ("auto", "device", "pnp"):
+            # an unknown mode must not silently fall through to the
+            # ~20x-slower per-frame host PnP branch
+            raise ValueError(f"unknown seed_mode {seed_mode!r}; expected "
+                             "'auto', 'device' or 'pnp'")
         # one pass over the whole table (per-frame .get() would be O(I*N))
         dd_all, bounds, n_frames, mask, dev_args = self._pack_table(detection)
 
         use_device_seed = inits is None and seed_mode in ("auto", "device")
         if use_device_seed:
-            im_c = dd_all[:, 1].astype(int)
-            key_c = dd_all[:, -3].astype(int)
-            cam_c = dd_all[:, 0].astype(int)
-            uv_grid = np.zeros((n_frames, self.n_keys, self.n_cams, 2))
-            mask_grid = np.zeros((n_frames, self.n_keys, self.n_cams))
-            uv_grid[im_c, key_c, cam_c] = dd_all[:, -2:]
-            mask_grid[im_c, key_c, cam_c] = 1.0
+            uv_grid, mask_grid = self._obs_grids(dd_all, n_frames)
             out_d, seeds_d = self._solve_batch_seeded(
-                jnp.asarray(uv_grid, dtype=self._dtype),
-                jnp.asarray(mask_grid, dtype=self._dtype), *dev_args)
+                jnp.asarray(uv_grid), jnp.asarray(mask_grid), *dev_args)
             out = np.asarray(jax.device_get(out_d))  # ONE transfer
             if seed_mode == "auto":
                 out = self._pnp_rescue(

@@ -80,6 +80,28 @@ def test_artifact_needs_no_calibration_stack(artifact):
     assert st.max_detections == tracker.max_detections
 
 
+def test_stream_seed_skips_non_stereo_frames(artifact):
+    """An early frame seen by two cameras with DISJOINT keys is not
+    seedable (no stereo keys): the default-init scan must skip it and
+    seed from a later genuinely stereo frame, not hand back the
+    seeder's zeros fallback."""
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.serving import load_tracker_artifact
+
+    tracker, det, true, path = artifact
+    st = load_tracker_artifact(path)
+    rows = det.get_data()
+    # frame 0: cam 0 sees keys 0-5, cam 1 sees keys 6-11 — no overlap
+    f0 = rows[:, 1] == 0
+    keep = ~f0 | ((rows[:, 0] == 0) & (rows[:, 2] < 6)) \
+        | ((rows[:, 0] == 1) & (rows[:, 2] >= 6) & (rows[:, 2] < 12))
+    det2 = TargetDetection(cam_names=det.cam_names, data=rows[keep],
+                           max_ims=int(det.max_ims))
+    poses, info = st.track_stream(det2)
+    # later frames must still be tracked correctly from the good seed
+    np.testing.assert_allclose(poses[1:], true[1:], atol=2e-2)
+
+
 def test_bad_file_raises(tmp_path):
     import zipfile
 

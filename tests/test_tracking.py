@@ -126,6 +126,34 @@ def test_device_seed_batch_quality():
     assert np.abs(seeds[:, :3] - rig["poses"][:, :3]).max() < 5e-3  # rad
 
 
+def test_unknown_seed_mode_raises():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=2)
+    tr = TargetTracker(cams, target)
+    with pytest.raises(ValueError, match="seed_mode"):
+        tr.track_batch(det, seed_mode="Device")  # typo must not mean pnp
+
+
+def test_stream_lost_frames_report_inf_rms():
+    """A frame with < 3 detections carries the pose forward; its rms must
+    be inf (the drifted LM residuals never describe the carried pose)."""
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, true, rig = _rig(n_ims=6)
+    rows = det.get_data()
+    # frame 3 keeps only cam 0's keys 0-1: 2 detections < the 3 needed
+    keep = (rows[:, 1] != 3) | ((rows[:, 0] == 0) & (rows[:, 2] < 2))
+    from pycamset_tpu.models.detections import TargetDetection
+    det2 = TargetDetection(cam_names=det.cam_names, data=rows[keep],
+                           max_ims=6)
+    tr = TargetTracker(cams, target)
+    poses, info = tr.track_stream(det2)
+    assert np.isinf(info["rms"][3])
+    assert np.all(np.isinf(info["pose_sigma"][3]))
+    np.testing.assert_allclose(poses[3], poses[2], atol=1e-12)  # carried
+    ok = [i for i in range(6) if i != 3]
+    np.testing.assert_allclose(poses[ok], true[ok], atol=2e-2)
+
+
 def test_inhomogeneous_triangulation_matches_homogeneous():
     """The seeding-grade 3x3 closed-form DLT agrees with the accuracy-
     grade 4x4 eigh path on finite points (clean and noisy), and padding

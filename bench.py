@@ -114,7 +114,10 @@ def selfcal_colmask(n_cams, n_ims, n_keys, k_pad, widths, dtype):
     kmask[n_keys:] = 0.0
     kmask[0] = 0.0
     kmask[1] = 0.0
-    kmask[2, 0] = 0.0
+    # 7th pin: z of a SECOND-ROW grid point — points 0,1,2 are collinear
+    # (grid row) and the planar target moves purely in z under rotation
+    # about the 0-1 axis, so the old [2, 0] pin left an exact null mode
+    kmask[int(round(n_keys ** 0.5)), 2] = 0.0
     cm_im = np.ones((n_ims, 6), dtype=dtype)
     cm_im[0] = 0.0
     return ParamPieces(np.ones((n_cams, widths.a), dtype=dtype), cm_im,
@@ -131,7 +134,7 @@ def mixed_colmask_groups(n_cams, n_ims, n_keys, k_pad, dtype):
     kmask[n_keys:] = 0.0
     kmask[0] = 0.0
     kmask[1] = 0.0
-    kmask[2, 0] = 0.0  # 7-coord gauge fix
+    kmask[int(round(n_keys ** 0.5)), 2] = 0.0  # 7-coord gauge (see selfcal_colmask)
     cm_im = np.ones((n_ims, 6), dtype=dtype)
     cm_im[0] = 0.0
     cm_grp = np.ones((2, 6), dtype=dtype)

@@ -85,10 +85,12 @@ def run(model: str, chain: str, n_cams=16, n_ims=100, grid=19):
         keyp = jnp.tile(pieces.key[:1], (k_pad, 1)).at[:n_keys].set(pieces.key)
         kmask = np.ones((k_pad, 3), dtype=dtype)
         kmask[n_keys:] = 0.0
-        # gauge: freeze 7 structure coords (3 + 2 + 1 + scale anchor)
+        # gauge: freeze 7 structure coords; the 7th is z of a second-row
+        # point (first-row points are collinear and the planar target's
+        # residual axis rotation moves points purely in z)
         kmask[0] = 0.0
-        kmask[1, :2] = 0.0
-        kmask[2, 0] = 0.0
+        kmask[1] = 0.0
+        kmask[int(round(n_keys ** 0.5)), 2] = 0.0
         pieces = ParamPieces(pieces.cam, pieces.im, keyp)
     else:
         keyp = jnp.zeros((k_pad, 0), dtype)

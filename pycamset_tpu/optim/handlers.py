@@ -789,15 +789,25 @@ class SelfBundleHandler(TemplateBundleHandler):
                 + ("still" if self.correct_gauge else "not")
                 + " similarity-align the result onto the reference model.")
         else:
-            # gauge: fix 3 (of 3) + 3 + 1 coords of 3 non-colinear points
-            self.fixed_inds = find_not_colinear_pts(
-                self.flat_point_data.reshape(-1, 3))
+            # gauge: fix 3 (of 3) + 3 + 1 coords of 3 non-colinear points.
+            # The 7th pinned coordinate must actually CONSTRAIN the one
+            # symmetry the first six leave: rotation about the p0-p1
+            # axis, under which p2 moves along v = axis x (p2 - p0).
+            # Pinning a coordinate with v ~ 0 there leaves an EXACT null
+            # mode — for a planar z=0 target that motion is purely z, so
+            # the old "always pin p2.x" rule produced a singular gauge
+            # (equilibrated JtJ cond ~5e16) on every planar target.
+            pts3 = self.flat_point_data.reshape(-1, 3)
+            self.fixed_inds = find_not_colinear_pts(pts3)
             i0, i1, i2 = self.fixed_inds
+            axis = pts3[i1] - pts3[i0]
+            v = np.cross(axis / np.linalg.norm(axis), pts3[i2] - pts3[i0])
+            j2 = int(np.argmax(np.abs(v)))
             self.feat_unfixed = np.ones(self.flat_point_data.shape[0],
                                         dtype=bool)
             self.feat_unfixed[3 * i0: 3 * i0 + 3] = False
             self.feat_unfixed[3 * i1: 3 * i1 + 3] = False
-            self.feat_unfixed[3 * i2] = False
+            self.feat_unfixed[3 * i2 + j2] = False
             self.correct_gauge = True
 
         # freeze features never observed

@@ -32,7 +32,8 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        visibility: float = 0.85, noise_px: float = 0.3,
                        seed: int = 0, res=(1600, 1200),
                        camera_model: str = "standard",
-                       pose_scale: tuple = (0.4, 0.15)):
+                       pose_scale: tuple = (0.4, 0.15),
+                       template_depth: float = 0.0):
     """Generate a rig + observations.
 
     Cameras sit on a ring of radius ~1 m looking at the origin; the target
@@ -57,6 +58,14 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     k = grid * grid
     tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
     tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
+    if template_depth:
+        # non-planar target: planar SELF-calibration (free intrinsics +
+        # free geometry) carries a near-null mode beyond the 7-coordinate
+        # similarity gauge (equilibrated JtJ cond ~5e16), which makes any
+        # covariance at the solution meaningless; a little depth removes
+        # the degeneracy for tests that need a well-posed system
+        tpl[:, 2] = np.random.default_rng(seed + 101).uniform(
+            -template_depth, template_depth, size=k)
 
     intr = np.zeros((n_cams, intr_w))
     extr = np.zeros((n_cams, 6))

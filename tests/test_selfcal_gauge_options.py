@@ -92,3 +92,27 @@ def test_gauge_mask_validation():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_planar_gauge_pin_is_not_degenerate():
+    """Regression: the automatic 7-coordinate gauge must actually pin the
+    rotation about the p0-p1 axis. For a planar z=0 target that rotation
+    moves every point purely in z, so the old always-pin-p2.x rule left
+    an EXACT null mode (equilibrated JtJ cond ~5e16); the fixed rule pins
+    p2's coordinate along v = axis x (p2 - p0) and the system is
+    well-posed."""
+    from pycamset_tpu.optim.driver import (make_optimisation_function,
+                                           run_bundle_adjustment)
+    from pycamset_tpu.optim.handlers import SelfBundleHandler
+
+    cams, target, det, rig = _setup(seed=29)
+    h = SelfBundleHandler(cams, target, det, options={"outliers": "n"})
+    # the planar target must pin a z coordinate as its 7th gauge pin
+    pinned = np.nonzero(~h.feat_unfixed)[0]
+    assert any(i % 3 == 2 for i in pinned), pinned
+    res, _ = run_bundle_adjustment(h)
+    _loss, jac_fn, _ = make_optimisation_function(h)
+    jtj = (lambda J: J.T @ J)(jac_fn(np.asarray(res["x"])).toarray())
+    d = np.sqrt(np.clip(np.diag(jtj), 1e-30, None))
+    ev = np.linalg.eigvalsh(jtj / d[:, None] / d[None, :])
+    assert ev[0] > 1e-10, f"self-cal gauge left a near-null mode: {ev[0]}"

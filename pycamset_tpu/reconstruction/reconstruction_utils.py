@@ -139,22 +139,43 @@ def matlab_stereo(im0, im1, disp_range=(128, 256), uniqueness_thresh=25,
 def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
                        num_disp: int = 256, blockSize: int = 25,
                        matlab: bool = False, plot: bool = False,
-                       mind: float = 0.0, maxd: float = 2.0):
-    """Dense stereo point cloud via rectify -> block matching -> reproject."""
+                       mind: float = 0.0, maxd: float = 2.0,
+                       matcher: str = "bm", **matcher_options):
+    """Dense stereo point cloud via rectify -> dense matching -> reproject.
+
+    :param matcher: "bm" (cv2.StereoBM, the reference's default), "sgm"
+        (the on-device census SGM matcher — ``dense_stereo.sgm_disparity``,
+        extra keyword options forwarded), or "matlab" (parity with the
+        reference's gated disparitySGM path; ``matlab=True`` still selects
+        it for signature compatibility).
+    """
+    if matlab:
+        matcher = "matlab"
+    if matcher not in ("bm", "sgm", "matlab"):
+        raise ValueError(f"unknown matcher {matcher!r} "
+                         "(expected 'bm', 'sgm' or 'matlab')")
     rect0, rect1, q = rectify_camera_images(cam_0, cam_1, im_0, im_1)
-    # block matchers want single-channel input
+    # dense matchers want single-channel input
     if np.asarray(rect0).ndim == 3:
         rect0 = cv2.cvtColor(rect0, cv2.COLOR_BGR2GRAY)
     if np.asarray(rect1).ndim == 3:
         rect1 = cv2.cvtColor(rect1, cv2.COLOR_BGR2GRAY)
-    if matlab:
+    if matcher == "matlab":
         disp = matlab_stereo(rect0, rect1,
                              disp_range=(num_disp - 128, num_disp), plot=plot)
-    else:
-        matcher = cv2.StereoBM_create(numDisparities=num_disp,
-                                      blockSize=blockSize)
-        disp = matcher.compute(rect0.astype(np.uint8),
-                               rect1.astype(np.uint8)) / 16
+    elif matcher == "sgm":
+        from pycamset_tpu.reconstruction.dense_stereo import sgm_disparity
+        disp = sgm_disparity(rect0, rect1, max_disp=num_disp,
+                             **matcher_options)
+        if plot:
+            from matplotlib import pyplot as plt
+            plt.imshow(disp)
+            plt.show()
+    elif matcher == "bm":
+        bm = cv2.StereoBM_create(numDisparities=num_disp,
+                                 blockSize=blockSize)
+        disp = bm.compute(rect0.astype(np.uint8),
+                          rect1.astype(np.uint8)) / 16
         if plot:
             from matplotlib import pyplot as plt
             plt.imshow(disp)

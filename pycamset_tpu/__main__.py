@@ -7,6 +7,8 @@ adds one without changing the library API:
     python -m pycamset_tpu calibrate DATA --target ccube --n-points 10 --length 40
     python -m pycamset_tpu track DATA --camset optimised_cameras.camset \
         --target charuco --nx 20 --ny 20 --square 4 --out poses.json
+    python -m pycamset_tpu reconstruct rig.camset --cams cam0 cam1 cam2 \
+        --images a.png b.png c.png --near 0.2 --far 2.0 --out cloud.ply
     python -m pycamset_tpu info optimised_cameras.camset
 """
 from __future__ import annotations
@@ -89,6 +91,44 @@ def _add_track(sub):
                    help="serve from a frozen artifact instead of "
                         "compiling from --camset (same platform as the "
                         "export; device seeding, no PnP rescue)")
+
+
+def _add_reconstruct(sub):
+    p = sub.add_parser(
+        "reconstruct",
+        help="dense reconstruction from a calibrated rig "
+             "(2 cameras: rectified stereo; 3+: multi-view plane sweep)")
+    p.add_argument("camset", help="calibrated rig (.camset file)")
+    p.add_argument("--cams", nargs="+", required=True,
+                   help="camera names; the FIRST is the reference view")
+    p.add_argument("--images", nargs="+", required=True,
+                   help="one image path per camera, same order")
+    p.add_argument("--mode", choices=["stereo", "sweep"], default=None,
+                   help="default: stereo for 2 cameras, sweep for 3+")
+    p.add_argument("--out", default="cloud.ply",
+                   help="output ascii PLY point cloud")
+    # stereo options
+    p.add_argument("--matcher", choices=["bm", "sgm"], default="sgm",
+                   help="stereo matcher: OpenCV StereoBM or the "
+                        "on-device census SGM")
+    p.add_argument("--num-disp", type=int, default=256)
+    p.add_argument("--mind", type=float, default=0.0,
+                   help="stereo depth mask minimum")
+    p.add_argument("--maxd", type=float, default=2.0,
+                   help="stereo depth mask maximum")
+    # plane-sweep options
+    p.add_argument("--near", type=float, default=None,
+                   help="sweep: nearest plane depth (ref-camera frame)")
+    p.add_argument("--far", type=float, default=None,
+                   help="sweep: farthest plane depth")
+    p.add_argument("--n-planes", type=int, default=128)
+    p.add_argument("--top-k", type=int, default=None,
+                   help="sweep: aggregate the k cheapest source views "
+                        "per pixel (occlusion robustness)")
+    p.add_argument("--window", type=int, default=7,
+                   help="sweep: ZNCC window size")
+    p.add_argument("--regularize", action="store_true",
+                   help="sweep: SGM-regularise the cost volume")
 
 
 def _add_info(sub):
@@ -204,6 +244,71 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_reconstruct(args) -> int:
+    import cv2
+    import numpy as np
+
+    from pycamset_tpu.utils.general_utils import write_colour_ply
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    missing = [n for n in args.cams if n not in cams.get_names()]
+    if missing:
+        print(f"unknown cameras {missing}; rig has {cams.get_names()}")
+        return 2
+    if len(args.images) != len(args.cams):
+        print("need exactly one --images path per --cams name")
+        return 2
+    ims = []
+    for path in args.images:
+        im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if im is None:
+            print(f"could not read image {path}")
+            return 2
+        ims.append(im)
+    mode = args.mode or ("stereo" if len(args.cams) == 2 else "sweep")
+
+    if mode == "stereo":
+        if len(args.cams) != 2:
+            print("stereo mode needs exactly 2 cameras")
+            return 2
+        from pycamset_tpu.reconstruction.reconstruction_utils import (
+            stereo_reconstruct)
+        pts, gray = stereo_reconstruct(
+            cams[args.cams[0]], cams[args.cams[1]], ims[0], ims[1],
+            num_disp=args.num_disp, mind=args.mind, maxd=args.maxd,
+            matcher=args.matcher, return_scalars=True)
+        cols = np.repeat(np.clip(gray, 0, 255).astype(np.uint8)[:, None],
+                         3, axis=1)
+    else:
+        if len(args.cams) < 2:
+            print("sweep mode needs a reference camera + >=1 source")
+            return 2
+        if args.near is None or args.far is None:
+            print("sweep mode needs --near and --far plane depths")
+            return 2
+        from pycamset_tpu.reconstruction.plane_sweep import (
+            depth_to_cloud, plane_sweep_depth)
+        sel = [cams[n] for n in args.cams]
+        und = [c.undistort(im) for c, im in zip(sel, ims)]
+        gray = [im if im.ndim == 2 else
+                cv2.cvtColor(im, cv2.COLOR_BGR2GRAY) for im in und]
+        depth, _ = plane_sweep_depth(
+            sel[0], sel[1:], gray[0], gray[1:], near=args.near,
+            far=args.far, n_planes=args.n_planes, window=args.window,
+            top_k=args.top_k, regularize=args.regularize)
+        pts, shade = depth_to_cloud(sel[0], depth,
+                                    colors=gray[0].astype(float))
+        cols = np.repeat(np.clip(shade, 0, 255).astype(np.uint8)[:, None],
+                         3, axis=1)
+        n_valid = int(np.isfinite(depth).sum())
+        print(f"sweep depth: {n_valid}/{depth.size} pixels valid")
+
+    write_colour_ply(args.out, pts, cols)
+    print(f"{mode}: {len(pts)} points -> {args.out}")
+    return 0
+
+
 def cmd_info(args) -> int:
     import numpy as np
 
@@ -254,12 +359,15 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_calibrate(sub)
     _add_track(sub)
+    _add_reconstruct(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
     if args.cmd == "track":
         return cmd_track(args)
+    if args.cmd == "reconstruct":
+        return cmd_reconstruct(args)
     if args.cmd == "info":
         return cmd_info(args)
     return 1

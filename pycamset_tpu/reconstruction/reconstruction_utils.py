@@ -140,7 +140,8 @@ def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
                        num_disp: int = 256, blockSize: int = 25,
                        matlab: bool = False, plot: bool = False,
                        mind: float = 0.0, maxd: float = 2.0,
-                       matcher: str = "bm", **matcher_options):
+                       matcher: str = "bm", return_scalars: bool = False,
+                       **matcher_options):
     """Dense stereo point cloud via rectify -> dense matching -> reproject.
 
     :param matcher: "bm" (cv2.StereoBM, the reference's default), "sgm"
@@ -148,6 +149,8 @@ def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
         extra keyword options forwarded), or "matlab" (parity with the
         reference's gated disparitySGM path; ``matlab=True`` still selects
         it for signature compatibility).
+    :param return_scalars: return ``(points (n, 3), gray (n,))`` numpy
+        arrays instead of the cloud wrapper (the CLI's PLY path).
     """
     if matlab:
         matcher = "matlab"
@@ -183,6 +186,8 @@ def stereo_reconstruct(cam_0: Camera, cam_1: Camera, im_0, im_1,
 
     xyz = cv2.reprojectImageTo3D(disp.astype("float32"), q).reshape(-1, 3)
     keep = depth_image_ptcloud_mask(xyz, mind, maxd)
+    if return_scalars:
+        return xyz[keep], np.asarray(rect0).ravel()[keep]
     cloud = _as_cloud(xyz[keep], scalars=np.asarray(rect0).ravel()[keep])
     if plot and not isinstance(cloud, np.ndarray):
         from pycamset_tpu.utils.optional import import_pyvista

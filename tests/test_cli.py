@@ -148,3 +148,107 @@ def test_cli_calibrate_sharded_backend(cli_data, capsys):
     assert "mean reprojection error" in out
     err = float(out.rsplit("error", 1)[1].split("px")[0])
     assert err < 1.8
+
+
+@pytest.fixture(scope="module")
+def recon_rig(tmp_path_factory):
+    """Synthetic 3-camera rig + rendered plane views, saved to disk the
+    way a CLI user would have them (a .camset file + image files)."""
+    import cv2
+
+    from pycamset_tpu.models.camera_set import CameraSet
+
+    dst = tmp_path_factory.mktemp("recon_rig")
+    h, w = 120, 160
+    k = np.array([[140.0, 0, w / 2], [0, 140.0, h / 2], [0, 0, 1]])
+
+    def tex(x, y):
+        return (np.sin(6.1 * x) * np.cos(4.3 * y)
+                + 0.5 * np.sin(11.7 * x + 2.1 * y)
+                + 0.4 * np.cos(3.3 * x - 8.1 * y)) * 60 + 128
+
+    exts, names = [], []
+    for i, tx in enumerate([0.0, 0.4, -0.4]):
+        ext = np.eye(4)
+        ext[:3, 3] = [-tx, 0, 0]
+        exts.append(ext)
+        names.append(f"cam{i}")
+    cams = CameraSet(camera_names=names, extrinsic_matrices=exts,
+                     intrinsic_matrices=[k] * 3,
+                     distortion_coefs=[np.zeros(5)] * 3,
+                     res=[(w, h)] * 3)
+    camset = dst / "rig.camset"
+    cams.save(camset)
+
+    paths = []
+    for name in names:
+        cam = cams[name]
+        u, v = np.meshgrid(np.arange(w, dtype=float),
+                           np.arange(h, dtype=float))
+        rays = np.linalg.inv(k) @ np.stack(
+            [u.ravel(), v.ravel(), np.ones(h * w)])
+        rot = cam.cam_to_world[:3, :3]
+        org = cam.cam_to_world[:3, 3:4]
+        dw = rot @ rays
+        p = org + dw * (5.0 - org[2]) / dw[2]
+        im = tex(p[0], p[1]).reshape(h, w)
+        path = dst / f"{name}.png"
+        cv2.imwrite(str(path), np.clip(im, 0, 255).astype(np.uint8))
+        paths.append(str(path))
+    return dst, str(camset), names, paths
+
+
+def _read_ply(path):
+    lines = Path(path).read_text().splitlines()
+    n = int(next(l for l in lines if l.startswith("element vertex")).split()[-1])
+    body = lines[lines.index("end_header") + 1:]
+    pts = np.array([[float(v) for v in l.split()[:3]] for l in body[:n]])
+    return pts
+
+
+def test_cli_reconstruct_sweep(recon_rig, capsys):
+    from pycamset_tpu.__main__ import main
+    dst, camset, names, paths = recon_rig
+    out = dst / "sweep.ply"
+    rc = main(["reconstruct", camset, "--cams", *names,
+               "--images", *paths, "--near", "3", "--far", "8",
+               "--n-planes", "48", "--top-k", "2", "--out", str(out)])
+    assert rc == 0
+    assert "sweep:" in capsys.readouterr().out
+    pts = _read_ply(out)
+    assert len(pts) > 0.5 * 120 * 160
+    # the scene is the z=5 plane in the world frame
+    assert abs(np.median(pts[:, 2]) - 5.0) < 0.1
+
+
+def test_cli_reconstruct_stereo_sgm(recon_rig, capsys):
+    from pycamset_tpu.__main__ import main
+    dst, camset, names, paths = recon_rig
+    out = dst / "stereo.ply"
+    rc = main(["reconstruct", camset, "--cams", "cam0", "cam1",
+               "--images", paths[0], paths[1], "--matcher", "sgm",
+               "--num-disp", "32", "--mind", "2", "--maxd", "8",
+               "--out", str(out)])
+    assert rc == 0
+    assert "stereo:" in capsys.readouterr().out
+    pts = _read_ply(out)
+    assert len(pts) > 1000
+    assert abs(np.median(np.linalg.norm(pts, axis=1)) - 5.0) < 0.5
+
+
+def test_cli_reconstruct_arg_errors(recon_rig, capsys):
+    from pycamset_tpu.__main__ import main
+    dst, camset, names, paths = recon_rig
+    # unknown camera
+    rc = main(["reconstruct", camset, "--cams", "nope", "cam1",
+               "--images", paths[0], paths[1]])
+    assert rc == 2
+    # sweep without near/far
+    rc = main(["reconstruct", camset, "--cams", *names,
+               "--images", *paths])
+    assert rc == 2
+    # image count mismatch
+    rc = main(["reconstruct", camset, "--cams", *names,
+               "--images", paths[0]])
+    assert rc == 2
+    capsys.readouterr()

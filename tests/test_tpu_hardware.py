@@ -931,8 +931,10 @@ def test_sgm_disparity_on_chip():
     k = np.ones((3, 3)) / 9.0
     import scipy.signal as ss
     base = ss.convolve2d(base, k, mode="same", boundary="symm")
+    # left pixel x must match right pixel x - d_true, i.e. the right
+    # view sees the pattern shifted LEFT: right[j] = base[16 + d + j]
     left = base[:, 16:16 + w]
-    right = base[:, 16 - d_true:16 - d_true + w]
+    right = base[:, 16 + d_true:16 + d_true + w]
     match = make_sgm_matcher(max_disp=16)
     disp = np.asarray(match(jnp.asarray(left), jnp.asarray(right)))
     valid = np.isfinite(disp)

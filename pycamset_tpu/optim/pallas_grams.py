@@ -137,6 +137,37 @@ def _kernel_atan(r):
     return jnp.where(big, jnp.pi / 2 - atan_z, atan_z)
 
 
+def _zmul(p, *facs):
+    """p * facs..., propagating None as a structural (exact) zero.
+
+    The affine-intrinsic Jacobian columns vanish identically in one
+    residual component (fx, px have zero v-derivatives; fy, py zero
+    u-derivatives; thin-prism s1/s2 and s3/s4 likewise) — tracking the
+    zeros symbolically lets the gram loops skip ~17% of their (T, K)
+    products instead of multiplying materialised zero vectors."""
+    if p is None:
+        return None
+    for f in facs:
+        p = p * f
+    return p
+
+
+def _zpair(ui, vi, uj, vj):
+    """ui*uj + vi*vj with None as structural zero; None when all vanish."""
+    tu = None if (ui is None or uj is None) else ui * uj
+    tv = None if (vi is None or vj is None) else vi * vj
+    if tu is None:
+        return tv
+    if tv is None:
+        return tu
+    return tu + tv
+
+
+def _zdense(p, like):
+    """Materialise a structural zero to match `like` (for unreduced rows)."""
+    return jnp.zeros_like(like) if p is None else p
+
+
 def _fisheye_columns(col, offs, x, y, r2):
     """Kannala-Brandt distorted-normalized coords + partials for the kernel
     core (intr layout [fx,px,fy,py,k1..k4]); mirrors
@@ -209,8 +240,8 @@ def _brown_columns(col, offs, intr_w, x, y, r2):
             jxd.append(-x * radial * r2 ** i * inv_den)
             jyd.append(-y * radial * r2 ** i * inv_den)
     if intr_w >= 16:  # prism columns: d(xd)/ds1 = r2, /ds2 = r4 (x only)
-        jxd.extend([r2, r2 * r2, zero, zero])
-        jyd.extend([zero, zero, r2, r2 * r2])
+        jxd.extend([r2, r2 * r2, None, None])
+        jyd.extend([None, None, r2, r2 * r2])
 
     # d(xd,yd)/d(x,y)
     dxd_dx = radial + 2.0 * x * x * dradial + 2.0 * p1 * y + 6.0 * p2 * x
@@ -232,6 +263,10 @@ def _brown_columns(col, offs, intr_w, x, y, r2):
         # per-block, PER_CAM-constant). Every existing column and the
         # d/d(x,y) chain pass through the 2x2 homography Jacobian; the
         # taux/tauy columns come from the packed dMt matrices.
+        # the homography mixes u/v halves, so the prism structural zeros
+        # stop being zeros: materialise them before the 2x2 chain below
+        jxd = [zero if j is None else j for j in jxd]
+        jyd = [zero if j is None else j for j in jyd]
         m = [col(offs["mt"] + i) for i in range(9)]
         iw = 1.0 / (m[6] * xd + m[7] * yd + m[8])
         xtl = (m[0] * xd + m[1] * yd + m[2]) * iw
@@ -295,7 +330,6 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
         (xd, yd, jxd, jyd, dxd_dx, dxd_dy, dyd_dx,
          dyd_dy) = _brown_columns(col, offs, intr_w, x, y, r2)
     one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
 
     r_u = (fx * xd + px - uv[:, 0, :]) * mask
     r_v = (fy * yd + py - uv[:, 1, :]) * mask
@@ -320,9 +354,9 @@ def _projection_columns(prm, pts3, uv, mask, offs, intr_w, rho_fn, weight_fn,
         r_u = r_u * sw
         r_v = r_v * sw
 
-    # d(u,v)/d intr — [fx, px, fy, py | dist coefs]
-    ju = [xd, one, zero, zero] + [fx * j for j in jxd]
-    jv = [zero, zero, yd, one] + [fy * j for j in jyd]
+    # d(u,v)/d intr — [fx, px, fy, py | dist coefs]; None = structural zero
+    ju = [xd, one, None, None] + [_zmul(j, fx) for j in jxd]
+    jv = [None, None, yd, one] + [_zmul(j, fy) for j in jyd]
 
     du_dx = fx * dxd_dx
     du_dy = fx * dxd_dy
@@ -373,14 +407,17 @@ def _gram_kernel_body(params_ref, tpl_ref, uv_ref, mask_ref, out_ref,
         rho_fn, weight_fn, semantics)
 
     # extended columns: [J row-masked | r]
-    ju = [j * mu for j in ju] + [r_u]
-    jv = [j * mv for j in jv] + [r_v]
+    ju = [_zmul(j, mu) for j in ju] + [r_u]
+    jv = [_zmul(j, mv) for j in jv] + [r_v]
 
-    # accumulate the symmetric gram per block
+    # accumulate the symmetric gram per block (structural-zero pairs skip
+    # their (8, K) products and reduce to a constant)
+    zb = jnp.zeros(r_u.shape[:1], r_u.dtype)
     gvals = [[None] * gram_w for _ in range(gram_w)]
     for i in range(gram_w):
         for j in range(i, gram_w):
-            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (8,)
+            p = _zpair(ju[i], jv[i], ju[j], jv[j])
+            g = zb if p is None else jnp.sum(p, axis=1)  # (8,)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
@@ -479,18 +516,18 @@ def _make_fused_template_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
     the full (a+7)^2 per-block gram, and no host-side re-read/mask pass.
     """
 
-    def _kernel(params_ref, tpl_ref, uv_ref, mask_ref, cmask_ref, imask_ref,
+    def _kernel(params_ref, tpl_ref, uv_ref, mask_ref,
                 hcc_ref, gc_ref, wci_ref, gii_ref, gi_ref, corner_ref):
         _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref,
-                             cmask_ref, imask_ref, hcc_ref, gc_ref, wci_ref,
+                             hcc_ref, gc_ref, wci_ref,
                              gii_ref, gi_ref, corner_ref, rho_fn, weight_fn,
                              intr_w, semantics, steps_per_cam)
 
     return _kernel
 
 
-def _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref, cmask_ref,
-                         imask_ref, hcc_ref, gc_ref, wci_ref, gii_ref,
+def _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref,
+                         hcc_ref, gc_ref, wci_ref, gii_ref,
                          gi_ref, corner_ref, rho_fn, weight_fn, intr_w,
                          semantics, steps_per_cam):
     offs, _ = _layout(intr_w)
@@ -501,19 +538,19 @@ def _fused_template_body(params_ref, tpl_ref, uv_ref, mask_ref, cmask_ref,
         params_ref[:], tpl_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
         rho_fn, weight_fn, semantics)
 
-    # column masks in-kernel (0/1, so masked columns give the same gram as
-    # the host-side cmask_i * cmask_j products they replace)
-    cmask = cmask_ref[:]
-    imask = imask_ref[:]
-    colm = ([cmask[:, i:i + 1] for i in range(a)]
-            + [imask[:, i:i + 1] for i in range(6)])
-    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
-    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+    # column masks are NOT applied here: every output of this kernel is a
+    # K-reduced piece, so the 0/1 cmask/imask products move out of the
+    # (T, K) domain onto the tiny reduced arrays (make_pallas_template_
+    # grams_fused post-multiplies) — ~40 fewer (T, K) vector ops per tile
+    ju = [_zmul(j, mu) for j in ju] + [r_u]
+    jv = [_zmul(j, mv) for j in jv] + [r_v]
 
+    zb = jnp.zeros(r_u.shape[:1], r_u.dtype)
     gvals = [[None] * gram_w for _ in range(gram_w)]
     for i in range(gram_w):
         for j in range(i, gram_w):
-            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (T,)
+            p = _zpair(ju[i], jv[i], ju[j], jv[j])
+            g = zb if p is None else jnp.sum(p, axis=1)  # (T,)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
@@ -591,10 +628,8 @@ def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
             packed = padi(packed, "edge")
             uv_t = padi(uv_t, "zero")
             mask_p = padi(mask, "zero")
-            cmask_p = padi(cmask_b, "edge")
-            imask_p = padi(imask_b, "edge")
         else:
-            mask_p, cmask_p, imask_p = mask, cmask_b, imask_b
+            mask_p = mask
 
         b_pad = n_cams * i_pad
         grid = (b_pad // t,)
@@ -609,10 +644,6 @@ def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
                 pl.BlockSpec((t, 2, k), lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, k), lambda i: (i, i * 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, a), lambda i: (i, i * 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, 6), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -639,13 +670,24 @@ def make_pallas_template_grams_fused(widths, n_cams: int, n_ims: int,
                 jax.ShapeDtypeStruct((b_pad, 6), dtype),
                 jax.ShapeDtypeStruct((b_pad, 1), dtype),
             ),
-        )(packed, tpl.T, uv_t, mask_p, cmask_p, imask_p)
+        )(packed, tpl.T, uv_t, mask_p)
 
-        wci = wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
-        hii = jnp.sum(gii.reshape(n_cams, i_pad, 6, 6)[:, :n_ims], axis=0)
-        gi_r = jnp.sum(gi.reshape(n_cams, i_pad, 6)[:, :n_ims], axis=0)
+        # column masks, applied post-reduction (cmask is per camera —
+        # constant across the images of one cam — and imask per image, so
+        # masking the reduced pieces equals the per-column in-kernel
+        # products the kernel used to do, at K-free cost)
+        cm = cmask_b.reshape(n_cams, n_ims, a)[:, 0]
+        im_b = imask_b.reshape(n_cams, n_ims, 6)
+        hcc = hcc * cm[:, :, None] * cm[:, None, :]
+        wci = (wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
+               * cm[:, None, :, None] * im_b[:, :, None, :])
+        gii_m = (gii.reshape(n_cams, i_pad, 6, 6)[:, :n_ims]
+                 * im_b[:, :, :, None] * im_b[:, :, None, :])
+        hii = jnp.sum(gii_m, axis=0)
+        gi_r = jnp.sum(gi.reshape(n_cams, i_pad, 6)[:, :n_ims] * im_b,
+                       axis=0)
         cost = jnp.sum(corner.reshape(n_cams, i_pad)[:, :n_ims])
-        return hcc, hii, wci, gc[:, 0], gi_r, cost
+        return hcc, hii, wci, gc[:, 0] * cm, gi_r, cost
 
     return grams
 
@@ -664,10 +706,10 @@ def _make_fused_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
     write traffic and no XLA-side transpose/reshape/sum over the big array.
     """
 
-    def _kernel(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref, imask_ref,
+    def _kernel(params_ref, pts_ref, uv_ref, mask_ref, imask_ref,
                 kmask_ref, hcc_ref, gc_ref, wck_ref, wik_ref, wci_ref,
                 gii_ref, gi_ref, corner_ref, hkkgk_ref):
-        _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+        _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref,
                             imask_ref, kmask_ref, hcc_ref, gc_ref, wck_ref,
                             wik_ref, wci_ref, gii_ref, gi_ref, corner_ref,
                             hkkgk_ref, rho_fn, weight_fn, intr_w, semantics,
@@ -676,7 +718,7 @@ def _make_fused_selfcal_kernel(rho_fn=None, weight_fn=None, intr_w: int = 9,
     return _kernel
 
 
-def _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
+def _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref,
                         imask_ref, kmask_ref, hcc_ref, gc_ref, wck_ref,
                         wik_ref, wci_ref, gii_ref, gi_ref, corner_ref,
                         hkkgk_ref, rho_fn, weight_fn, intr_w, semantics,
@@ -685,17 +727,19 @@ def _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
     a = intr_w + 6
     gram_w = a + 6 + 1
     w = gram_w - 1
-    cmask = cmask_ref[:]
     imask = imask_ref[:]
     kmask = kmask_ref[:]                      # (3, K)
     (ju, jv, r_u, r_v, rcost, mu, mv, du_xc, dv_xc, col) = _projection_columns(
         params_ref[:], pts_ref[:], uv_ref[:], mask_ref[:], offs, intr_w,
         rho_fn, weight_fn, semantics)
 
-    colm = ([cmask[:, i:i + 1] for i in range(a)]
-            + [imask[:, i:i + 1] for i in range(6)])
-    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
-    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+    # cmask is hoisted out of the kernel (the camera side of every output —
+    # hcc, gc, wci, wck — is per-cam-masked post-reduction by the wrapper);
+    # imask stays in-kernel because the unreduced wik rows consume it here
+    ju = ([_zmul(ju[i], mu) for i in range(a)]
+          + [ju[a + i] * mu * imask[:, i:i + 1] for i in range(6)] + [r_u])
+    jv = ([_zmul(jv[i], mv) for i in range(a)]
+          + [jv[a + i] * mv * imask[:, i:i + 1] for i in range(6)] + [r_v])
 
     # Jk columns (free point): d(u,v)/dXt = d_xc @ (Re Rp), masked by kmask
     jku, jkv = [], []
@@ -707,10 +751,12 @@ def _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
         jkv.append((dv_xc[0] * rerp_col[0] + dv_xc[1] * rerp_col[1]
                     + dv_xc[2] * rerp_col[2]) * mv * km)
 
+    zb = jnp.zeros(r_u.shape[:1], r_u.dtype)
     gvals = [[None] * gram_w for _ in range(gram_w)]
     for i in range(gram_w):
         for j in range(i, gram_w):
-            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)  # (T,)
+            p = _zpair(ju[i], jv[i], ju[j], jv[j])
+            g = zb if p is None else jnp.sum(p, axis=1)  # (T,)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
@@ -732,7 +778,7 @@ def _fused_selfcal_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                                                                      None]
     # wck rows (a*3, K): per-cam sum over the tile's blocks of Jc^T Jk
     wck_ref[:] += jnp.stack(
-        [jnp.sum(ju[i] * jku[j] + jv[i] * jkv[j], axis=0)
+        [jnp.sum(_zpair(ju[i], jv[i], jku[j], jkv[j]), axis=0)
          for i in range(a) for j in range(3)], axis=0)[None]
 
     # per-block pieces
@@ -802,10 +848,9 @@ def make_pallas_selfcal_grams_fused(widths, n_cams: int, n_ims: int,
             packed = padi(packed, "edge")
             uv_t = padi(uv_t, "zero")
             mask_p = padi(mask, "zero")
-            cmask_p = padi(cmask_b, "edge")
             imask_p = padi(imask_b, "edge")
         else:
-            mask_p, cmask_p, imask_p = mask, cmask_b, imask_b
+            mask_p, imask_p = mask, imask_b
 
         b_pad = n_cams * i_pad
         grid = (b_pad // t,)
@@ -821,8 +866,6 @@ def make_pallas_selfcal_grams_fused(widths, n_cams: int, n_ims: int,
                 pl.BlockSpec((t, 2, k), lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, k), lambda i: (i, i * 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, a), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, 6), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
@@ -863,19 +906,27 @@ def make_pallas_selfcal_grams_fused(widths, n_cams: int, n_ims: int,
                 jax.ShapeDtypeStruct((b_pad, 1), dtype),
                 jax.ShapeDtypeStruct((16, k), dtype),
             ),
-        )(packed, keyp.T, uv_t, mask_p, cmask_p, imask_p, kmask.T)
+        )(packed, keyp.T, uv_t, mask_p, imask_p, kmask.T)
 
-        wci_r = wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
+        # cmask post-reduction (per camera — constant across its images):
+        # the camera side of hcc/gc/wci/wck replaces the per-column
+        # in-kernel products at K-free (or one-pass) cost
+        cm = cmask_b.reshape(n_cams, n_ims, a)[:, 0]
+        hcc = hcc * cm[:, :, None] * cm[:, None, :]
+        wci_r = (wci.reshape(n_cams, i_pad, a, 6)[:, :n_ims]
+                 * cm[:, None, :, None])
         hii = jnp.sum(gii.reshape(n_cams, i_pad, 6, 6)[:, :n_ims], axis=0)
         gi_r = jnp.sum(gi.reshape(n_cams, i_pad, 6)[:, :n_ims], axis=0)
         cost = jnp.sum(corner.reshape(n_cams, i_pad)[:, :n_ims])
-        wck = wck_r.transpose(0, 2, 1).reshape(n_cams, k, a, 3)
+        wck = (wck_r.transpose(0, 2, 1).reshape(n_cams, k, a, 3)
+               * cm[:, None, :, None])
         wik = jnp.sum(
             wik_r.reshape(n_cams, i_pad, 6 * 3, k)[:, :n_ims], axis=0
         ).transpose(0, 2, 1).reshape(n_ims, k, 6, 3)
         hkk = hkkgk[:9].T.reshape(k, 3, 3)
         gk = hkkgk[9:12].T
-        return (hcc, hii, hkk, wci_r, wck, wik, gc[:, 0], gi_r, gk, cost)
+        return (hcc, hii, hkk, wci_r, wck, wik, gc[:, 0] * cm, gi_r, gk,
+                cost)
 
     return grams
 
@@ -921,8 +972,8 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
     # outside): ju/jv columns 0..a-1 by cmask, a..a+5 by imask; rows by mu/mv
     colm = ([cmask[:, i:i + 1] for i in range(a)]
             + [imask[:, i:i + 1] for i in range(6)])
-    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
-    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+    ju = [_zmul(j, mu, cm) for j, cm in zip(ju, colm)] + [r_u]
+    jv = [_zmul(j, mv, cm) for j, cm in zip(jv, colm)] + [r_v]
 
     # Jk columns (free point): d(u,v)/dXt = d_xc @ (Re Rp), masked by kmask
     jku, jkv = [], []
@@ -935,10 +986,12 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
                     + dv_xc[2] * rerp_col[2]) * mv * km)
 
     # per-block extended gram (cam+pose+residual)
+    zb = jnp.zeros(r_u.shape[:1], r_u.dtype)
     gvals = [[None] * gram_w for _ in range(gram_w)]
     for i in range(gram_w):
         for j in range(i, gram_w):
-            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
+            p = _zpair(ju[i], jv[i], ju[j], jv[j])
+            g = zb if p is None else jnp.sum(p, axis=1)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
@@ -947,7 +1000,7 @@ def _selfcal_kernel_body(params_ref, pts_ref, uv_ref, mask_ref, cmask_ref,
     out_ref[:] = jnp.stack(rows, axis=1)
 
     # per-(block, key) couplings, laid out (8, a*c | b*c, K)
-    wck_rows = [ju[i] * jku[j] + jv[i] * jkv[j]
+    wck_rows = [_zpair(ju[i], jv[i], jku[j], jkv[j])
                 for i in range(a) for j in range(3)]
     wck_ref[:] = jnp.stack(wck_rows, axis=1)            # (8, a*3, K)
     wik_rows = [ju[a + i] * jku[j] + jv[a + i] * jkv[j]
@@ -1196,8 +1249,8 @@ def _mixed_kernel_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
 
     colm = ([cmask[:, i:i + 1] for i in range(a)]
             + [imask[:, i:i + 1] for i in range(6)])
-    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
-    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+    ju = [_zmul(j, mu, cm) for j, cm in zip(ju, colm)] + [r_u]
+    jv = [_zmul(j, mv, cm) for j, cm in zip(jv, colm)] + [r_v]
 
     def kd_row(i):                            # (1, K) per-key constant row
         return kd[i:i + 1, :]
@@ -1240,10 +1293,12 @@ def _mixed_kernel_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
             jcv.append(v)
 
     # per-block extended gram over [cam | im | r]
+    zb = jnp.zeros(r_u.shape[:1], r_u.dtype)
     gvals = [[None] * gram_w for _ in range(gram_w)]
     for i in range(gram_w):
         for j in range(i, gram_w):
-            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
+            p = _zpair(ju[i], jv[i], ju[j], jv[j])
+            g = zb if p is None else jnp.sum(p, axis=1)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
@@ -1252,7 +1307,7 @@ def _mixed_kernel_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
     out_ref[:] = jnp.stack(rows, axis=1)
 
     # per-(block, key) couplings against the c columns
-    wcc_ref[:] = jnp.stack([ju[i] * jcu[j] + jv[i] * jcv[j]
+    wcc_ref[:] = jnp.stack([_zpair(ju[i], jv[i], jcu[j], jcv[j])
                             for i in range(a) for j in range(cw)], axis=1)
     wic_ref[:] = jnp.stack([ju[a + i] * jcu[j] + jv[a + i] * jcv[j]
                             for i in range(6) for j in range(cw)], axis=1)
@@ -1423,8 +1478,8 @@ def _fused_mixed_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
 
     colm = ([cmask[:, i:i + 1] for i in range(a)]
             + [imask[:, i:i + 1] for i in range(6)])
-    ju = [j * mu * cm for j, cm in zip(ju, colm)] + [r_u]
-    jv = [j * mv * cm for j, cm in zip(jv, colm)] + [r_v]
+    ju = [_zmul(j, mu, cm) for j, cm in zip(ju, colm)] + [r_u]
+    jv = [_zmul(j, mv, cm) for j, cm in zip(jv, colm)] + [r_v]
 
     def kd_row(i):                            # (1, K) per-key constant row
         return kd[i:i + 1, :]
@@ -1465,10 +1520,12 @@ def _fused_mixed_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
             jcu.append(u)
             jcv.append(v)
 
+    zb = jnp.zeros(r_u.shape[:1], r_u.dtype)
     gvals = [[None] * gram_w for _ in range(gram_w)]
     for i in range(gram_w):
         for j in range(i, gram_w):
-            g = jnp.sum(ju[i] * ju[j] + jv[i] * jv[j], axis=1)
+            p = _zpair(ju[i], jv[i], ju[j], jv[j])
+            g = zb if p is None else jnp.sum(p, axis=1)
             gvals[i][j] = g
             gvals[j][i] = g
     if weight_fn is not None:
@@ -1489,7 +1546,7 @@ def _fused_mixed_body(params_ref, kd_ref, uv_ref, mask_ref, cmask_ref,
         jnp.stack([gvals[i][w] for i in range(a)], axis=-1), axis=0)[None,
                                                                      None]
     wcc_ref[:] += jnp.stack(
-        [jnp.sum(ju[i] * jcu[j] + jv[i] * jcv[j], axis=0)
+        [jnp.sum(_zpair(ju[i], jv[i], jcu[j], jcv[j]), axis=0)
          for i in range(a) for j in range(cw)], axis=0)[None]
 
     # per-block pieces

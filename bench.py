@@ -57,8 +57,8 @@ def emit(metric: str, solve_s: float, dets: int):
 
 def fetch_scalar(x) -> float:
     """Force a real device->host transfer (block_until_ready is a no-op
-    through the tunnel)."""
-    return float(np.asarray(x))
+    through the tunnel). Batched (fleet) costs fetch as their sum."""
+    return float(np.asarray(x).sum())
 
 
 def timed_solve(solve, pieces_list, args, k_lo: int = 2, k_hi: int = 12):
@@ -307,6 +307,81 @@ def selfcal_problem(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     return solve, pieces, (uv, mask), blocks
 
 
+def fleet_problem(n_rigs: int = 64, n_cams: int = 4, n_ims: int = 16,
+                  grid: int = 10):
+    """FLEET: n_rigs same-structure template rigs in ONE vmapped solve
+    (optim/fleet.py is the handler-level API; this builds the equivalent
+    optim-level batch so the bench stays handler-free like the other
+    metrics). Each rig alone sits on the dispatch floor — batching is the
+    TPU-native answer to production fleet calibration throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycamset_tpu.config import default_device_dtype
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, Projection,
+                                           TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+    from pycamset_tpu.optim.structured import (
+        ParamPieces, build_block_arrays, chain_widths, make_structured_neq,
+        split_full_params)
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    dtype = default_device_dtype()
+    op_fun = OptimFunction([Projection(), Extrinsic3D(), TemplatePoints()])
+    widths = chain_widths(op_fun)
+    rng = np.random.default_rng(7)
+
+    uvs, masks, tpls, pieces_l, n_real = [], [], [], [], 0
+    for r in range(n_rigs):
+        rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                                 visibility=0.85, noise_px=0.3, seed=100 + r)
+        n_keys = rig["n_keys"]
+        struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+        blocks = build_block_arrays(rig["dd"], n_cams, n_ims, n_keys)
+        k_pad = blocks.uv.shape[1]
+        tpl_pad = np.zeros((k_pad, 3))
+        tpl_pad[:n_keys] = rig["template"]
+        tpl_pad[n_keys:] = rig["template"][0]
+        x_full = np.concatenate([rig["intr"].ravel(), rig["extr"].ravel(),
+                                 rig["poses"].ravel()])
+        scale = np.concatenate([
+            np.tile([10.0, 5, 10, 5, 1e-2, 1e-3, 1e-4, 1e-4, 1e-4], n_cams),
+            np.tile([1e-2] * 6, n_cams), np.tile([1e-2] * 6, n_ims)])
+        x_full += rng.normal(size=struct.total) * scale
+        pose_sl = struct.group_slice(2)
+        x_full[pose_sl.start:pose_sl.start + 6] = 0.0  # gauge
+        p = split_full_params(x_full, op_fun, struct, n_cams, n_ims,
+                              n_keys, widths, xp=np)
+        pieces_l.append(ParamPieces(np.asarray(p.cam), np.asarray(p.im),
+                                    np.zeros((k_pad, 0))))
+        uvs.append(blocks.uv)
+        masks.append(blocks.mask)
+        tpls.append(tpl_pad)
+        n_real += blocks.n_real
+
+    uv = jnp.asarray(np.stack(uvs), dtype)
+    mask = jnp.asarray(np.stack(masks), dtype)
+    tpl = jnp.asarray(np.stack(tpls), dtype)
+    pieces = ParamPieces(*(jnp.asarray(np.stack(a), dtype)
+                           for a in zip(*pieces_l)))
+    colmask = template_colmask(n_cams, n_ims, widths, k_pad, dtype)
+    neq_raw = make_structured_neq(op_fun, widths, n_cams, n_ims)
+
+    def one(pp, u, m, t):
+        return structured_lm_solve(
+            lambda q: neq_raw(q, u, m, t, colmask), pp, max_nfev=100)
+
+    @jax.jit
+    def solve(p, uv_, mask_, tpl_):
+        return jax.vmap(one)(p, uv_, mask_, tpl_)
+
+    # the single-rig program over the same data (benchmarks/fleet_bench.py
+    # times it as the strongest sequential baseline)
+    solve_single = jax.jit(one)
+    return solve, pieces, (uv, mask, tpl), n_real, solve_single
+
+
 def run_problem(name, solve, pieces, args, n_real, noise_px, k_hi=12):
     """Compile, validate RMS, time, and emit one metric line."""
     import jax  # noqa: F401
@@ -317,11 +392,12 @@ def run_problem(name, solve, pieces, args, n_real, noise_px, k_hi=12):
     first_call_s = time.perf_counter() - t0
 
     rms = float(np.sqrt(cost / (2 * n_real)))
-    nit = int(np.asarray(res.nit))
+    nit = int(np.asarray(res.nit).max())
     pieces_list = perturbed(pieces, 4)
     solve_s = timed_solve(solve, pieces_list, args, k_hi=k_hi)
     log(f"{name}: detections={n_real} iters={nit} "
-        f"nfev={int(np.asarray(res.nfev))} status={int(np.asarray(res.status))} "
+        f"nfev={int(np.asarray(res.nfev).max())} "
+        f"status={int(np.asarray(res.status).max())} "
         f"rms_px={rms:.4f} (noise floor ~{noise_px}) "
         f"first_call_s={first_call_s:.2f} solve_s={solve_s:.4f} "
         f"det_iters_per_s={n_real * max(nit, 1) / solve_s / 1e6:.1f}M")
@@ -358,6 +434,16 @@ def main():
         emit("ba16x100_selfcal_solve_s", s_s, s_blocks.n_real)
     except Exception as e:
         log(f"selfcal metric failed: {e!r}")
+
+    # --- fleet: 64 rigs of 4 x 16 in ONE vmapped solve ------------------
+    try:
+        f_solve, f_pieces, f_args, f_real, _ = fleet_problem()
+        f_s = run_problem("fleet64x4x16", f_solve, f_pieces, f_args,
+                          f_real, 0.3)
+        emit("fleet64x4x16_solve_s", f_s, f_real)
+        log(f"fleet64x4x16: {64 / f_s:.0f} rig calibrations/s")
+    except Exception as e:
+        log(f"fleet metric failed: {e!r}")
 
     # --- compute-bound point: 64 x 400 (7.78M detections) --------------
     try:

@@ -17,7 +17,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
     "ChArUco", "Ccube", "TargetTracker", "export_tracker",
-    "load_tracker_artifact",
+    "load_tracker_artifact", "run_fleet_bundle_adjustment",
 ]
 
 _LAZY = {
@@ -31,6 +31,8 @@ _LAZY = {
     "export_tracker": ("pycamset_tpu.serving", "export_tracker"),
     "load_tracker_artifact": ("pycamset_tpu.serving",
                               "load_tracker_artifact"),
+    "run_fleet_bundle_adjustment": ("pycamset_tpu.optim.fleet",
+                                    "run_fleet_bundle_adjustment"),
 }
 
 

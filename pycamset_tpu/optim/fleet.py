@@ -1,0 +1,403 @@
+"""Fleet bundle adjustment: R same-structure rigs in ONE vmapped LM solve.
+
+Beyond the reference (pyCamSet solves one calibration per process —
+pyCamSet/optimisation/optimisation_handling.py:52-117): a production fleet
+of identical rigs (same cameras-per-rig, same target, same chain) batches
+into a single jitted ``jax.vmap`` of the structured Schur LM solve. One
+compile serves the whole fleet and one dispatch solves it; the batched
+``lax.while_loop`` steps until the slowest rig converges while finished
+rigs' carries are masked by the batching rule, so every rig's solution is
+identical to a solo solve of the same problem. Per-rig ``nfev/nit/status``
+report individual convergence.
+
+Structural requirements (validated): identical function-block chain,
+camera count, key count (same calibration target) and key->group map.
+Image counts MAY differ per rig — the pose axis pads to the fleet grid
+with fully-masked replicated images, exactly like the single-rig bucket
+padding in ``optim/structured_driver.py``. Fixed-parameter patterns MAY
+differ per rig — the 0/1 column masks ride the batch axis as a vmapped
+argument instead of a captured constant.
+
+Multi-chip: pass ``mesh=`` (a 1-D ``jax.sharding.Mesh``) and the RIG axis
+shards over the devices — embarrassingly parallel (no collectives at all:
+each device's slab runs its own batched while_loop until ITS rigs
+converge, so there is not even a per-iteration convergence all-reduce).
+The fleet pads to a device multiple with copies of rig 0; padding results
+are dropped on the host.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycamset_tpu.config import default_device_dtype
+from pycamset_tpu.optim.blocks import key_type
+from pycamset_tpu.optim.structured import (
+    ParamPieces, UnsupportedChain, build_block_arrays, chain_widths,
+    make_structured_neq, merge_pieces_to_full, split_full_params)
+from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
+
+
+class FleetMismatch(ValueError):
+    """The handlers do not describe one common problem structure."""
+
+
+# solver-relevant options that must agree across the fleet (they are baked
+# into the ONE compiled program every rig shares)
+_SHARED_OPTS = ("loss", "f_scale", "loss_semantics", "max_nfev",
+                "reduced_solver", "im_bucket")
+
+
+def _chain_names(handler) -> tuple:
+    return tuple(type(bk).__name__ for bk in handler.op_fun.blocks)
+
+
+def _validate_fleet(handlers):
+    """Check every handler shares the structure of handlers[0]; return
+    (widths, grouped, gok, n_groups, opts)."""
+    if not handlers:
+        raise FleetMismatch("empty fleet")
+    h0 = handlers[0]
+    names = _chain_names(h0)
+    widths = chain_widths(h0.op_fun)
+    n_cams, n_keys = len(h0.cam_names), h0.n_keys()
+    opts = {k: h0.problem_opts.get(k) for k in _SHARED_OPTS}
+    grouped = widths.key_link == key_type.PER_GROUP
+    gok = (np.asarray(h0.group_of_key(), dtype=np.int64) if grouped else None)
+    n_groups = int(h0.n_groups()) if grouped else 0
+    for i, h in enumerate(handlers[1:], start=1):
+        if _chain_names(h) != names:
+            raise FleetMismatch(
+                f"rig {i} chain {_chain_names(h)} != rig 0 chain {names}")
+        if chain_widths(h.op_fun) != widths:
+            raise FleetMismatch(f"rig {i} chain widths differ from rig 0")
+        if len(h.cam_names) != n_cams:
+            raise FleetMismatch(
+                f"rig {i} has {len(h.cam_names)} cameras, rig 0 {n_cams}")
+        if h.n_keys() != n_keys:
+            raise FleetMismatch(
+                f"rig {i} has {h.n_keys()} keys, rig 0 {n_keys} "
+                "(fleet rigs must share one calibration target)")
+        if grouped:
+            gok_i = np.asarray(h.group_of_key(), dtype=np.int64)
+            if int(h.n_groups()) != n_groups or not np.array_equal(gok_i,
+                                                                   gok):
+                raise FleetMismatch(
+                    f"rig {i} key->group map differs from rig 0")
+        opts_i = {k: h.problem_opts.get(k) for k in _SHARED_OPTS}
+        if opts_i != opts:
+            diff = {k: (opts[k], opts_i[k]) for k in _SHARED_OPTS
+                    if opts[k] != opts_i[k]}
+            raise FleetMismatch(
+                f"rig {i} solver options differ from rig 0: {diff} "
+                "(the fleet shares one compiled program)")
+    return widths, grouped, gok, n_groups, opts
+
+
+def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
+                        mesh=None):
+    """Compile R same-structure handlers onto ONE vmapped structured solve.
+
+    Single-rig counterpart (and the canonical version of each prep step):
+    ``optim/structured_driver.py::build_structured_problem``.
+
+    :param mesh: optional 1-D ``jax.sharding.Mesh`` — shard the RIG axis
+        over its devices (shard_map, zero collectives; see module
+        docstring).
+    :return: (solve_fn() -> list[(x_free, SLMResult)] one per rig,
+              residual_fn(r, x_free) -> (n_real_r, 2) unpadded residuals of
+              rig r, x0s list of per-rig initial free parameters)
+    Raises UnsupportedChain for chains outside the structured layout (the
+    mixed PER_KEY+PER_GROUP family has no fleet path yet) and FleetMismatch
+    when the handlers' structures differ.
+    """
+    dtype = dtype or default_device_dtype()
+    # pose seeding runs inside get_initial_params — it must precede every
+    # primitive read, exactly as in the single-rig builder
+    x0s = [np.asarray(h.get_initial_params(), dtype=np.float64)
+           for h in handlers]
+    widths, grouped, gok, n_groups, opts = _validate_fleet(handlers)
+    h0 = handlers[0]
+    op_fun = h0.op_fun
+    n_cams, n_keys = len(h0.cam_names), h0.n_keys()
+
+    def true_ims(h):
+        n_ims = int(h.bundlePrimitive.poses.shape[0])
+        return n_ims if widths.b else int(h.detection.max_ims)
+
+    im_bucket = opts["im_bucket"] if opts["im_bucket"] is not None else 8
+    n_ims_fleet = max(true_ims(h) for h in handlers)
+    if im_bucket:
+        n_ims_grid = ((n_ims_fleet + im_bucket - 1) // im_bucket) * im_bucket
+    else:
+        n_ims_grid = n_ims_fleet
+
+    gok_pad = None
+    if grouped:  # key grid width is set by n_keys alone (build_block_arrays)
+        k_pad0 = -(-max(n_keys, 1) // k_pad_multiple) * k_pad_multiple
+        gok_pad = np.concatenate(
+            [gok, np.full(k_pad0 - n_keys, gok[0], dtype=np.int64)])
+
+    # ---- per-rig data prep (np mirrors of build_structured_problem) ----
+    uvs, masks, tpls, cmasks, pieces0 = [], [], [], [], []
+    rig_host = []  # (struct, base_full, free_idx, dd indices, n_ims)
+    for h, x0 in zip(handlers, x0s):
+        n_ims = int(h.bundlePrimitive.poses.shape[0])
+        dd = h.get_detection_data(flatten=True)
+        blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
+                                    k_pad_multiple=k_pad_multiple)
+        k_pad = blocks.uv.shape[1]
+        struct = op_fun.param_struct(n_cams, n_ims, n_keys,
+                                     n_groups=n_groups)
+        base_full = h.bundlePrimitive.base_full()
+        unfixed = h.bundlePrimitive.unfixed_full()
+        base_full[unfixed] = x0
+        free_idx = np.where(unfixed)[0]
+
+        # pad template rows REPLICATE a real point (NaN-safety; see the
+        # single-rig builder)
+        tpl_tab = h.template_table()
+        tpl_pad = np.zeros((k_pad, 3))
+        if tpl_tab is not None and op_fun.templated:
+            flat_tpl = tpl_tab.reshape(-1, 3)
+            tpl_pad[:n_keys] = flat_tpl
+            tpl_pad[n_keys:] = flat_tpl[0]
+
+        def to_np_pieces(full_np):
+            p = split_full_params(full_np.astype(np.float64), op_fun,
+                                  struct, n_cams, n_ims, n_keys, widths,
+                                  xp=np)
+            if widths.c and not grouped:
+                key = np.tile(p.key[:1], (k_pad, 1))
+                key[:n_keys] = p.key
+            elif widths.c:
+                key = np.asarray(p.key)
+            else:
+                key = np.zeros((k_pad, 0))
+            if widths.b:
+                im = np.tile(p.im[:1], (n_ims_grid, 1))
+                im[:n_ims] = p.im
+            else:
+                im = np.zeros((n_ims_grid, 0))
+            return ParamPieces(np.asarray(p.cam), im, key)
+
+        colmask_np = np.zeros_like(base_full)
+        colmask_np[unfixed] = 1.0
+        cmask = to_np_pieces(colmask_np)
+        # padded key/image slots are never free parameters
+        if widths.c and not grouped:
+            cmask.key[n_keys:] = 0.0
+        if widths.b:
+            cmask.im[n_ims:] = 0.0
+
+        uvs.append(blocks.uv)
+        masks.append(blocks.mask)
+        tpls.append(tpl_pad)
+        cmasks.append(cmask)
+        pieces0.append(to_np_pieces(base_full))
+        cam_i = dd[:, 0].astype(int)
+        im_i = dd[:, 1].astype(int)
+        key_i = dd[:, 2].astype(int)
+        rig_host.append((struct, base_full, free_idx,
+                         cam_i * n_ims_grid + im_i, key_i, n_ims))
+
+    def stack(ps):
+        return ParamPieces(*(jnp.asarray(np.stack(a), dtype=dtype)
+                             for a in zip(*ps)))
+
+    uv_s = jnp.asarray(np.stack(uvs), dtype=dtype)
+    mask_s = jnp.asarray(np.stack(masks), dtype=dtype)
+    tpl_s = jnp.asarray(np.stack(tpls), dtype=dtype)
+    cmask_s = stack(cmasks)
+    x0_s = stack(pieces0)
+
+    neq_raw = make_structured_neq(
+        op_fun, widths, n_cams, n_ims_grid,
+        loss=opts["loss"] or "linear",
+        f_scale=float(opts["f_scale"] or 1.0),
+        group_of_key=gok_pad, n_groups=n_groups if grouped else None,
+        loss_semantics=opts["loss_semantics"] or "component")
+    max_nfev = int(opts["max_nfev"] or 100)
+
+    reduced_solver = opts["reduced_solver"] or "auto"
+    if reduced_solver == "auto":  # same rule as the single-rig builder
+        dim = n_cams * widths.a + n_ims_grid * widths.b
+        if widths.c == 0 and widths.b:
+            dim = n_cams * widths.a
+        reduced_solver = "cg" if dim > 4096 else "dense"
+
+    def one(xp, uv, mask, tpl, cm):
+        def neq_fn(p):
+            return neq_raw(p, uv, mask, tpl, cm)
+        return structured_lm_solve(neq_fn, xp, max_nfev=max_nfev,
+                                   reduced_solver=reduced_solver)
+
+    if mesh is None:
+
+        @jax.jit
+        def solve_impl(xps, uvs_, masks_, tpls_, cms):
+            return jax.vmap(one)(xps, uvs_, masks_, tpls_, cms)
+
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        spec = PartitionSpec(axis)
+        ndev = int(mesh.devices.size)
+        n_rigs = uv_s.shape[0]
+        r_pad = -(-n_rigs // ndev) * ndev
+        if r_pad != n_rigs:  # pad with copies of rig 0, dropped on host
+
+            def padr(x):
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[:1], r_pad - n_rigs, axis=0)], axis=0)
+
+            uv_s, mask_s, tpl_s = padr(uv_s), padr(mask_s), padr(tpl_s)
+            cmask_s = jax.tree_util.tree_map(padr, cmask_s)
+            x0_s = jax.tree_util.tree_map(padr, x0_s)
+        sh = NamedSharding(mesh, spec)
+        uv_s, mask_s, tpl_s = (jax.device_put(a, sh)
+                               for a in (uv_s, mask_s, tpl_s))
+        cmask_s = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh),
+                                         cmask_s)
+        x0_s = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh),
+                                      x0_s)
+
+        # zero-collective SPMD: each device's slab iterates independently
+        # (check_vma=False as in the other shard_maps over Pallas grams)
+        @jax.jit
+        @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
+                 check_vma=False)
+        def solve_impl(xps, uvs_, masks_, tpls_, cms):
+            return jax.vmap(one)(xps, uvs_, masks_, tpls_, cms)
+
+    point_fn = op_fun.make_point_fn()
+    blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
+    blk_im = np.tile(np.arange(n_ims_grid), n_cams)
+    gok_d = np.asarray(gok_pad) if grouped else None
+
+    @jax.jit
+    def block_residual_impl(x_pieces, uv, mask, tpl):
+        cam_b = x_pieces.cam[blk_cam]
+        im_b = x_pieces.im[blk_im]
+        keyp = x_pieces.key[gok_d] if grouped else x_pieces.key
+
+        def slot(cp, ip, kp, t, u):
+            return point_fn(jnp.concatenate([cp, ip, kp]), t) - u
+
+        per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
+        per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
+        return per_blk(cam_b, im_b, keyp, tpl, uv) * mask[..., None]
+
+    n_keyrows = n_groups if grouped else n_keys
+
+    def extract_free(r: int, x_pieces: ParamPieces) -> np.ndarray:
+        struct, base_full, free_idx, _, _, n_ims = rig_host[r]
+        xp = jax.tree_util.tree_map(np.asarray, x_pieces)
+        full = np.asarray(merge_pieces_to_full(
+            ParamPieces(jnp.asarray(xp.cam, dtype=jnp.float64),
+                        (jnp.asarray(xp.im[:n_ims], dtype=jnp.float64)
+                         if widths.b else jnp.zeros((n_ims, 0))),
+                        jnp.asarray(xp.key[:n_keyrows],
+                                    dtype=jnp.float64)),
+            op_fun, struct, n_cams, n_ims, n_keys))
+        return full[free_idx]
+
+    def apply_free(r: int, x_free: np.ndarray) -> ParamPieces:
+        # rebuild rig r's pieces from updated free params (host, per rig)
+        struct, base_full, free_idx, _, _, n_ims = rig_host[r]
+        full = base_full.copy()
+        full[free_idx] = np.asarray(x_free, dtype=np.float64)
+        p = split_full_params(full, op_fun, struct, n_cams, n_ims, n_keys,
+                              widths, xp=np)
+        k_pad = tpls[r].shape[0]
+        if widths.c and not grouped:
+            key = np.tile(p.key[:1], (k_pad, 1))
+            key[:n_keys] = p.key
+        elif widths.c:
+            key = np.asarray(p.key)
+        else:
+            key = np.zeros((k_pad, 0))
+        if widths.b:
+            im = np.tile(p.im[:1], (n_ims_grid, 1))
+            im[:n_ims] = p.im
+        else:
+            im = np.zeros((n_ims_grid, 0))
+        return ParamPieces(np.asarray(p.cam), im, key)
+
+    def solve_fn():
+        res: SLMResult = solve_impl(x0_s, uv_s, mask_s, tpl_s, cmask_s)
+        res_h = jax.tree_util.tree_map(np.asarray, res)
+        out = []
+        for r in range(len(handlers)):
+            res_r = jax.tree_util.tree_map(lambda a: a[r], res_h)
+            out.append((extract_free(r, res_r.x), res_r))
+        return out
+
+    def residual_fn(r: int, x_free: np.ndarray) -> np.ndarray:
+        p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype),
+                                   apply_free(r, x_free))
+        rr = np.asarray(block_residual_impl(p, uv_s[r], mask_s[r],
+                                            tpl_s[r]))
+        _, _, _, blk_i, key_i, _ = rig_host[r]
+        return rr[blk_i, key_i]
+
+    return solve_fn, residual_fn, x0s
+
+
+def run_fleet_bundle_adjustment(handlers, dtype=None, mesh=None):
+    """Solve every handler's bundle adjustment in one batched device solve.
+
+    Fleet counterpart of ``optim/driver.py::run_bundle_adjustment``.
+
+    :param mesh: optional 1-D device mesh — shards the rig axis.
+    :return: (list[OptimizeResult], list[CameraSet]) — one per rig, in
+        handler order.
+    """
+    from pycamset_tpu.optim.driver import OptimizeResult
+
+    logging.info(f"Making a fleet optimisation problem ({len(handlers)} "
+                 "rigs, one vmapped solve)")
+    solve_fn, residual_fn, x0s = build_fleet_problem(handlers, dtype=dtype,
+                                                     mesh=mesh)
+
+    init_errs = [residual_fn(r, x0) for r, x0 in enumerate(x0s)]
+    for r, err in enumerate(init_errs):
+        e = float(np.mean(np.linalg.norm(err, axis=1)))
+        logging.info(f"rig {r}: initial Euclidean error {e:.2f} px")
+        if e > 150 or np.isnan(e):
+            logging.critical(
+                f"rig {r}: worryingly high/NaN initial error — check its "
+                "seeding before trusting the fleet solve")
+
+    start = time.time()
+    solved = solve_fn()
+    logging.info(f"Fleet optimisation took {time.time() - start: .2f} "
+                 "seconds.")
+
+    results, camsets = [], []
+    for r, (handler, (x_final, res)) in enumerate(zip(handlers, solved)):
+        final_res = residual_fn(r, x_final)
+        e = float(np.mean(np.linalg.norm(final_res, axis=1)))
+        logging.info(f"rig {r}: final Euclidean error {e:.2f} px "
+                     f"(nit={int(res.nit)}, status={int(res.status)})")
+        if e > 5:
+            logging.critical(f"rig {r}: remaining error is very large — "
+                             "please check its output")
+        hist = np.asarray(res.history)
+        opt = OptimizeResult(
+            x=x_final, fun=final_res.reshape(-1), jac=None,
+            cost=float(res.cost) * 0.5, nfev=int(res.nfev),
+            nit=int(res.nit), status=int(res.status),
+            history=hist[hist >= 0])
+        camset = handler.get_camset(x_final)
+        camset.set_calibration_history(opt, handler)
+        results.append(opt)
+        camsets.append(camset)
+    return results, camsets

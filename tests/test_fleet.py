@@ -1,0 +1,240 @@
+"""Fleet bundle adjustment: R same-structure rigs in ONE vmapped solve
+(optim/fleet.py) — parity against per-rig single solves on the structured
+backend, ragged image counts, per-rig fixed-parameter masks, and the
+structural validation errors."""
+import numpy as np
+import pytest
+
+
+def _template_handler(n_cams=2, n_ims=4, grid=4, seed=5, noise=0.2,
+                      fixed_params=None, options=None):
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import (FreePointTarget,
+                                             TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
+                             visibility=1.0, noise_px=noise, seed=seed)
+    names = [f"cam{c}" for c in range(n_cams)]
+    k_mats = [np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]], [0, 0, 1]])
+              for i9 in rig["intr"]]
+    exts = [make_4x4h_tform(e[:3], e[3:]) for e in rig["extr"]]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, [i9[4:] for i9 in rig["intr"]],
+        [[1600, 1200]] * n_cams))
+    return TemplateBundleHandler(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=names, data=rig["dd"]),
+        fixed_params=fixed_params,
+        options={"outliers": "n", **(options or {})}), rig
+
+
+def _selfcal_handler(seed=29, n_ims=6, **options):
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import (FreePointTarget,
+                                             SelfBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=5, visibility=0.95,
+                             noise_px=0.2, seed=seed)
+    k_mats = [np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]], [0, 0, 1]])
+              for i9 in rig["intr"]]
+    exts = [make_4x4h_tform(e[:3], e[3:]) for e in rig["extr"]]
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, [i9[4:] for i9 in rig["intr"]],
+        [[1600, 1200]] * 3))
+    target = FreePointTarget(rig["template"].reshape(1, -1, 3))
+    det = TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"])
+    return SelfBundleHandler(cams, target, det,
+                             options={"outliers": "n", **options}), rig
+
+
+def _single_solve(make_handler):
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    handler, _ = make_handler()
+    res, cams = run_bundle_adjustment(handler, backend="structured")
+    return res, cams
+
+
+class TestFleetParity:
+    """Two-level parity. (1) Batch invariance, tight: a rig solved in an
+    R=3 fleet matches the SAME rig solved as an R=1 fleet (vmap batching
+    must not change the solution). (2) Backend agreement, loose: the fleet
+    path re-compiles the problem with the column mask as a traced argument
+    where the single-rig structured backend folds it as a constant, so the
+    LM trajectories part ways in the last ulps and stop within ~1e-4 of
+    each other — same optimum, different final step."""
+
+    def test_template_fleet_matches_singles(self):
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        seeds = [5, 6, 7]
+        handlers = [_template_handler(seed=s)[0] for s in seeds]
+        results, camsets = run_fleet_bundle_adjustment(handlers)
+        assert len(results) == len(camsets) == 3
+
+        for s, res, cams in zip(seeds, results, camsets):
+            solo, _ = run_fleet_bundle_adjustment(
+                [_template_handler(seed=s)[0]])
+            # R=3 and R=1 are different executables — XLA's reduction
+            # orders differ with batch layout, so "tight" means solver
+            # tolerance, not ulps
+            assert res.cost == pytest.approx(solo[0].cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, solo[0].x, rtol=1e-3,
+                                       atol=1e-6)
+
+            ref, _ = _single_solve(lambda s=s: _template_handler(seed=s))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
+            assert np.sqrt(np.mean(res.fun ** 2)) < 0.3
+            assert cams is not None
+
+    def test_ragged_image_counts_pad_to_fleet_grid(self):
+        """Rigs with 4/6/8 images share one grid: the shorter rigs pad with
+        fully-masked images and still match their solo solves."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        spec = [(4, 11), (6, 12), (8, 13)]
+        handlers = [_template_handler(n_ims=n, seed=s)[0] for n, s in spec]
+        results, _ = run_fleet_bundle_adjustment(handlers)
+        for (n, s), res in zip(spec, results):
+            ref, _ = _single_solve(
+                lambda n=n, s=s: _template_handler(n_ims=n, seed=s))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-8)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-6, atol=1e-9)
+            # the padded rig solves the same-size free problem
+            assert res.x.shape == ref.x.shape
+
+    def test_per_rig_fixed_patterns(self):
+        """Fixed-parameter patterns may differ per rig: the column masks
+        ride the batch axis. Rig 1 freezes camera 0's intrinsics+distortion
+        and must keep them bit-identical through the fleet solve."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        h_free, _ = _template_handler(seed=5)
+        rig = _template_handler(seed=6)[1]
+        i9 = rig["intr"][0]
+        fixed = {"cam0": {"int": np.array([[i9[0], 0, i9[1]],
+                                           [0, i9[2], i9[3]], [0, 0, 1]]),
+                          "dst": i9[4:]}}
+        h_fixed, _ = _template_handler(seed=6, fixed_params=fixed)
+        results, camsets = run_fleet_bundle_adjustment([h_free, h_fixed])
+
+        ref_free, _ = _single_solve(lambda: _template_handler(seed=5))
+        np.testing.assert_allclose(results[0].x, ref_free.x, rtol=1e-3,
+                                   atol=1e-6)
+        ref_fixed, _ = _single_solve(
+            lambda: _template_handler(seed=6, fixed_params=fixed))
+        assert results[1].x.shape == ref_fixed.x.shape  # fewer free params
+        np.testing.assert_allclose(results[1].x, ref_fixed.x, rtol=1e-3,
+                                   atol=1e-6)
+        got_i9 = np.concatenate([
+            [camsets[1]["cam0"].intrinsic[0, 0],
+             camsets[1]["cam0"].intrinsic[0, 2],
+             camsets[1]["cam0"].intrinsic[1, 1],
+             camsets[1]["cam0"].intrinsic[1, 2]],
+            np.asarray(camsets[1]["cam0"].distortion_coefs).ravel()])
+        np.testing.assert_allclose(got_i9, i9, rtol=0, atol=0)
+
+    def test_selfcal_fleet_matches_singles(self):
+        """Self-calibration fleet (free points + gauge columns) parity."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        seeds = [29, 31]
+        handlers = [_selfcal_handler(seed=s)[0] for s in seeds]
+        results, _ = run_fleet_bundle_adjustment(handlers)
+        for s, res in zip(seeds, results):
+            ref, _ = _single_solve(lambda s=s: _selfcal_handler(seed=s))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-8)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-5, atol=1e-8)
+
+
+class TestFleetValidation:
+    def test_different_targets_raise(self):
+        from pycamset_tpu.optim.fleet import (FleetMismatch,
+                                              build_fleet_problem)
+
+        h1, _ = _template_handler(grid=4, seed=5)
+        h2, _ = _template_handler(grid=5, seed=6)
+        with pytest.raises(FleetMismatch, match="keys"):
+            build_fleet_problem([h1, h2])
+
+    def test_different_camera_counts_raise(self):
+        from pycamset_tpu.optim.fleet import (FleetMismatch,
+                                              build_fleet_problem)
+
+        h1, _ = _template_handler(n_cams=2, seed=5)
+        h2, _ = _template_handler(n_cams=3, seed=6)
+        with pytest.raises(FleetMismatch, match="cameras"):
+            build_fleet_problem([h1, h2])
+
+    def test_different_chains_raise(self):
+        from pycamset_tpu.optim.fleet import (FleetMismatch,
+                                              build_fleet_problem)
+
+        h1, _ = _template_handler(seed=5)
+        h2, _ = _selfcal_handler(seed=29)
+        with pytest.raises(FleetMismatch, match="chain"):
+            build_fleet_problem([h1, h2])
+
+    def test_different_solver_options_raise(self):
+        from pycamset_tpu.optim.fleet import (FleetMismatch,
+                                              build_fleet_problem)
+
+        h1, _ = _template_handler(seed=5)
+        h2, _ = _template_handler(seed=6, options={"loss": "huber"})
+        with pytest.raises(FleetMismatch, match="options"):
+            build_fleet_problem([h1, h2])
+
+    def test_empty_fleet_raises(self):
+        from pycamset_tpu.optim.fleet import (FleetMismatch,
+                                              build_fleet_problem)
+
+        with pytest.raises(FleetMismatch, match="empty"):
+            build_fleet_problem([])
+
+
+class TestFleetMesh:
+    """Rig-axis sharding over the virtual device mesh: zero-collective
+    SPMD (each device's slab iterates independently), parity with the
+    unsharded fleet, and the pad-to-device-multiple path."""
+
+    pytestmark = pytest.mark.skipif(
+        __import__("jax").device_count() < 8,
+        reason="needs 8 virtual devices")
+
+    def test_sharded_fleet_matches_unsharded(self):
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+        from pycamset_tpu.parallel.mesh import detection_mesh
+
+        seeds = [5, 6, 7, 9]
+        mesh = detection_mesh(4)
+        res_m, _ = run_fleet_bundle_adjustment(
+            [_template_handler(seed=s)[0] for s in seeds], mesh=mesh)
+        res_u, _ = run_fleet_bundle_adjustment(
+            [_template_handler(seed=s)[0] for s in seeds])
+        assert len(res_m) == 4
+        for rm, ru in zip(res_m, res_u):
+            assert rm.cost == pytest.approx(ru.cost, rel=1e-5)
+            np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)
+
+    def test_fleet_pads_to_device_multiple(self):
+        """3 rigs over 2 devices: the fleet pads with a copy of rig 0 and
+        drops the padding on the host."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+        from pycamset_tpu.parallel.mesh import detection_mesh
+
+        seeds = [5, 6, 7]
+        mesh = detection_mesh(2)
+        res_m, camsets = run_fleet_bundle_adjustment(
+            [_template_handler(seed=s)[0] for s in seeds], mesh=mesh)
+        assert len(res_m) == len(camsets) == 3
+        res_u, _ = run_fleet_bundle_adjustment(
+            [_template_handler(seed=s)[0] for s in seeds])
+        for rm, ru in zip(res_m, res_u):
+            assert rm.cost == pytest.approx(ru.cost, rel=1e-5)
+            np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)

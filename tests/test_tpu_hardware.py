@@ -983,3 +983,43 @@ def test_plane_sweep_on_chip():
         valid = np.isfinite(depth)
         assert valid.mean() > 0.85, reg
         assert np.median(np.abs(depth[valid] - 5.0)) < 0.05, reg
+
+
+def test_fleet_vmapped_solve_on_chip():
+    """Fleet calibration (optim/fleet.py's core pattern): two same-shape
+    template rigs batched through ONE jax.vmap'd structured LM solve must
+    match their solo solves on the compiled-Mosaic path. n_ims=16 is
+    tile-aligned so the FUSED template kernel engages under vmap — this is
+    the only tier that can see a Pallas batching-rule defect (interpret
+    mode on CPU takes the XLA closed form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycamset_tpu.optim.structured import make_structured_neq
+    from pycamset_tpu.optim.structured_lm import structured_lm_solve
+
+    probs = [_rig_problem(n_cams=2, n_ims=16, grid=6, noise=0.3, seed=s)
+             for s in (2, 3)]
+    op_fun, widths = probs[0][0], probs[0][1]
+    neq_raw = make_structured_neq(op_fun, widths, 2, 16)
+
+    def one(pieces, uv, mask, tpl, colmask):
+        return structured_lm_solve(
+            lambda p: neq_raw(p, uv, mask, tpl, colmask), pieces,
+            max_nfev=40)
+
+    stackt = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[(p[2], p[4], p[5], p[6], p[3])
+                                      for p in probs])
+    res = jax.jit(jax.vmap(one))(*stackt)
+    costs = np.asarray(res.cost)
+
+    solo = jax.jit(one)
+    for r, p in enumerate(probs):
+        ref = solo(p[2], p[4], p[5], p[6], p[3])
+        ref_cost = float(np.asarray(ref.cost))
+        assert np.isfinite(costs[r])
+        assert costs[r] == pytest.approx(ref_cost, rel=2e-4)
+        n_real = p[7].n_real
+        rms = np.sqrt(costs[r] / (2 * n_real))
+        assert rms < 0.3 * 1.25

@@ -18,6 +18,7 @@ __all__ = [
     "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
     "ChArUco", "Ccube", "TargetTracker", "export_tracker",
     "load_tracker_artifact", "run_fleet_bundle_adjustment",
+    "calibrate_fleet",
 ]
 
 _LAZY = {
@@ -33,6 +34,8 @@ _LAZY = {
                               "load_tracker_artifact"),
     "run_fleet_bundle_adjustment": ("pycamset_tpu.optim.fleet",
                                     "run_fleet_bundle_adjustment"),
+    "calibrate_fleet": ("pycamset_tpu.calibration.camera_calibrator",
+                        "calibrate_fleet"),
 }
 
 

@@ -139,6 +139,73 @@ def calibrate_cameras(
         problem_options=problem_options)
 
 
+def calibrate_fleet(
+        f_locs,
+        calibration_target: AbstractTarget,
+        save: bool = True,
+        n_lim: int | None = None,
+        fixed_params=None,
+        problem_options: dict | None = None,
+        mesh=None,
+) -> list[CameraSet]:
+    """Calibrate MANY same-structure rigs in one batched device solve.
+
+    The fleet counterpart of `calibrate_cameras` (beyond the reference,
+    which calibrates one rig per call): each ``f_loc`` is a rig folder in
+    the usual layout (one image subfolder per camera), every rig imaging
+    the same ``calibration_target`` with the same camera count. Detection,
+    validation and per-camera seeding run per rig on the host; the joint
+    bundle adjustments then batch into ONE vmapped structured LM
+    (`optim/fleet.py::run_fleet_bundle_adjustment`).
+
+    :param f_locs: list of rig folders.
+    :param save: cache detections and save initial/optimised camsets into
+        each rig folder (same filenames as `calibrate_cameras`).
+    :param fixed_params: one dict applied to every rig, or a per-rig list.
+    :param problem_options: shared handler options (`camera_model="auto"`
+        is not supported here — the fleet shares one compiled chain).
+    :param mesh: optional 1-D `jax.sharding.Mesh` — shards the RIG axis
+        over its devices.
+    :return: list of calibrated CameraSets, in ``f_locs`` order.
+    """
+    from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+    camera_model = (problem_options or {}).get("camera_model", "standard")
+    if camera_model == "auto":
+        raise ValueError(
+            "calibrate_fleet shares one compiled chain across the fleet; "
+            "pick an explicit camera_model (run calibrate_cameras with "
+            "'auto' on one representative rig first)")
+    tail = _cache_tail(camera_model)
+
+    handlers = []
+    for r, f_loc in enumerate(f_locs):
+        root = Path(f_loc)
+        detections, camera_res = detect_datapoints_in_imfile(
+            f_loc=root, caching=save,
+            calibration_target=calibration_target, n_lim=n_lim)
+        validate_detections(detections, calibration_target)
+        fp = (fixed_params[r] if isinstance(fixed_params, (list, tuple))
+              else fixed_params)
+        initial = run_initial_calibration(
+            detections, calibration_target, camera_res, save=save,
+            save_loc=root / f"initial_cameras{tail}", fixed_params=fp,
+            camera_model=camera_model)
+        initial.set_resolutions_from_file(floc=root)
+        handlers.append(TemplateBundleHandler(
+            camset=initial, detection=detections,
+            target=calibration_target, fixed_params=fp,
+            options=problem_options))
+
+    logging.info(f"Starting the fleet bundle adjustment "
+                 f"({len(handlers)} rigs)")
+    _results, camsets = run_fleet_bundle_adjustment(handlers, mesh=mesh)
+    if save:
+        for f_loc, cams in zip(f_locs, camsets):
+            cams.save(Path(f_loc) / f"optimised_cameras{tail}")
+    return camsets
+
+
 def _pick_shared_pose_image(detection: TargetDetection) -> int:
     """The image index every camera can seed a pose from.
 

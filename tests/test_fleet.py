@@ -238,3 +238,60 @@ class TestFleetMesh:
         for rm, ru in zip(res_m, res_u):
             assert rm.cost == pytest.approx(ru.cost, rel=1e-5)
             np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)
+
+
+class TestCalibrateFleetPipeline:
+    """Image-folders-in fleet pipeline (calibration/camera_calibrator.py::
+    calibrate_fleet) on the reference ChArUco dataset, staged as two rig
+    folders. Limited to 6 images/camera to keep the detection cost down —
+    the point here is the plumbing (per-rig detect/seed, one batched BA,
+    per-rig saves), not the accuracy threshold of the full E2E test."""
+
+    REF_DATA = __import__("pathlib").Path(
+        "/root/reference/tests/test_data/calibration_charuco")
+
+    pytestmark = __import__("pytest").mark.skipif(
+        not REF_DATA.exists(), reason="reference test data unavailable")
+
+    def test_two_rig_fleet_from_image_folders(self, tmp_path):
+        import shutil
+
+        from pycamset_tpu import calibrate_fleet
+        from pycamset_tpu.models.charuco import ChArUco
+
+        rigs = []
+        for r in range(2):
+            rig_dir = tmp_path / f"rig{r}"
+            for sub in ["1", "2", "3"]:
+                shutil.copytree(self.REF_DATA / sub, rig_dir / sub)
+            rigs.append(rig_dir)
+
+        target = ChArUco(20, 20, 4, legacy=True)
+        camsets = calibrate_fleet(rigs, target, save=True, n_lim=6,
+                                  problem_options={"outliers": "n"})
+        assert len(camsets) == 2
+        for rig_dir, cams in zip(rigs, camsets):
+            err = np.mean(np.linalg.norm(
+                np.reshape(cams.calibration_result, (-1, 2)), axis=1))
+            assert err < 1.8, f"{rig_dir}: {err:.3f} px"
+            assert (rig_dir / "optimised_cameras.camset").exists()
+        # identical data -> identical solutions across the two rigs
+        for name in camsets[0].get_names():
+            c0, c1 = camsets[0][name], camsets[1][name]
+            np.testing.assert_allclose(c0.intrinsic, c1.intrinsic,
+                                       rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(c0.distortion_coefs,
+                                       c1.distortion_coefs,
+                                       rtol=1e-10, atol=1e-14)
+            np.testing.assert_allclose(c0.extrinsic, c1.extrinsic,
+                                       rtol=1e-10, atol=1e-14)
+
+    def test_auto_model_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from pycamset_tpu import calibrate_fleet
+        from pycamset_tpu.models.charuco import ChArUco
+
+        with _pytest.raises(ValueError, match="auto"):
+            calibrate_fleet([tmp_path], ChArUco(20, 20, 4, legacy=True),
+                            problem_options={"camera_model": "auto"})

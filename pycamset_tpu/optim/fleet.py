@@ -30,6 +30,7 @@ from __future__ import annotations
 import logging
 import time
 from functools import partial
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +39,10 @@ import numpy as np
 from pycamset_tpu.config import default_device_dtype
 from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.structured import (
-    ParamPieces, UnsupportedChain, build_block_arrays, chain_widths,
-    make_structured_neq, merge_pieces_to_full, split_full_params)
+    ParamPieces, UnsupportedChain, auto_reduced_solver, build_block_arrays,
+    chain_widths, make_structured_neq, merge_pieces_to_full,
+    pad_pieces_to_grid, pad_template_table, split_full_params)
+from pycamset_tpu.optim.structured_driver import build_colmask_pieces
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 
 
@@ -47,10 +50,28 @@ class FleetMismatch(ValueError):
     """The handlers do not describe one common problem structure."""
 
 
+class FleetProblem(NamedTuple):
+    """A compiled fleet: see build_fleet_problem."""
+    solve: Callable          # () -> (list[(x_free, SLMResult_r)], raw
+    #                               batched device SLMResult incl. padding)
+    residual: Callable       # (r, x_free) -> (n_real_r, 2) residuals
+    x0s: list                # per-rig initial free parameters
+    residuals_from_pieces: Callable  # (batched device pieces) ->
+    #                               list of per-rig (n_real_r, 2) — ONE
+    #                               dispatch + ONE fetch for the whole fleet
+    x0_pieces: ParamPieces   # stacked device initial pieces
+
+
 # solver-relevant options that must agree across the fleet (they are baked
 # into the ONE compiled program every rig shares)
 _SHARED_OPTS = ("loss", "f_scale", "loss_semantics", "max_nfev",
                 "reduced_solver", "im_bucket")
+_UNSET = object()  # distinguishes "option not set" from an explicit None
+
+
+def _opt(opts, key, default):
+    v = opts[key]
+    return default if v is _UNSET or v is None else v
 
 
 def _chain_names(handler) -> tuple:
@@ -66,10 +87,21 @@ def _validate_fleet(handlers):
     names = _chain_names(h0)
     widths = chain_widths(h0.op_fun)
     n_cams, n_keys = len(h0.cam_names), h0.n_keys()
-    opts = {k: h0.problem_opts.get(k) for k in _SHARED_OPTS}
+    opts = {k: h0.problem_opts.get(k, _UNSET) for k in _SHARED_OPTS}
     grouped = widths.key_link == key_type.PER_GROUP
-    gok = (np.asarray(h0.group_of_key(), dtype=np.int64) if grouped else None)
-    n_groups = int(h0.n_groups()) if grouped else 0
+    gok, n_groups = None, 0
+    if grouped:
+        gok = np.asarray(h0.group_of_key(), dtype=np.int64)
+        n_groups = int(h0.n_groups())
+        # same diagnostics as the single-rig builder
+        # (structured_driver.py::build_structured_problem)
+        if gok.shape != (n_keys,):
+            raise ValueError(
+                f"group_of_key() must return one group index per key "
+                f"({n_keys},); got shape {gok.shape}")
+        if gok.min() < 0 or gok.max() >= n_groups:
+            raise ValueError(
+                f"group_of_key() indices out of range [0, {n_groups})")
     for i, h in enumerate(handlers[1:], start=1):
         if _chain_names(h) != names:
             raise FleetMismatch(
@@ -89,7 +121,7 @@ def _validate_fleet(handlers):
                                                                    gok):
                 raise FleetMismatch(
                     f"rig {i} key->group map differs from rig 0")
-        opts_i = {k: h.problem_opts.get(k) for k in _SHARED_OPTS}
+        opts_i = {k: h.problem_opts.get(k, _UNSET) for k in _SHARED_OPTS}
         if opts_i != opts:
             diff = {k: (opts[k], opts_i[k]) for k in _SHARED_OPTS
                     if opts[k] != opts_i[k]}
@@ -109,9 +141,11 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
     :param mesh: optional 1-D ``jax.sharding.Mesh`` — shard the RIG axis
         over its devices (shard_map, zero collectives; see module
         docstring).
-    :return: (solve_fn() -> list[(x_free, SLMResult)] one per rig,
-              residual_fn(r, x_free) -> (n_real_r, 2) unpadded residuals of
-              rig r, x0s list of per-rig initial free parameters)
+    :return: a FleetProblem. ``residuals_from_pieces`` evaluates the WHOLE
+        fleet's residuals in one dispatch + one fetch (the tunnel charges
+        ~0.1 s per fetched array, so 2R per-rig round-trips would cost more
+        transport than the batched solve itself — the same lesson as the
+        serving path's single-leaf packing).
     Raises UnsupportedChain for chains outside the structured layout (the
     mixed PER_KEY+PER_GROUP family has no fleet path yet) and FleetMismatch
     when the handlers' structures differ.
@@ -130,7 +164,10 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         n_ims = int(h.bundlePrimitive.poses.shape[0])
         return n_ims if widths.b else int(h.detection.max_ims)
 
-    im_bucket = opts["im_bucket"] if opts["im_bucket"] is not None else 8
+    # explicit im_bucket=None disables bucketing (single-rig semantics);
+    # only an UNSET option falls back to the default bucket of 8
+    v = opts["im_bucket"]
+    im_bucket = 8 if v is _UNSET else v
     n_ims_fleet = max(true_ims(h) for h in handlers)
     if im_bucket:
         n_ims_grid = ((n_ims_fleet + im_bucket - 1) // im_bucket) * im_bucket
@@ -143,7 +180,8 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         gok_pad = np.concatenate(
             [gok, np.full(k_pad0 - n_keys, gok[0], dtype=np.int64)])
 
-    # ---- per-rig data prep (np mirrors of build_structured_problem) ----
+    # ---- per-rig data prep (SHARED helpers with the single-rig builder:
+    # pad_pieces_to_grid / pad_template_table / build_colmask_pieces) ----
     uvs, masks, tpls, cmasks, pieces0 = [], [], [], [], []
     rig_host = []  # (struct, base_full, free_idx, dd indices, n_ims)
     for h, x0 in zip(handlers, x0s):
@@ -159,41 +197,19 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         base_full[unfixed] = x0
         free_idx = np.where(unfixed)[0]
 
-        # pad template rows REPLICATE a real point (NaN-safety; see the
-        # single-rig builder)
-        tpl_tab = h.template_table()
-        tpl_pad = np.zeros((k_pad, 3))
-        if tpl_tab is not None and op_fun.templated:
-            flat_tpl = tpl_tab.reshape(-1, 3)
-            tpl_pad[:n_keys] = flat_tpl
-            tpl_pad[n_keys:] = flat_tpl[0]
+        tpl_pad = pad_template_table(h.template_table(), op_fun.templated,
+                                     n_keys, k_pad)
 
         def to_np_pieces(full_np):
             p = split_full_params(full_np.astype(np.float64), op_fun,
                                   struct, n_cams, n_ims, n_keys, widths,
                                   xp=np)
-            if widths.c and not grouped:
-                key = np.tile(p.key[:1], (k_pad, 1))
-                key[:n_keys] = p.key
-            elif widths.c:
-                key = np.asarray(p.key)
-            else:
-                key = np.zeros((k_pad, 0))
-            if widths.b:
-                im = np.tile(p.im[:1], (n_ims_grid, 1))
-                im[:n_ims] = p.im
-            else:
-                im = np.zeros((n_ims_grid, 0))
-            return ParamPieces(np.asarray(p.cam), im, key)
+            return pad_pieces_to_grid(p, widths, grouped, n_keys, k_pad,
+                                      n_ims, n_ims_grid, xp=np)
 
-        colmask_np = np.zeros_like(base_full)
-        colmask_np[unfixed] = 1.0
-        cmask = to_np_pieces(colmask_np)
-        # padded key/image slots are never free parameters
-        if widths.c and not grouped:
-            cmask.key[n_keys:] = 0.0
-        if widths.b:
-            cmask.im[n_ims:] = 0.0
+        cmask = build_colmask_pieces(base_full, unfixed, op_fun, struct,
+                                     widths, grouped, np.float64, n_cams,
+                                     n_ims, n_keys, k_pad, n_ims_grid)
 
         uvs.append(blocks.uv)
         masks.append(blocks.mask)
@@ -218,18 +234,15 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
 
     neq_raw = make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,
-        loss=opts["loss"] or "linear",
-        f_scale=float(opts["f_scale"] or 1.0),
+        loss=_opt(opts, "loss", "linear"),
+        f_scale=float(_opt(opts, "f_scale", 1.0)),
         group_of_key=gok_pad, n_groups=n_groups if grouped else None,
-        loss_semantics=opts["loss_semantics"] or "component")
-    max_nfev = int(opts["max_nfev"] or 100)
+        loss_semantics=_opt(opts, "loss_semantics", "component"))
+    max_nfev = int(_opt(opts, "max_nfev", 100))
 
-    reduced_solver = opts["reduced_solver"] or "auto"
+    reduced_solver = _opt(opts, "reduced_solver", "auto")
     if reduced_solver == "auto":  # same rule as the single-rig builder
-        dim = n_cams * widths.a + n_ims_grid * widths.b
-        if widths.c == 0 and widths.b:
-            dim = n_cams * widths.a
-        reduced_solver = "cg" if dim > 4096 else "dense"
+        reduced_solver = auto_reduced_solver(widths, n_cams, n_ims_grid)
 
     def one(xp, uv, mask, tpl, cm):
         def neq_fn(p):
@@ -282,8 +295,7 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
     blk_im = np.tile(np.arange(n_ims_grid), n_cams)
     gok_d = np.asarray(gok_pad) if grouped else None
 
-    @jax.jit
-    def block_residual_impl(x_pieces, uv, mask, tpl):
+    def _block_residual(x_pieces, uv, mask, tpl):
         cam_b = x_pieces.cam[blk_cam]
         im_b = x_pieces.im[blk_im]
         keyp = x_pieces.key[gok_d] if grouped else x_pieces.key
@@ -294,6 +306,9 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
         per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
         return per_blk(cam_b, im_b, keyp, tpl, uv) * mask[..., None]
+
+    block_residual_impl = jax.jit(_block_residual)
+    fleet_residual_impl = jax.jit(jax.vmap(_block_residual))
 
     n_keyrows = n_groups if grouped else n_keys
 
@@ -317,19 +332,8 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         p = split_full_params(full, op_fun, struct, n_cams, n_ims, n_keys,
                               widths, xp=np)
         k_pad = tpls[r].shape[0]
-        if widths.c and not grouped:
-            key = np.tile(p.key[:1], (k_pad, 1))
-            key[:n_keys] = p.key
-        elif widths.c:
-            key = np.asarray(p.key)
-        else:
-            key = np.zeros((k_pad, 0))
-        if widths.b:
-            im = np.tile(p.im[:1], (n_ims_grid, 1))
-            im[:n_ims] = p.im
-        else:
-            im = np.zeros((n_ims_grid, 0))
-        return ParamPieces(np.asarray(p.cam), im, key)
+        return pad_pieces_to_grid(p, widths, grouped, n_keys, k_pad,
+                                  n_ims, n_ims_grid, xp=np)
 
     def solve_fn():
         res: SLMResult = solve_impl(x0_s, uv_s, mask_s, tpl_s, cmask_s)
@@ -338,7 +342,7 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         for r in range(len(handlers)):
             res_r = jax.tree_util.tree_map(lambda a: a[r], res_h)
             out.append((extract_free(r, res_r.x), res_r))
-        return out
+        return out, res
 
     def residual_fn(r: int, x_free: np.ndarray) -> np.ndarray:
         p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype),
@@ -348,7 +352,17 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         _, _, _, blk_i, key_i, _ = rig_host[r]
         return rr[blk_i, key_i]
 
-    return solve_fn, residual_fn, x0s
+    def residuals_from_pieces(pieces_b) -> list:
+        # whole-fleet residuals: ONE dispatch, ONE fetched array
+        rr = np.asarray(fleet_residual_impl(pieces_b, uv_s, mask_s, tpl_s))
+        out = []
+        for r in range(len(handlers)):
+            _, _, _, blk_i, key_i, _ = rig_host[r]
+            out.append(rr[r][blk_i, key_i])
+        return out
+
+    return FleetProblem(solve_fn, residual_fn, x0s, residuals_from_pieces,
+                        x0_s)
 
 
 def run_fleet_bundle_adjustment(handlers, dtype=None, mesh=None):
@@ -364,10 +378,12 @@ def run_fleet_bundle_adjustment(handlers, dtype=None, mesh=None):
 
     logging.info(f"Making a fleet optimisation problem ({len(handlers)} "
                  "rigs, one vmapped solve)")
-    solve_fn, residual_fn, x0s = build_fleet_problem(handlers, dtype=dtype,
-                                                     mesh=mesh)
+    prob = build_fleet_problem(handlers, dtype=dtype, mesh=mesh)
 
-    init_errs = [residual_fn(r, x0) for r, x0 in enumerate(x0s)]
+    # whole-fleet residual evaluations: one dispatch + one fetch each (2R
+    # per-rig round-trips would cost ~0.1 s of tunnel transport apiece —
+    # more than the batched solve itself at bench scale)
+    init_errs = prob.residuals_from_pieces(prob.x0_pieces)
     for r, err in enumerate(init_errs):
         e = float(np.mean(np.linalg.norm(err, axis=1)))
         logging.info(f"rig {r}: initial Euclidean error {e:.2f} px")
@@ -377,13 +393,14 @@ def run_fleet_bundle_adjustment(handlers, dtype=None, mesh=None):
                 "seeding before trusting the fleet solve")
 
     start = time.time()
-    solved = solve_fn()
+    solved, res_raw = prob.solve()
     logging.info(f"Fleet optimisation took {time.time() - start: .2f} "
                  "seconds.")
+    final_errs = prob.residuals_from_pieces(res_raw.x)
 
     results, camsets = [], []
     for r, (handler, (x_final, res)) in enumerate(zip(handlers, solved)):
-        final_res = residual_fn(r, x_final)
+        final_res = final_errs[r]
         e = float(np.mean(np.linalg.norm(final_res, axis=1)))
         logging.info(f"rig {r}: final Euclidean error {e:.2f} px "
                      f"(nit={int(res.nit)}, status={int(res.status)})")

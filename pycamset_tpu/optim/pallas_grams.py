@@ -163,11 +163,6 @@ def _zpair(ui, vi, uj, vj):
     return tu + tv
 
 
-def _zdense(p, like):
-    """Materialise a structural zero to match `like` (for unreduced rows)."""
-    return jnp.zeros_like(like) if p is None else p
-
-
 def _fisheye_columns(col, offs, x, y, r2):
     """Kannala-Brandt distorted-normalized coords + partials for the kernel
     core (intr layout [fx,px,fy,py,k1..k4]); mirrors

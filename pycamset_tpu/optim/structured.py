@@ -211,6 +211,66 @@ def merge_pieces_to_full(pieces: ParamPieces, op_fun: OptimFunction, struct,
     return jnp.concatenate(chunks)
 
 
+def pad_pieces_to_grid(p: ParamPieces, widths: GroupWidths, grouped: bool,
+                       n_keys: int, k_pad: int, n_ims: int,
+                       n_ims_grid: int, xp=jnp) -> ParamPieces:
+    """Pad a rig's pieces onto the (k_pad, n_ims_grid) device grid.
+
+    Pad key rows replicate key 0 and pad image rows replicate image 0 —
+    their masks are zero, but NaN-safety demands real values (jacfwd
+    through where() propagates NaNs from a z=0 projection). PER_GROUP key
+    pieces stay at their true (G, c) shape — the neq expands them onto
+    the key grid itself. Shared by the single-rig builder
+    (structured_driver.py) and the fleet builder (fleet.py); ``xp=np``
+    builds host pieces (see split_full_params)."""
+    dtype = p.cam.dtype
+    if widths.c and not grouped:
+        if xp is jnp:
+            key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
+        else:
+            key = np.tile(p.key[:1], (k_pad, 1))
+            key[:n_keys] = p.key
+    elif widths.c:
+        key = p.key
+    else:
+        key = xp.zeros((k_pad, 0), dtype=dtype)
+    if widths.b:
+        if xp is jnp:
+            im = jnp.tile(p.im[:1], (n_ims_grid, 1)).at[:n_ims].set(p.im)
+        else:
+            im = np.tile(p.im[:1], (n_ims_grid, 1))
+            im[:n_ims] = p.im
+    else:
+        im = xp.zeros((n_ims_grid, 0), dtype=dtype)
+    return ParamPieces(p.cam, im, key)
+
+
+def pad_template_table(tpl_tab, templated: bool, n_keys: int,
+                       k_pad: int) -> np.ndarray:
+    """(k_pad, 3) host template table; pad rows REPLICATE a real point (a
+    zero pad point can project at z=0 -> inf*0 = NaN poisons the grams;
+    replicated rows stay finite and are killed by the slot mask)."""
+    tpl_pad = np.zeros((k_pad, 3))
+    if tpl_tab is not None and templated:
+        flat = np.asarray(tpl_tab).reshape(-1, 3)
+        tpl_pad[:n_keys] = flat
+        tpl_pad[n_keys:] = flat[0]
+    return tpl_pad
+
+
+def auto_reduced_solver(widths: GroupWidths, n_cams: int,
+                        n_ims_grid: int) -> str:
+    """The reduced_solver='auto' rule: dense Cholesky below 4096 reduced
+    dims, matrix-free CG above. Chains without point blocks count only
+    the camera system — schur_solve eliminates their exactly
+    block-diagonal pose system batched, so the dense path never factors
+    the (6I) part."""
+    dim = n_cams * widths.a + n_ims_grid * widths.b
+    if widths.c == 0 and widths.b:
+        dim = n_cams * widths.a
+    return "cg" if dim > 4096 else "dense"
+
+
 def make_block_point_fn(op_fun: OptimFunction, widths: GroupWidths):
     """fn(local (a+b+c,), template_pt (3,)) -> predicted uv (2,).
 

@@ -9,8 +9,9 @@ import jax.numpy as jnp
 from pycamset_tpu.optim.blocks import key_type
 from pycamset_tpu.optim.chain import OptimFunction
 from pycamset_tpu.optim.structured import (
-    BlockArrays, ParamPieces, build_block_arrays, chain_widths,
-    make_structured_neq, merge_pieces_to_full, split_full_params)
+    BlockArrays, ParamPieces, auto_reduced_solver, build_block_arrays,
+    chain_widths, make_structured_neq, merge_pieces_to_full,
+    pad_pieces_to_grid, pad_template_table, split_full_params)
 from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 
 
@@ -31,6 +32,28 @@ def _resolve_shard_axis(param_handler, mesh, n_cams: int,
     if shard_axis == "pose" and n_ims_grid % n_dev:
         n_ims_grid = -(-n_ims_grid // n_dev) * n_dev
     return shard_axis, n_ims_grid
+
+
+def build_colmask_pieces(base_full, unfixed, op_fun, struct, widths,
+                         grouped: bool, dtype, n_cams: int, n_ims: int,
+                         n_keys: int, k_pad: int,
+                         n_ims_grid: int) -> ParamPieces:
+    """Host-numpy 0/1 unfixed column masks on the padded grid (padded key
+    and image slots are never free parameters). Shared by the single-rig
+    builder (where it is a captured closure constant — it must stay host
+    numpy, see build_structured_problem) and the fleet builder (where it
+    rides the batch axis as a traced argument)."""
+    colmask_np = np.zeros_like(base_full)
+    colmask_np[unfixed] = 1.0
+    p_cm = split_full_params(colmask_np.astype(dtype), op_fun, struct,
+                             n_cams, n_ims, n_keys, widths, xp=np)
+    cm = pad_pieces_to_grid(p_cm, widths, grouped, n_keys, k_pad, n_ims,
+                            n_ims_grid, xp=np)
+    if widths.c and not grouped:
+        cm.key[n_keys:] = 0.0
+    if widths.b:
+        cm.im[n_ims:] = 0.0
+    return cm
 
 
 def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
@@ -106,56 +129,21 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
     base_full[unfixed] = x0
     free_idx = np.where(unfixed)[0]
 
-    # template table padded to the key grid; pad ROWS REPLICATE a real point
-    # (a zero pad point can project at z=0 -> inf*0 = NaN poisons the grams;
-    # replicated rows stay finite and are killed by the slot mask)
-    tpl_tab = param_handler.template_table()
-    tpl_pad = np.zeros((k_pad, 3))
-    if tpl_tab is not None and op_fun.templated:
-        flat_tpl = tpl_tab.reshape(-1, 3)
-        tpl_pad[:n_keys] = flat_tpl
-        tpl_pad[n_keys:] = flat_tpl[0]
+    tpl_pad = pad_template_table(param_handler.template_table(),
+                                 op_fun.templated, n_keys, k_pad)
 
     def to_pieces(full_np: np.ndarray) -> ParamPieces:
         p = split_full_params(jnp.asarray(full_np, dtype=dtype), op_fun,
                               struct, n_cams, n_ims, n_keys, widths)
-        # pad the key piece to the slot grid, replicating key 0 (see above);
-        # per-GROUP key pieces stay at their true (G, c) shape — the neq
-        # expands them onto the grid itself
-        if widths.c and not grouped:
-            key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
-        elif widths.c:
-            key = p.key
-        else:
-            key = jnp.zeros((k_pad, 0), dtype=dtype)
-        # pad the image piece to the (bucketed) grid, replicating row 0
-        if widths.b:
-            im = jnp.tile(p.im[:1], (n_ims_grid, 1)).at[:n_ims].set(p.im)
-        else:
-            im = jnp.zeros((n_ims_grid, 0), dtype=dtype)
-        return ParamPieces(p.cam, im, key)
+        return pad_pieces_to_grid(p, widths, grouped, n_keys, k_pad,
+                                  n_ims, n_ims_grid)
 
     # colmask is CAPTURED by solve_impl as a closure constant — it must be
     # host numpy (lowering a captured device array fetches it back through
     # the tunnel; the first such fetch in a process costs minutes on axon)
-    colmask_np = np.zeros_like(base_full)
-    colmask_np[unfixed] = 1.0
-    p_cm = split_full_params(colmask_np.astype(dtype), op_fun, struct,
-                             n_cams, n_ims, n_keys, widths, xp=np)
-    if widths.c and not grouped:
-        cm_key = np.tile(p_cm.key[:1], (k_pad, 1))
-        cm_key[:n_keys] = p_cm.key
-        cm_key[n_keys:] = 0.0  # padded key slots are never free params
-    elif widths.c:
-        cm_key = np.asarray(p_cm.key)
-    else:
-        cm_key = np.zeros((k_pad, 0), dtype=dtype)
-    if widths.b:
-        cm_im = np.zeros((n_ims_grid, p_cm.im.shape[1]), dtype=dtype)
-        cm_im[:n_ims] = p_cm.im  # nor are padded image slots
-    else:
-        cm_im = np.zeros((n_ims_grid, 0), dtype=dtype)
-    colmask = ParamPieces(np.asarray(p_cm.cam, dtype=dtype), cm_im, cm_key)
+    colmask = build_colmask_pieces(base_full, unfixed, op_fun, struct,
+                                   widths, grouped, dtype, n_cams, n_ims,
+                                   n_keys, k_pad, n_ims_grid)
 
     neq_raw = None if mesh is not None else make_structured_neq(
         op_fun, widths, n_cams, n_ims_grid,
@@ -172,13 +160,7 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
     # when the (15C + 6I) system would be large to form
     reduced_solver = param_handler.problem_opts.get("reduced_solver", "auto")
     if reduced_solver == "auto":
-        dim = n_cams * widths.a + n_ims_grid * widths.b
-        if widths.c == 0 and widths.b:
-            # schur_solve eliminates the (block-diagonal) pose system
-            # batched for chains without point blocks, so the dense path
-            # only ever factors the (C*a) camera system
-            dim = n_cams * widths.a
-        reduced_solver = "cg" if dim > 4096 else "dense"
+        reduced_solver = auto_reduced_solver(widths, n_cams, n_ims_grid)
 
     if mesh is not None:
         from pycamset_tpu.parallel.sharded_structured import (
@@ -382,12 +364,8 @@ def build_mixed_structured_problem(param_handler, dtype,
     colmask.key[n_keys:] = 0.0
     colmask.im[n_ims:] = 0.0
 
-    tpl_tab = param_handler.template_table()
-    tpl_pad = np.zeros((k_pad, 3))
-    if tpl_tab is not None and op_fun.templated:
-        flat_tpl = tpl_tab.reshape(-1, 3)
-        tpl_pad[:n_keys] = flat_tpl
-        tpl_pad[n_keys:] = flat_tpl[0]
+    tpl_pad = pad_template_table(param_handler.template_table(),
+                                 op_fun.templated, n_keys, k_pad)
 
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)

@@ -53,6 +53,58 @@ def _selfcal_handler(seed=29, n_ims=6, **options):
                              options={"outliers": "n", **options}), rig
 
 
+def _grouped_handler(seed=11, n_ims=6, grid=4):
+    """A PER_GROUP (two rigidly-coupled targets) TEMPLATE handler — the
+    grouped structured chain, not the mixed self-cal one."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "examples"))
+    from extend_param_handler import TwoTargetCalibrator
+
+    import pycamset_tpu.utils.general_utils as gu
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.utils.general_utils import h_tform, make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=grid,
+                             visibility=1.0, noise_px=0.1, seed=seed)
+    tpl0 = rig["template"]
+    rel_true = make_4x4h_tform(np.array([0.1, -0.2, 0.3]),
+                               np.array([0.15, 0.02, -0.05]))
+    tpl1_local = tpl0 + [0.002, 0.001, 0.0]
+    tpl1_world = h_tform(tpl1_local, rel_true)
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                       rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    rows1 = []
+    rng = np.random.default_rng(seed + 1)
+    for i in range(n_ims):
+        t = gu.make_4x4h_tform(rig["poses"][i][:3], rig["poses"][i][3:])
+        world = gu.h_tform(tpl1_world, t)
+        for c in range(3):
+            uv = cams[c].project_points(world)
+            for kk in range(world.shape[0]):
+                rows1.append([c, i, kk, *(uv[kk] + rng.normal(size=2) * 0.1)])
+    det0 = TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"])
+    det1 = TargetDetection(cam_names=["a", "b", "c"],
+                           data=np.array(rows1))
+    return TwoTargetCalibrator(
+        cams, FreePointTarget(tpl0.reshape(1, -1, 3)),
+        FreePointTarget(tpl1_local.reshape(1, -1, 3)),
+        det0, det1, options={"outliers": "n"})
+
+
 def _single_solve(make_handler):
     from pycamset_tpu.optim.driver import run_bundle_adjustment
     handler, _ = make_handler()
@@ -140,6 +192,25 @@ class TestFleetParity:
             np.asarray(camsets[1]["cam0"].distortion_coefs).ravel()])
         np.testing.assert_allclose(got_i9, i9, rtol=0, atol=0)
 
+    def test_grouped_fleet_matches_singles(self):
+        """PER_GROUP (two rigidly-coupled targets) fleet parity — the
+        grouped structured chain expands group params onto the key grid
+        inside the fleet's shared neq."""
+        from pycamset_tpu.optim.blocks import key_type
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+        from pycamset_tpu.optim.structured import chain_widths
+
+        seeds = [11, 13]
+        handlers = [_grouped_handler(seed=s) for s in seeds]
+        assert chain_widths(handlers[0].op_fun).key_link == key_type.PER_GROUP
+        results, _ = run_fleet_bundle_adjustment(handlers)
+        for s, res in zip(seeds, results):
+            ref, _ = _single_solve(lambda s=s: (_grouped_handler(seed=s),
+                                                None))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
+            assert np.sqrt(np.mean(res.fun ** 2)) < 0.15
+
     def test_selfcal_fleet_matches_singles(self):
         """Self-calibration fleet (free points + gauge columns) parity."""
         from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
@@ -197,6 +268,14 @@ class TestFleetValidation:
         with pytest.raises(FleetMismatch, match="empty"):
             build_fleet_problem([])
 
+    def test_auto_model_rejected(self, tmp_path):
+        from pycamset_tpu import calibrate_fleet
+        from pycamset_tpu.models.charuco import ChArUco
+
+        with pytest.raises(ValueError, match="auto"):
+            calibrate_fleet([tmp_path], ChArUco(20, 20, 4, legacy=True),
+                            problem_options={"camera_model": "auto"})
+
 
 class TestFleetMesh:
     """Rig-axis sharding over the virtual device mesh: zero-collective
@@ -245,13 +324,18 @@ class TestCalibrateFleetPipeline:
     calibrate_fleet) on the reference ChArUco dataset, staged as two rig
     folders. Limited to 6 images/camera to keep the detection cost down —
     the point here is the plumbing (per-rig detect/seed, one batched BA,
-    per-rig saves), not the accuracy threshold of the full E2E test."""
+    per-rig saves), not the accuracy threshold of the full E2E test.
+    Slow tier: image detection on two rig copies takes minutes of the
+    single-core host."""
 
     REF_DATA = __import__("pathlib").Path(
         "/root/reference/tests/test_data/calibration_charuco")
 
-    pytestmark = __import__("pytest").mark.skipif(
-        not REF_DATA.exists(), reason="reference test data unavailable")
+    pytestmark = [
+        pytest.mark.slow,  # image detection on two rig copies: minutes
+        pytest.mark.skipif(not REF_DATA.exists(),
+                           reason="reference test data unavailable"),
+    ]
 
     def test_two_rig_fleet_from_image_folders(self, tmp_path):
         import shutil
@@ -286,12 +370,3 @@ class TestCalibrateFleetPipeline:
             np.testing.assert_allclose(c0.extrinsic, c1.extrinsic,
                                        rtol=1e-10, atol=1e-14)
 
-    def test_auto_model_rejected(self, tmp_path):
-        import pytest as _pytest
-
-        from pycamset_tpu import calibrate_fleet
-        from pycamset_tpu.models.charuco import ChArUco
-
-        with _pytest.raises(ValueError, match="auto"):
-            calibrate_fleet([tmp_path], ChArUco(20, 20, 4, legacy=True),
-                            problem_options={"camera_model": "auto"})

@@ -131,6 +131,52 @@ def _validate_fleet(handlers):
     return widths, grouped, gok, n_groups, opts
 
 
+def _fleet_solve_impl(one, mesh, uv_s, mask_s, tpl_s, cmask_s, x0_s):
+    """The jitted (optionally rig-axis-sharded) batched solve around a
+    per-rig solve function ``one(xp, uv, mask, tpl, cm)``. Returns the
+    impl plus the (possibly padded + device-placed) batched arrays."""
+    if mesh is None:
+
+        @jax.jit
+        def solve_impl(xps, uvs_, masks_, tpls_, cms):
+            return jax.vmap(one)(xps, uvs_, masks_, tpls_, cms)
+
+        return solve_impl, uv_s, mask_s, tpl_s, cmask_s, x0_s
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    spec = PartitionSpec(axis)
+    ndev = int(mesh.devices.size)
+    n_rigs = uv_s.shape[0]
+    r_pad = -(-n_rigs // ndev) * ndev
+    if r_pad != n_rigs:  # pad with copies of rig 0, dropped on host
+
+        def padr(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[:1], r_pad - n_rigs, axis=0)], axis=0)
+
+        uv_s, mask_s, tpl_s = padr(uv_s), padr(mask_s), padr(tpl_s)
+        cmask_s = jax.tree_util.tree_map(padr, cmask_s)
+        x0_s = jax.tree_util.tree_map(padr, x0_s)
+    sh = NamedSharding(mesh, spec)
+    put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    uv_s, mask_s, tpl_s = put(uv_s), put(mask_s), put(tpl_s)
+    cmask_s = jax.tree_util.tree_map(put, cmask_s)
+    x0_s = jax.tree_util.tree_map(put, x0_s)
+
+    # zero-collective SPMD: each device's slab iterates independently
+    # (check_vma=False as in the other shard_maps over Pallas grams)
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
+             check_vma=False)
+    def solve_impl(xps, uvs_, masks_, tpls_, cms):
+        return jax.vmap(one)(xps, uvs_, masks_, tpls_, cms)
+
+    return solve_impl, uv_s, mask_s, tpl_s, cmask_s, x0_s
+
+
 def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
                         mesh=None):
     """Compile R same-structure handlers onto ONE vmapped structured solve.
@@ -146,16 +192,26 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         ~0.1 s per fetched array, so 2R per-rig round-trips would cost more
         transport than the batched solve itself — the same lesson as the
         serving path's single-leaf packing).
-    Raises UnsupportedChain for chains outside the structured layout (the
-    mixed PER_KEY+PER_GROUP family has no fleet path yet) and FleetMismatch
-    when the handlers' structures differ.
+    Mixed PER_KEY+PER_GROUP chains (multi-target self-calibration) route
+    to their own arrow-structured fleet path. Raises UnsupportedChain for
+    chains outside both structured layouts and FleetMismatch when the
+    handlers' structures differ.
     """
     dtype = dtype or default_device_dtype()
+    if not handlers:
+        raise FleetMismatch("empty fleet")
     # pose seeding runs inside get_initial_params — it must precede every
     # primitive read, exactly as in the single-rig builder
     x0s = [np.asarray(h.get_initial_params(), dtype=np.float64)
            for h in handlers]
-    widths, grouped, gok, n_groups, opts = _validate_fleet(handlers)
+    try:
+        widths, grouped, gok, n_groups, opts = _validate_fleet(handlers)
+    except UnsupportedChain:
+        # mixed PER_KEY+PER_GROUP chains (multi-target self-cal) have
+        # their own arrow-structured fleet path; anything else re-raises
+        # from mixed_chain_widths inside
+        return _build_mixed_fleet(handlers, x0s, dtype, k_pad_multiple,
+                                  mesh)
     h0 = handlers[0]
     op_fun = h0.op_fun
     n_cams, n_keys = len(h0.cam_names), h0.n_keys()
@@ -250,45 +306,8 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         return structured_lm_solve(neq_fn, xp, max_nfev=max_nfev,
                                    reduced_solver=reduced_solver)
 
-    if mesh is None:
-
-        @jax.jit
-        def solve_impl(xps, uvs_, masks_, tpls_, cms):
-            return jax.vmap(one)(xps, uvs_, masks_, tpls_, cms)
-
-    else:
-        from jax import shard_map
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        axis = mesh.axis_names[0]
-        spec = PartitionSpec(axis)
-        ndev = int(mesh.devices.size)
-        n_rigs = uv_s.shape[0]
-        r_pad = -(-n_rigs // ndev) * ndev
-        if r_pad != n_rigs:  # pad with copies of rig 0, dropped on host
-
-            def padr(x):
-                return jnp.concatenate(
-                    [x, jnp.repeat(x[:1], r_pad - n_rigs, axis=0)], axis=0)
-
-            uv_s, mask_s, tpl_s = padr(uv_s), padr(mask_s), padr(tpl_s)
-            cmask_s = jax.tree_util.tree_map(padr, cmask_s)
-            x0_s = jax.tree_util.tree_map(padr, x0_s)
-        sh = NamedSharding(mesh, spec)
-        uv_s, mask_s, tpl_s = (jax.device_put(a, sh)
-                               for a in (uv_s, mask_s, tpl_s))
-        cmask_s = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh),
-                                         cmask_s)
-        x0_s = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh),
-                                      x0_s)
-
-        # zero-collective SPMD: each device's slab iterates independently
-        # (check_vma=False as in the other shard_maps over Pallas grams)
-        @jax.jit
-        @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
-                 check_vma=False)
-        def solve_impl(xps, uvs_, masks_, tpls_, cms):
-            return jax.vmap(one)(xps, uvs_, masks_, tpls_, cms)
+    solve_impl, uv_s, mask_s, tpl_s, cmask_s, x0_s = _fleet_solve_impl(
+        one, mesh, uv_s, mask_s, tpl_s, cmask_s, x0_s)
 
     point_fn = op_fun.make_point_fn()
     blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
@@ -354,6 +373,216 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
 
     def residuals_from_pieces(pieces_b) -> list:
         # whole-fleet residuals: ONE dispatch, ONE fetched array
+        rr = np.asarray(fleet_residual_impl(pieces_b, uv_s, mask_s, tpl_s))
+        out = []
+        for r in range(len(handlers)):
+            _, _, _, blk_i, key_i, _ = rig_host[r]
+            out.append(rr[r][blk_i, key_i])
+        return out
+
+    return FleetProblem(solve_fn, residual_fn, x0s, residuals_from_pieces,
+                        x0_s)
+
+
+def _validate_mixed_fleet(handlers):
+    """Mixed-chain (PER_KEY+PER_GROUP) counterpart of _validate_fleet."""
+    from pycamset_tpu.optim.structured_mixed import mixed_chain_widths
+
+    h0 = handlers[0]
+    names = _chain_names(h0)
+    widths = mixed_chain_widths(h0.op_fun)  # raises UnsupportedChain
+    n_cams, n_keys = len(h0.cam_names), h0.n_keys()
+    opts = {k: h0.problem_opts.get(k, _UNSET) for k in _SHARED_OPTS}
+    raw_gok = getattr(h0, "group_of_key", lambda: None)()
+    n_groups = int(getattr(h0, "n_groups", lambda: 0)() or 0)
+    if raw_gok is None or n_groups <= 0:
+        raise UnsupportedChain(
+            "mixed PER_KEY + PER_GROUP fleet needs the handlers to "
+            "implement group_of_key() and n_groups() (see "
+            "structured_driver.build_mixed_structured_problem)")
+    gok = np.asarray(raw_gok, dtype=np.int64)
+    if gok.shape != (n_keys,) or gok.min() < 0 or gok.max() >= n_groups:
+        raise ValueError("group_of_key() must map every key into "
+                         f"[0, {n_groups})")
+    for i, h in enumerate(handlers[1:], start=1):
+        if _chain_names(h) != names:
+            raise FleetMismatch(
+                f"rig {i} chain {_chain_names(h)} != rig 0 chain {names}")
+        if mixed_chain_widths(h.op_fun) != widths:
+            raise FleetMismatch(f"rig {i} chain widths differ from rig 0")
+        if len(h.cam_names) != n_cams:
+            raise FleetMismatch(
+                f"rig {i} has {len(h.cam_names)} cameras, rig 0 {n_cams}")
+        if h.n_keys() != n_keys:
+            raise FleetMismatch(
+                f"rig {i} has {h.n_keys()} keys, rig 0 {n_keys}")
+        gok_i = np.asarray(h.group_of_key(), dtype=np.int64)
+        if int(h.n_groups()) != n_groups or not np.array_equal(gok_i, gok):
+            raise FleetMismatch(
+                f"rig {i} key->group map differs from rig 0")
+        opts_i = {k: h.problem_opts.get(k, _UNSET) for k in _SHARED_OPTS}
+        if opts_i != opts:
+            diff = {k: (opts[k], opts_i[k]) for k in _SHARED_OPTS
+                    if opts[k] != opts_i[k]}
+            raise FleetMismatch(
+                f"rig {i} solver options differ from rig 0: {diff}")
+    return widths, gok, n_groups, opts
+
+
+def _build_mixed_fleet(handlers, x0s, dtype, k_pad_multiple: int,
+                       mesh) -> FleetProblem:
+    """Mixed-chain fleet: R multi-target self-calibrations in one vmapped
+    arrow-structured solve. Single-rig counterpart:
+    structured_driver.build_mixed_structured_problem."""
+    from pycamset_tpu.optim.structured_mixed import (
+        make_mixed_ops, make_mixed_structured_neq, merge_mixed_to_full,
+        pad_mixed_pieces, split_full_mixed)
+
+    widths, gok, n_groups, opts = _validate_mixed_fleet(handlers)
+    h0 = handlers[0]
+    op_fun = h0.op_fun
+    n_cams, n_keys = len(h0.cam_names), h0.n_keys()
+
+    v = opts["im_bucket"]
+    im_bucket = 8 if v is _UNSET else v
+    n_ims_fleet = max(int(h.bundlePrimitive.poses.shape[0])
+                      for h in handlers)
+    if im_bucket:
+        n_ims_grid = ((n_ims_fleet + im_bucket - 1) // im_bucket) * im_bucket
+    else:
+        n_ims_grid = n_ims_fleet
+
+    k_pad0 = -(-max(n_keys, 1) // k_pad_multiple) * k_pad_multiple
+    gok_pad = np.concatenate(
+        [gok, np.full(k_pad0 - n_keys, gok[0], dtype=np.int64)])
+
+    uvs, masks, tpls, cmasks, pieces0 = [], [], [], [], []
+    rig_host = []
+    for h, x0 in zip(handlers, x0s):
+        n_ims = int(h.bundlePrimitive.poses.shape[0])
+        dd = h.get_detection_data(flatten=True)
+        blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
+                                    k_pad_multiple=k_pad_multiple)
+        k_pad = blocks.uv.shape[1]
+        struct = op_fun.param_struct(n_cams, n_ims, n_keys,
+                                     n_groups=n_groups)
+        base_full = h.bundlePrimitive.base_full()
+        unfixed = h.bundlePrimitive.unfixed_full()
+        base_full[unfixed] = x0
+        free_idx = np.where(unfixed)[0]
+        tpl_pad = pad_template_table(h.template_table(), op_fun.templated,
+                                     n_keys, k_pad)
+
+        def to_np_pieces(full_np):
+            p = split_full_mixed(full_np.astype(np.float64), op_fun,
+                                 struct, n_cams, n_ims, n_keys, n_groups,
+                                 xp=np)
+            return pad_mixed_pieces(p, n_keys, k_pad, n_ims, n_ims_grid,
+                                    xp=np)
+
+        colmask_np = np.zeros_like(base_full)
+        colmask_np[unfixed] = 1.0
+        cmask = to_np_pieces(colmask_np)
+        cmask.key[n_keys:] = 0.0
+        cmask.im[n_ims:] = 0.0
+
+        uvs.append(blocks.uv)
+        masks.append(blocks.mask)
+        tpls.append(tpl_pad)
+        cmasks.append(cmask)
+        pieces0.append(to_np_pieces(base_full))
+        cam_i = dd[:, 0].astype(int)
+        im_i = dd[:, 1].astype(int)
+        key_i = dd[:, 2].astype(int)
+        rig_host.append((struct, base_full, free_idx,
+                         cam_i * n_ims_grid + im_i, key_i, n_ims))
+
+    from pycamset_tpu.optim.structured_mixed import MixedPieces
+
+    def stack(ps):
+        return MixedPieces(*(jnp.asarray(np.stack(a), dtype=dtype)
+                             for a in zip(*ps)))
+
+    uv_s = jnp.asarray(np.stack(uvs), dtype=dtype)
+    mask_s = jnp.asarray(np.stack(masks), dtype=dtype)
+    tpl_s = jnp.asarray(np.stack(tpls), dtype=dtype)
+    cmask_s = stack(cmasks)
+    x0_s = stack(pieces0)
+
+    neq_raw = make_mixed_structured_neq(
+        op_fun, widths, n_cams, n_ims_grid, group_of_key=gok_pad,
+        n_groups=n_groups, loss=_opt(opts, "loss", "linear"),
+        f_scale=float(_opt(opts, "f_scale", 1.0)),
+        loss_semantics=_opt(opts, "loss_semantics", "component"))
+    ops = make_mixed_ops(neq_raw.onehot)
+    max_nfev = int(_opt(opts, "max_nfev", 100))
+
+    def one(xp, uv, mask, tpl, cm):
+        def neq_fn(p):
+            return neq_raw(p, uv, mask, tpl, cm)
+        return structured_lm_solve(neq_fn, xp, max_nfev=max_nfev, ops=ops)
+
+    solve_impl, uv_s, mask_s, tpl_s, cmask_s, x0_s = _fleet_solve_impl(
+        one, mesh, uv_s, mask_s, tpl_s, cmask_s, x0_s)
+
+    point_fn = op_fun.make_point_fn()
+    blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
+    blk_im = np.tile(np.arange(n_ims_grid), n_cams)
+    gok_d = np.asarray(gok_pad)
+    kk = np.asarray(widths.key_cols)
+    gg_cols = np.asarray(widths.grp_cols)
+
+    def _block_residual(x_pieces, uv, mask, tpl):
+        cam_b = x_pieces.cam[blk_cam]
+        im_b = x_pieces.im[blk_im]
+        keyp = jnp.zeros((k_pad0, widths.c), dtype)
+        keyp = keyp.at[:, kk].set(x_pieces.key)
+        keyp = keyp.at[:, gg_cols].set(x_pieces.grp[gok_d])
+
+        def slot(cp, ip, kp, t, u):
+            return point_fn(jnp.concatenate([cp, ip, kp]), t) - u
+
+        per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
+        per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))
+        return per_blk(cam_b, im_b, keyp, tpl, uv) * mask[..., None]
+
+    block_residual_impl = jax.jit(_block_residual)
+    fleet_residual_impl = jax.jit(jax.vmap(_block_residual))
+
+    def extract_free(r: int, x_pieces) -> np.ndarray:
+        struct, base_full, free_idx, _, _, n_ims = rig_host[r]
+        xp = jax.tree_util.tree_map(np.asarray, x_pieces)
+        full = merge_mixed_to_full(xp, op_fun, struct, n_cams, n_ims,
+                                   n_keys, n_groups)
+        return full[free_idx]
+
+    def apply_free(r: int, x_free: np.ndarray):
+        struct, base_full, free_idx, _, _, n_ims = rig_host[r]
+        full = base_full.copy()
+        full[free_idx] = np.asarray(x_free, dtype=np.float64)
+        p = split_full_mixed(full, op_fun, struct, n_cams, n_ims, n_keys,
+                             n_groups, xp=np)
+        return pad_mixed_pieces(p, n_keys, tpls[r].shape[0], n_ims,
+                                n_ims_grid, xp=np)
+
+    def solve_fn():
+        res: SLMResult = solve_impl(x0_s, uv_s, mask_s, tpl_s, cmask_s)
+        res_h = jax.tree_util.tree_map(np.asarray, res)
+        out = []
+        for r in range(len(handlers)):
+            res_r = jax.tree_util.tree_map(lambda a: a[r], res_h)
+            out.append((extract_free(r, res_r.x), res_r))
+        return out, res
+
+    def residual_fn(r: int, x_free: np.ndarray) -> np.ndarray:
+        p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype),
+                                   apply_free(r, x_free))
+        rr = np.asarray(block_residual_impl(p, uv_s[r], mask_s[r],
+                                            tpl_s[r]))
+        _, _, _, blk_i, key_i, _ = rig_host[r]
+        return rr[blk_i, key_i]
+
+    def residuals_from_pieces(pieces_b) -> list:
         rr = np.asarray(fleet_residual_impl(pieces_b, uv_s, mask_s, tpl_s))
         out = []
         for r in range(len(handlers)):

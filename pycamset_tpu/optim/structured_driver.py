@@ -255,7 +255,8 @@ def build_mixed_structured_problem(param_handler, dtype,
     from pycamset_tpu.optim.structured import UnsupportedChain
     from pycamset_tpu.optim.structured_mixed import (
         MixedPieces, make_mixed_ops, make_mixed_structured_neq,
-        mixed_chain_widths)
+        merge_mixed_to_full, mixed_chain_widths, pad_mixed_pieces,
+        split_full_mixed)
 
     # a mixed chain is unusable without the key->group map; check before
     # any other handler access so the diagnostic names the actual gap
@@ -306,57 +307,13 @@ def build_mixed_structured_problem(param_handler, dtype,
     def to_pieces(full_np: np.ndarray, xp=jnp) -> MixedPieces:
         # xp=np builds host pieces — required for closure constants
         # (lowering a captured device array fetches it through the tunnel)
-        full = xp.asarray(full_np, dtype=dtype)
-        cam_parts, im_parts, key_parts, grp_parts = [], [], [], []
-        for gi_, g in enumerate(op_fun.groups):
-            sl = struct.group_slice(gi_)
-            chunk = full[sl.start:sl.stop]
-            if g.link == key_type.PER_CAM:
-                cam_parts.append(chunk.reshape(n_cams, g.n))
-            elif g.link == key_type.PER_IMG:
-                im_parts.append(chunk.reshape(n_ims, g.n))
-            elif g.link == key_type.PER_KEY:
-                key_parts.append(chunk.reshape(n_keys, g.n))
-            else:
-                grp_parts.append(chunk.reshape(n_groups, g.n))
-        cam = xp.concatenate(cam_parts, axis=1)
-        im = xp.concatenate(im_parts, axis=1)
-        key = xp.concatenate(key_parts, axis=1)
-        grp = xp.concatenate(grp_parts, axis=1)
-        # pad key rows replicate key 0; image rows pad to the bucketed grid
-        if xp is jnp:
-            key = jnp.tile(key[:1], (k_pad, 1)).at[:n_keys].set(key)
-            im = jnp.tile(im[:1], (n_ims_grid, 1)).at[:n_ims].set(im)
-        else:
-            key_p = np.tile(key[:1], (k_pad, 1))
-            key_p[:n_keys] = key
-            im_p = np.tile(im[:1], (n_ims_grid, 1))
-            im_p[:n_ims] = im
-            key, im = key_p, im_p
-        return MixedPieces(cam, im, key, grp)
+        p = split_full_mixed(xp.asarray(full_np, dtype=dtype), op_fun,
+                             struct, n_cams, n_ims, n_keys, n_groups, xp=xp)
+        return pad_mixed_pieces(p, n_keys, k_pad, n_ims, n_ims_grid, xp=xp)
 
     def from_pieces(p: MixedPieces) -> np.ndarray:
-        out = np.zeros(struct.total)
-        cam_off = im_off = key_off = grp_off = 0
-        for gi_, g in enumerate(op_fun.groups):
-            sl = struct.group_slice(gi_)
-            if g.link == key_type.PER_CAM:
-                out[sl.start:sl.stop] = np.asarray(
-                    p.cam[:, cam_off:cam_off + g.n]).ravel()
-                cam_off += g.n
-            elif g.link == key_type.PER_IMG:
-                out[sl.start:sl.stop] = np.asarray(
-                    p.im[:n_ims, im_off:im_off + g.n]).ravel()
-                im_off += g.n
-            elif g.link == key_type.PER_KEY:
-                out[sl.start:sl.stop] = np.asarray(
-                    p.key[:n_keys, key_off:key_off + g.n]).ravel()
-                key_off += g.n
-            else:
-                out[sl.start:sl.stop] = np.asarray(
-                    p.grp[:, grp_off:grp_off + g.n]).ravel()
-                grp_off += g.n
-        return out
+        return merge_mixed_to_full(p, op_fun, struct, n_cams, n_ims,
+                                   n_keys, n_groups)
 
     colmask_np = np.zeros_like(base_full)
     colmask_np[unfixed] = 1.0

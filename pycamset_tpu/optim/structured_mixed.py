@@ -129,6 +129,75 @@ class MixedNormalEq(NamedTuple):
     cost: jnp.ndarray
 
 
+def split_full_mixed(full, op_fun: OptimFunction, struct, n_cams: int,
+                     n_ims: int, n_keys: int, n_groups: int,
+                     xp=jnp) -> MixedPieces:
+    """Full [group-major] parameter vector -> unpadded MixedPieces.
+
+    ``xp=np`` keeps the pieces on the host (captured closure constants
+    must never be device arrays — see structured.split_full_params).
+    Shared by the single-rig mixed builder (structured_driver.py) and the
+    mixed fleet path (fleet.py)."""
+    cam_parts, im_parts, key_parts, grp_parts = [], [], [], []
+    for gi_, g in enumerate(op_fun.groups):
+        sl = struct.group_slice(gi_)
+        chunk = full[sl.start:sl.stop]
+        if g.link == key_type.PER_CAM:
+            cam_parts.append(chunk.reshape(n_cams, g.n))
+        elif g.link == key_type.PER_IMG:
+            im_parts.append(chunk.reshape(n_ims, g.n))
+        elif g.link == key_type.PER_KEY:
+            key_parts.append(chunk.reshape(n_keys, g.n))
+        else:
+            grp_parts.append(chunk.reshape(n_groups, g.n))
+    return MixedPieces(xp.concatenate(cam_parts, axis=1),
+                       xp.concatenate(im_parts, axis=1),
+                       xp.concatenate(key_parts, axis=1),
+                       xp.concatenate(grp_parts, axis=1))
+
+
+def pad_mixed_pieces(p: MixedPieces, n_keys: int, k_pad: int, n_ims: int,
+                     n_ims_grid: int, xp=jnp) -> MixedPieces:
+    """Pad key rows (replicating key 0 — NaN-safety, masks kill them) and
+    image rows (replicating row 0) onto the device grid."""
+    if xp is jnp:
+        key = jnp.tile(p.key[:1], (k_pad, 1)).at[:n_keys].set(p.key)
+        im = jnp.tile(p.im[:1], (n_ims_grid, 1)).at[:n_ims].set(p.im)
+    else:
+        key = np.tile(p.key[:1], (k_pad, 1))
+        key[:n_keys] = p.key
+        im = np.tile(p.im[:1], (n_ims_grid, 1))
+        im[:n_ims] = p.im
+    return MixedPieces(p.cam, im, key, p.grp)
+
+
+def merge_mixed_to_full(p: MixedPieces, op_fun: OptimFunction, struct,
+                        n_cams: int, n_ims: int, n_keys: int,
+                        n_groups: int) -> np.ndarray:
+    """Inverse of split_full_mixed (padding rows ignored)."""
+    out = np.zeros(struct.total)
+    cam_off = im_off = key_off = grp_off = 0
+    for gi_, g in enumerate(op_fun.groups):
+        sl = struct.group_slice(gi_)
+        if g.link == key_type.PER_CAM:
+            out[sl.start:sl.stop] = np.asarray(
+                p.cam[:, cam_off:cam_off + g.n]).ravel()
+            cam_off += g.n
+        elif g.link == key_type.PER_IMG:
+            out[sl.start:sl.stop] = np.asarray(
+                p.im[:n_ims, im_off:im_off + g.n]).ravel()
+            im_off += g.n
+        elif g.link == key_type.PER_KEY:
+            out[sl.start:sl.stop] = np.asarray(
+                p.key[:n_keys, key_off:key_off + g.n]).ravel()
+            key_off += g.n
+        else:
+            out[sl.start:sl.stop] = np.asarray(
+                p.grp[:, grp_off:grp_off + g.n]).ravel()
+            grp_off += g.n
+    return out
+
+
 def resolve_mixed_grams(op_fun: OptimFunction, widths: MixedWidths,
                         loss: str = "linear", f_scale: float = 1.0,
                         loss_semantics: str = "component"):

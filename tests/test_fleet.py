@@ -105,6 +105,56 @@ def _grouped_handler(seed=11, n_ims=6, grid=4):
         det0, det1, options={"outliers": "n"})
 
 
+def _mixed_handler(seed=17, n_ims=6, grid=4):
+    """A MIXED PER_KEY+PER_GROUP handler (two-target self-calibration)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "examples"))
+    from extend_param_handler import TwoTargetSelfCalibrator
+
+    import pycamset_tpu.utils.general_utils as gu
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.utils.general_utils import h_tform, make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    rig = make_synthetic_rig(n_cams=3, n_ims=n_ims, grid=grid,
+                             visibility=1.0, noise_px=0.1, seed=seed)
+    tpl0 = rig["template"]
+    rel_true = make_4x4h_tform(np.array([0.05, -0.1, 0.2]),
+                               np.array([0.1, 0.02, -0.03]))
+    tpl1 = tpl0 + [0.002, 0.001, 0.0]
+    k_mats, exts, dists = [], [], []
+    for c in range(3):
+        i9 = rig["intr"][c]
+        k_mats.append(np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                                [0, 0, 1]]))
+        dists.append(i9[4:])
+        exts.append(gu.make_4x4h_tform(rig["extr"][c][:3],
+                                       rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        ["a", "b", "c"], exts, k_mats, dists, [[1600, 1200]] * 3))
+    rng = np.random.default_rng(seed + 1)
+    rows1 = []
+    for i in range(n_ims):
+        t = gu.make_4x4h_tform(rig["poses"][i][:3], rig["poses"][i][3:])
+        world = h_tform(h_tform(tpl1, rel_true), t)
+        for c in range(3):
+            uv = cams[c].project_points(world)
+            for kk in range(world.shape[0]):
+                rows1.append([c, i, kk, *(uv[kk] + rng.normal(size=2) * 0.1)])
+    det0 = TargetDetection(cam_names=["a", "b", "c"], data=rig["dd"])
+    det1 = TargetDetection(cam_names=["a", "b", "c"],
+                           data=np.array(rows1))
+    return TwoTargetSelfCalibrator(
+        cams, FreePointTarget(tpl0.reshape(1, -1, 3)),
+        FreePointTarget(tpl1.reshape(1, -1, 3)),
+        det0, det1, options={"outliers": "n"})
+
+
 def _single_solve(make_handler):
     from pycamset_tpu.optim.driver import run_bundle_adjustment
     handler, _ = make_handler()
@@ -211,6 +261,21 @@ class TestFleetParity:
             np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
             assert np.sqrt(np.mean(res.fun ** 2)) < 0.15
 
+    def test_mixed_fleet_matches_singles(self):
+        """MIXED PER_KEY+PER_GROUP fleet (two-target self-calibration,
+        arrow-structured backend) parity against solo solves."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        seeds = [17, 19]
+        handlers = [_mixed_handler(seed=s) for s in seeds]
+        results, _ = run_fleet_bundle_adjustment(handlers)
+        for s, res in zip(seeds, results):
+            ref, _ = _single_solve(lambda s=s: (_mixed_handler(seed=s),
+                                                None))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
+            assert np.sqrt(np.mean(res.fun ** 2)) < 0.15
+
     def test_selfcal_fleet_matches_singles(self):
         """Self-calibration fleet (free points + gauge columns) parity."""
         from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
@@ -297,6 +362,22 @@ class TestFleetMesh:
         res_u, _ = run_fleet_bundle_adjustment(
             [_template_handler(seed=s)[0] for s in seeds])
         assert len(res_m) == 4
+        for rm, ru in zip(res_m, res_u):
+            assert rm.cost == pytest.approx(ru.cost, rel=1e-5)
+            np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)
+
+    def test_sharded_mixed_fleet_matches_unsharded(self):
+        """The mixed (arrow-structured) fleet shards its rig axis the
+        same way."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+        from pycamset_tpu.parallel.mesh import detection_mesh
+
+        seeds = [17, 19]
+        mesh = detection_mesh(2)
+        res_m, _ = run_fleet_bundle_adjustment(
+            [_mixed_handler(seed=s) for s in seeds], mesh=mesh)
+        res_u, _ = run_fleet_bundle_adjustment(
+            [_mixed_handler(seed=s) for s in seeds])
         for rm, ru in zip(res_m, res_u):
             assert rm.cost == pytest.approx(ru.cost, rel=1e-5)
             np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)

@@ -741,16 +741,15 @@ def schur_solve(neq: NormalEq, damp: ParamPieces, method: str = "dense",
         return ParamPieces(dxc, dxi, jnp.zeros((k_, c), dtype))
     else:
         # base: direct couplings + damped block diagonals, flat (R, R)
-        import jax.scipy.linalg as jsl
         na, nb = c_ * a, i_ * b
         if b:
             wci_f = neq.wci.transpose(0, 2, 1, 3).reshape(na, nb)
-            top = jnp.concatenate([jsl.block_diag(*hcc), wci_f], axis=1)
-            bot = jnp.concatenate([wci_f.T, jsl.block_diag(*hii)], axis=1)
+            top = jnp.concatenate([block_diag_dense(hcc), wci_f], axis=1)
+            bot = jnp.concatenate([wci_f.T, block_diag_dense(hii)], axis=1)
             amat = jnp.concatenate([top, bot], axis=0)
             rhs = -jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
         else:
-            amat = jsl.block_diag(*hcc)
+            amat = block_diag_dense(hcc)
             rhs = -gc.reshape(-1)
         if c:
             # the point-elimination correction is ONE stacked contraction:
@@ -831,6 +830,20 @@ def _block_diag_add(full: jnp.ndarray, diag_blocks: jnp.ndarray) -> jnp.ndarray:
     n = diag_blocks.shape[0]
     eye = jnp.eye(n, dtype=diag_blocks.dtype)
     return full + eye[:, :, None, None] * diag_blocks[:, None, :, :]
+
+
+def block_diag_dense(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(N, a, a) -> (N*a, N*a) block diagonal in ONE XLA op.
+
+    jax.scipy.linalg.block_diag(*blocks) unrolls into ~N pad/concat ops —
+    at bench pose counts that is ~100 dispatched ops PER LM ITERATION in
+    the dense reduced solves (each small op costs ~5-10 us of fixed
+    overhead on TPU). The outer-product-with-eye form is one multiply +
+    one reshape regardless of N."""
+    n, a, _ = blocks.shape
+    eye = jnp.eye(n, dtype=blocks.dtype)
+    return (eye[:, None, :, None]
+            * blocks[:, :, None, :]).reshape(n * a, n * a)
 
 
 def _cho_refine_solve(a_n: jnp.ndarray, rhs_n: jnp.ndarray) -> jnp.ndarray:

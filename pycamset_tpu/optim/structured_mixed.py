@@ -399,7 +399,7 @@ def make_mixed_ops(onehot_np: np.ndarray):
         shaped einsums (measured: the non-eval share of a mixed LM
         iteration drops with the fused assembly; benchmarks/anatomy.py).
         """
-        import jax.scipy.linalg as jsl
+        from pycamset_tpu.optim.structured import block_diag_dense
 
         oh = jnp.asarray(onehot_np, dtype=neq.gc.dtype)
         c_, i_, g_ = neq.hcc.shape[0], neq.hii.shape[0], neq.hgg.shape[0]
@@ -429,10 +429,11 @@ def make_mixed_ops(onehot_np: np.ndarray):
         wci_f = neq.wci.transpose(0, 2, 1, 3).reshape(na, nb)
         wcg_f = neq.wcg.transpose(0, 2, 1, 3).reshape(na, ng)
         wig_f = neq.wig.transpose(0, 2, 1, 3).reshape(nb, ng)
-        top = jnp.concatenate([jsl.block_diag(*hcc), wci_f, wcg_f], axis=1)
-        mid = jnp.concatenate([wci_f.T, jsl.block_diag(*hii), wig_f],
+        top = jnp.concatenate([block_diag_dense(hcc), wci_f, wcg_f],
                               axis=1)
-        bot = jnp.concatenate([wcg_f.T, wig_f.T, jsl.block_diag(*hgg)],
+        mid = jnp.concatenate([wci_f.T, block_diag_dense(hii), wig_f],
+                              axis=1)
+        bot = jnp.concatenate([wcg_f.T, wig_f.T, block_diag_dense(hgg)],
                               axis=1)
         amat = jnp.concatenate([top, mid, bot], axis=0) - s_corr
 

@@ -19,7 +19,11 @@ CONFIGS = {
     "north": dict(n_cams=16, n_ims=100, grid=19),     # the BASELINE target
     "large": dict(n_cams=32, n_ims=200, grid=19),
     "huge": dict(n_cams=64, n_ims=400, grid=19),
+    # single-chip ceiling (31M detections, ~45 s host data gen) — run by
+    # request: --configs ceiling
+    "ceiling": dict(n_cams=128, n_ims=800, grid=19),
 }
+DEFAULT_CONFIGS = ("small", "north", "large", "huge")
 
 
 def run_config(name, cfg):
@@ -98,6 +102,6 @@ def run_config(name, cfg):
 
 if __name__ == "__main__":
     names = (sys.argv[sys.argv.index("--configs") + 1].split(",")
-             if "--configs" in sys.argv else list(CONFIGS))
+             if "--configs" in sys.argv else list(DEFAULT_CONFIGS))
     for nm in names:
         run_config(nm, CONFIGS[nm])

@@ -18,7 +18,7 @@ __all__ = [
     "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
     "ChArUco", "Ccube", "TargetTracker", "export_tracker",
     "load_tracker_artifact", "run_fleet_bundle_adjustment",
-    "calibrate_fleet",
+    "calibrate_fleet", "calibrate_hand_eye",
 ]
 
 _LAZY = {
@@ -36,6 +36,8 @@ _LAZY = {
                                     "run_fleet_bundle_adjustment"),
     "calibrate_fleet": ("pycamset_tpu.calibration.camera_calibrator",
                         "calibrate_fleet"),
+    "calibrate_hand_eye": ("pycamset_tpu.calibration.handeye",
+                           "calibrate_hand_eye"),
 }
 
 

@@ -131,6 +131,98 @@ def _add_reconstruct(sub):
                    help="sweep: SGM-regularise the cost volume")
 
 
+def _add_handeye(sub):
+    p = sub.add_parser(
+        "handeye",
+        help="hand-eye / robot-world calibration of a calibrated rig "
+             "against synchronized robot poses")
+    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("--camset", required=True,
+                   help="calibrated rig (.camset file)")
+    p.add_argument("--robot-poses", required=True,
+                   help="robot forward kinematics per image, base_T_gripper:"
+                        " .npy with shape (I,4,4), or JSON list of 4x4 "
+                        "matrices or 6-vectors [rvec(3), t(3)]")
+    _add_target_args(p)
+    p.add_argument("--mode", choices=["eye_in_hand", "eye_to_hand"],
+                   default="eye_in_hand",
+                   help="eye_in_hand: rig rides the gripper, target fixed; "
+                        "eye_to_hand: rig fixed, target rides the gripper")
+    p.add_argument("--method", choices=["park", "tsai"], default="park",
+                   help="closed-form AX=XB seed")
+    p.add_argument("--no-refine", action="store_true",
+                   help="closed form only: skip the device reprojection LM")
+    p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
+                   default="linear")
+    p.add_argument("--f-scale", type=float, default=1.0)
+    p.add_argument("--out", default=None,
+                   help="write the result as JSON (default: print)")
+    p.add_argument("--no-cache", action="store_true",
+                   help="skip the detection pickle cache")
+
+
+def _load_robot_poses(path):
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    if str(path).endswith(".npy"):
+        arr = np.load(path)
+    else:
+        arr = np.asarray(json.loads(Path(path).read_text()), dtype=float)
+    if arr.ndim == 2 and arr.shape[1] == 6:
+        arr = np.stack([make_4x4h_tform(r[:3], r[3:]) for r in arr])
+    if arr.ndim != 3 or arr.shape[1:] != (4, 4):
+        raise ValueError(
+            f"robot poses must be (I,4,4) or (I,6); got {arr.shape}")
+    return arr
+
+
+def cmd_handeye(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.calibration.camera_calibrator import (
+        detect_datapoints_in_imfile)
+    from pycamset_tpu.calibration.handeye import calibrate_hand_eye
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    target = _make_target(args)
+    detection, _ = detect_datapoints_in_imfile(
+        f_loc=Path(args.folder), calibration_target=target,
+        caching=not args.no_cache)
+    g = _load_robot_poses(args.robot_poses)
+    res = calibrate_hand_eye(
+        cams, detection, g, target, mode=args.mode, method=args.method,
+        refine=not args.no_refine, loss=args.loss, f_scale=args.f_scale)
+    x_name, z_name = (("gripper_T_rig", "base_T_target")
+                      if args.mode == "eye_in_hand"
+                      else ("base_T_rig", "gripper_T_target"))
+    record = {
+        "mode": args.mode, "method": args.method,
+        x_name: res.x.tolist(), z_name: res.z.tolist(),
+        "reprojection_rms_px": None if np.isnan(res.rms) else res.rms,
+        "images_used": int(np.sum(res.info["usable"])),
+    }
+    if "xz_sigma" in res.info:
+        record["xz_sigma"] = res.info["xz_sigma"].tolist()
+    text = json.dumps(record, indent=1)
+    if args.out:
+        Path(args.out).write_text(text)
+        print(f"hand-eye ({args.mode}) -> {args.out}")
+    else:
+        print(text)
+    if not np.isnan(res.rms):
+        print(f"refined reprojection rms {res.rms:.3f} px over "
+              f"{res.info['n_detections']} detections", file=sys.stderr)
+    return 0
+
+
 def _add_info(sub):
     p = sub.add_parser("info", help="summarise a .camset file")
     p.add_argument("--uncertainty", action="store_true",
@@ -360,6 +452,7 @@ def main(argv=None) -> int:
     _add_calibrate(sub)
     _add_track(sub)
     _add_reconstruct(sub)
+    _add_handeye(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
@@ -368,6 +461,8 @@ def main(argv=None) -> int:
         return cmd_track(args)
     if args.cmd == "reconstruct":
         return cmd_reconstruct(args)
+    if args.cmd == "handeye":
+        return cmd_handeye(args)
     if args.cmd == "info":
         return cmd_info(args)
     return 1

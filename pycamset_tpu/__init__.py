@@ -18,7 +18,8 @@ __all__ = [
     "Camera", "CameraSet", "load_CameraSet", "calibrate_cameras",
     "ChArUco", "Ccube", "TargetTracker", "export_tracker",
     "load_tracker_artifact", "run_fleet_bundle_adjustment",
-    "calibrate_fleet", "calibrate_hand_eye",
+    "calibrate_fleet", "calibrate_hand_eye", "rig_health",
+    "recalibrate_extrinsics",
 ]
 
 _LAZY = {
@@ -38,6 +39,9 @@ _LAZY = {
                         "calibrate_fleet"),
     "calibrate_hand_eye": ("pycamset_tpu.calibration.handeye",
                            "calibrate_hand_eye"),
+    "rig_health": ("pycamset_tpu.calibration.monitor", "rig_health"),
+    "recalibrate_extrinsics": ("pycamset_tpu.calibration.monitor",
+                               "recalibrate_extrinsics"),
 }
 
 

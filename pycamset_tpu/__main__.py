@@ -223,6 +223,100 @@ def cmd_handeye(args) -> int:
     return 0
 
 
+def _add_monitor(sub):
+    p = sub.add_parser(
+        "monitor",
+        help="rig health check against fresh detections (leave-one-out "
+             "drift localization), optional extrinsic-only refresh")
+    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("--camset", required=True,
+                   help="calibrated rig (.camset file)")
+    _add_target_args(p)
+    p.add_argument("--refresh", nargs="*", default=None, metavar="CAM",
+                   help="re-solve these cameras' extrinsics with all lens "
+                        "models pinned ('auto' = the drifted cameras from "
+                        "the health check); unlisted cameras anchor the "
+                        "world frame")
+    p.add_argument("--save", default=None, metavar="FILE",
+                   help="write the refreshed rig here (default: "
+                        "refreshed_cameras.camset next to --camset)")
+    p.add_argument("--out", default=None,
+                   help="write the health report as JSON (default: print)")
+    p.add_argument("--drift-ratio", type=float, default=2.0)
+    p.add_argument("--drift-abs-px", type=float, default=0.5)
+    p.add_argument("--no-cache", action="store_true",
+                   help="skip the detection pickle cache")
+
+
+def cmd_monitor(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.calibration.camera_calibrator import (
+        detect_datapoints_in_imfile)
+    from pycamset_tpu.calibration.monitor import (recalibrate_extrinsics,
+                                                  rig_health)
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    target = _make_target(args)
+    detection, _ = detect_datapoints_in_imfile(
+        f_loc=Path(args.folder), calibration_target=target,
+        caching=not args.no_cache)
+    rep = rig_health(cams, detection, target,
+                     drift_ratio=args.drift_ratio,
+                     drift_abs_px=args.drift_abs_px)
+    record = {
+        "overall_rms_px": rep["overall_rms_px"],
+        "per_camera_rms_px": rep["per_camera_rms_px"],
+        "per_image_rms_px": rep["per_image_rms_px"],
+        "leave_one_out_rms_px": rep["leave_one_out_rms_px"],
+        "drifted": rep["drifted"],
+        "thresholds": rep["thresholds"],
+    }
+    refreshed = None
+    if args.refresh is not None:
+        refresh = (rep["drifted"] if args.refresh == ["auto"]
+                   else args.refresh)
+        if not refresh:
+            print("health check found no drifted cameras; nothing to "
+                  "refresh", file=sys.stderr)
+        else:
+            refreshed, rrep = recalibrate_extrinsics(
+                cams, detection, target, refresh=refresh)
+            record["refresh"] = {
+                "rms_px": rrep["rms_px"], "deltas": rrep["deltas"],
+                "anchors": rrep["anchors"], "refreshed": rrep["refreshed"],
+            }
+    def _json_safe(v):
+        if isinstance(v, dict):
+            return {k: _json_safe(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_json_safe(x) for x in v]
+        if isinstance(v, float) and not np.isfinite(v):
+            return None  # NaN/inf (e.g. an unscorable camera) -> null
+        return v
+
+    text = json.dumps(_json_safe(record), indent=1)
+    if args.out:
+        Path(args.out).write_text(text)
+        print(f"health report -> {args.out}")
+    else:
+        print(text)
+    if rep["drifted"]:
+        print(f"DRIFT: {rep['drifted']} (leave-one-out rms "
+              f"{ {n: round(rep['leave_one_out_rms_px'][n], 2) for n in rep['drifted']} } px)",
+              file=sys.stderr)
+    if refreshed is not None:
+        save = Path(args.save) if args.save else (
+            Path(args.camset).parent / "refreshed_cameras.camset")
+        refreshed.save(save)
+        print(f"refreshed rig -> {save}", file=sys.stderr)
+    return 0
+
+
 def _add_info(sub):
     p = sub.add_parser("info", help="summarise a .camset file")
     p.add_argument("--uncertainty", action="store_true",
@@ -453,6 +547,7 @@ def main(argv=None) -> int:
     _add_track(sub)
     _add_reconstruct(sub)
     _add_handeye(sub)
+    _add_monitor(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
@@ -463,6 +558,8 @@ def main(argv=None) -> int:
         return cmd_reconstruct(args)
     if args.cmd == "handeye":
         return cmd_handeye(args)
+    if args.cmd == "monitor":
+        return cmd_monitor(args)
     if args.cmd == "info":
         return cmd_info(args)
     return 1

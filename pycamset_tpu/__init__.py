@@ -19,7 +19,7 @@ __all__ = [
     "ChArUco", "Ccube", "TargetTracker", "export_tracker",
     "load_tracker_artifact", "run_fleet_bundle_adjustment",
     "calibrate_fleet", "calibrate_hand_eye", "rig_health",
-    "recalibrate_extrinsics",
+    "recalibrate_extrinsics", "recalibrate_intrinsics",
 ]
 
 _LAZY = {
@@ -42,6 +42,8 @@ _LAZY = {
     "rig_health": ("pycamset_tpu.calibration.monitor", "rig_health"),
     "recalibrate_extrinsics": ("pycamset_tpu.calibration.monitor",
                                "recalibrate_extrinsics"),
+    "recalibrate_intrinsics": ("pycamset_tpu.calibration.monitor",
+                               "recalibrate_intrinsics"),
 }
 
 

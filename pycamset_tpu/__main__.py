@@ -237,6 +237,10 @@ def _add_monitor(sub):
                         "models pinned ('auto' = the drifted cameras from "
                         "the health check); unlisted cameras anchor the "
                         "world frame")
+    p.add_argument("--refresh-lens", nargs="*", default=None, metavar="CAM",
+                   help="re-solve these cameras' intrinsics + distortion "
+                        "with every placement pinned ('auto' = the drifted "
+                        "cameras) — the refocus repair")
     p.add_argument("--save", default=None, metavar="FILE",
                    help="write the refreshed rig here (default: "
                         "refreshed_cameras.camset next to --camset)")
@@ -257,6 +261,7 @@ def cmd_monitor(args) -> int:
     from pycamset_tpu.calibration.camera_calibrator import (
         detect_datapoints_in_imfile)
     from pycamset_tpu.calibration.monitor import (recalibrate_extrinsics,
+                                                  recalibrate_intrinsics,
                                                   rig_health)
     from pycamset_tpu.utils.saving import load_CameraSet
 
@@ -277,19 +282,20 @@ def cmd_monitor(args) -> int:
         "thresholds": rep["thresholds"],
     }
     refreshed = None
-    if args.refresh is not None:
-        refresh = (rep["drifted"] if args.refresh == ["auto"]
-                   else args.refresh)
+    if args.refresh is not None and args.refresh_lens is not None:
+        print("--refresh and --refresh-lens are mutually exclusive")
+        return 2
+    req = args.refresh if args.refresh is not None else args.refresh_lens
+    if req is not None:
+        refresh = rep["drifted"] if req == ["auto"] else req
         if not refresh:
             print("health check found no drifted cameras; nothing to "
                   "refresh", file=sys.stderr)
         else:
-            refreshed, rrep = recalibrate_extrinsics(
-                cams, detection, target, refresh=refresh)
-            record["refresh"] = {
-                "rms_px": rrep["rms_px"], "deltas": rrep["deltas"],
-                "anchors": rrep["anchors"], "refreshed": rrep["refreshed"],
-            }
+            fn = (recalibrate_extrinsics if args.refresh is not None
+                  else recalibrate_intrinsics)
+            refreshed, rrep = fn(cams, detection, target, refresh=refresh)
+            record["refresh"] = rrep
     def _json_safe(v):
         if isinstance(v, dict):
             return {k: _json_safe(x) for k, x in v.items()}

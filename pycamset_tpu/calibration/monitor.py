@@ -178,6 +178,46 @@ def _model_of(camset) -> str:
             14: "tilted"}[n_dist]
 
 
+def _recalibrate(camset, detection, target, refresh, free: str,
+                 options: dict | None):
+    """Shared core of the partial recalibrations: a template BA where
+    everything is pinned through ``fixed_params`` except the ``free``
+    block ("ext" or "int") of the ``refresh`` cameras."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import TemplateBundleHandler
+
+    names = camset.get_names()
+    unknown = [n for n in refresh if n not in names]
+    if unknown:
+        raise ValueError(f"unknown cameras {unknown}; rig has {names}")
+
+    fixed = {}
+    for name in names:
+        cam = camset[name]
+        f = {"int": np.asarray(cam.intrinsic, dtype=float),
+             "dst": np.reshape(np.asarray(cam.distortion_coefs, float), -1),
+             "ext": np.asarray(cam.extrinsic, dtype=float)}
+        if name in refresh:
+            del f[free]
+            if free == "int":
+                del f["dst"]  # the lens refresh frees distortion too
+        fixed[name] = f
+
+    opts = {"outliers": "n", "camera_model": _model_of(camset),
+            # the pinned cameras ARE the gauge; a pinned target pose
+            # would over-constrain (it belongs to the old recording)
+            "fixed_pose": None}
+    if options:
+        opts.update(options)
+    handler = TemplateBundleHandler(camset, target, detection,
+                                    fixed_params=fixed, options=opts)
+    _res, new_cams = run_bundle_adjustment(handler)
+    rms = float(np.sqrt(np.mean(
+        np.sum(np.reshape(new_cams.calibration_result, (-1, 2)) ** 2,
+               axis=1))))
+    return new_cams, rms
+
+
 def recalibrate_extrinsics(camset, detection, target, refresh=None,
                            options: dict | None = None):
     """Refresh camera placements with every lens model pinned.
@@ -194,15 +234,9 @@ def recalibrate_extrinsics(camset, detection, target, refresh=None,
     :return: (new CameraSet, report dict with per-camera rotation (mrad)
         and translation (mm) deltas and the solve rms).
     """
-    from pycamset_tpu.optim.driver import run_bundle_adjustment
-    from pycamset_tpu.optim.handlers import TemplateBundleHandler
-
     names = camset.get_names()
     if refresh is None:
         refresh = list(names[1:])
-    unknown = [n for n in refresh if n not in names]
-    if unknown:
-        raise ValueError(f"unknown cameras {unknown}; rig has {names}")
     anchors = [n for n in names if n not in refresh]
     if not anchors:
         raise ValueError(
@@ -210,25 +244,8 @@ def recalibrate_extrinsics(camset, detection, target, refresh=None,
             "keep its extrinsic to anchor the world frame (pass refresh= "
             "excluding a trusted camera, e.g. the least-drifted one from "
             "rig_health)")
-
-    fixed = {}
-    for name in names:
-        cam = camset[name]
-        f = {"int": np.asarray(cam.intrinsic, dtype=float),
-             "dst": np.reshape(np.asarray(cam.distortion_coefs, float), -1)}
-        if name not in refresh:
-            f["ext"] = np.asarray(cam.extrinsic, dtype=float)
-        fixed[name] = f
-
-    opts = {"outliers": "n", "camera_model": _model_of(camset),
-            # the anchor cameras ARE the gauge; a pinned target pose
-            # would over-constrain (it belongs to the old recording)
-            "fixed_pose": None}
-    if options:
-        opts.update(options)
-    handler = TemplateBundleHandler(camset, target, detection,
-                                    fixed_params=fixed, options=opts)
-    res, new_cams = run_bundle_adjustment(handler)
+    new_cams, rms = _recalibrate(camset, detection, target, refresh,
+                                 "ext", options)
 
     deltas = {}
     for name in refresh:
@@ -241,13 +258,47 @@ def recalibrate_extrinsics(camset, detection, target, refresh=None,
             "rotation_mrad": float(ang * 1e3),
             "translation_mm": float(np.linalg.norm(new_c - old_c) * 1e3),
         }
-    rms = float(np.sqrt(np.mean(
-        np.sum(np.reshape(new_cams.calibration_result, (-1, 2)) ** 2,
-               axis=1))))
     report = {"rms_px": rms, "deltas": deltas, "anchors": anchors,
               "refreshed": list(refresh)}
     logger.info("extrinsic refresh: rms %.3f px; deltas %s", rms,
                 {n: (round(d['rotation_mrad'], 3),
                      round(d['translation_mm'], 3))
                  for n, d in deltas.items()})
+    return new_cams, report
+
+
+def recalibrate_intrinsics(camset, detection, target, refresh=None,
+                           options: dict | None = None):
+    """Refresh lens models with every camera placement pinned.
+
+    The refocus/re-aperture repair: when a lens was adjusted but the
+    mount did not move, re-solve that camera's intrinsics + distortion
+    against fresh detections while ALL extrinsics stay pinned (they fully
+    fix the gauge, so no target pose or camera needs anchoring).
+
+    :param refresh: camera names whose lens models are re-solved;
+        default all cameras.
+    :return: (new CameraSet, report dict with per-camera focal /
+        principal-point deltas in px and the solve rms).
+    """
+    names = camset.get_names()
+    if refresh is None:
+        refresh = list(names)
+    new_cams, rms = _recalibrate(camset, detection, target, refresh,
+                                 "int", options)
+
+    deltas = {}
+    for name in refresh:
+        old, new = camset[name].intrinsic, new_cams[name].intrinsic
+        deltas[name] = {
+            "focal_px": float(np.hypot(new[0, 0] - old[0, 0],
+                                       new[1, 1] - old[1, 1])),
+            "principal_px": float(np.hypot(new[0, 2] - old[0, 2],
+                                           new[1, 2] - old[1, 2])),
+            "dist_delta": float(np.abs(
+                np.reshape(new_cams[name].distortion_coefs, -1)
+                - np.reshape(camset[name].distortion_coefs, -1)).max()),
+        }
+    report = {"rms_px": rms, "deltas": deltas, "refreshed": list(refresh)}
+    logger.info("intrinsic refresh: rms %.3f px; deltas %s", rms, deltas)
     return new_cams, report

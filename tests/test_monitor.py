@@ -123,6 +123,62 @@ def test_cli_monitor_with_auto_refresh(tmp_path, monkeypatch, capsys):
     assert np.abs(fixed["cam1"].extrinsic[:3, 3]
                   - cams["cam1"].extrinsic[:3, 3]).max() < 1.5e-3
 
+    # lens variant: a refocused camera repaired through --refresh-lens
+    import copy
+    stale2 = copy.deepcopy(cams)
+    k = stale2["cam3"].intrinsic.copy()
+    k[0, 0] *= 1.01
+    k[1, 1] *= 1.01
+    stale2["cam3"].intrinsic = k
+    stale2["cam3"]._update_state()
+    camset2 = tmp_path / "rig2.camset"
+    stale2.save(camset2)
+    out2 = tmp_path / "health2.json"
+    save2 = tmp_path / "fixed2.camset"
+    rc = cli.main(["monitor", str(tmp_path), "--camset", str(camset2),
+                   "--refresh-lens", "auto", "--save", str(save2),
+                   "--out", str(out2)])
+    assert rc == 0
+    rep2 = json.loads(out2.read_text())
+    assert rep2["drifted"] == ["cam3"]
+    assert rep2["refresh"]["deltas"]["cam3"]["focal_px"] > 10.0
+    fixed2 = load_CameraSet(save2)
+    assert np.abs(fixed2["cam3"].intrinsic[0, 0]
+                  - cams["cam3"].intrinsic[0, 0]) < 1.0
+
+    # the two refresh modes are mutually exclusive
+    assert cli.main(["monitor", str(tmp_path), "--camset", str(camset2),
+                     "--refresh", "auto", "--refresh-lens", "auto"]) == 2
+
+
+def test_recalibrate_intrinsics_recovers_a_refocus():
+    import copy
+
+    from pycamset_tpu.calibration.monitor import (recalibrate_intrinsics,
+                                                  rig_health)
+    cams, det, target, rig = _rig()
+    stale = copy.deepcopy(cams)
+    k = stale["cam1"].intrinsic.copy()
+    k[0, 0] *= 1.01                      # refocus: ~15 px focal shift
+    k[1, 1] *= 1.01
+    stale["cam1"].intrinsic = k
+    stale["cam1"]._update_state()
+    assert rig_health(stale, det, target)["drifted"] == ["cam1"]
+
+    fixed, rep = recalibrate_intrinsics(stale, det, target,
+                                        refresh=["cam1"])
+    true_k = cams["cam1"].intrinsic
+    assert np.abs(fixed["cam1"].intrinsic[0, 0] - true_k[0, 0]) < 1.0
+    assert np.abs(fixed["cam1"].intrinsic[1, 1] - true_k[1, 1]) < 1.0
+    # placements and the other lenses untouched
+    for n in cams.get_names():
+        assert np.allclose(fixed[n].extrinsic, stale[n].extrinsic)
+        if n != "cam1":
+            assert np.allclose(fixed[n].intrinsic, stale[n].intrinsic)
+    assert rep["rms_px"] < 2 * rig["noise_px"]
+    assert rep["deltas"]["cam1"]["focal_px"] > 10.0
+    assert rig_health(fixed, det, target)["drifted"] == []
+
 
 def test_recalibrate_extrinsics_default_refresh_and_validation():
     from pycamset_tpu.calibration.monitor import recalibrate_extrinsics

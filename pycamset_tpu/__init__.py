@@ -20,6 +20,7 @@ __all__ = [
     "load_tracker_artifact", "run_fleet_bundle_adjustment",
     "calibrate_fleet", "calibrate_hand_eye", "rig_health",
     "recalibrate_extrinsics", "recalibrate_intrinsics",
+    "write_calibration_report",
 ]
 
 _LAZY = {
@@ -44,6 +45,8 @@ _LAZY = {
                                "recalibrate_extrinsics"),
     "recalibrate_intrinsics": ("pycamset_tpu.calibration.monitor",
                                "recalibrate_intrinsics"),
+    "write_calibration_report": ("pycamset_tpu.utils.report",
+                                 "write_calibration_report"),
 }
 
 

@@ -323,6 +323,32 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def _add_report(sub):
+    p = sub.add_parser(
+        "report", help="write a standalone HTML calibration report")
+    p.add_argument("camset", help="path to a .camset file")
+    p.add_argument("--out", default=None,
+                   help="output HTML path (default: <camset>.html)")
+    p.add_argument("--title", default=None)
+    p.add_argument("--no-uncertainty", action="store_true",
+                   help="skip the parameter-sigma section")
+
+
+def cmd_report(args) -> int:
+    from pathlib import Path
+
+    from pycamset_tpu.utils.report import write_calibration_report
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    out = Path(args.out) if args.out else \
+        Path(args.camset).with_suffix(".html")
+    write_calibration_report(cams, out, title=args.title,
+                             uncertainty=not args.no_uncertainty)
+    print(f"calibration report -> {out}")
+    return 0
+
+
 def _add_info(sub):
     p = sub.add_parser("info", help="summarise a .camset file")
     p.add_argument("--uncertainty", action="store_true",
@@ -554,6 +580,7 @@ def main(argv=None) -> int:
     _add_reconstruct(sub)
     _add_handeye(sub)
     _add_monitor(sub)
+    _add_report(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
@@ -566,6 +593,8 @@ def main(argv=None) -> int:
         return cmd_handeye(args)
     if args.cmd == "monitor":
         return cmd_monitor(args)
+    if args.cmd == "report":
+        return cmd_report(args)
     if args.cmd == "info":
         return cmd_info(args)
     return 1

@@ -20,7 +20,8 @@ __all__ = [
     "load_tracker_artifact", "run_fleet_bundle_adjustment",
     "calibrate_fleet", "calibrate_hand_eye", "rig_health",
     "recalibrate_extrinsics", "recalibrate_intrinsics",
-    "write_calibration_report",
+    "write_calibration_report", "convert_camera_model",
+    "convert_camera_set",
 ]
 
 _LAZY = {
@@ -47,6 +48,10 @@ _LAZY = {
                                "recalibrate_intrinsics"),
     "write_calibration_report": ("pycamset_tpu.utils.report",
                                  "write_calibration_report"),
+    "convert_camera_model": ("pycamset_tpu.calibration.convert",
+                             "convert_camera_model"),
+    "convert_camera_set": ("pycamset_tpu.calibration.convert",
+                           "convert_camera_set"),
 }
 
 

@@ -323,6 +323,43 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def _add_convert(sub):
+    p = sub.add_parser(
+        "convert",
+        help="refit every camera's distortion model with another family "
+             "(reports the conversion residual honestly)")
+    p.add_argument("camset", help="path to a .camset file")
+    p.add_argument("--to", required=True,
+                   choices=["standard", "rational", "thin_prism", "tilted",
+                            "fisheye"])
+    p.add_argument("--out", default=None,
+                   help="output .camset (default: <camset>_<to>.camset)")
+    p.add_argument("--grid", type=int, default=40)
+
+
+def cmd_convert(args) -> int:
+    from pathlib import Path
+
+    from pycamset_tpu.calibration.convert import convert_camera_set
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    new, reports = convert_camera_set(cams, to=args.to, grid=args.grid)
+    out = Path(args.out) if args.out else Path(args.camset).with_name(
+        Path(args.camset).stem + f"_{args.to}.camset")
+    new.save(out)
+    worst = max(reports.values(), key=lambda r: r["rms_px"])
+    for name, rep in reports.items():
+        print(f"  {name}: {rep['from']} -> {args.to}, conversion rms "
+              f"{rep['rms_px']:.4f} px (max {rep['max_px']:.3f})")
+    print(f"converted {len(reports)} cameras -> {out}")
+    if worst["rms_px"] > 0.5:
+        print(f"WARNING: worst conversion rms {worst['rms_px']:.2f} px — "
+              f"the {args.to} family cannot fully express this rig's "
+              "lenses", file=sys.stderr)
+    return 0
+
+
 def _add_report(sub):
     p = sub.add_parser(
         "report", help="write a standalone HTML calibration report")
@@ -580,6 +617,7 @@ def main(argv=None) -> int:
     _add_reconstruct(sub)
     _add_handeye(sub)
     _add_monitor(sub)
+    _add_convert(sub)
     _add_report(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
@@ -593,6 +631,8 @@ def main(argv=None) -> int:
         return cmd_handeye(args)
     if args.cmd == "monitor":
         return cmd_monitor(args)
+    if args.cmd == "convert":
+        return cmd_convert(args)
     if args.cmd == "report":
         return cmd_report(args)
     if args.cmd == "info":

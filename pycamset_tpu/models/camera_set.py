@@ -357,6 +357,39 @@ class CameraSet:
         keep = np.linalg.norm(in_target, axis=-1) < 3 * model_radius
         return reconstructed[keep]
 
+    def essential_matrix(self, cam_a, cam_b) -> np.ndarray:
+        """Essential matrix between two calibrated cameras.
+
+        Defined on NORMALIZED image coordinates: for a world point seen
+        as xn_a / xn_b (undistorted, K-normalized homogeneous),
+        ``xn_b^T E xn_a = 0``. E = [t]_x R of the relative transform
+        cam_a frame -> cam_b frame (beyond-reference epipolar utility;
+        the reference exposes no two-view geometry helpers).
+        """
+        ea = self[cam_a].extrinsic
+        eb = self[cam_b].extrinsic
+        rel = eb @ np.linalg.inv(ea)           # cam_a frame -> cam_b frame
+        r, t = rel[:3, :3], rel[:3, 3]
+        tx = np.array([[0.0, -t[2], t[1]],
+                       [t[2], 0.0, -t[0]],
+                       [-t[1], t[0], 0.0]])
+        return tx @ r
+
+    def fundamental_matrix(self, cam_a, cam_b) -> np.ndarray:
+        """Fundamental matrix between two calibrated cameras.
+
+        Defined on UNDISTORTED pixel coordinates (run distorted
+        detections through ``Camera.undistort_points`` first):
+        ``u_b^T F u_a = 0`` with F = Kb^-T E Ka^-1, normalized so its
+        largest entry is 1.
+        """
+        e = self.essential_matrix(cam_a, cam_b)
+        ka = np.asarray(self[cam_a].intrinsic, dtype=float)
+        kb = np.asarray(self[cam_b].intrinsic, dtype=float)
+        f = np.linalg.inv(kb).T @ e @ np.linalg.inv(ka)
+        scale = np.abs(f).max()
+        return f / scale if scale > 0 else f
+
     def get_similar_angles(self, test_cam_num, n):
         """Indices of the n cameras with the closest view direction."""
         gaze = np.array([cam.extrinsic[:3, 2] for cam in self])

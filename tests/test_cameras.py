@@ -106,6 +106,55 @@ class TestCameraSet:
         assert loaded.get_names() == cams.get_names()
 
 
+class TestEpipolar:
+    def _world_points(self, n=200):
+        return np.column_stack([RNG.uniform(-0.3, 0.3, n),
+                                RNG.uniform(-0.3, 0.3, n),
+                                RNG.uniform(0.8, 2.0, n)])
+
+    def test_essential_matrix_constraint(self):
+        cams = make_two_cam_set()
+        e = cams.essential_matrix("a", "b")
+        pts = self._world_points()
+        xa = (pts @ cams["a"].extrinsic[:3, :3].T
+              + cams["a"].extrinsic[:3, 3])
+        xb = (pts @ cams["b"].extrinsic[:3, :3].T
+              + cams["b"].extrinsic[:3, 3])
+        na = xa / xa[:, 2:3]
+        nb = xb / xb[:, 2:3]
+        resid = np.einsum("ni,ij,nj->n", nb, e, na)
+        assert np.abs(resid).max() < 1e-12
+
+    def test_fundamental_matrix_on_pixels(self):
+        cams = make_two_cam_set(dist=True)
+        f = cams.fundamental_matrix("a", "b")
+        pts = self._world_points()
+        # distorted detections must be undistorted before using F
+        ua = cams["a"].undistort_points(cams["a"].project_points(pts))
+        ub = cams["b"].undistort_points(cams["b"].project_points(pts))
+        ha = np.concatenate([ua, np.ones((len(ua), 1))], 1)
+        hb = np.concatenate([ub, np.ones((len(ub), 1))], 1)
+        resid = np.einsum("ni,ij,nj->n", hb, f, ha)
+        # scale-free check: residual against the epipolar line norm
+        lines = ha @ f.T
+        d_px = np.abs(resid) / np.linalg.norm(lines[:, :2], axis=1)
+        assert d_px.max() < 1e-3          # px distance to the epipolar line
+        assert np.abs(f).max() == pytest.approx(1.0)
+
+    def test_fundamental_undistorted_camera_skips_undistort(self):
+        cams = make_two_cam_set(dist=False)
+        f = cams.fundamental_matrix("a", "b")
+        pts = self._world_points()
+        ha = np.concatenate([cams["a"].project_points(pts),
+                             np.ones((len(pts), 1))], 1)
+        hb = np.concatenate([cams["b"].project_points(pts),
+                             np.ones((len(pts), 1))], 1)
+        lines = ha @ f.T
+        d_px = np.abs(np.einsum("ni,ij,nj->n", hb, f, ha)) \
+            / np.linalg.norm(lines[:, :2], axis=1)
+        assert d_px.max() < 1e-9
+
+
 def test_save_load_round_trip_all_camera_models(tmp_path):
     """.camset persistence must round-trip every distortion-model width
     (5/8/12/14 coefficients) with identical projections."""

@@ -18,14 +18,23 @@ import sys
 
 
 def _add_target_args(p):
-    p.add_argument("--target", choices=["charuco", "ccube"], default="charuco")
-    p.add_argument("--nx", type=int, default=20, help="charuco squares in x")
-    p.add_argument("--ny", type=int, default=20, help="charuco squares in y")
+    p.add_argument("--target", choices=["charuco", "ccube", "grid"],
+                   default="charuco")
+    p.add_argument("--nx", type=int, default=20,
+                   help="charuco squares / grid markers in x")
+    p.add_argument("--ny", type=int, default=20,
+                   help="charuco squares / grid markers in y")
     p.add_argument("--square", type=float, default=4.0,
                    help="charuco square size (mm)")
     p.add_argument("--n-points", type=int, default=10, help="ccube squares/edge")
     p.add_argument("--length", type=float, default=40.0, help="ccube edge (mm)")
     p.add_argument("--border-fraction", type=float, default=0.1)
+    p.add_argument("--marker-size", type=float, default=30.0,
+                   help="grid marker side (mm)")
+    p.add_argument("--separation", type=float, default=6.0,
+                   help="grid marker separation (mm)")
+    p.add_argument("--first-id", type=int, default=0,
+                   help="grid: id of the first marker")
     p.add_argument("--dict", dest="adict", default="DICT_4X4_1000",
                    help="aruco dictionary name")
     p.add_argument("--legacy", action="store_true",
@@ -439,6 +448,12 @@ def _make_target(args):
         return ChArUco(args.nx, args.ny, args.square,
                        a_dict=getattr(cv2.aruco, args.adict),
                        legacy=args.legacy)
+    if args.target == "grid":
+        from pycamset_tpu.models.grid import ArucoGrid
+        return ArucoGrid(args.nx, args.ny, args.marker_size,
+                         args.separation,
+                         a_dict=getattr(cv2.aruco, args.adict),
+                         first_id=args.first_id)
     from pycamset_tpu.models.ccube import Ccube
     return Ccube(n_points=args.n_points, length=args.length,
                  aruco_dict=getattr(cv2.aruco, args.adict),

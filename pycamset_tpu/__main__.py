@@ -68,6 +68,9 @@ def _add_calibrate(sub):
                    default="auto",
                    help="solver backend; 'sharded' splits the solve over "
                         "every local device (mesh + psum)")
+    p.add_argument("--shared-intrinsics", action="store_true",
+                   help="constrain every camera to ONE lens model (matched "
+                        "lens batches; pools evidence across cameras)")
     p.add_argument("--high-distortion", action="store_true")
     p.add_argument("--draw", action="store_true")
 
@@ -412,6 +415,8 @@ def cmd_calibrate(args) -> int:
     opts = {"outliers": args.outliers, "loss": args.loss,
             "f_scale": args.f_scale, "max_nfev": args.max_nfev,
             "camera_model": args.camera_model, "backend": args.backend}
+    if args.shared_intrinsics:
+        opts["shared_intrinsics"] = True
 
     target = _make_target(args)
 

@@ -243,6 +243,21 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
             mesh = param_handler.problem_opts.get("mesh") or detection_mesh()
             logging.info(f"Sharding the solve over {mesh.devices.size} "
                          "device(s)")
+        if param_handler.problem_opts.get("shared_intrinsics"):
+            # one lens model tied across every camera: the tied
+            # arrow-structured backend (optim/shared_intr.py). No silent
+            # fallback — an untied solve would not honour the constraint.
+            if mesh is not None:
+                raise ValueError(
+                    "shared_intrinsics is not available on the sharded "
+                    "backend (the tied reduced system is tiny)")
+            from pycamset_tpu.optim.shared_intr import (
+                build_shared_structured_problem)
+            solve_fn, residual_fn, init_params = (
+                build_shared_structured_problem(param_handler, dtype=dtype))
+            logging.info("Using the tied (shared-intrinsics) backend")
+            return _finish_bundle_adjustment(param_handler, solve_fn,
+                                             residual_fn, init_params)
         try:
             from pycamset_tpu.optim.structured_driver import (
                 build_structured_problem)
@@ -271,6 +286,14 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
         solve_fn, residual_fn, init_params = build_solver(
             param_handler, dtype=dtype)
 
+    return _finish_bundle_adjustment(param_handler, solve_fn, residual_fn,
+                                     init_params)
+
+
+def _finish_bundle_adjustment(param_handler, solve_fn, residual_fn,
+                              init_params):
+    """Run the built solver and package the result (shared by every
+    backend branch of run_bundle_adjustment)."""
     init_err = residual_fn(init_params)
     init_euclid = float(np.mean(np.linalg.norm(init_err, axis=1)))
     logging.info(f"found {len(init_params):.2e} parameters")

@@ -33,7 +33,8 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        seed: int = 0, res=(1600, 1200),
                        camera_model: str = "standard",
                        pose_scale: tuple = (0.4, 0.15),
-                       template_depth: float = 0.0):
+                       template_depth: float = 0.0,
+                       shared_intrinsics: bool = False):
     """Generate a rig + observations.
 
     Cameras sit on a ring of radius ~1 m looking at the origin; the target
@@ -104,6 +105,11 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                         rng.uniform(0.3, 0.8)]) * rng.uniform(0.9, 1.1)
         rvec, tvec = ext_4x4_to_rod(look_at_extrinsic(pos, np.zeros(3)))
         extr[c] = np.concatenate([rvec, tvec])
+
+    if shared_intrinsics:
+        # identical lens batch: every camera projects through camera 0's
+        # intrinsics (extrinsics keep their per-camera draw)
+        intr[1:] = intr[0]
 
     # pose_scale = (rotation rad, translation m) spread; tiny values give
     # near-degenerate geometry (barely-moving target) for stress tests

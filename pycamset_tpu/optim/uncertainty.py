@@ -219,6 +219,50 @@ def _sparse_sigma(param_handler, x, n_head_cols: int,
     return sigma, sigma2, dof, False
 
 
+def _tied_sigma(param_handler, x, free_mask: np.ndarray, n_c: int, w: int):
+    """Sigmas for a shared-intrinsics (tied) calibration.
+
+    The solve constrained every camera's intrinsics to one vector, so the
+    untied covariance at the solution is wrong on two counts: the untied
+    gradient is not stationary per camera (only its sum is), and the
+    per-camera sigmas would ignore the pooling. Fold J through the tying
+    map G (untied free -> tied free: intr columns collapse onto the
+    shared block, everything else passes through), invert the TIED
+    system, and broadcast the shared sigmas back to every camera.
+
+    :return: (sigma over untied free layout, sigma2, dof)
+    """
+    from scipy.sparse import csr_matrix
+
+    r, jac, _x = _weighted_r_jac(param_handler, x)
+    free_idx = np.nonzero(free_mask)[0]
+    n_free = free_idx.size
+    intr_span = w * n_c
+    tied_of = np.empty(n_free, dtype=np.int64)
+    next_id = w
+    for k, fi in enumerate(free_idx):
+        if fi < intr_span:
+            tied_of[k] = fi % w
+        else:
+            tied_of[k] = next_id
+            next_id += 1
+    n_tied = next_id
+    g = csr_matrix((np.ones(n_free), (np.arange(n_free), tied_of)),
+                   shape=(n_free, n_tied))
+    jtj_t = np.asarray((g.T @ (jac.T @ jac) @ g).todense(), dtype=float)
+    n_res = jac.shape[0]
+    dof = max(n_res - n_tied, 1)
+    sigma2 = float(r @ r) / dof
+    d = 1.0 / np.sqrt(np.maximum(np.diag(jtj_t), np.finfo(float).tiny))
+    scaled = jtj_t * d[:, None] * d[None, :]
+    try:
+        cov_s = np.linalg.inv(scaled)
+    except np.linalg.LinAlgError:
+        cov_s = np.linalg.pinv(scaled)
+    sigma_t = np.sqrt(np.clip(np.diag(cov_s) * d * d * sigma2, 0.0, None))
+    return sigma_t[tied_of], sigma2, dof
+
+
 def _scatter_free(prim, sigma_free: np.ndarray) -> np.ndarray:
     """Free-vector sigmas -> full-layout sigmas (0 for fixed params)."""
     full = np.zeros(prim.unfixed_full().shape[0])
@@ -256,7 +300,12 @@ def calibration_uncertainty(camset, x=None) -> dict:
     pose_hi = pose_lo + 6 * n_p
 
     points_available = True
-    if int(free_mask.sum()) > DENSE_COV_MAX_PARAMS:
+    if handler.problem_opts.get("shared_intrinsics"):
+        # tied calibration: fold through the tying map — every camera
+        # reports the SHARED lens sigmas (see _tied_sigma)
+        sigma_free, sigma2, dof = _tied_sigma(handler, x, free_mask,
+                                              n_c, w)
+    elif int(free_mask.sum()) > DENSE_COV_MAX_PARAMS:
         # large self-cal: eliminate the trailing free-geometry block via a
         # Schur selected inverse — head sigmas from the reduced camera
         # system, point sigmas from the selected 3x3 diagonal blocks

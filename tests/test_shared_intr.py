@@ -165,6 +165,50 @@ def test_tied_honours_extrinsic_anchor():
     assert err < 2 * rig["noise_px"]
 
 
+def test_tied_uncertainty_pools_and_broadcasts():
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    cams, det, target, rig = _rig()
+    _, tied = run_bundle_adjustment(_handler(cams, det, target))
+    _, untied = run_bundle_adjustment(
+        _handler(cams, det, target, shared=False))
+    u_tied = tied.calibration_uncertainty()
+    u_untied = untied.calibration_uncertainty()
+    sigs = [u_tied["cameras"][n]["int_sigma"]
+            for n in tied.get_names()]
+    # every camera reports the SHARED lens sigma
+    for s in sigs[1:]:
+        assert np.array_equal(s, sigs[0])
+    assert np.all(sigs[0] > 0)
+    # pooling across 4 cameras must shrink the focal sigma vs untied
+    untied_fx = np.mean([u_untied["cameras"][n]["int_sigma"][0]
+                         for n in untied.get_names()])
+    assert sigs[0][0] < untied_fx
+    # extrinsic/pose sigmas stay per-camera/per-image and finite
+    assert np.isfinite(u_tied["pose_sigma"]).all()
+    e0 = u_tied["cameras"]["cam0"]["ext_sigma"]
+    e1 = u_tied["cameras"]["cam1"]["ext_sigma"]
+    assert not np.array_equal(e0, e1)
+
+
+@pytest.mark.slow
+def test_tied_sigma_matches_monte_carlo():
+    """The predicted shared-focal sigma matches the empirical scatter of
+    repeated noisy calibrations (the uncertainty module's MC validation
+    pattern, applied to the tied path)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    fxs, pred = [], None
+    for rep in range(10):
+        cams, det, target, rig = _rig(n_cams=3, n_ims=6, grid=5,
+                                      noise=0.3, seed=100 + rep)
+        _, solved = run_bundle_adjustment(_handler(cams, det, target))
+        fxs.append(solved["cam0"].intrinsic[0, 0] - rig["intr"][0][0])
+        if pred is None:
+            pred = solved.calibration_uncertainty()[
+                "cameras"]["cam0"]["int_sigma"][0]
+    emp = np.std(fxs)
+    assert pred / 2.5 < emp < pred * 2.5, (emp, pred)
+
+
 def test_tied_rejects_per_camera_fixed_intrinsics():
     from pycamset_tpu.optim.driver import run_bundle_adjustment
     from pycamset_tpu.optim.handlers import TemplateBundleHandler

@@ -71,6 +71,10 @@ def _add_calibrate(sub):
     p.add_argument("--shared-intrinsics", action="store_true",
                    help="constrain every camera to ONE lens model (matched "
                         "lens batches; pools evidence across cameras)")
+    p.add_argument("--lens-groups", nargs="+", default=None, metavar="LABEL",
+                   help="per-camera lens labels in camera (folder) order — "
+                        "cameras sharing a label share one lens model "
+                        "(mixed lens batches); implies tying")
     p.add_argument("--high-distortion", action="store_true")
     p.add_argument("--draw", action="store_true")
 
@@ -415,7 +419,9 @@ def cmd_calibrate(args) -> int:
     opts = {"outliers": args.outliers, "loss": args.loss,
             "f_scale": args.f_scale, "max_nfev": args.max_nfev,
             "camera_model": args.camera_model, "backend": args.backend}
-    if args.shared_intrinsics:
+    if args.lens_groups:
+        opts["shared_intrinsics"] = args.lens_groups
+    elif args.shared_intrinsics:
         opts["shared_intrinsics"] = True
 
     target = _make_target(args)

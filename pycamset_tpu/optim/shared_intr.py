@@ -1,31 +1,31 @@
-"""Shared-intrinsics bundle adjustment: one lens model, many cameras.
+"""Shared-intrinsics bundle adjustment: one lens model per LENS GROUP.
 
 Production rigs are frequently built from identical cameras and lenses;
-constraining every camera to ONE intrinsic vector (focal, principal
-point, distortion) cuts the parameter count from C*(s+6) to s + 6C,
-conditions the problem far better when per-camera coverage is thin, and
-is the physically-correct model for matched lens batches. The reference
-has no parameter-tying surface (pyCamSet handlers are strictly
+constraining cameras to shared intrinsic vectors (focal, principal
+point, distortion) cuts the parameter count, conditions the problem far
+better when per-camera coverage is thin, and is the physically-correct
+model for matched lens batches. ``shared_intrinsics=True`` ties EVERY
+camera to one lens; a per-camera label list (e.g. ``["a","a","b","b"]``)
+ties each labelled group to its own lens — the mixed-batch rig. The
+reference has no parameter-tying surface (pyCamSet handlers are strictly
 per-camera).
 
 TPU-native design: the tied system is ANOTHER arrow structure, this time
 on the camera axis. The untied structured normal equations (the existing
 fused Pallas gram kernels — nothing new on the device hot path) are
-folded exactly into tied space through the tying map p_c = [shared | e_c]:
+folded exactly into tied space through the tying map
+p_c = [shared[g(c)] | e_c]:
 
-    H_ss     = sum_c Hcc[c][:s,:s]         (the shared block)
-    H_se[c]  =       Hcc[c][:s,s:]         (shared x per-cam extrinsic)
-    H_ee[c]  =       Hcc[c][s:,s:]
-    W_si     = sum_c Wci[c][:, :s, :]      (shared x pose)
-    W_ei[c]  =       Wci[c][:, s:, :]
+    H_ss[g]  = sum_{c in g} Hcc[c][:s,:s]   (per-group shared blocks)
+    H_se[c]  =              Hcc[c][:s,s:]   (group g(c) x extrinsic c)
+    H_ee[c]  =              Hcc[c][s:,s:]
+    W_si[g]  = sum_{c in g} Wci[c][:, :s, :]
+    W_ei[c]  =              Wci[c][:, s:, :]
 
 and the damped solve eliminates the block-diagonal POSE system first
 (mirroring schur_solve's template branch), leaving a small dense
-(s + 6C) system:
-
-    [ S_ss  S_se ] [dx_s]   [r_s]
-    [ S_se' S_ee ] [dx_e] = [r_e]     S_ee couples cameras densely
-                                      (every pose is seen by many cams).
+(G*s + 6C) system — pose elimination couples lens groups to each other
+and to every extrinsic, so the reduced system is dense but tiny.
 
 The whole tied LM runs as one jitted lax.while_loop via
 structured_lm_solve's ops= injection (the same mechanism as the mixed
@@ -53,105 +53,145 @@ from pycamset_tpu.optim.structured_lm import SLMResult, structured_lm_solve
 
 class TiedPieces(NamedTuple):
     """Parameters of the tied system."""
-    shared: jnp.ndarray   # (s,)    one intrinsic vector for every camera
+    shared: jnp.ndarray   # (G, s)  one intrinsic vector per lens group
     cam: jnp.ndarray      # (C, 6)  per-camera extrinsics
     im: jnp.ndarray       # (I, b)  per-image target poses
 
 
 class TiedNormalEq(NamedTuple):
-    hss: jnp.ndarray      # (s, s)
-    hse: jnp.ndarray      # (C, s, 6)
+    hss: jnp.ndarray      # (G, s, s)
+    hse: jnp.ndarray      # (C, s, 6)   row group g(c), column extr c
     hee: jnp.ndarray      # (C, 6, 6)
     hii: jnp.ndarray      # (I, b, b)
-    wsi: jnp.ndarray      # (I, s, b)
+    wsi: jnp.ndarray      # (G, I, s, b)
     wei: jnp.ndarray      # (C, I, 6, b)
-    gs: jnp.ndarray       # (s,)
+    gs: jnp.ndarray       # (G, s)
     ge: jnp.ndarray       # (C, 6)
     gi: jnp.ndarray       # (I, b)
     cost: jnp.ndarray
 
 
-def fold_tied(n, s: int) -> TiedNormalEq:
-    """Exact fold of an untied NormalEq through the tying map."""
+def resolve_lens_groups(opt, cam_names) -> np.ndarray:
+    """The ``shared_intrinsics`` option -> per-camera group ids (C,).
+
+    True ties every camera to one lens; a list/tuple of per-camera labels
+    (length C, any hashables) ties each label to its own lens; a dict
+    {camera name: label} does the same by name.
+    """
+    if opt is True:
+        return np.zeros(len(cam_names), dtype=np.int64)
+    if isinstance(opt, dict):
+        missing = [n for n in cam_names if n not in opt]
+        if missing:
+            raise ValueError(
+                f"shared_intrinsics dict misses cameras {missing}")
+        labels = [opt[n] for n in cam_names]
+    else:
+        labels = list(opt)
+        if len(labels) != len(cam_names):
+            raise ValueError(
+                f"shared_intrinsics needs one label per camera "
+                f"({len(cam_names)}); got {len(labels)}")
+    uniq = sorted(set(labels), key=str)
+    lut = {lb: i for i, lb in enumerate(uniq)}
+    return np.asarray([lut[lb] for lb in labels], dtype=np.int64)
+
+
+def fold_tied(n, s: int, oh: jnp.ndarray) -> TiedNormalEq:
+    """Exact fold of an untied NormalEq through the tying map.
+
+    :param oh: (C, G) one-hot camera -> lens-group matrix.
+    """
     return TiedNormalEq(
-        hss=n.hcc[:, :s, :s].sum(axis=0),
+        hss=jnp.einsum("cg,cst->gst", oh, n.hcc[:, :s, :s]),
         hse=n.hcc[:, :s, s:],
         hee=n.hcc[:, s:, s:],
         hii=n.hii,
-        wsi=n.wci[:, :, :s, :].sum(axis=0),
+        wsi=jnp.einsum("cg,cisb->gisb", oh, n.wci[:, :, :s, :]),
         wei=n.wci[:, :, s:, :],
-        gs=n.gc[:, :s].sum(axis=0),
+        gs=jnp.einsum("cg,cs->gs", oh, n.gc[:, :s]),
         ge=n.gc[:, s:],
         gi=n.gi,
         cost=n.cost)
 
 
-def tied_diag(n: TiedNormalEq) -> TiedPieces:
-    return TiedPieces(
-        jnp.diagonal(n.hss),
-        jnp.diagonal(n.hee, axis1=1, axis2=2),
-        jnp.diagonal(n.hii, axis1=1, axis2=2))
+def make_tied_ops(oh_np: np.ndarray):
+    """(diag, matvec, solve, grad) over TiedPieces for structured_lm_solve.
 
+    ``oh_np`` stays host numpy: the ops close over it and lowering a
+    captured device array forces the tunnel's first d2h (CLAUDE.md
+    invariant)."""
 
-def tied_grad(n: TiedNormalEq) -> TiedPieces:
-    return TiedPieces(n.gs, n.ge, n.gi)
+    def tied_diag(n: TiedNormalEq) -> TiedPieces:
+        return TiedPieces(
+            jnp.diagonal(n.hss, axis1=1, axis2=2),
+            jnp.diagonal(n.hee, axis1=1, axis2=2),
+            jnp.diagonal(n.hii, axis1=1, axis2=2))
 
+    def tied_grad(n: TiedNormalEq) -> TiedPieces:
+        return TiedPieces(n.gs, n.ge, n.gi)
 
-def tied_matvec(n: TiedNormalEq, dx: TiedPieces) -> TiedPieces:
-    os_ = n.hss @ dx.shared
-    os_ = os_ + jnp.einsum("csu,cu->s", n.hse, dx.cam)
-    os_ = os_ + jnp.einsum("isb,ib->s", n.wsi, dx.im)
-    oe = jnp.einsum("csu,s->cu", n.hse, dx.shared)
-    oe = oe + jnp.einsum("cuv,cv->cu", n.hee, dx.cam)
-    oe = oe + jnp.einsum("ciub,ib->cu", n.wei, dx.im)
-    oi = jnp.einsum("isb,s->ib", n.wsi, dx.shared)
-    oi = oi + jnp.einsum("ciub,cu->ib", n.wei, dx.cam)
-    oi = oi + jnp.einsum("ibq,iq->ib", n.hii, dx.im)
-    return TiedPieces(os_, oe, oi)
+    def tied_matvec(n: TiedNormalEq, dx: TiedPieces) -> TiedPieces:
+        oh = jnp.asarray(oh_np, dtype=dx.cam.dtype)
+        sh_c = oh @ dx.shared                                   # (C, s)
+        os_ = jnp.einsum("gst,gt->gs", n.hss, dx.shared)
+        os_ = os_ + jnp.einsum("cg,csu,cu->gs", oh, n.hse, dx.cam)
+        os_ = os_ + jnp.einsum("gisb,ib->gs", n.wsi, dx.im)
+        oe = jnp.einsum("csu,cs->cu", n.hse, sh_c)
+        oe = oe + jnp.einsum("cuv,cv->cu", n.hee, dx.cam)
+        oe = oe + jnp.einsum("ciub,ib->cu", n.wei, dx.im)
+        oi = jnp.einsum("gisb,gs->ib", n.wsi, dx.shared)
+        oi = oi + jnp.einsum("ciub,cu->ib", n.wei, dx.cam)
+        oi = oi + jnp.einsum("ibq,iq->ib", n.hii, dx.im)
+        return TiedPieces(os_, oe, oi)
 
+    def tied_solve(n: TiedNormalEq, damp: TiedPieces,
+                   method: str = "dense", cg_tol: float = 1e-6,
+                   cg_maxiter: int = 250) -> TiedPieces:
+        """(H + diag(damp)) dx = -g: eliminate the block-diagonal poses,
+        dense Cholesky on the (G*s + 6C) reduced system, back-substitute.
+        The reduced system is tiny for any realistic rig, so the dense
+        path always applies (cg accepted for signature parity)."""
+        g_, s = n.hss.shape[0], n.hss.shape[2]
+        c_, i_ = n.hee.shape[0], n.hii.shape[0]
+        ns, ne = g_ * s, c_ * 6
+        oh = jnp.asarray(oh_np, dtype=n.gs.dtype)
 
-def tied_solve(n: TiedNormalEq, damp: TiedPieces, method: str = "dense",
-               cg_tol: float = 1e-6, cg_maxiter: int = 250) -> TiedPieces:
-    """(H + diag(damp)) dx = -g: eliminate the block-diagonal poses, dense
-    Cholesky on the (s + 6C) reduced system, back-substitute. The reduced
-    system is tiny for any realistic rig (s <= 14, 6 per camera), so the
-    dense path always applies (cg accepted for signature parity)."""
-    s = n.hss.shape[0]
-    c_, i_ = n.hee.shape[0], n.hii.shape[0]
-    ne = c_ * 6
+        hss = n.hss + jax.vmap(jnp.diag)(damp.shared)
+        hee = n.hee + jax.vmap(jnp.diag)(damp.cam)
+        hii = n.hii + jax.vmap(jnp.diag)(damp.im)
 
-    hss = n.hss + jnp.diag(damp.shared)
-    hee = n.hee + jax.vmap(jnp.diag)(damp.cam)
-    hii = n.hii + jax.vmap(jnp.diag)(damp.im)
+        iinv = _normalized_inv(hii)                            # (I,b,b)
+        t_si = jnp.einsum("gisb,ibq->gisq", n.wsi, iinv)       # (G,I,s,b)
+        t_ei = jnp.einsum("ciub,ibq->ciuq", n.wei, iinv)       # (C,I,6,b)
 
-    iinv = _normalized_inv(hii)                                # (I,b,b)
-    t_si = jnp.einsum("isb,ibq->isq", n.wsi, iinv)             # (I,s,b)
-    t_ei = jnp.einsum("ciub,ibq->ciuq", n.wei, iinv)           # (C,I,6,b)
+        a_ss = -jnp.einsum("gisq,hiuq->ghsu", t_si, n.wsi)     # (G,G,s,s)
+        a_ss = _block_diag_add(a_ss, hss)
+        a_se = (jnp.einsum("cg,csu->gcsu", oh, n.hse)
+                - jnp.einsum("gisq,ciuq->gcsu", t_si, n.wei))  # (G,C,s,6)
+        a_ee = -jnp.einsum("ciuq,divq->cduv", t_ei, n.wei)     # (C,C,6,6)
+        a_ee = _block_diag_add(a_ee, hee)
+        r_s = n.gs - jnp.einsum("gisq,iq->gs", t_si, n.gi)
+        r_e = n.ge - jnp.einsum("ciuq,iq->cu", t_ei, n.gi)
 
-    a_ss = hss - jnp.einsum("isq,iuq->su", t_si, n.wsi)
-    a_se = n.hse - jnp.einsum("isq,ciuq->csu", t_si, n.wei)    # (C,s,6)
-    a_ee = -jnp.einsum("ciuq,divq->cduv", t_ei, n.wei)         # (C,C,6,6)
-    a_ee = _block_diag_add(a_ee, hee)
-    r_s = n.gs - jnp.einsum("isq,iq->s", t_si, n.gi)
-    r_e = n.ge - jnp.einsum("ciuq,iq->cu", t_ei, n.gi)
+        se_flat = a_se.transpose(0, 2, 1, 3).reshape(ns, ne)
+        top = jnp.concatenate(
+            [a_ss.transpose(0, 2, 1, 3).reshape(ns, ns), se_flat], axis=1)
+        bot = jnp.concatenate(
+            [se_flat.T, a_ee.transpose(0, 2, 1, 3).reshape(ne, ne)],
+            axis=1)
+        amat = jnp.concatenate([top, bot], axis=0)
+        rhs = -jnp.concatenate([r_s.reshape(-1), r_e.reshape(-1)])
+        sol = _psd_solve(amat, rhs)
+        dxs = sol[:ns].reshape(g_, s)
+        dxe = sol[ns:].reshape(c_, 6)
 
-    se_flat = a_se.transpose(1, 0, 2).reshape(s, ne)
-    top = jnp.concatenate([a_ss, se_flat], axis=1)
-    bot = jnp.concatenate(
-        [se_flat.T, a_ee.transpose(0, 2, 1, 3).reshape(ne, ne)], axis=1)
-    amat = jnp.concatenate([top, bot], axis=0)
-    rhs = -jnp.concatenate([r_s, r_e.reshape(-1)])
-    sol = _psd_solve(amat, rhs)
-    dxs = sol[:s]
-    dxe = sol[s:].reshape(c_, 6)
+        ri = -n.gi - jnp.einsum("gisb,gs->ib", n.wsi, dxs) \
+            - jnp.einsum("ciub,cu->ib", n.wei, dxe)
+        dxi = jnp.einsum("ibq,iq->ib", iinv, ri)
+        return TiedPieces(dxs, dxe, dxi)
 
-    ri = -n.gi - jnp.einsum("isb,s->ib", n.wsi, dxs) \
-        - jnp.einsum("ciub,cu->ib", n.wei, dxe)
-    dxi = jnp.einsum("ibq,iq->ib", iinv, ri)
-    return TiedPieces(dxs, dxe, dxi)
-
-
-TIED_OPS = (tied_diag, tied_matvec, tied_solve, tied_grad)
+    return (tied_diag, tied_matvec, tied_solve, tied_grad)
 
 
 def build_shared_structured_problem(param_handler, dtype,
@@ -161,10 +201,10 @@ def build_shared_structured_problem(param_handler, dtype,
 
     Same contract as build_structured_problem: returns
     (solve_fn(x0_free) -> (x_free, SLMResult), residual_fn, x0). The
-    returned free vector broadcasts the solved shared intrinsics into
-    every camera's slots, so every downstream consumer (get_camset,
-    uncertainty, persistence) sees a standard per-camera layout whose
-    rows happen to be identical.
+    returned free vector broadcasts each solved lens into every camera of
+    its group, so every downstream consumer (get_camset, uncertainty,
+    persistence) sees a standard per-camera layout whose grouped rows are
+    identical.
 
     Raises UnsupportedChain for non-template chains or when any camera's
     intrinsic columns are individually fixed (pin all or none — a
@@ -179,6 +219,13 @@ def build_shared_structured_problem(param_handler, dtype,
     s = widths.a - 6
     if s <= 0:
         raise UnsupportedChain("chain has no intrinsic columns to tie")
+
+    gid = resolve_lens_groups(
+        param_handler.problem_opts.get("shared_intrinsics"),
+        param_handler.cam_names)
+    n_groups = int(gid.max()) + 1
+    oh_np = np.zeros((gid.size, n_groups))
+    oh_np[np.arange(gid.size), gid] = 1.0
 
     x0 = np.asarray(param_handler.get_initial_params(), dtype=np.float64)
     n_cams = len(param_handler.cam_names)
@@ -219,17 +266,20 @@ def build_shared_structured_problem(param_handler, dtype,
     uv_d, mask_d = blocks.as_device(dtype)
     tpl_d = jnp.asarray(tpl_pad, dtype=dtype)
     max_nfev = int(param_handler.problem_opts.get("max_nfev", 100))
+    ops = make_tied_ops(oh_np)
 
     def to_tied(full_np: np.ndarray) -> TiedPieces:
         p = split_full_params(jnp.asarray(full_np, dtype=dtype), op_fun,
                               struct, n_cams, n_ims, n_keys, widths)
         p = pad_pieces_to_grid(p, widths, False, n_keys, k_pad, n_ims,
                                n_ims_grid)
-        return TiedPieces(p.cam[:, :s].mean(axis=0), p.cam[:, s:], p.im)
+        oh = jnp.asarray(oh_np, dtype=p.cam.dtype)
+        counts = jnp.asarray(oh_np.sum(axis=0), dtype=p.cam.dtype)
+        shared = (oh.T @ p.cam[:, :s]) / counts[:, None]  # group means
+        return TiedPieces(shared, p.cam[:, s:], p.im)
 
     def expand(tp: TiedPieces) -> ParamPieces:
-        cam_full = jnp.concatenate(
-            [jnp.tile(tp.shared[None], (n_cams, 1)), tp.cam], axis=1)
+        cam_full = jnp.concatenate([tp.shared[gid], tp.cam], axis=1)
         return ParamPieces(cam_full, tp.im,
                            jnp.zeros((k_pad, 0), dtype=tp.cam.dtype))
 
@@ -237,9 +287,10 @@ def build_shared_structured_problem(param_handler, dtype,
     def solve_impl(x_tied, uv, mask, tpl):
         def neq_fn(tp):
             p = expand(tp)
-            return fold_tied(neq_raw(p, uv, mask, tpl, colmask), s)
+            oh = jnp.asarray(oh_np, dtype=p.cam.dtype)
+            return fold_tied(neq_raw(p, uv, mask, tpl, colmask), s, oh)
         return structured_lm_solve(neq_fn, x_tied, max_nfev=max_nfev,
-                                   reduced_solver="dense", ops=TIED_OPS)
+                                   reduced_solver="dense", ops=ops)
 
     point_fn = op_fun.make_point_fn()
     blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
@@ -269,10 +320,9 @@ def build_shared_structured_problem(param_handler, dtype,
         return to_tied(full)
 
     def from_tied(tp: TiedPieces) -> np.ndarray:
+        sh = jnp.asarray(tp.shared, dtype=jnp.float64)
         cam_full = jnp.concatenate(
-            [jnp.tile(jnp.asarray(tp.shared, dtype=jnp.float64)[None],
-                      (n_cams, 1)),
-             jnp.asarray(tp.cam, dtype=jnp.float64)], axis=1)
+            [sh[gid], jnp.asarray(tp.cam, dtype=jnp.float64)], axis=1)
         return np.asarray(merge_pieces_to_full(
             ParamPieces(cam_full,
                         jnp.asarray(tp.im[:n_ims], dtype=jnp.float64),

@@ -234,15 +234,21 @@ def _tied_sigma(param_handler, x, free_mask: np.ndarray, n_c: int, w: int):
     """
     from scipy.sparse import csr_matrix
 
+    from pycamset_tpu.optim.shared_intr import resolve_lens_groups
+
+    gid = resolve_lens_groups(
+        param_handler.problem_opts.get("shared_intrinsics"),
+        param_handler.cam_names)
+    n_groups = int(gid.max()) + 1
     r, jac, _x = _weighted_r_jac(param_handler, x)
     free_idx = np.nonzero(free_mask)[0]
     n_free = free_idx.size
     intr_span = w * n_c
     tied_of = np.empty(n_free, dtype=np.int64)
-    next_id = w
+    next_id = n_groups * w
     for k, fi in enumerate(free_idx):
         if fi < intr_span:
-            tied_of[k] = fi % w
+            tied_of[k] = gid[fi // w] * w + fi % w
         else:
             tied_of[k] = next_id
             next_id += 1

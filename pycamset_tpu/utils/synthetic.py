@@ -106,10 +106,14 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         rvec, tvec = ext_4x4_to_rod(look_at_extrinsic(pos, np.zeros(3)))
         extr[c] = np.concatenate([rvec, tvec])
 
-    if shared_intrinsics:
-        # identical lens batch: every camera projects through camera 0's
-        # intrinsics (extrinsics keep their per-camera draw)
-        intr[1:] = intr[0]
+    if shared_intrinsics is not False and shared_intrinsics is not None:
+        # identical lens batch(es): cameras of one group project through
+        # the group's first camera's intrinsics (True = one group; a
+        # per-camera group-id array gives a mixed-batch rig)
+        gid = (np.zeros(n_cams, dtype=int) if shared_intrinsics is True
+               else np.asarray(shared_intrinsics, dtype=int))
+        for c in range(n_cams):
+            intr[c] = intr[np.flatnonzero(gid == gid[c])[0]]
 
     # pose_scale = (rotation rad, translation m) spread; tiny values give
     # near-degenerate geometry (barely-moving target) for stress tests

@@ -35,12 +35,14 @@ def _handler(cams, det, target, shared=True, **extra):
     return TemplateBundleHandler(cams, target, det, options=opts)
 
 
-def _scipy_tied_oracle(rig, n_cams, n_ims):
+def _scipy_tied_oracle(rig, n_cams, n_ims, gid=None):
     """Independent tied solve: numpy residuals + scipy TRF over
-    [shared(9) | extr(6C) | poses(6(I-1))], pose 0 pinned (the gauge)."""
+    [shared(9G) | extr(6C) | poses(6(I-1))], pose 0 pinned (the gauge)."""
     from scipy.optimize import least_squares
 
     import cv2
+    gid = np.zeros(n_cams, dtype=int) if gid is None else np.asarray(gid)
+    n_grp = int(gid.max()) + 1
     dd = rig["dd"]
     tpl = rig["template"]
     cam_i = dd[:, 0].astype(int)
@@ -49,11 +51,10 @@ def _scipy_tied_oracle(rig, n_cams, n_ims):
     uv = dd[:, 3:5]
 
     def residuals(x):
-        sh = x[:9]
-        ext = x[9:9 + 6 * n_cams].reshape(n_cams, 6)
+        sh = x[:9 * n_grp].reshape(n_grp, 9)
+        ext = x[9 * n_grp:9 * n_grp + 6 * n_cams].reshape(n_cams, 6)
         poses = np.zeros((n_ims, 6))
-        poses[1:] = x[9 + 6 * n_cams:].reshape(n_ims - 1, 6)
-        fx, px, fy, py, k1, k2, p1, p2, k3 = sh
+        poses[1:] = x[9 * n_grp + 6 * n_cams:].reshape(n_ims - 1, 6)
         out = np.zeros((len(dd), 2))
         for i in range(n_ims):
             rt = np.eye(4)
@@ -64,6 +65,7 @@ def _scipy_tied_oracle(rig, n_cams, n_ims):
                 rows = np.flatnonzero((cam_i == c) & (im_i == i))
                 if not rows.size:
                     continue
+                fx, px, fy, py, k1, k2, p1, p2, k3 = sh[gid[c]]
                 et = np.eye(4)
                 et[:3, :3] = cv2.Rodrigues(ext[c, :3])[0]
                 et[:3, 3] = ext[c, 3:]
@@ -77,9 +79,11 @@ def _scipy_tied_oracle(rig, n_cams, n_ims):
                 out[rows, 1] = yd * fy + py - uv[rows, 1]
         return out.reshape(-1)
 
-    x0 = np.concatenate([rig["intr"][0],
-                         rig["extr"].reshape(-1),
-                         rig["poses"][1:].reshape(-1)])
+    x0 = np.concatenate(
+        [np.concatenate([rig["intr"][np.flatnonzero(gid == g)[0]]
+                         for g in range(n_grp)]),
+         rig["extr"].reshape(-1),
+         rig["poses"][1:].reshape(-1)])
     sol = least_squares(residuals, x0, x_scale="jac", max_nfev=100)
     return sol, residuals
 
@@ -163,6 +167,67 @@ def test_tied_honours_extrinsic_anchor():
     assert np.allclose(solved["cam1"].extrinsic, cams["cam1"].extrinsic)
     err = np.mean(np.linalg.norm(res.fun.reshape(-1, 2), axis=1))
     assert err < 2 * rig["noise_px"]
+
+
+def test_lens_groups_match_oracle_and_recover_two_lenses():
+    """Mixed lens batch: cams {0,1} share lens A, {2,3} lens B."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    gid = [0, 0, 1, 1]
+    rig = make_synthetic_rig(n_cams=4, n_ims=6, grid=5, visibility=0.9,
+                             noise_px=0.2, seed=12, shared_intrinsics=gid)
+    names = [f"cam{c}" for c in range(4)]
+    k_mats, exts, dists = [], [], []
+    for c in range(4):
+        i = rig["intr"][c]
+        k_mats.append(np.array([[i[0], 0, i[1]], [0, i[2], i[3]],
+                                [0, 0, 1]]))
+        dists.append(i[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, dists, [[1600, 1200]] * 4))
+    target = FreePointTarget(rig["template"].reshape(1, -1, 3))
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+
+    handler = _handler(cams, det, target, shared=["a", "a", "b", "b"])
+    res, solved = run_bundle_adjustment(handler)
+    # broadcast within groups, distinct across
+    assert np.array_equal(solved["cam0"].intrinsic,
+                          solved["cam1"].intrinsic)
+    assert np.array_equal(solved["cam2"].intrinsic,
+                          solved["cam3"].intrinsic)
+    assert not np.array_equal(solved["cam0"].intrinsic,
+                              solved["cam2"].intrinsic)
+    # both lenses recovered
+    assert abs(solved["cam0"].intrinsic[0, 0] - rig["intr"][0][0]) < 3.0
+    assert abs(solved["cam2"].intrinsic[0, 0] - rig["intr"][2][0]) < 3.0
+    # independent scipy oracle on the SAME grouped objective
+    sol, _ = _scipy_tied_oracle(rig, 4, 6, gid=gid)
+    assert res.cost == pytest.approx(sol.cost, rel=1e-6)
+    # tied uncertainty: per-group sigmas broadcast
+    unc = solved.calibration_uncertainty()
+    assert np.array_equal(unc["cameras"]["cam0"]["int_sigma"],
+                          unc["cameras"]["cam1"]["int_sigma"])
+    assert not np.array_equal(unc["cameras"]["cam0"]["int_sigma"],
+                              unc["cameras"]["cam2"]["int_sigma"])
+
+
+def test_lens_group_option_validation():
+    from pycamset_tpu.optim.shared_intr import resolve_lens_groups
+    names = ["a", "b", "c"]
+    assert resolve_lens_groups(True, names).tolist() == [0, 0, 0]
+    assert resolve_lens_groups(["x", "y", "x"], names).tolist() == [0, 1, 0]
+    assert resolve_lens_groups({"a": 1, "b": 1, "c": 2},
+                               names).tolist() == [0, 0, 1]
+    with pytest.raises(ValueError, match="one label per camera"):
+        resolve_lens_groups(["x"], names)
+    with pytest.raises(ValueError, match="misses cameras"):
+        resolve_lens_groups({"a": 1}, names)
 
 
 def test_tied_uncertainty_pools_and_broadcasts():

@@ -1023,3 +1023,46 @@ def test_fleet_vmapped_solve_on_chip():
         n_real = p[7].n_real
         rms = np.sqrt(costs[r] / (2 * n_real))
         assert rms < 0.3 * 1.25
+
+
+def test_shared_intrinsics_tied_solve_on_chip():
+    """The tied (shared-intrinsics) backend end-to-end on real TPU: the
+    untied Pallas grams fold through the tying map inside the jitted LM
+    (optim/shared_intr.py), reach the noise floor, and broadcast one lens
+    per group. Driver-level (run_bundle_adjustment) so the fold + ops
+    injection compile under Mosaic exactly as production dispatches them."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (FreePointTarget,
+                                             TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    gid = [0, 0, 1, 1]
+    rig = make_synthetic_rig(n_cams=4, n_ims=8, grid=6, visibility=0.9,
+                             noise_px=0.3, seed=15, shared_intrinsics=gid)
+    names = [f"cam{c}" for c in range(4)]
+    k_mats, exts, dists = [], [], []
+    for c in range(4):
+        i = rig["intr"][c]
+        k_mats.append(np.array([[i[0], 0, i[1]], [0, i[2], i[3]],
+                                [0, 0, 1]]))
+        dists.append(i[4:])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, dists, [[1600, 1200]] * 4))
+    target = FreePointTarget(rig["template"].reshape(1, -1, 3))
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+    handler = TemplateBundleHandler(
+        cams, target, det,
+        options={"outliers": "n", "shared_intrinsics": ["a", "a", "b", "b"]})
+    res, solved = run_bundle_adjustment(handler)
+
+    err = np.mean(np.linalg.norm(res.fun.reshape(-1, 2), axis=1))
+    assert err < 2 * rig["noise_px"]
+    assert np.array_equal(solved["cam0"].intrinsic, solved["cam1"].intrinsic)
+    assert np.array_equal(solved["cam2"].intrinsic, solved["cam3"].intrinsic)
+    assert not np.array_equal(solved["cam0"].intrinsic,
+                              solved["cam2"].intrinsic)
+    assert abs(solved["cam0"].intrinsic[0, 0] - rig["intr"][0][0]) < 5.0

@@ -402,6 +402,69 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _add_export(sub):
+    p = sub.add_parser(
+        "export",
+        help="export a calibrated rig for external pipelines "
+             "(COLMAP sparse model, NeRF transforms.json, OpenCV YAML)")
+    p.add_argument("camset", help="path to a .camset file")
+    p.add_argument("--format", required=True,
+                   choices=["colmap", "nerf", "opencv"])
+    p.add_argument("--out", default=None,
+                   help="output path (colmap: directory; nerf: "
+                        "transforms.json; opencv: .yaml). Defaults next to "
+                        "the .camset")
+
+
+def cmd_export(args) -> int:
+    from pathlib import Path
+
+    from pycamset_tpu.utils import interop
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    src = Path(args.camset)
+    if args.format == "colmap":
+        out = Path(args.out) if args.out else src.with_name(
+            src.stem + "_colmap")
+        interop.export_colmap(cams, out)
+    elif args.format == "nerf":
+        out = Path(args.out) if args.out else src.with_name(
+            "transforms.json")
+        interop.export_nerf(cams, out)
+    else:
+        out = Path(args.out) if args.out else src.with_suffix(".yaml")
+        interop.export_opencv_yaml(cams, out)
+    print(f"exported {len(cams)} cameras ({args.format}) -> {out}")
+    return 0
+
+
+def _add_import(sub):
+    p = sub.add_parser(
+        "import",
+        help="build a .camset from an external rig description "
+             "(COLMAP text model directory or OpenCV YAML)")
+    p.add_argument("source", help="COLMAP model dir or OpenCV .yaml file")
+    p.add_argument("--out", default=None,
+                   help="output .camset path (default: <source>.camset)")
+
+
+def cmd_import(args) -> int:
+    from pathlib import Path
+
+    from pycamset_tpu.utils import interop
+
+    src = Path(args.source)
+    if src.is_dir():
+        cams = interop.import_colmap(src)
+    else:
+        cams = interop.import_opencv_yaml(src)
+    out = Path(args.out) if args.out else src.with_suffix(".camset")
+    cams.save(out)
+    print(f"imported {len(cams)} cameras -> {out}")
+    return 0
+
+
 def _add_info(sub):
     p = sub.add_parser("info", help="summarise a .camset file")
     p.add_argument("--uncertainty", action="store_true",
@@ -645,6 +708,8 @@ def main(argv=None) -> int:
     _add_monitor(sub)
     _add_convert(sub)
     _add_report(sub)
+    _add_export(sub)
+    _add_import(sub)
     _add_info(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
@@ -661,6 +726,10 @@ def main(argv=None) -> int:
         return cmd_convert(args)
     if args.cmd == "report":
         return cmd_report(args)
+    if args.cmd == "export":
+        return cmd_export(args)
+    if args.cmd == "import":
+        return cmd_import(args)
     if args.cmd == "info":
         return cmd_info(args)
     return 1

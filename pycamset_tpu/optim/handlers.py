@@ -890,17 +890,48 @@ class SelfBundleHandler(TemplateBundleHandler):
     def apply_gauge_transform(self, proj, extr, poses, point_estimate):
         """Similarity-align the recovered model onto the reference target.
 
-        Rescales by the mean valid pairwise-distance ratio, then rigid-fits
-        the recovered points onto the reference model, propagating scale and
-        transform into poses and extrinsics (the calibration is preserved).
-        Parity: standard_bundle_handler.py:339-410.
+        Rescales by the mean valid pairwise-distance ratio — or, when the
+        ``scale_bars`` option gives measured point-pair distances
+        ``[(i, j, metres), ...]``, by the least-squares metric scale those
+        define — then rigid-fits the recovered points onto the reference
+        model, propagating scale and transform into poses and extrinsics
+        (the calibration is preserved).
+        Parity: standard_bundle_handler.py:339-410 (scale bars are beyond
+        the reference).
         """
         from scipy.spatial.distance import cdist
         ref_points = self.target.point_data.reshape((-1, 3))
         valid_map = self.target.valid_map
         vm = self.visible_feature_mask
 
-        if isinstance(valid_map, (bool, np.bool_)):
+        bars = self.problem_opts.get("scale_bars")
+        if bars:
+            # metric anchor: user-MEASURED distances between target points
+            # ("scale bars") override the nominal reference-model pitch.
+            # Scale is a pure gauge freedom of the self-calibration, so the
+            # post-hoc least-squares rescale is exactly equivalent to
+            # constraining the distances inside the bundle adjustment.
+            bi = np.array([b[0] for b in bars], dtype=int)
+            bj = np.array([b[1] for b in bars], dtype=int)
+            bd = np.array([b[2] for b in bars], dtype=float)
+            if np.any(bd <= 0):
+                raise ValueError("scale_bars distances must be positive")
+            if np.any(bi == bj):
+                raise ValueError("scale_bars endpoints must be distinct "
+                                 "point indices")
+            unseen = ~(vm[bi] & vm[bj])
+            if np.any(unseen):
+                logging.warning(
+                    f"{int(unseen.sum())} scale bar(s) touch target points "
+                    "that were never observed (frozen at the reference "
+                    "geometry) — their estimated lengths carry the OLD "
+                    "scale and will bias the metric anchor.")
+            est = np.linalg.norm(point_estimate[bi] - point_estimate[bj],
+                                 axis=1)
+            # least squares over the bars: min_s sum (s*est - measured)^2
+            s = float(np.dot(bd, est) / np.dot(est, est))
+            new_map = ref_map = None
+        elif isinstance(valid_map, (bool, np.bool_)):
             if not valid_map:
                 raise ValueError(
                     "Target has given a valid map of False, which indicates "
@@ -931,8 +962,9 @@ class SelfBundleHandler(TemplateBundleHandler):
                 "target.valid_map must be True (every point pair is "
                 "comparable) or an (n, 2) array of comparable index pairs.")
 
-        with np.errstate(invalid="ignore", divide="ignore"):
-            s = np.mean(ref_map / new_map) if new_map.size else np.nan
+        if not bars:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.mean(ref_map / new_map) if new_map.size else np.nan
         if not np.isfinite(s) or s <= 0:
             logging.critical(
                 "Could not anchor the model scale (no finite positive "

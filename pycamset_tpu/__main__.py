@@ -97,6 +97,16 @@ def _add_track(sub):
                    help="treat frames as ordered video: each frame "
                         "warm-starts from the previous solution "
                         "(track_stream) instead of independent seeding")
+    p.add_argument("--smooth", action="store_true",
+                   help="RTS-smooth the trajectory with a constant-"
+                        "velocity prior (ordered video): temporally "
+                        "coherent poses + velocities, lost frames "
+                        "interpolated from the motion model")
+    p.add_argument("--q-rot", type=float, default=1e-3,
+                   help="smoothing: angular white-noise-acceleration "
+                        "density (rad^2/frame^3); smaller = stiffer")
+    p.add_argument("--q-trans", type=float, default=1e-3,
+                   help="smoothing: translation counterpart (m^2/frame^3)")
     p.add_argument("--no-cache", action="store_true",
                    help="skip the detection pickle cache")
     p.add_argument("--export-artifact", default=None, metavar="FILE",
@@ -570,13 +580,22 @@ def cmd_track(args) -> int:
         from pycamset_tpu.serving import export_tracker
         export_tracker(tracker, args.export_artifact)
         print(f"serving artifact -> {args.export_artifact}")
+    vel = None
+    if args.smooth:
+        from pycamset_tpu.smoothing import smooth_pose_trajectory
+        poses, vel, sm_sig = smooth_pose_trajectory(
+            poses, pose_cov=info["pose_cov"], q_rot=args.q_rot,
+            q_trans=args.q_trans, return_velocity=True)
+        info = dict(info, pose_sigma=sm_sig)
     # inf sigmas (underdetermined frames) are not valid JSON -> null
     sig = [[float(v) if np.isfinite(v) else None for v in row]
            for row in info["pose_sigma"]]
     records = [{"frame": i, "pose": p.tolist(),
                 "rms_px": float(info["rms"][i]),
                 "n_detections": int(info["n_used"][i]),
-                "pose_sigma": sig[i]}
+                "pose_sigma": sig[i],
+                **({"velocity": vel[i].tolist()} if vel is not None
+                   else {})}
                for i, p in enumerate(poses)]
     text = json.dumps(records, indent=1)
     if args.out:

@@ -548,6 +548,12 @@ class TargetTracker:
         # instead of leaking NaN through the ridged inverse
         pose_sigma[dof < 1] = np.inf
         pose_sigma[~np.isfinite(pose_sigma)] = np.inf
+        # full 6x6 covariances feed the trajectory smoother
+        # (pycamset_tpu/smoothing.py); frames the solver lost are marked
+        # non-finite so the smoother coasts them on its motion prior
+        pose_cov = cov_unit * sigma2[:, None, None]
+        pose_cov[dof < 1] = np.inf
         poses = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
         return poses, {"rms": rms, "nit": out[:, 7].astype(int),
-                       "n_used": n_used, "pose_sigma": pose_sigma}
+                       "n_used": n_used, "pose_sigma": pose_sigma,
+                       "pose_cov": pose_cov}

@@ -412,6 +412,44 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _add_plan(sub):
+    p = sub.add_parser(
+        "plan",
+        help="predict a PROPOSED rig's achievable accuracy before "
+             "building it (synthetic capture -> real BA -> uncertainty)")
+    p.add_argument("camset", help="proposed rig layout (.camset file)")
+    _add_target_args(p)
+    p.add_argument("--n-ims", type=int, default=30,
+                   help="planned number of target presentations")
+    p.add_argument("--noise", type=float, default=0.3,
+                   help="expected detector corner noise (px, 1-sigma)")
+    p.add_argument("--min-cams", type=int, default=2,
+                   help="cameras that must see each presentation")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="also write the report as JSON")
+
+
+def cmd_plan(args) -> int:
+    import json
+    from pathlib import Path
+
+    from pycamset_tpu.calibration.plan import (format_plan_report,
+                                               plan_calibration)
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    target = _make_target(args)
+    rep = plan_calibration(cams, target.point_data, n_ims=args.n_ims,
+                           noise_px=args.noise, seed=args.seed,
+                           min_cams=args.min_cams)
+    print(format_plan_report(rep))
+    if args.out:
+        Path(args.out).write_text(json.dumps(rep, indent=1))
+        print(f"plan report -> {args.out}")
+    return 0
+
+
 def _add_export(sub):
     p = sub.add_parser(
         "export",
@@ -727,6 +765,7 @@ def main(argv=None) -> int:
     _add_monitor(sub)
     _add_convert(sub)
     _add_report(sub)
+    _add_plan(sub)
     _add_export(sub)
     _add_import(sub)
     _add_info(sub)
@@ -745,6 +784,8 @@ def main(argv=None) -> int:
         return cmd_convert(args)
     if args.cmd == "report":
         return cmd_report(args)
+    if args.cmd == "plan":
+        return cmd_plan(args)
     if args.cmd == "export":
         return cmd_export(args)
     if args.cmd == "import":

@@ -21,7 +21,7 @@ __all__ = [
     "calibrate_fleet", "calibrate_hand_eye", "rig_health",
     "recalibrate_extrinsics", "recalibrate_intrinsics",
     "write_calibration_report", "convert_camera_model",
-    "convert_camera_set",
+    "convert_camera_set", "calibrate_time_offsets",
 ]
 
 _LAZY = {
@@ -52,6 +52,8 @@ _LAZY = {
                              "convert_camera_model"),
     "convert_camera_set": ("pycamset_tpu.calibration.convert",
                            "convert_camera_set"),
+    "calibrate_time_offsets": ("pycamset_tpu.calibration.sync",
+                               "calibrate_time_offsets"),
 }
 
 

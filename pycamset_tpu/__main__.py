@@ -249,6 +249,73 @@ def cmd_handeye(args) -> int:
     return 0
 
 
+def _add_sync(sub):
+    p = sub.add_parser(
+        "sync",
+        help="per-camera time offsets (sub-frame) from a moving-target "
+             "capture against a calibrated rig")
+    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("--camset", required=True,
+                   help="calibrated rig (.camset file)")
+    _add_target_args(p)
+    p.add_argument("--fps", type=float, default=None,
+                   help="nominal frame rate: also report offsets in ms")
+    p.add_argument("--max-shift", type=int, default=0,
+                   help="search integer frame shifts up to this many "
+                        "frames first (0 = offsets are sub-frame)")
+    p.add_argument("--skew", action="store_true",
+                   help="also estimate per-camera frame-rate skew "
+                        "(free-running clocks)")
+    p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
+                   default="linear")
+    p.add_argument("--f-scale", type=float, default=1.0)
+    p.add_argument("--out", default=None,
+                   help="write the result as JSON (default: print)")
+    p.add_argument("--no-cache", action="store_true",
+                   help="skip the detection pickle cache")
+
+
+def cmd_sync(args) -> int:
+    import json
+    from pathlib import Path
+
+    from pycamset_tpu.calibration.camera_calibrator import (
+        detect_datapoints_in_imfile)
+    from pycamset_tpu.calibration.sync import (calibrate_time_offsets,
+                                               format_sync_report)
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    target = _make_target(args)
+    detection, _ = detect_datapoints_in_imfile(
+        f_loc=Path(args.folder), calibration_target=target,
+        caching=not args.no_cache)
+    res = calibrate_time_offsets(
+        cams, detection, target, estimate_skew=args.skew,
+        max_shift=args.max_shift, fps=args.fps, loss=args.loss,
+        f_scale=args.f_scale)
+    record = {
+        "cameras": res.info["camera_names"],
+        "offsets_frames": res.offsets.tolist(),
+        "offset_sigma_frames": res.offset_sigma.tolist(),
+        "reprojection_rms_px": res.rms,
+        "integer_shifts": res.info["integer_shifts"].tolist(),
+        "n_detections": res.info["n_detections"],
+    }
+    if res.skew is not None:
+        record["skew_frames_per_frame"] = res.skew.tolist()
+        record["skew_sigma"] = res.skew_sigma.tolist()
+    if args.fps:
+        record["offsets_ms"] = (res.offsets / args.fps * 1e3).tolist()
+    if args.out:
+        Path(args.out).write_text(json.dumps(record, indent=1))
+        print(f"sync calibration -> {args.out}")
+    else:
+        print(json.dumps(record, indent=1))
+    print(format_sync_report(res, fps=args.fps), file=sys.stderr)
+    return 0
+
+
 def _add_monitor(sub):
     p = sub.add_parser(
         "monitor",
@@ -762,6 +829,7 @@ def main(argv=None) -> int:
     _add_track(sub)
     _add_reconstruct(sub)
     _add_handeye(sub)
+    _add_sync(sub)
     _add_monitor(sub)
     _add_convert(sub)
     _add_report(sub)
@@ -778,6 +846,8 @@ def main(argv=None) -> int:
         return cmd_reconstruct(args)
     if args.cmd == "handeye":
         return cmd_handeye(args)
+    if args.cmd == "sync":
+        return cmd_sync(args)
     if args.cmd == "monitor":
         return cmd_monitor(args)
     if args.cmd == "convert":

@@ -1,0 +1,505 @@
+"""Temporal synchronisation calibration for multi-camera rigs.
+
+Beyond the reference (rlav440/pyCamSet has no temporal calibration; its
+pipeline assumes hardware-synchronized captures, e.g.
+pyCamSet/calibration/camera_calibrator.py's per-image detection tables).
+Rigs without genlock sample the scene at per-camera times
+
+    t_cj = j + d_c + s_c * (j - j_mid)        [frame units]
+
+with an unknown sub-frame offset ``d_c`` and, for free-running clocks, a
+frame-rate skew ``s_c``. A MOVING target makes both observable: every
+camera samples the same trajectory on a shifted time grid, so a clock
+error appears as a reprojection error proportional to the image-plane
+velocity.
+
+:func:`calibrate_time_offsets` estimates the clock parameters jointly
+with the target trajectory from one moving-target capture against a
+calibrated rig:
+
+1. integer frame shifts (optional, ``max_shift > 0``) by normalised
+   cross-correlation of per-camera image-plane *speed* signals — no pose
+   solving needed;
+2. trajectory init from the multi-camera tracker on the integer-aligned
+   table (pycamset_tpu/tracking.py), rodrigues-unwrapped and gap-filled;
+3. ONE jitted device LM over ``[pose knots X (I,6) | offsets | skews]``:
+   the pose at time t linearly interpolates the bracketing knots, so each
+   (camera, frame) cell touches exactly two knot blocks plus its camera's
+   clock parameters. The normal equations are assembled WITHOUT scatters
+   (the repo invariant): per-cell 6x6 grams from a 6-tangent jacfwd over
+   the interpolated pose, then one-hot contractions onto the knot axis
+   build the block-tridiagonal pose system, the (6I, E) clock coupling
+   and the ExE clock block — an arrow-structured system like the mixed
+   backend's (optim/structured_mixed.py), assembled dense here because
+   sync captures are short (n <= a few thousand params).
+
+Gauge: camera 0 defines the time base (d_0 = s_0 = 0); a common shift or
+dilation of every clock is absorbed by the trajectory knots. A weak
+second-difference smoothness prior on the knots (relative weight
+``prior_lambda``) resolves time bins no camera observes.
+
+The standard tool for this job is Kalibr's continuous-time estimator;
+this is the same idea re-designed as one compiled TPU program.
+"""
+from __future__ import annotations
+
+import logging
+from typing import NamedTuple
+
+import numpy as np
+
+from pycamset_tpu.utils.general_utils import ext_4x4_to_rod, make_4x4h_tform
+
+
+class SyncResult(NamedTuple):
+    """Result of :func:`calibrate_time_offsets`.
+
+    offsets/skew are in FRAME units (camera 0 pinned to 0); ``info``
+    carries seconds when ``fps`` was given, plus diagnostics.
+    """
+    offsets: np.ndarray          # (C,) frames; offsets[0] == 0 (gauge)
+    offset_sigma: np.ndarray     # (C,) 1-sigma, frames
+    skew: np.ndarray | None      # (C,) frames/frame, or None
+    skew_sigma: np.ndarray | None
+    rms: float                   # reprojection rms (px) at the solution
+    info: dict
+
+
+def _obs_grids(detection, target, n_cams: int, n_ims: int, dtype):
+    """Detection table -> dense (C, I, K, 2) uv + (C, I, K) mask grids."""
+    flat = detection.return_flattened_keys(target.point_data.shape[:-1])
+    dd = flat.get_data()
+    k = int(np.prod(target.point_data.shape[:-1]))
+    uv = np.zeros((n_cams, n_ims, k, 2), dtype=dtype)
+    mask = np.zeros((n_cams, n_ims, k), dtype=dtype)
+    if dd is not None and len(dd):
+        ci = dd[:, 0].astype(int)
+        ji = dd[:, 1].astype(int)
+        ki = dd[:, -3].astype(int)
+        uv[ci, ji, ki] = dd[:, -2:]
+        mask[ci, ji, ki] = 1.0
+    return uv, mask, dd
+
+
+def estimate_integer_shifts(uv: np.ndarray, mask: np.ndarray,
+                            max_shift: int, min_overlap: int = 8
+                            ) -> np.ndarray:
+    """Integer frame shifts from image-plane speed cross-correlation.
+
+    The per-frame centroid of a camera's detections moves with the
+    target; its speed profile |d centroid / d frame| is (up to
+    projection) the same time signal in every camera. The lag maximising
+    the normalised cross-correlation against camera 0's profile is the
+    integer part of that camera's offset — no pose estimation needed, so
+    this init survives rigs whose clocks are many frames apart.
+
+    :returns: (C,) integer shifts m with signal_c(j) ~ signal_0(j + m),
+        i.e. m estimates d_c rounded to a frame.
+    """
+    n_cams, n_ims = mask.shape[:2]
+    cnt = mask.sum(axis=-1)                                   # (C, J)
+    cen = (uv * mask[..., None]).sum(axis=2) \
+        / np.maximum(cnt, 1.0)[..., None]                     # (C, J, 2)
+    has = cnt >= 3
+    vel = np.linalg.norm(np.diff(cen, axis=1), axis=-1)       # (C, J-1)
+    ok = has[:, 1:] & has[:, :-1]
+
+    def znorm(sig, valid):
+        v = sig[valid]
+        if v.size < 2 or np.std(v) < 1e-12:
+            return None
+        out = np.zeros_like(sig)
+        out[valid] = (v - v.mean()) / v.std()
+        return out
+
+    ref = znorm(vel[0], ok[0])
+    if ref is None:
+        raise ValueError(
+            "camera 0 has no usable motion signal (too few frames with "
+            ">= 3 detections, or a static target) — cannot estimate "
+            "integer shifts; capture a moving target")
+    shifts = np.zeros(n_cams, dtype=int)
+    for c in range(1, n_cams):
+        sig = znorm(vel[c], ok[c])
+        if sig is None:
+            logging.warning("camera %d has no motion signal; integer "
+                            "shift left at 0", c)
+            continue
+        best, best_score = 0, -np.inf
+        for m in range(-max_shift, max_shift + 1):
+            # overlap of cam c's frame j with cam 0's frame j + m
+            lo, hi = max(0, -m), min(len(sig), len(ref) - m)
+            if hi - lo < min_overlap:
+                continue
+            both = ok[c][lo:hi] & ok[0][lo + m:hi + m]
+            if both.sum() < min_overlap:
+                continue
+            a = sig[lo:hi][both]
+            b = ref[lo + m:hi + m][both]
+            sa, sb = np.std(a), np.std(b)
+            if sa < 1e-12 or sb < 1e-12:
+                continue
+            score = float(np.mean((a - a.mean()) * (b - b.mean()))
+                          / (sa * sb))
+            if score > best_score:
+                best, best_score = m, score
+        shifts[c] = best
+    return shifts
+
+
+def calibrate_time_offsets(camset, detection, target, *,
+                           estimate_skew: bool = False,
+                           max_shift: int = 0,
+                           fps: float | None = None,
+                           loss: str = "linear", f_scale: float = 1.0,
+                           max_nfev: int = 100,
+                           prior_lambda: float = 1e-6,
+                           min_track_detections: int = 6) -> SyncResult:
+    """Estimate per-camera time offsets (and optional rate skew) from a
+    moving-target capture against a calibrated rig.
+
+    :param camset: calibrated CameraSet (all camera parameters fixed).
+    :param detection: TargetDetection over the capture — frame index
+        ``im`` is each camera's OWN frame counter (nominally common rate).
+    :param target: the calibration target (template from point_data).
+    :param estimate_skew: also estimate a per-camera frame-rate skew
+        (frames per frame, centred at mid-capture) — for free-running,
+        non-genlocked clocks.
+    :param max_shift: maximum |integer| frame shift to search by signal
+        cross-correlation before the joint solve (0 = assume offsets are
+        sub-frame).
+    :param fps: nominal frame rate; when given, ``info`` also reports
+        offsets/sigmas in seconds.
+    :param prior_lambda: relative weight of the knot smoothness prior
+        (resolves time bins no camera observes; keep tiny).
+    :returns: :class:`SyncResult` — offsets in frames, camera 0 == 0.
+
+    Observability: a static target makes clock parameters unobservable
+    (the reprojection sensitivity to time is the image-plane velocity);
+    the reported sigmas blow up accordingly — check them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pycamset_tpu.config import default_device_dtype
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.ops.projection import (intr9_from_k_dist,
+                                             project_cam_points)
+    from pycamset_tpu.ops.transforms import pose_apply
+    from pycamset_tpu.optim.handlers import infer_shared_n_dist
+    from pycamset_tpu.optim.lm import lm_solve
+    from pycamset_tpu.optim.losses import make_loss
+    from pycamset_tpu.smoothing import unwrap_rvecs
+    from pycamset_tpu.tracking import TargetTracker
+
+    names = camset.get_names()
+    n_cams = len(names)
+    if n_cams < 2:
+        raise ValueError("temporal calibration needs >= 2 cameras (one "
+                         "camera defines the time base)")
+    n_ims = int(detection.max_ims)
+    if n_ims < 4:
+        raise ValueError("temporal calibration needs a capture of >= 4 "
+                         f"frames; got {n_ims}")
+    dtype = default_device_dtype()
+    uv_g, mask_g, dd = _obs_grids(detection, target, n_cams, n_ims, dtype)
+    if dd is None or not len(dd):
+        raise ValueError("detection table is empty")
+
+    # -- step 1: integer shifts
+    shifts = np.zeros(n_cams, dtype=int)
+    if max_shift > 0:
+        shifts = estimate_integer_shifts(uv_g, mask_g, max_shift)
+
+    # -- step 2: trajectory init from the tracker on the aligned table
+    im_new = dd[:, 1].astype(int) + shifts[dd[:, 0].astype(int)]
+    keep = (im_new >= 0) & (im_new < n_ims)
+    dd2 = dd[keep].copy()
+    dd2[:, 1] = im_new[keep]
+    tracker = TargetTracker(camset, target, loss=loss, f_scale=f_scale)
+    poses, tinfo = tracker.track_batch(
+        TargetDetection(cam_names=names, data=dd2))
+    n_tracked = poses.shape[0]
+    x0 = np.zeros((n_ims, 6))
+    valid = np.zeros(n_ims, dtype=bool)
+    lim = min(n_ims, n_tracked)
+    finite = np.isfinite(poses[:lim].reshape(lim, -1)).all(axis=1)
+    valid[:lim] = (np.asarray(tinfo["n_used"][:lim])
+                   >= min_track_detections) & finite
+    for i in np.flatnonzero(valid):
+        x0[i] = np.concatenate(ext_4x4_to_rod(poses[i]))
+    if valid.sum() < 2:
+        raise ValueError(
+            f"target tracked in only {int(valid.sum())} frames — not "
+            "enough to anchor a trajectory (check the rig calibration "
+            "and detection coverage)")
+    x0[:, :3] = unwrap_rvecs(x0[:, :3], valid=valid)
+    anchors = np.flatnonzero(valid)
+    holes = np.flatnonzero(~valid)
+    for a in range(6):  # linear gap fill keeps untracked bins plausible
+        x0[holes, a] = np.interp(holes, anchors, x0[anchors, a])
+
+    # -- step 3: joint device LM
+    dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
+    n_dist = infer_shared_n_dist(dists)
+    # jit-captured constants stay HOST numpy (CLAUDE.md invariant:
+    # captured device arrays force the tunnel's first d2h at lowering)
+    intr_h = np.stack([
+        np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
+        for n, d in zip(names, dists)]).astype(dtype)
+    extr_h = np.stack([
+        np.concatenate(ext_4x4_to_rod(camset[n].extrinsic))
+        for n in names]).astype(dtype)
+    tpl_h = np.asarray(target.point_data.reshape(-1, 3), dtype=dtype)
+
+    rho_fn, weight_fn = make_loss(loss, f_scale)
+    robust = loss != "linear"
+    n_off = n_cams - 1
+    n_e = n_off * (2 if estimate_skew else 1)
+    n_pose = 6 * n_ims
+    jmid = (n_ims - 1) / 2.0
+
+    def cell_grams(pose6, uv_k, mask_k, intr_c, extr_c):
+        """One (camera, frame) cell: masked 6x6 gram, gradient, cost
+        over its K candidate detections via a 6-tangent jacfwd."""
+        tpl_j = jnp.asarray(tpl_h)
+
+        def res_fn(p6):
+            world = pose_apply(p6, tpl_j)                   # (K, 3)
+            xc = pose_apply(extr_c, world)
+            z = xc[..., 2]
+            # masked keys can sit behind the camera: keep 1/z finite so
+            # mask * inf never makes a NaN (pad-row invariant)
+            z_safe = jnp.where(jnp.abs(z) > 1e-6, z,
+                               jnp.asarray(1e-6, z.dtype))
+            xc = jnp.concatenate([xc[..., :2], z_safe[..., None]], -1)
+            return project_cam_points(intr_c, xc) - uv_k    # (K, 2)
+
+        r = res_fn(pose6)
+        jp = jax.jacfwd(res_fn)(pose6)                      # (K, 2, 6)
+        if robust:
+            ssq = jnp.sum(r * r, axis=-1)
+            cost = jnp.sum(rho_fn(ssq) * mask_k)
+            mw = mask_k * jnp.sqrt(weight_fn(ssq))
+        else:
+            cost = jnp.sum(r * r * mask_k[:, None])
+            mw = mask_k
+        jm = jp * mw[:, None, None]
+        rm = r * mw[:, None]
+        a = jnp.einsum("kta,ktb->ab", jm, jm)
+        g6 = jnp.einsum("kta,kt->a", jm, rm)
+        return a, g6, cost
+
+    cells = jax.vmap(                                        # over cameras
+        jax.vmap(cell_grams, in_axes=(0, 0, 0, None, None)),  # over frames
+        in_axes=(0, 0, 0, 0, 0))
+
+    def interp_poses(p, mask):
+        """Clock params -> per-cell interpolated poses + effective mask
+        (+ the pieces the assembly reuses)."""
+        x = p[:n_pose].reshape(n_ims, 6)
+        d = jnp.concatenate([jnp.zeros(1, p.dtype),
+                             p[n_pose:n_pose + n_off]])
+        if estimate_skew:
+            s = jnp.concatenate([jnp.zeros(1, p.dtype),
+                                 p[n_pose + n_off:n_pose + 2 * n_off]])
+        else:
+            s = jnp.zeros(n_cams, p.dtype)
+        j_idx = jnp.arange(n_ims, dtype=p.dtype)
+        jrel = j_idx - jmid
+        t = j_idx[None, :] + d[:, None] + s[:, None] * jrel[None, :]
+        in_range = ((t >= 0.0) & (t <= n_ims - 1.0)).astype(p.dtype)
+        f = jnp.clip(jnp.floor(t), 0, n_ims - 2).astype(jnp.int32)
+        w = jnp.clip(t - f.astype(p.dtype), 0.0, 1.0)        # (C, J)
+        xf, xf1 = x[f], x[f + 1]                             # (C, J, 6)
+        v = xf1 - xf                                          # dpose/dt
+        pose_cells = (1.0 - w)[..., None] * xf + w[..., None] * xf1
+        mask_eff = mask * in_range[..., None]
+        return x, pose_cells, mask_eff, f, w, v, jrel
+
+    def neq(p, uv, mask):
+        x, pose_cells, mask_eff, f, w, v, jrel = interp_poses(p, mask)
+        a, g6, costs = cells(pose_cells, uv, mask_eff,
+                             jnp.asarray(intr_h), jnp.asarray(extr_h))
+        # knot memberships (one-hot contractions replace scatter-adds)
+        of = jax.nn.one_hot(f, n_ims, dtype=p.dtype)         # (C, J, I)
+        of1 = jax.nn.one_hot(f + 1, n_ims, dtype=p.dtype)
+        w0, w1 = 1.0 - w, w
+        dblk = (jnp.einsum("cj,cji,cjab->iab", w0 * w0, of, a)
+                + jnp.einsum("cj,cji,cjab->iab", w1 * w1, of1, a))
+        oblk = jnp.einsum("cj,cji,cjab->iab", w0 * w1, of, a)  # (i, i+1)
+        gx = (jnp.einsum("cj,cji,cja->ia", w0, of, g6)
+              + jnp.einsum("cj,cji,cja->ia", w1, of1, g6))
+
+        # weak first-difference smoothness prior: resolves unobserved bins
+        lam = prior_lambda * jnp.maximum(
+            jnp.max(jnp.abs(dblk)), jnp.asarray(1.0, p.dtype))
+        eye6 = jnp.eye(6, dtype=p.dtype)
+        ends = jnp.concatenate([jnp.ones(1, p.dtype),
+                                jnp.full((n_ims - 2,), 2.0, p.dtype),
+                                jnp.ones(1, p.dtype)])
+        dblk = dblk + lam * ends[:, None, None] * eye6
+        not_last = (jnp.arange(n_ims) < n_ims - 1).astype(p.dtype)
+        oblk = oblk - lam * not_last[:, None, None] * eye6
+        diff = x[1:] - x[:-1]
+        gp = lam * (jnp.pad(diff, ((1, 0), (0, 0)))
+                    - jnp.pad(diff, ((0, 1), (0, 0))))
+        cost_prior = lam * jnp.sum(diff * diff)
+
+        # clock couplings: dr/dd_c = Jp v, dr/ds_c = Jp v * jrel
+        av = jnp.einsum("cjab,cjb->cja", a, v)               # (C, J, 6)
+        vav = jnp.einsum("cja,cja->cj", v, av)
+        gclk = jnp.einsum("cja,cja->cj", v, g6)
+        wd = (jnp.einsum("cj,cji,cja->ica", w0, of, av)
+              + jnp.einsum("cj,cji,cja->ica", w1, of1, av))   # (I, C, 6)
+        w_cols = [wd[:, 1:, :]]
+        hdd = jnp.sum(vav, axis=1)
+        ge_parts = [jnp.sum(gclk, axis=1)[1:]]
+        if estimate_skew:
+            ws = (jnp.einsum("cj,cji,cja->ica", w0 * jrel[None, :], of, av)
+                  + jnp.einsum("cj,cji,cja->ica", w1 * jrel[None, :], of1,
+                               av))
+            w_cols.append(ws[:, 1:, :])
+            hds = jnp.sum(vav * jrel[None, :], axis=1)
+            hss = jnp.sum(vav * jrel[None, :] ** 2, axis=1)
+            ge_parts.append(jnp.sum(gclk * jrel[None, :], axis=1)[1:])
+            hee = jnp.concatenate([
+                jnp.concatenate([jnp.diag(hdd[1:]), jnp.diag(hds[1:])], 1),
+                jnp.concatenate([jnp.diag(hds[1:]), jnp.diag(hss[1:])], 1)],
+                axis=0)
+        else:
+            hee = jnp.diag(hdd[1:])
+
+        # dense assembly: block tridiagonal pose system + clock arrow
+        eye_i = jnp.eye(n_ims, dtype=p.dtype)
+        up_i = jnp.eye(n_ims, n_ims, 1, dtype=p.dtype)
+        mo = jnp.einsum("iab,ij->iajb", oblk, up_i).reshape(n_pose, n_pose)
+        mp = (jnp.einsum("iab,ij->iajb", dblk, eye_i)
+              .reshape(n_pose, n_pose) + mo + mo.T)
+        w_all = jnp.concatenate(
+            [wc.transpose(0, 2, 1).reshape(n_pose, -1) for wc in w_cols],
+            axis=1)                                           # (6I, E)
+        jtj = jnp.concatenate([
+            jnp.concatenate([mp, w_all], axis=1),
+            jnp.concatenate([w_all.T, hee], axis=1)], axis=0)
+        grad = jnp.concatenate([(gx + gp).reshape(-1),
+                                jnp.concatenate(ge_parts)])
+        return jtj, grad, jnp.sum(costs) + cost_prior
+
+    def data_cost(p, uv, mask):
+        """Pure reprojection cost at p — the prior term is part of the
+        objective but must not contaminate the reported pixel rms."""
+        _, pose_cells, mask_eff, *_ = interp_poses(p, mask)
+        _, _, costs = cells(pose_cells, uv, mask_eff,
+                            jnp.asarray(intr_h), jnp.asarray(extr_h))
+        return jnp.sum(costs)
+
+    def solve_packed(p0, uv, mask):
+        res = lm_solve(lambda q: neq(q, uv, mask), p0, max_nfev=max_nfev)
+        jtj, _, _ = neq(res.x, uv, mask)
+        # clock covariance by Schur elimination of the pose knots
+        mp = jtj[:n_pose, :n_pose]
+        wp = jtj[:n_pose, n_pose:]
+        hee = jtj[n_pose:, n_pose:]
+        ridge_m = 1e-12 * jnp.maximum(jnp.max(jnp.diag(mp)), 1.0)
+        sol = jnp.linalg.solve(
+            mp + ridge_m * jnp.eye(n_pose, dtype=p0.dtype), wp)
+        s_e = hee - wp.T @ sol
+        ridge_e = 1e-12 * jnp.maximum(jnp.max(jnp.abs(jnp.diag(s_e))), 1.0)
+        cov_e = jnp.linalg.inv(s_e + ridge_e * jnp.eye(n_e, dtype=p0.dtype))
+        # ONE packed leaf (the tunnel charges per fetched array)
+        return jnp.concatenate([
+            res.x, jnp.diag(cov_e), data_cost(res.x, uv, mask)[None],
+            res.nit.astype(p0.dtype)[None],
+            res.status.astype(p0.dtype)[None]])
+
+    p0 = np.concatenate([
+        x0.reshape(-1), shifts[1:].astype(float),
+        np.zeros(n_off if estimate_skew else 0)]).astype(dtype)
+    packed = np.asarray(jax.device_get(jax.jit(solve_packed)(
+        jnp.asarray(p0), jnp.asarray(uv_g), jnp.asarray(mask_g))))
+
+    x = packed[:n_pose].reshape(n_ims, 6)
+    e = packed[n_pose:n_pose + n_e]
+    diag_cov = packed[n_pose + n_e:n_pose + 2 * n_e]
+    cost = float(packed[-3])
+    nit, status = int(packed[-2]), int(packed[-1])
+
+    offsets = np.zeros(n_cams)
+    offsets[1:] = e[:n_off]
+    skew = None
+    if estimate_skew:
+        skew = np.zeros(n_cams)
+        skew[1:] = e[n_off:]
+    # effective detections: within the valid time window at the solution
+    j_idx = np.arange(n_ims, dtype=float)
+    t = j_idx[None, :] + offsets[:, None]
+    if skew is not None:
+        t = t + skew[:, None] * (j_idx - jmid)[None, :]
+    in_range = (t >= 0.0) & (t <= n_ims - 1.0)
+    n_det_eff = int((mask_g * in_range[..., None]).sum())
+    dof = max(2 * n_det_eff - (n_pose + n_e), 1)
+    sigma2 = cost / dof
+    e_sigma = np.sqrt(np.clip(diag_cov, 0.0, None) * sigma2)
+    offset_sigma = np.zeros(n_cams)
+    offset_sigma[1:] = e_sigma[:n_off]
+    skew_sigma = None
+    if estimate_skew:
+        skew_sigma = np.zeros(n_cams)
+        skew_sigma[1:] = e_sigma[n_off:]
+    rms = float(np.sqrt(cost / max(2 * n_det_eff, 1)))
+
+    # observability diagnostic: median knot-to-knot motion
+    dx = np.diff(x, axis=0)
+    motion = {"rot_rad_per_frame": float(np.median(
+        np.linalg.norm(dx[:, :3], axis=1))),
+        "trans_per_frame": float(np.median(
+            np.linalg.norm(dx[:, 3:], axis=1)))}
+    if np.any(offset_sigma[1:] > 0.05):
+        logging.warning(
+            "temporal calibration is weakly observable (offset sigma up "
+            "to %.2f frames) — the capture's motion is too slow or too "
+            "short", float(np.max(offset_sigma[1:])))
+
+    info = {
+        "nit": nit, "status": status, "cost": cost,
+        "n_detections": n_det_eff, "integer_shifts": shifts,
+        "trajectory": np.stack([make_4x4h_tform(r[:3], r[3:]) for r in x]),
+        "tracker_rms": tinfo["rms"], "motion": motion,
+        "camera_names": list(names),
+    }
+    if fps is not None and fps > 0:
+        info["offsets_s"] = offsets / fps
+        info["offset_sigma_s"] = offset_sigma / fps
+        if skew is not None:
+            info["clock_rate_ppm"] = skew * 1e6  # frames/frame = s/s
+    return SyncResult(offsets, offset_sigma, skew, skew_sigma, rms, info)
+
+
+def format_sync_report(result: SyncResult, fps: float | None = None) -> str:
+    """Human-readable rendering of a :class:`SyncResult`."""
+    lines = [
+        f"temporal calibration over {result.info['n_detections']} "
+        f"detections: rms {result.rms:.3f} px, {result.info['nit']} "
+        "iterations",
+        " camera        offset(frames)     sigma" + (
+            "      skew(ppm)" if result.skew is not None else ""),
+    ]
+    for i, n in enumerate(result.info["camera_names"]):
+        row = (f" {n:<12} {result.offsets[i]:>+14.4f} "
+               f"{result.offset_sigma[i]:>9.4f}")
+        if result.skew is not None:
+            row += f" {result.skew[i] * 1e6:>+14.2f}"
+        if i == 0:
+            row += "   (time base)"
+        lines.append(row)
+    if fps is not None and fps > 0:
+        ms = result.offsets / fps * 1e3
+        lines.append(" offsets at {:.6g} fps: ".format(fps) + ", ".join(
+            f"{n}={v:+.3f} ms" for n, v in
+            zip(result.info["camera_names"], ms)))
+    m = result.info["motion"]
+    lines.append(
+        f" capture motion: {m['rot_rad_per_frame'] * 1e3:.2f} mrad + "
+        f"{m['trans_per_frame'] * 1e3:.3f} mm per frame (median)")
+    return "\n".join(lines)

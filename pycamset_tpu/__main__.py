@@ -266,6 +266,9 @@ def _add_sync(sub):
     p.add_argument("--skew", action="store_true",
                    help="also estimate per-camera frame-rate skew "
                         "(free-running clocks)")
+    p.add_argument("--rolling-shutter", action="store_true",
+                   help="also estimate per-camera rolling-shutter "
+                        "readout duration (frames per frame scan)")
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
     p.add_argument("--f-scale", type=float, default=1.0)
@@ -292,6 +295,7 @@ def cmd_sync(args) -> int:
         caching=not args.no_cache)
     res = calibrate_time_offsets(
         cams, detection, target, estimate_skew=args.skew,
+        estimate_rolling_shutter=args.rolling_shutter,
         max_shift=args.max_shift, fps=args.fps, loss=args.loss,
         f_scale=args.f_scale)
     record = {
@@ -305,6 +309,9 @@ def cmd_sync(args) -> int:
     if res.skew is not None:
         record["skew_frames_per_frame"] = res.skew.tolist()
         record["skew_sigma"] = res.skew_sigma.tolist()
+    if res.readout is not None:
+        record["readout_frames"] = res.readout.tolist()
+        record["readout_sigma"] = res.readout_sigma.tolist()
     if args.fps:
         record["offsets_ms"] = (res.offsets / args.fps * 1e3).tolist()
     if args.out:

@@ -54,13 +54,17 @@ from pycamset_tpu.utils.general_utils import ext_4x4_to_rod, make_4x4h_tform
 class SyncResult(NamedTuple):
     """Result of :func:`calibrate_time_offsets`.
 
-    offsets/skew are in FRAME units (camera 0 pinned to 0); ``info``
-    carries seconds when ``fps`` was given, plus diagnostics.
+    offsets/skew/readout are in FRAME units (camera 0's offset and skew
+    pinned to 0; readout has no gauge freedom and is estimated for every
+    camera); ``info`` carries seconds when ``fps`` was given, plus
+    diagnostics.
     """
     offsets: np.ndarray          # (C,) frames; offsets[0] == 0 (gauge)
     offset_sigma: np.ndarray     # (C,) 1-sigma, frames
     skew: np.ndarray | None      # (C,) frames/frame, or None
     skew_sigma: np.ndarray | None
+    readout: np.ndarray | None   # (C,) rolling-shutter readout, frames
+    readout_sigma: np.ndarray | None
     rms: float                   # reprojection rms (px) at the solution
     info: dict
 
@@ -149,6 +153,7 @@ def estimate_integer_shifts(uv: np.ndarray, mask: np.ndarray,
 
 def calibrate_time_offsets(camset, detection, target, *,
                            estimate_skew: bool = False,
+                           estimate_rolling_shutter: bool = False,
                            max_shift: int = 0,
                            fps: float | None = None,
                            loss: str = "linear", f_scale: float = 1.0,
@@ -165,6 +170,13 @@ def calibrate_time_offsets(camset, detection, target, *,
     :param estimate_skew: also estimate a per-camera frame-rate skew
         (frames per frame, centred at mid-capture) — for free-running,
         non-genlocked clocks.
+    :param estimate_rolling_shutter: also estimate a per-camera
+        rolling-shutter readout duration (frames): a detection on image
+        row v is sampled at ``t + readout * (v / height - 1/2)``, so the
+        per-camera offset refers to the frame's mid-scan. Readout is NOT
+        a gauge freedom (it varies within a frame), so it is estimated
+        for every camera including camera 0; a global-shutter sensor
+        reports ~0.
     :param max_shift: maximum |integer| frame shift to search by signal
         cross-correlation before the joint solve (0 = assume offsets are
         sub-frame).
@@ -255,17 +267,31 @@ def calibrate_time_offsets(camset, detection, target, *,
     rho_fn, weight_fn = make_loss(loss, f_scale)
     robust = loss != "linear"
     n_off = n_cams - 1
-    n_e = n_off * (2 if estimate_skew else 1)
+    n_e = n_off * (2 if estimate_skew else 1) \
+        + (n_cams if estimate_rolling_shutter else 0)
     n_pose = 6 * n_ims
     jmid = (n_ims - 1) / 2.0
+    # per-detection row phase: a detection on row v is sampled
+    # readout * rho later than mid-scan (rho from the OBSERVED row — the
+    # standard linearisation; it is data, not a parameter)
+    heights = np.array([float(camset[n].res[1]) for n in names])
+    rho_g = (uv_g[..., 1] / heights[:, None, None] - 0.5).astype(dtype)
 
-    def cell_grams(pose6, uv_k, mask_k, intr_c, extr_c):
-        """One (camera, frame) cell: masked 6x6 gram, gradient, cost
-        over its K candidate detections via a 6-tangent jacfwd."""
+    def cell_grams(xf, xf1, w_base, rs_c, uv_k, mask_k, rho_k, intr_c,
+                   extr_c):
+        """One (camera, frame) cell: masked gram/gradient/cost over the
+        local 14-vector q = [X_f (6) | X_f1 (6) | tau | readout] via one
+        14-tangent jacfwd. tau is the cell's clock shift evaluated at 0 —
+        its column maps to d_c (weight 1) and s_c (weight jrel) in the
+        assembly, so the offset/skew chain rule is exact by construction.
+        """
         tpl_j = jnp.asarray(tpl_h)
 
-        def res_fn(p6):
-            world = pose_apply(p6, tpl_j)                   # (K, 3)
+        def res_fn(q):
+            xf_q, xf1_q = q[:6], q[6:12]
+            wk = w_base + q[12] + q[13] * rho_k              # (K,)
+            p6 = xf_q[None, :] + wk[:, None] * (xf1_q - xf_q)[None, :]
+            world = jax.vmap(pose_apply)(p6, tpl_j)          # (K, 3)
             xc = pose_apply(extr_c, world)
             z = xc[..., 2]
             # masked keys can sit behind the camera: keep 1/z finite so
@@ -273,10 +299,12 @@ def calibrate_time_offsets(camset, detection, target, *,
             z_safe = jnp.where(jnp.abs(z) > 1e-6, z,
                                jnp.asarray(1e-6, z.dtype))
             xc = jnp.concatenate([xc[..., :2], z_safe[..., None]], -1)
-            return project_cam_points(intr_c, xc) - uv_k    # (K, 2)
+            return project_cam_points(intr_c, xc) - uv_k     # (K, 2)
 
-        r = res_fn(pose6)
-        jp = jax.jacfwd(res_fn)(pose6)                      # (K, 2, 6)
+        q0 = jnp.concatenate([xf, xf1, jnp.zeros(1, xf.dtype),
+                              rs_c[None]])
+        r = res_fn(q0)
+        jp = jax.jacfwd(res_fn)(q0)                          # (K, 2, 14)
         if robust:
             ssq = jnp.sum(r * r, axis=-1)
             cost = jnp.sum(rho_fn(ssq) * mask_k)
@@ -286,25 +314,36 @@ def calibrate_time_offsets(camset, detection, target, *,
             mw = mask_k
         jm = jp * mw[:, None, None]
         rm = r * mw[:, None]
-        a = jnp.einsum("kta,ktb->ab", jm, jm)
-        g6 = jnp.einsum("kta,kt->a", jm, rm)
-        return a, g6, cost
+        a = jnp.einsum("kta,ktb->ab", jm, jm)                # (14, 14)
+        g = jnp.einsum("kta,kt->a", jm, rm)                  # (14,)
+        return a, g, cost
 
     cells = jax.vmap(                                        # over cameras
-        jax.vmap(cell_grams, in_axes=(0, 0, 0, None, None)),  # over frames
-        in_axes=(0, 0, 0, 0, 0))
+        jax.vmap(cell_grams,                                 # over frames
+                 in_axes=(0, 0, 0, None, 0, 0, 0, None, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
 
-    def interp_poses(p, mask):
-        """Clock params -> per-cell interpolated poses + effective mask
-        (+ the pieces the assembly reuses)."""
+    def split_params(p):
         x = p[:n_pose].reshape(n_ims, 6)
-        d = jnp.concatenate([jnp.zeros(1, p.dtype),
-                             p[n_pose:n_pose + n_off]])
+        pos = n_pose
+        d = jnp.concatenate([jnp.zeros(1, p.dtype), p[pos:pos + n_off]])
+        pos += n_off
         if estimate_skew:
             s = jnp.concatenate([jnp.zeros(1, p.dtype),
-                                 p[n_pose + n_off:n_pose + 2 * n_off]])
+                                 p[pos:pos + n_off]])
+            pos += n_off
         else:
             s = jnp.zeros(n_cams, p.dtype)
+        if estimate_rolling_shutter:
+            rs = p[pos:pos + n_cams]
+        else:
+            rs = jnp.zeros(n_cams, p.dtype)
+        return x, d, s, rs
+
+    def interp_cells(p, mask):
+        """Clock params -> per-cell bracketing knots, base weight and
+        effective mask (+ the pieces the assembly reuses)."""
+        x, d, s, rs = split_params(p)
         j_idx = jnp.arange(n_ims, dtype=p.dtype)
         jrel = j_idx - jmid
         t = j_idx[None, :] + d[:, None] + s[:, None] * jrel[None, :]
@@ -312,24 +351,27 @@ def calibrate_time_offsets(camset, detection, target, *,
         f = jnp.clip(jnp.floor(t), 0, n_ims - 2).astype(jnp.int32)
         w = jnp.clip(t - f.astype(p.dtype), 0.0, 1.0)        # (C, J)
         xf, xf1 = x[f], x[f + 1]                             # (C, J, 6)
-        v = xf1 - xf                                          # dpose/dt
-        pose_cells = (1.0 - w)[..., None] * xf + w[..., None] * xf1
         mask_eff = mask * in_range[..., None]
-        return x, pose_cells, mask_eff, f, w, v, jrel
+        return x, rs, xf, xf1, mask_eff, f, w, jrel
 
-    def neq(p, uv, mask):
-        x, pose_cells, mask_eff, f, w, v, jrel = interp_poses(p, mask)
-        a, g6, costs = cells(pose_cells, uv, mask_eff,
-                             jnp.asarray(intr_h), jnp.asarray(extr_h))
+    def run_cells(p, uv, mask, rho):
+        x, rs, xf, xf1, mask_eff, f, w, jrel = interp_cells(p, mask)
+        a, g, costs = cells(xf, xf1, w, rs, uv, mask_eff, rho,
+                            jnp.asarray(intr_h), jnp.asarray(extr_h))
+        return x, a, g, costs, f, jrel
+
+    def neq(p, uv, mask, rho):
+        x, a, g, costs, f, jrel = run_cells(p, uv, mask, rho)
         # knot memberships (one-hot contractions replace scatter-adds)
         of = jax.nn.one_hot(f, n_ims, dtype=p.dtype)         # (C, J, I)
         of1 = jax.nn.one_hot(f + 1, n_ims, dtype=p.dtype)
-        w0, w1 = 1.0 - w, w
-        dblk = (jnp.einsum("cj,cji,cjab->iab", w0 * w0, of, a)
-                + jnp.einsum("cj,cji,cjab->iab", w1 * w1, of1, a))
-        oblk = jnp.einsum("cj,cji,cjab->iab", w0 * w1, of, a)  # (i, i+1)
-        gx = (jnp.einsum("cj,cji,cja->ia", w0, of, g6)
-              + jnp.einsum("cj,cji,cja->ia", w1, of1, g6))
+        # pose blocks: the per-detection interpolation weights already
+        # live inside the per-cell grams, so assembly is membership-only
+        dblk = (jnp.einsum("cji,cjab->iab", of, a[..., :6, :6])
+                + jnp.einsum("cji,cjab->iab", of1, a[..., 6:12, 6:12]))
+        oblk = jnp.einsum("cji,cjab->iab", of, a[..., :6, 6:12])  # (i,i+1)
+        gx = (jnp.einsum("cji,cja->ia", of, g[..., :6])
+              + jnp.einsum("cji,cja->ia", of1, g[..., 6:12]))
 
         # weak first-difference smoothness prior: resolves unobserved bins
         lam = prior_lambda * jnp.maximum(
@@ -346,29 +388,44 @@ def calibrate_time_offsets(camset, detection, target, *,
                     - jnp.pad(diff, ((0, 1), (0, 0))))
         cost_prior = lam * jnp.sum(diff * diff)
 
-        # clock couplings: dr/dd_c = Jp v, dr/ds_c = Jp v * jrel
-        av = jnp.einsum("cjab,cjb->cja", a, v)               # (C, J, 6)
-        vav = jnp.einsum("cja,cja->cj", v, av)
-        gclk = jnp.einsum("cja,cja->cj", v, g6)
-        wd = (jnp.einsum("cj,cji,cja->ica", w0, of, av)
-              + jnp.einsum("cj,cji,cja->ica", w1, of1, av))   # (I, C, 6)
+        # clock couplings from the tau/readout gram columns
+        ctau = a[..., :12, 12]                               # (C, J, 12)
+        htt = a[..., 12, 12]                                 # (C, J)
+        gtau = g[..., 12]
+
+        def pose_clock(col):                                 # -> (I, C, 6)
+            return (jnp.einsum("cji,cja->ica", of, col[..., :6])
+                    + jnp.einsum("cji,cja->ica", of1, col[..., 6:12]))
+
+        wd = pose_clock(ctau)
         w_cols = [wd[:, 1:, :]]
-        hdd = jnp.sum(vav, axis=1)
-        ge_parts = [jnp.sum(gclk, axis=1)[1:]]
+        ge_parts = [jnp.sum(gtau, axis=1)[1:]]
+        hee_rows = [[jnp.diag(jnp.sum(htt, axis=1)[1:])]]
         if estimate_skew:
-            ws = (jnp.einsum("cj,cji,cja->ica", w0 * jrel[None, :], of, av)
-                  + jnp.einsum("cj,cji,cja->ica", w1 * jrel[None, :], of1,
-                               av))
+            ws = pose_clock(ctau * jrel[None, :, None])
             w_cols.append(ws[:, 1:, :])
-            hds = jnp.sum(vav * jrel[None, :], axis=1)
-            hss = jnp.sum(vav * jrel[None, :] ** 2, axis=1)
-            ge_parts.append(jnp.sum(gclk * jrel[None, :], axis=1)[1:])
-            hee = jnp.concatenate([
-                jnp.concatenate([jnp.diag(hdd[1:]), jnp.diag(hds[1:])], 1),
-                jnp.concatenate([jnp.diag(hds[1:]), jnp.diag(hss[1:])], 1)],
-                axis=0)
-        else:
-            hee = jnp.diag(hdd[1:])
+            hds = jnp.diag(jnp.sum(htt * jrel[None, :], axis=1)[1:])
+            hss = jnp.diag(jnp.sum(htt * jrel[None, :] ** 2, axis=1)[1:])
+            hee_rows[0].append(hds)
+            hee_rows.append([hds, hss])
+            ge_parts.append(jnp.sum(gtau * jrel[None, :], axis=1)[1:])
+        if estimate_rolling_shutter:
+            crs = a[..., :12, 13]
+            wr = pose_clock(crs)
+            w_cols.append(wr)                                # all C cams
+            htr = jnp.diag(jnp.sum(a[..., 12, 13], axis=1))  # (C, C)
+            hrr = jnp.diag(jnp.sum(a[..., 13, 13], axis=1))
+            hee_rows[0].append(htr[1:, :])
+            if estimate_skew:
+                hsr = jnp.diag(jnp.sum(a[..., 12, 13] * jrel[None, :],
+                                       axis=1))
+                hee_rows[1].append(hsr[1:, :])
+                hee_rows.append([htr[:, 1:], hsr[:, 1:], hrr])
+            else:
+                hee_rows.append([htr[:, 1:], hrr])
+            ge_parts.append(jnp.sum(g[..., 13], axis=1))
+        hee = jnp.concatenate(
+            [jnp.concatenate(row, axis=1) for row in hee_rows], axis=0)
 
         # dense assembly: block tridiagonal pose system + clock arrow
         eye_i = jnp.eye(n_ims, dtype=p.dtype)
@@ -386,17 +443,15 @@ def calibrate_time_offsets(camset, detection, target, *,
                                 jnp.concatenate(ge_parts)])
         return jtj, grad, jnp.sum(costs) + cost_prior
 
-    def data_cost(p, uv, mask):
+    def data_cost(p, uv, mask, rho):
         """Pure reprojection cost at p — the prior term is part of the
         objective but must not contaminate the reported pixel rms."""
-        _, pose_cells, mask_eff, *_ = interp_poses(p, mask)
-        _, _, costs = cells(pose_cells, uv, mask_eff,
-                            jnp.asarray(intr_h), jnp.asarray(extr_h))
-        return jnp.sum(costs)
+        return jnp.sum(run_cells(p, uv, mask, rho)[3])
 
-    def solve_packed(p0, uv, mask):
-        res = lm_solve(lambda q: neq(q, uv, mask), p0, max_nfev=max_nfev)
-        jtj, _, _ = neq(res.x, uv, mask)
+    def solve_packed(p0, uv, mask, rho):
+        res = lm_solve(lambda q: neq(q, uv, mask, rho), p0,
+                       max_nfev=max_nfev)
+        jtj, _, _ = neq(res.x, uv, mask, rho)
         # clock covariance by Schur elimination of the pose knots
         mp = jtj[:n_pose, :n_pose]
         wp = jtj[:n_pose, n_pose:]
@@ -409,15 +464,17 @@ def calibrate_time_offsets(camset, detection, target, *,
         cov_e = jnp.linalg.inv(s_e + ridge_e * jnp.eye(n_e, dtype=p0.dtype))
         # ONE packed leaf (the tunnel charges per fetched array)
         return jnp.concatenate([
-            res.x, jnp.diag(cov_e), data_cost(res.x, uv, mask)[None],
+            res.x, jnp.diag(cov_e), data_cost(res.x, uv, mask, rho)[None],
             res.nit.astype(p0.dtype)[None],
             res.status.astype(p0.dtype)[None]])
 
     p0 = np.concatenate([
         x0.reshape(-1), shifts[1:].astype(float),
-        np.zeros(n_off if estimate_skew else 0)]).astype(dtype)
+        np.zeros(n_off if estimate_skew else 0),
+        np.zeros(n_cams if estimate_rolling_shutter else 0)]).astype(dtype)
     packed = np.asarray(jax.device_get(jax.jit(solve_packed)(
-        jnp.asarray(p0), jnp.asarray(uv_g), jnp.asarray(mask_g))))
+        jnp.asarray(p0), jnp.asarray(uv_g), jnp.asarray(mask_g),
+        jnp.asarray(rho_g))))
 
     x = packed[:n_pose].reshape(n_ims, 6)
     e = packed[n_pose:n_pose + n_e]
@@ -428,9 +485,14 @@ def calibrate_time_offsets(camset, detection, target, *,
     offsets = np.zeros(n_cams)
     offsets[1:] = e[:n_off]
     skew = None
+    pos = n_off
     if estimate_skew:
         skew = np.zeros(n_cams)
-        skew[1:] = e[n_off:]
+        skew[1:] = e[pos:pos + n_off]
+        pos += n_off
+    readout = None
+    if estimate_rolling_shutter:
+        readout = np.asarray(e[pos:pos + n_cams])
     # effective detections: within the valid time window at the solution
     j_idx = np.arange(n_ims, dtype=float)
     t = j_idx[None, :] + offsets[:, None]
@@ -444,9 +506,14 @@ def calibrate_time_offsets(camset, detection, target, *,
     offset_sigma = np.zeros(n_cams)
     offset_sigma[1:] = e_sigma[:n_off]
     skew_sigma = None
+    pos = n_off
     if estimate_skew:
         skew_sigma = np.zeros(n_cams)
-        skew_sigma[1:] = e_sigma[n_off:]
+        skew_sigma[1:] = e_sigma[pos:pos + n_off]
+        pos += n_off
+    readout_sigma = None
+    if estimate_rolling_shutter:
+        readout_sigma = np.asarray(e_sigma[pos:pos + n_cams])
     rms = float(np.sqrt(cost / max(2 * n_det_eff, 1)))
 
     # observability diagnostic: median knot-to-knot motion
@@ -473,7 +540,10 @@ def calibrate_time_offsets(camset, detection, target, *,
         info["offset_sigma_s"] = offset_sigma / fps
         if skew is not None:
             info["clock_rate_ppm"] = skew * 1e6  # frames/frame = s/s
-    return SyncResult(offsets, offset_sigma, skew, skew_sigma, rms, info)
+        if readout is not None:
+            info["readout_s"] = readout / fps
+    return SyncResult(offsets, offset_sigma, skew, skew_sigma,
+                      readout, readout_sigma, rms, info)
 
 
 def format_sync_report(result: SyncResult, fps: float | None = None) -> str:
@@ -482,14 +552,17 @@ def format_sync_report(result: SyncResult, fps: float | None = None) -> str:
         f"temporal calibration over {result.info['n_detections']} "
         f"detections: rms {result.rms:.3f} px, {result.info['nit']} "
         "iterations",
-        " camera        offset(frames)     sigma" + (
-            "      skew(ppm)" if result.skew is not None else ""),
+        " camera        offset(frames)     sigma"
+        + ("      skew(ppm)" if result.skew is not None else "")
+        + ("  readout(frames)" if result.readout is not None else ""),
     ]
     for i, n in enumerate(result.info["camera_names"]):
         row = (f" {n:<12} {result.offsets[i]:>+14.4f} "
                f"{result.offset_sigma[i]:>9.4f}")
         if result.skew is not None:
             row += f" {result.skew[i] * 1e6:>+14.2f}"
+        if result.readout is not None:
+            row += f" {result.readout[i]:>16.4f}"
         if i == 0:
             row += "   (time base)"
         lines.append(row)

@@ -43,7 +43,13 @@ def _add_target_args(p):
 
 def _add_calibrate(sub):
     p = sub.add_parser("calibrate", help="calibrate a rig from image folders")
-    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("folder",
+                   help="folder with one image subfolder per camera, OR "
+                        "one video file per camera (frames are extracted "
+                        "and cached automatically)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when the folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
     _add_target_args(p)
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--self-calibrate", action="store_true",
@@ -83,7 +89,13 @@ def _add_calibrate(sub):
 def _add_track(sub):
     p = sub.add_parser(
         "track", help="per-frame target poses against a calibrated rig")
-    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("folder",
+                   help="folder with one image subfolder per camera, OR "
+                        "one video file per camera (frames are extracted "
+                        "and cached automatically)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when the folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
     p.add_argument("--camset",
                    help="calibrated rig (.camset file); or serve from a "
                         "frozen --artifact instead")
@@ -162,7 +174,13 @@ def _add_handeye(sub):
         "handeye",
         help="hand-eye / robot-world calibration of a calibrated rig "
              "against synchronized robot poses")
-    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("folder",
+                   help="folder with one image subfolder per camera, OR "
+                        "one video file per camera (frames are extracted "
+                        "and cached automatically)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when the folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
     p.add_argument("--camset", required=True,
                    help="calibrated rig (.camset file)")
     p.add_argument("--robot-poses", required=True,
@@ -185,6 +203,17 @@ def _add_handeye(sub):
                    help="write the result as JSON (default: print)")
     p.add_argument("--no-cache", action="store_true",
                    help="skip the detection pickle cache")
+
+
+def _resolve_folder(args):
+    """The capture folder to scan: expands per-camera VIDEO files into
+    the cached image-folder layout when present (utils/video.py)."""
+    from pathlib import Path
+
+    from pycamset_tpu.utils.video import expand_videos
+    return expand_videos(Path(args.folder),
+                         stride=getattr(args, "video_stride", 1),
+                         caching=not getattr(args, "no_cache", False))
 
 
 def _load_robot_poses(path):
@@ -220,7 +249,7 @@ def cmd_handeye(args) -> int:
     cams = load_CameraSet(args.camset)
     target = _make_target(args)
     detection, _ = detect_datapoints_in_imfile(
-        f_loc=Path(args.folder), calibration_target=target,
+        f_loc=_resolve_folder(args), calibration_target=target,
         caching=not args.no_cache)
     g = _load_robot_poses(args.robot_poses)
     res = calibrate_hand_eye(
@@ -254,7 +283,13 @@ def _add_sync(sub):
         "sync",
         help="per-camera time offsets (sub-frame) from a moving-target "
              "capture against a calibrated rig")
-    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("folder",
+                   help="folder with one image subfolder per camera, OR "
+                        "one video file per camera (frames are extracted "
+                        "and cached automatically)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when the folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
     p.add_argument("--camset", required=True,
                    help="calibrated rig (.camset file)")
     _add_target_args(p)
@@ -291,7 +326,7 @@ def cmd_sync(args) -> int:
     cams = load_CameraSet(args.camset)
     target = _make_target(args)
     detection, _ = detect_datapoints_in_imfile(
-        f_loc=Path(args.folder), calibration_target=target,
+        f_loc=_resolve_folder(args), calibration_target=target,
         caching=not args.no_cache)
     res = calibrate_time_offsets(
         cams, detection, target, estimate_skew=args.skew,
@@ -328,7 +363,13 @@ def _add_monitor(sub):
         "monitor",
         help="rig health check against fresh detections (leave-one-out "
              "drift localization), optional extrinsic-only refresh")
-    p.add_argument("folder", help="folder with one image subfolder per camera")
+    p.add_argument("folder",
+                   help="folder with one image subfolder per camera, OR "
+                        "one video file per camera (frames are extracted "
+                        "and cached automatically)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when the folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
     p.add_argument("--camset", required=True,
                    help="calibrated rig (.camset file)")
     _add_target_args(p)
@@ -368,7 +409,7 @@ def cmd_monitor(args) -> int:
     cams = load_CameraSet(args.camset)
     target = _make_target(args)
     detection, _ = detect_datapoints_in_imfile(
-        f_loc=Path(args.folder), calibration_target=target,
+        f_loc=_resolve_folder(args), calibration_target=target,
         caching=not args.no_cache)
     rep = rig_health(cams, detection, target,
                      drift_ratio=args.drift_ratio,
@@ -612,7 +653,7 @@ def cmd_calibrate(args) -> int:
     target = _make_target(args)
 
     cams = calibrate_cameras(
-        f_loc=Path(args.folder), calibration_target=target,
+        f_loc=_resolve_folder(args), calibration_target=target,
         save=not args.no_save, draw=args.draw,
         high_distortion=args.high_distortion, problem_options=opts)
 
@@ -621,7 +662,7 @@ def cmd_calibrate(args) -> int:
             detect_datapoints_in_imfile, run_stereo_calibration)
         from pycamset_tpu.optim.handlers import SelfBundleHandler
         det, _ = detect_datapoints_in_imfile(
-            f_loc=Path(args.folder), calibration_target=target,
+            f_loc=_resolve_folder(args), calibration_target=target,
             caching=not args.no_save)
         handler = SelfBundleHandler(detection=det, target=target,
                                     camset=cams, options=opts)
@@ -672,7 +713,7 @@ def cmd_track(args) -> int:
         return 2
     target = _make_target(args)
     detection, _ = detect_datapoints_in_imfile(
-        f_loc=Path(args.folder), calibration_target=target,
+        f_loc=_resolve_folder(args), calibration_target=target,
         caching=not args.no_cache)
     if args.artifact:
         from pycamset_tpu.serving import load_tracker_artifact

@@ -73,7 +73,7 @@ def export_tracker(tracker, path: Path | str) -> Path:
                    f((b, n_keys, n_cams), dtype),      # mask_grid
                    f((b, n), i64), f((b, n), i64),     # cam_i, key_i
                    f((b, n, 2), dtype), f((b, n), dtype))
-    stream_specs = (f((6,), dtype),
+    stream_specs = (f((tracker._n_state,), dtype),
                     f((b, n), i64), f((b, n), i64),
                     f((b, n, 2), dtype), f((b, n), dtype))
 
@@ -89,6 +89,7 @@ def export_tracker(tracker, path: Path | str) -> Path:
         "n_cams": n_cams,
         "cam_names": list(tracker.camset.get_names()),
         "keydims": [int(d) for d in tracker.target.point_data.shape[:-1]],
+        "n_state": int(tracker._n_state),
     }
     out = Path(path)
     with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as z:
@@ -120,6 +121,7 @@ class ServingTracker:
         self.n_keys = int(meta["n_keys"])
         self.n_cams = int(meta["n_cams"])
         self._tpl = template
+        self._n_state = int(meta.get("n_state", 6))
         # _pack_table reads target.point_data.shape[:-1] (the key dims)
         self.target = types.SimpleNamespace(
             point_data=np.zeros(tuple(meta["keydims"]) + (3,)))
@@ -160,6 +162,9 @@ class ServingTracker:
         init = np.asarray(init, dtype=float)
         if init.shape == (4, 4):
             init = np.concatenate(ext_4x4_to_rod(init))
+        init = np.ravel(init)
+        if init.size == 6 and self._n_state == 12:
+            init = np.concatenate([init, np.zeros(6)])
         out = self._exp_stream.call(np.asarray(init, dtype=self._dtype),
                                     *dev_args)
         return self._finalize(jax.device_get(out), mask)

@@ -44,11 +44,24 @@ class TargetTracker:
         truncated with a warning; fewer are masked padding.
     :param loss: robust loss for outlier observations (optim.losses).
     :param max_nfev: LM residual-evaluation budget per frame.
+    :param rolling_shutter: per-camera readout duration in FRAME units
+        ((C,) array or scalar; e.g. from
+        ``calibrate_time_offsets(..., estimate_rolling_shutter=True)``).
+        When given, each frame solves a 12-dof [pose | velocity] state:
+        a detection on image row v is modelled at
+        ``pose + velocity * readout * (v/height - 1/2)``, correcting the
+        rolling-shutter skew a moving target paints into the frame and
+        reporting the per-frame velocity.
+    :param time_offsets: per-camera clock offsets in frames ((C,) array,
+        from :func:`~pycamset_tpu.calibration.sync.calibrate_time_offsets`)
+        — detections of camera c are modelled ``offset_c`` later along
+        the same velocity model (implies the 12-dof state).
     """
 
     def __init__(self, camset: CameraSet, target, max_detections: int | None = None,
                  loss: str = "linear", f_scale: float = 1.0,
-                 max_nfev: int = 25):
+                 max_nfev: int = 25, rolling_shutter=None,
+                 time_offsets=None):
         self.camset = camset
         self.target = target
         names = camset.get_names()
@@ -78,19 +91,45 @@ class TargetTracker:
         self._robust = loss != "linear"
         self._last_pose: np.ndarray | None = None
 
+        # temporal model: rolling shutter and/or inter-camera clock
+        # offsets promote the per-frame state to 12-dof [pose | velocity]
+        self._timed = rolling_shutter is not None or time_offsets is not None
+        self._n_state = 12 if self._timed else 6
+        rs_h = np.broadcast_to(
+            np.asarray(0.0 if rolling_shutter is None else rolling_shutter,
+                       dtype=self._dtype), (self.n_cams,)).copy()
+        toff_h = np.broadcast_to(
+            np.asarray(0.0 if time_offsets is None else time_offsets,
+                       dtype=self._dtype), (self.n_cams,)).copy()
+        heights_h = np.array([float(camset[n].res[1]) for n in names],
+                             dtype=self._dtype)
+        self._rs, self._toff = rs_h, toff_h
+        n_state = self._n_state
+        timed = self._timed
+
         intr, extr, tpl = self._intr, self._extr, self._tpl
         robust, rho, weight = self._robust, self._rho, self._weight
 
-        def residuals(pose6, cam_i, key_i, uv, mask):
+        def residuals(state, cam_i, key_i, uv, mask):
             tpl_j, extr_j, intr_j = map(jnp.asarray, (tpl, extr, intr))
-            world = pose_apply(pose6, tpl_j[key_i])           # (N,3)
+            if timed:
+                rs_j, toff_j, h_j = map(jnp.asarray,
+                                        (rs_h, toff_h, heights_h))
+                # per-detection sample time from the OBSERVED row (the
+                # standard linearisation; rho is data, not a parameter)
+                rho_k = uv[:, 1] / h_j[cam_i] - 0.5
+                dt = rs_j[cam_i] * rho_k + toff_j[cam_i]      # (N,)
+                p6 = state[None, :6] + dt[:, None] * state[None, 6:]
+                world = jax.vmap(pose_apply)(p6, tpl_j[key_i])
+            else:
+                world = pose_apply(state, tpl_j[key_i])       # (N,3)
             xc = jax.vmap(pose_apply)(extr_j[cam_i], world)   # (N,3)
             pred = jax.vmap(project_cam_points)(intr_j[cam_i], xc)
             return (pred - uv) * mask[:, None]
 
-        def neq(pose6, cam_i, key_i, uv, mask):
-            r = residuals(pose6, cam_i, key_i, uv, mask)      # (N,2)
-            j = jax.jacfwd(residuals)(pose6, cam_i, key_i, uv, mask)
+        def neq(state, cam_i, key_i, uv, mask):
+            r = residuals(state, cam_i, key_i, uv, mask)      # (N,2)
+            j = jax.jacfwd(residuals)(state, cam_i, key_i, uv, mask)
             if robust:
                 s = jnp.sum(r * r, axis=-1)
                 cost = jnp.sum(rho(s) * mask)
@@ -101,6 +140,21 @@ class TargetTracker:
                 cost = jnp.sum(r * r)
             jtj = jnp.einsum("nti,ntj->ij", j, j)
             grad = jnp.einsum("nti,nt->i", j, r)
+            if timed:
+                # weak zero-velocity prior: a static (or single-row) frame
+                # leaves velocity unobservable — bias it to 0 instead of
+                # letting LM wander a flat direction. 1e-8: the rotation-
+                # rate information after eliminating the (near-degenerate
+                # for small targets) translation rate is itself only
+                # ~1e-6 of the pose information, and a stronger prior
+                # visibly shrinks true rotation rates
+                lam = 1e-8 * jnp.maximum(
+                    jnp.max(jnp.diag(jtj[:6, :6])), 1.0)
+                vel_eye = jnp.concatenate(
+                    [jnp.zeros(6, jtj.dtype), jnp.ones(6, jtj.dtype)])
+                jtj = jtj + lam * jnp.diag(vel_eye)
+                grad = grad + lam * vel_eye * state
+                cost = cost + lam * jnp.sum(state[6:] ** 2)
             return jtj, grad, cost
 
         def solve(pose0, cam_i, key_i, uv, mask):
@@ -111,7 +165,7 @@ class TargetTracker:
             # host scales by the residual variance); tiny ridge keeps
             # degenerate frames finite instead of inf
             jtj, _, _ = neq(res.x, cam_i, key_i, uv, mask)
-            eye = jnp.eye(6, dtype=jtj.dtype)
+            eye = jnp.eye(n_state, dtype=jtj.dtype)
             # ridge RELATIVE to the diagonal scale: JtJ entries sit near
             # 1e6 for px-scale residuals, so an absolute 1e-12 would be
             # invisible and a collinear frame could emit NaN instead of
@@ -120,11 +174,12 @@ class TargetTracker:
             cov_unit = jnp.linalg.inv(jtj + ridge * eye)
             return res, cov_unit
 
-        # packed output row [x(6) | cost | nit | status | cov(36)]: every
+        # packed output row [x(S) | cost | nit | status | cov(S*S)]: every
         # host path fetches ONE device array — the tunnel charges a fixed
         # ~0.1 s per fetched leaf, so an 8-leaf LMResult pytree costs more
-        # in transport than the 1024-frame solve itself
-        PACK_W = 45
+        # in transport than the 1024-frame solve itself (S = 6, or 12
+        # with the [pose | velocity] temporal model)
+        PACK_W = n_state + 3 + n_state * n_state
 
         def pack_out(res, cov):
             return jnp.concatenate([
@@ -132,7 +187,8 @@ class TargetTracker:
                 res.cost[..., None],
                 res.nit.astype(res.x.dtype)[..., None],
                 res.status.astype(res.x.dtype)[..., None],
-                cov.reshape(cov.shape[:-2] + (36,))], axis=-1)
+                cov.reshape(cov.shape[:-2] + (n_state * n_state,))],
+                axis=-1)
 
         def solve_packed(pose0, cam_i, key_i, uv, mask):
             return pack_out(*solve(pose0, cam_i, key_i, uv, mask))
@@ -187,11 +243,13 @@ class TargetTracker:
             rmat, t = jax.vmap(rigid_fit)(tpl_b, pts, w_safe)
             rod = jax.vmap(matrix_to_rodrigues)(rmat)
             seeds = jnp.nan_to_num(jnp.concatenate([rod, t], axis=-1))
+            if timed:  # velocity seeds at 0; the LM recovers it
+                seeds = jnp.concatenate([seeds, jnp.zeros_like(seeds)], -1)
             # forward-fill unseedable frames; leading ones take the first
             # valid seed (argmax finds the first True)
             init = jnp.where(jnp.any(frame_ok),
                              seeds[jnp.argmax(frame_ok)],
-                             jnp.zeros((6,), seeds.dtype))
+                             jnp.zeros((n_state,), seeds.dtype))
 
             def step(carry, sv):
                 s, v = sv
@@ -213,7 +271,9 @@ class TargetTracker:
             def step(carry, frame):
                 ci, ki, uvf, mf = frame
                 res, cov = solve(carry, ci, ki, uvf, mf)
-                tracked = jnp.sum(mf) >= 3.0
+                # enough detections to pin the state (6 dof needs 3
+                # points; the 12-dof temporal state needs 6)
+                tracked = jnp.sum(mf) >= n_state / 2.0
                 nxt = jnp.where(tracked, res.x, carry)
                 # an underdetermined solve may wander; report the carried
                 # pose for lost frames, not wherever LM drifted — and an
@@ -318,6 +378,20 @@ class TargetTracker:
             return np.concatenate([rvec, tvec])
         return None
 
+    def _widen_state(self, init) -> np.ndarray:
+        """User seed (4x4, 6-vec or full state) -> (n_state,) row
+        (velocity seeds at 0 under the temporal model)."""
+        init = np.asarray(init, dtype=float)
+        if init.shape == (4, 4):
+            init = np.concatenate(ext_4x4_to_rod(init))
+        init = np.ravel(init)
+        if init.size == 6 and self._n_state == 12:
+            init = np.concatenate([init, np.zeros(6)])
+        if init.size != self._n_state:
+            raise ValueError(f"seed must be a 4x4, a 6-vector or a "
+                             f"{self._n_state}-state; got {init.shape}")
+        return init
+
     def _pnp_rescue(self, out, seeds_d, dd_all, bounds, mask, dev_args):
         """Re-seed frames whose rms signals a failed solve with host PnP
         and re-dispatch; keep whichever solve is cheaper per frame.
@@ -327,10 +401,11 @@ class TargetTracker:
         seed badly; PnP handles exactly that case, so it runs as a
         targeted rescue instead of a per-frame cost.
 
-        ``out`` is the packed host-side (I, 45) result matrix.
+        ``out`` is the packed host-side (I, PACK_W) result matrix.
         """
+        s = self._n_state
         n_used = np.asarray(mask).sum(axis=1)
-        rms = np.sqrt(out[:, 6] / np.maximum(2 * n_used, 1))
+        rms = np.sqrt(out[:, s] / np.maximum(2 * n_used, 1))
         med = float(np.median(rms[n_used >= 4])) if np.any(n_used >= 4) else 0.0
         bad = (rms > max(10.0 * med, 2.0)) & (n_used >= 4)
         if not np.any(bad):
@@ -338,15 +413,15 @@ class TargetTracker:
         seeds = np.array(jax.device_get(seeds_d))
         n_fixed = 0
         for i in np.nonzero(bad)[0]:
-            s = self._pnp_seed_rows(dd_all[bounds[i]:bounds[i + 1]])
-            if s is not None:
-                seeds[i] = s
+            sv = self._pnp_seed_rows(dd_all[bounds[i]:bounds[i + 1]])
+            if sv is not None:
+                seeds[i] = self._widen_state(sv)
                 n_fixed += 1
         if not n_fixed:
             return out
         out2 = np.asarray(jax.device_get(self._solve_batch_p(
             jnp.asarray(seeds, dtype=self._dtype), *dev_args)))
-        pick = bad & (out2[:, 6] < out[:, 6])
+        pick = bad & (out2[:, s] < out[:, s])
         return np.where(pick[:, None], out2, out)
 
     # ----------------------------------------------------------------- API
@@ -371,24 +446,23 @@ class TargetTracker:
         if init is None:
             raise ValueError(
                 "no PnP seed found and no init given for the first frame")
-        init = np.asarray(init, dtype=float)
-        if init.shape == (4, 4):
-            init = np.concatenate(ext_4x4_to_rod(init))
+        init = self._widen_state(np.asarray(init, dtype=float))
 
+        s = self._n_state
         cam_i, key_i, uv, mask = self._pack_frame(dd)
         out = np.asarray(jax.device_get(self._solve_p(
             jnp.asarray(init, dtype=self._dtype),
             jnp.asarray(cam_i), jnp.asarray(key_i),
             jnp.asarray(uv, dtype=self._dtype),
             jnp.asarray(mask, dtype=self._dtype))))  # ONE transfer
-        pose6, cost = out[:6], float(out[6])
-        cov_unit = out[9:45].reshape(6, 6)
-        self._last_pose = pose6
+        pose6, cost = out[:6], float(out[s])
+        cov_unit = out[s + 3:s + 3 + s * s].reshape(s, s)
+        self._last_pose = out[:s]
         n_used = int(mask.sum())
-        dof = 2 * n_used - 6
+        dof = 2 * n_used - s
         if dof >= 1:
             sigma2 = cost / dof
-            pose_sigma = np.sqrt(np.clip(np.diag(cov_unit) * sigma2,
+            pose_sigma = np.sqrt(np.clip(np.diag(cov_unit)[:6] * sigma2,
                                          0.0, None))
             # degenerate-but-overdetermined geometry (e.g. collinear
             # points) can still blow through the ridge: keep the inf
@@ -400,8 +474,10 @@ class TargetTracker:
             # a confident 0
             pose_sigma = np.full(6, np.inf)
         info = {"rms": float(np.sqrt(cost / (2 * n_used))),
-                "nit": int(out[7]), "n_used": n_used,
-                "status": int(out[8]), "pose_sigma": pose_sigma}
+                "nit": int(out[s + 1]), "n_used": n_used,
+                "status": int(out[s + 2]), "pose_sigma": pose_sigma}
+        if self._timed:
+            info["velocity"] = out[6:12]  # [rvec_dot | t_dot] per frame
         return make_4x4h_tform(pose6[:3], pose6[3:]), info
 
     def track_batch(self, detection: TargetDetection, inits=None,
@@ -442,7 +518,7 @@ class TargetTracker:
                 if inits.ndim == 3:  # (I,4,4)
                     inits = np.stack([np.concatenate(ext_4x4_to_rod(t))
                                       for t in inits])
-                seeds = list(inits)
+                seeds = [self._widen_state(t) for t in inits]
             else:  # seed_mode == 'pnp'
                 seeds, last = [], None
                 for i in range(n_frames):
@@ -450,7 +526,7 @@ class TargetTracker:
                     if seed is None:
                         seed = last if last is not None else np.zeros(6)
                     last = seed
-                    seeds.append(seed)
+                    seeds.append(self._widen_state(seed))
             out = np.asarray(jax.device_get(self._solve_batch_p(
                 jnp.asarray(np.stack(seeds), dtype=self._dtype),
                 *dev_args)))  # ONE transfer
@@ -481,15 +557,13 @@ class TargetTracker:
         if init is None:
             raise ValueError("no PnP seed found in any frame and no init "
                              "given for track_stream")
-        init = np.asarray(init, dtype=float)
-        if init.shape == (4, 4):
-            init = np.concatenate(ext_4x4_to_rod(init))
+        init = self._widen_state(init)
         out = np.asarray(jax.device_get(self._solve_stream(
             jnp.asarray(init, dtype=self._dtype), *dev_args)))
         # recover frames the warm start lost (target jumped, occlusion
         # ended on a different pose): PnP-reseed and keep the better solve
-        out = self._pnp_rescue(out, out[:, :6], dd_all, bounds, mask,
-                               dev_args)
+        out = self._pnp_rescue(out, out[:, :self._n_state], dd_all, bounds,
+                               mask, dev_args)
         return self._finalize_batch(out, mask)
 
     def _pack_table(self, detection: TargetDetection):
@@ -533,16 +607,20 @@ class TargetTracker:
         return dd_all, bounds, n_frames, mask, dev_args
 
     def _finalize_batch(self, out, mask):
-        """Packed (I, 45) result rows [x|cost|nit|status|cov] -> API."""
-        pose6, cost = out[:, :6], out[:, 6]
-        cov_unit = out[:, 9:45].reshape(-1, 6, 6)
-        self._last_pose = pose6[-1]
+        """Packed (I, PACK_W) result rows [x|cost|nit|status|cov] -> API
+        (state width 6, or 12 under the temporal [pose|velocity] model —
+        ServingTracker reuses this unbound with its own ``_n_state``)."""
+        s = getattr(self, "_n_state", 6)
+        pose6, cost = out[:, :6], out[:, s]
+        cov_unit = out[:, s + 3:s + 3 + s * s].reshape(-1, s, s)
+        self._last_pose = out[-1, :s]
         n_used = mask.sum(axis=1)
         rms = np.sqrt(cost / np.maximum(2 * n_used, 1))
-        dof = 2 * n_used - 6
+        dof = 2 * n_used - s
         sigma2 = cost / np.maximum(dof, 1)
-        pose_sigma = np.sqrt(np.clip(
+        sigma_all = np.sqrt(np.clip(
             np.einsum("fii->fi", cov_unit) * sigma2[:, None], 0.0, None))
+        pose_sigma = sigma_all[:, :6]
         # underdetermined frames (<= 3 points) are unconstrained, not
         # perfectly certain; degenerate geometry keeps the inf sentinel
         # instead of leaking NaN through the ridged inverse
@@ -551,9 +629,15 @@ class TargetTracker:
         # full 6x6 covariances feed the trajectory smoother
         # (pycamset_tpu/smoothing.py); frames the solver lost are marked
         # non-finite so the smoother coasts them on its motion prior
-        pose_cov = cov_unit * sigma2[:, None, None]
+        pose_cov = cov_unit[:, :6, :6] * sigma2[:, None, None]
         pose_cov[dof < 1] = np.inf
         poses = np.stack([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
-        return poses, {"rms": rms, "nit": out[:, 7].astype(int),
-                       "n_used": n_used, "pose_sigma": pose_sigma,
-                       "pose_cov": pose_cov}
+        info = {"rms": rms, "nit": out[:, s + 1].astype(int),
+                "n_used": n_used, "pose_sigma": pose_sigma,
+                "pose_cov": pose_cov}
+        if s == 12:
+            info["velocity"] = out[:, 6:12]      # [rvec_dot | t_dot]/frame
+            vel_sigma = sigma_all[:, 6:12]
+            vel_sigma[dof < 1] = np.inf
+            info["velocity_sigma"] = vel_sigma
+        return poses, info

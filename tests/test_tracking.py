@@ -241,5 +241,95 @@ def test_track_stream_warm_start_and_dropout():
     np.testing.assert_allclose(poses2[ok], poses[ok], atol=1e-5)
 
 
+def _temporal_capture(offsets=None, readouts=None, n_frames=24, noise=0.1,
+                      seed=9):
+    """Moving-target capture with per-camera clock offsets and/or
+    rolling-shutter row sampling (generator shared with the sync tests).
+    The trajectory is LINEAR in pose space, so the tracker's per-frame
+    constant-velocity model is exact — a clean oracle."""
+    from test_sync import _grid_target, _moving_capture, _ring_rig
+
+    cams = _ring_rig()
+    tpl, target = _grid_target()
+    det, knots = _moving_capture(
+        cams, tpl, n_frames,
+        np.zeros(3) if offsets is None else np.asarray(offsets),
+        readouts=readouts, noise=noise, seed=seed, linear=True)
+    return cams, target, det, knots
+
+
+def test_track_batch_rolling_shutter_correction():
+    """A moving target under rolling shutter: the 12-dof [pose|velocity]
+    model removes the skew bias and recovers the true inter-frame
+    velocity; ignoring the readout fits measurably worse."""
+    from pycamset_tpu.tracking import TargetTracker
+    true_rs = np.array([0.7, 0.7, 0.7])
+    cams, target, det, knots = _temporal_capture(readouts=true_rs)
+    tr_gs = TargetTracker(cams, target)
+    tr_rs = TargetTracker(cams, target, rolling_shutter=true_rs)
+    poses_gs, info_gs = tr_gs.track_batch(det)
+    poses_rs, info_rs = tr_rs.track_batch(det)
+    # the temporal model reaches the injected 0.1 px noise floor; the
+    # global-shutter fit cannot (rolling-shutter skew residual)
+    assert info_rs["rms"].mean() < 0.11
+    assert info_gs["rms"].mean() > 1.2 * info_rs["rms"].mean()
+    # mid-scan poses must match the trajectory knots (t = frame index)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    true_t = np.stack([make_4x4h_tform(k[:3], k[3:])[:3, 3]
+                       for k in knots])
+    assert np.abs(poses_rs[1:-1, :3, 3] - true_t[1:-1]).max() < 5e-4
+    # velocity output matches the knot-to-knot motion
+    vel = info_rs["velocity"]
+    true_vel = np.diff(knots, axis=0)[0]  # constant on the linear path
+    err = np.abs(vel[1:-1] - true_vel)
+    # unbiased but noisy (the rolling-shutter lever is a fraction of a
+    # frame): consistent with its own reported sigma, and the per-frame
+    # average tracks the truth
+    assert (err < 5 * info_rs["velocity_sigma"][1:-1] + 1e-6).all()
+    assert np.abs(vel[1:-1].mean(axis=0) - true_vel).max() < 2e-3
+    assert np.isfinite(info_rs["velocity_sigma"][1:-1]).all()
+
+
+def test_track_batch_honors_clock_offsets():
+    """Per-camera time offsets from the sync calibration feed the
+    tracker: residuals drop and poses land on the time base."""
+    from pycamset_tpu.tracking import TargetTracker
+    toff = np.array([0.0, 0.3, -0.35])
+    cams, target, det, knots = _temporal_capture(offsets=toff)
+    tr_plain = TargetTracker(cams, target)
+    tr_sync = TargetTracker(cams, target, time_offsets=toff)
+    _, info_plain = tr_plain.track_batch(det)
+    poses, info_sync = tr_sync.track_batch(det)
+    assert info_sync["rms"].mean() < 0.6 * info_plain["rms"].mean()
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    true_t = np.stack([make_4x4h_tform(k[:3], k[3:])[:3, 3]
+                       for k in knots])
+    assert np.abs(poses[1:-1, :3, 3] - true_t[1:-1]).max() < 1e-3
+
+
+def test_track_stream_and_single_frame_with_temporal_model():
+    from pycamset_tpu.tracking import TargetTracker
+    cams, target, det, knots = _temporal_capture(readouts=[0.6, 0.6, 0.6])
+    tr = TargetTracker(cams, target, rolling_shutter=0.6)
+    poses_s, info_s = tr.track_stream(det)
+    assert info_s["rms"][2:].mean() < 0.25
+    frame = det.get_image_list()[2]
+    pose1, info1 = tr.track(frame, init=np.concatenate(
+        [knots[2], np.zeros(6)]))
+    assert info1["rms"] < 0.25
+    assert info1["velocity"].shape == (6,)
+    # a static scene keeps velocity at ~0 (the weak prior pins the
+    # unobservable direction instead of letting it wander)
+    from test_sync import _grid_target, _moving_capture, _ring_rig
+    det_static, _ = _moving_capture(_ring_rig(), _grid_target()[0], 24,
+                                    np.zeros(3), noise=0.1, seed=2,
+                                    static=True)
+    poses_st, info_st = tr.track_batch(det_static)
+    # noise-level phantom velocity only (the rolling-shutter lever is a
+    # fraction of a frame, so the bound is loose but far from the real
+    # capture's 0.02-0.05/frame motion)
+    assert np.abs(info_st["velocity"]).max() < 0.03
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

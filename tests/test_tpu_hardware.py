@@ -1066,3 +1066,46 @@ def test_shared_intrinsics_tied_solve_on_chip():
     assert not np.array_equal(solved["cam0"].intrinsic,
                               solved["cam2"].intrinsic)
     assert abs(solved["cam0"].intrinsic[0, 0] - rig["intr"][0][0]) < 5.0
+
+
+def test_temporal_sync_calibration_on_chip():
+    """Sync calibration end-to-end on real TPU: the (6I+E) dense arrow
+    system, one-hot assembly and Schur clock covariance must survive
+    float32 conditioning on hardware (the CPU tier runs it in f64)."""
+    from test_sync import _grid_target, _moving_capture, _ring_rig
+
+    from pycamset_tpu.calibration.sync import calibrate_time_offsets
+
+    cams = _ring_rig()
+    tpl, target = _grid_target()
+    true = np.array([0.0, 0.23, -0.31])
+    det, _ = _moving_capture(cams, tpl, 40, true, noise=0.2, seed=4)
+    res = calibrate_time_offsets(cams, det, target)
+    assert res.offsets[0] == 0.0
+    assert np.abs(res.offsets - true).max() < 0.05
+    assert (res.offset_sigma[1:] < 0.05).all()
+    assert res.rms < 0.35
+
+
+def test_rolling_shutter_tracking_on_chip():
+    """The 12-dof [pose|velocity] tracker state on real TPU float32:
+    reaches the injected noise floor where the 6-dof model cannot."""
+    from test_sync import _grid_target, _moving_capture, _ring_rig
+
+    from pycamset_tpu.tracking import TargetTracker
+
+    cams = _ring_rig()
+    tpl, target = _grid_target()
+    true_rs = np.array([0.7, 0.7, 0.7])
+    det, knots = _moving_capture(cams, tpl, 24, np.zeros(3),
+                                 readouts=true_rs, noise=0.1, seed=9,
+                                 linear=True)
+    tr_rs = TargetTracker(cams, target, rolling_shutter=true_rs)
+    poses, info = tr_rs.track_batch(det)
+    assert float(info["rms"].mean()) < 0.13
+    true_vel = np.diff(knots, axis=0)[0]
+    vel = info["velocity"][1:-1]
+    assert np.abs(vel.mean(axis=0) - true_vel).max() < 3e-3
+    tr_gs = TargetTracker(cams, target)
+    _, info_gs = tr_gs.track_batch(det)
+    assert float(info_gs["rms"].mean()) > 1.2 * float(info["rms"].mean())

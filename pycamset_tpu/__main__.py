@@ -129,6 +129,12 @@ def _add_track(sub):
                    help="serve from a frozen artifact instead of "
                         "compiling from --camset (same platform as the "
                         "export; device seeding, no PnP rescue)")
+    p.add_argument("--sync", default=None, metavar="FILE",
+                   help="temporal calibration JSON from the `sync` "
+                        "command: applies its per-camera clock offsets "
+                        "and rolling-shutter readout (12-dof "
+                        "pose+velocity solve; adds per-frame velocities "
+                        "to the output)")
 
 
 def _add_reconstruct(sub):
@@ -715,13 +721,30 @@ def cmd_track(args) -> int:
     detection, _ = detect_datapoints_in_imfile(
         f_loc=_resolve_folder(args), calibration_target=target,
         caching=not args.no_cache)
+    temporal = {}
+    if args.sync:
+        sync_rec = json.loads(Path(args.sync).read_text())
+        if "offsets_frames" in sync_rec:
+            temporal["time_offsets"] = np.asarray(
+                sync_rec["offsets_frames"], dtype=float)
+        if "readout_frames" in sync_rec:
+            temporal["rolling_shutter"] = np.asarray(
+                sync_rec["readout_frames"], dtype=float)
+        if not temporal:
+            print(f"{args.sync} has neither offsets_frames nor "
+                  "readout_frames — not a sync-command JSON?")
+            return 2
     if args.artifact:
+        if temporal:
+            print("--sync needs a live --camset tracker (artifacts carry "
+                  "their temporal model frozen in)")
+            return 2
         from pycamset_tpu.serving import load_tracker_artifact
         tracker = load_tracker_artifact(args.artifact)
     else:
         cams = load_CameraSet(args.camset)
         tracker = TargetTracker(cams, target, loss=args.loss,
-                                f_scale=args.f_scale)
+                                f_scale=args.f_scale, **temporal)
     if args.stream:
         poses, info = tracker.track_stream(detection)
     else:
@@ -733,7 +756,7 @@ def cmd_track(args) -> int:
         from pycamset_tpu.serving import export_tracker
         export_tracker(tracker, args.export_artifact)
         print(f"serving artifact -> {args.export_artifact}")
-    vel = None
+    vel = info.get("velocity")  # the 12-dof temporal solve reports it
     if args.smooth:
         from pycamset_tpu.smoothing import smooth_pose_trajectory
         poses, vel, sm_sig = smooth_pose_trajectory(

@@ -301,6 +301,11 @@ def _add_sync(sub):
     _add_target_args(p)
     p.add_argument("--fps", type=float, default=None,
                    help="nominal frame rate: also report offsets in ms")
+    p.add_argument("--frame-rates", type=float, nargs="+", default=None,
+                   metavar="HZ",
+                   help="per-camera frame rates for mixed-rate rigs "
+                        "(e.g. 30 60 60); offsets are reported in "
+                        "camera-0 frames")
     p.add_argument("--max-shift", type=int, default=0,
                    help="search integer frame shifts up to this many "
                         "frames first (0 = offsets are sub-frame)")
@@ -337,7 +342,8 @@ def cmd_sync(args) -> int:
     res = calibrate_time_offsets(
         cams, detection, target, estimate_skew=args.skew,
         estimate_rolling_shutter=args.rolling_shutter,
-        max_shift=args.max_shift, fps=args.fps, loss=args.loss,
+        max_shift=args.max_shift, fps=args.fps,
+        frame_rates=args.frame_rates, loss=args.loss,
         f_scale=args.f_scale)
     record = {
         "cameras": res.info["camera_names"],

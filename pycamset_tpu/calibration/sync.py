@@ -86,7 +86,8 @@ def _obs_grids(detection, target, n_cams: int, n_ims: int, dtype):
 
 
 def estimate_integer_shifts(uv: np.ndarray, mask: np.ndarray,
-                            max_shift: int, min_overlap: int = 8
+                            max_shift: int, min_overlap: int = 8,
+                            ratios: np.ndarray | None = None
                             ) -> np.ndarray:
     """Integer frame shifts from image-plane speed cross-correlation.
 
@@ -97,8 +98,14 @@ def estimate_integer_shifts(uv: np.ndarray, mask: np.ndarray,
     integer part of that camera's offset — no pose estimation needed, so
     this init survives rigs whose clocks are many frames apart.
 
-    :returns: (C,) integer shifts m with signal_c(j) ~ signal_0(j + m),
-        i.e. m estimates d_c rounded to a frame.
+    :param ratios: per-camera frame-duration ratios (reference frames per
+        camera frame, ``fps_ref / fps_c``) for MIXED-RATE rigs: each
+        camera's speed profile is resampled onto the reference frame grid
+        before correlating (speed per unit time, so a 2x-rate camera's
+        halved per-frame motion compares correctly).
+    :returns: (C,) integer shifts m (REFERENCE frames) with
+        signal_c(t) ~ signal_0(t + m), i.e. m estimates d_c rounded to a
+        reference frame.
     """
     n_cams, n_ims = mask.shape[:2]
     cnt = mask.sum(axis=-1)                                   # (C, J)
@@ -107,6 +114,22 @@ def estimate_integer_shifts(uv: np.ndarray, mask: np.ndarray,
     has = cnt >= 3
     vel = np.linalg.norm(np.diff(cen, axis=1), axis=-1)       # (C, J-1)
     ok = has[:, 1:] & has[:, :-1]
+    if ratios is not None and not np.allclose(ratios, 1.0):
+        # mixed rates: interpolate each camera's per-TIME speed samples
+        # (at t = (j + 1/2) * ratio) onto the reference half-frame grid
+        t_ref = np.arange(n_ims - 1) + 0.5
+        vel_r = np.zeros((n_cams, n_ims - 1))
+        ok_r = np.zeros((n_cams, n_ims - 1), dtype=bool)
+        for c in range(n_cams):
+            tv = (np.arange(n_ims - 1) + 0.5) * ratios[c]
+            good = ok[c]
+            if good.sum() < 2:
+                continue
+            vel_r[c] = np.interp(t_ref, tv[good],
+                                 vel[c][good] / max(ratios[c], 1e-12))
+            # valid only inside the camera's sampled span, near a sample
+            ok_r[c] = (t_ref >= tv[good][0]) & (t_ref <= tv[good][-1])
+        vel, ok = vel_r, ok_r
 
     def znorm(sig, valid):
         v = sig[valid]
@@ -156,6 +179,7 @@ def calibrate_time_offsets(camset, detection, target, *,
                            estimate_rolling_shutter: bool = False,
                            max_shift: int = 0,
                            fps: float | None = None,
+                           frame_rates=None,
                            loss: str = "linear", f_scale: float = 1.0,
                            max_nfev: int = 100,
                            prior_lambda: float = 1e-6,
@@ -180,8 +204,13 @@ def calibrate_time_offsets(camset, detection, target, *,
     :param max_shift: maximum |integer| frame shift to search by signal
         cross-correlation before the joint solve (0 = assume offsets are
         sub-frame).
-    :param fps: nominal frame rate; when given, ``info`` also reports
-        offsets/sigmas in seconds.
+    :param fps: nominal frame rate (of CAMERA 0, the time base); when
+        given, ``info`` also reports offsets/sigmas in seconds.
+    :param frame_rates: per-camera frame rates (C,) in Hz for MIXED-RATE
+        rigs (e.g. ``[30, 60, 60]``): every camera's frame counter maps
+        onto camera 0's frame timeline (offsets/skew/readout are still
+        reported in camera-0 frame units). Trajectory knots cover the
+        longest camera's span.
     :param prior_lambda: relative weight of the knot smoothness prior
         (resolves time bins no camera observes; keep tiny).
     :returns: :class:`SyncResult` — offsets in frames, camera 0 == 0.
@@ -218,23 +247,46 @@ def calibrate_time_offsets(camset, detection, target, *,
     if dd is None or not len(dd):
         raise ValueError("detection table is empty")
 
+    # mixed-rate rigs: camera c's frame j sits at j * ratio_c on camera
+    # 0's frame timeline; trajectory knots cover the longest span
+    if frame_rates is not None:
+        rates = np.broadcast_to(
+            np.asarray(frame_rates, dtype=float), (n_cams,))
+        if np.any(rates <= 0):
+            raise ValueError(f"frame_rates must be positive; got {rates}")
+        ratios = rates[0] / rates
+    else:
+        ratios = np.ones(n_cams)
+    # per-camera frame counts set the knot span (a 2x-rate camera's J
+    # frames only cover J/2 reference frames)
+    cam_col = dd[:, 0].astype(int)
+    spans = np.zeros(n_cams)
+    for c in range(n_cams):
+        sel = dd[cam_col == c]
+        if len(sel):
+            spans[c] = sel[:, 1].max() * ratios[c]
+    n_knots = max(int(np.ceil(spans.max())) + 1, 2)
+
     # -- step 1: integer shifts
     shifts = np.zeros(n_cams, dtype=int)
     if max_shift > 0:
-        shifts = estimate_integer_shifts(uv_g, mask_g, max_shift)
+        shifts = estimate_integer_shifts(uv_g, mask_g, max_shift,
+                                         ratios=ratios)
 
     # -- step 2: trajectory init from the tracker on the aligned table
-    im_new = dd[:, 1].astype(int) + shifts[dd[:, 0].astype(int)]
-    keep = (im_new >= 0) & (im_new < n_ims)
+    # (frames bin to the nearest reference-timeline knot)
+    im_new = (np.rint(dd[:, 1] * ratios[cam_col]).astype(int)
+              + shifts[cam_col])
+    keep = (im_new >= 0) & (im_new < n_knots)
     dd2 = dd[keep].copy()
     dd2[:, 1] = im_new[keep]
     tracker = TargetTracker(camset, target, loss=loss, f_scale=f_scale)
     poses, tinfo = tracker.track_batch(
         TargetDetection(cam_names=names, data=dd2))
     n_tracked = poses.shape[0]
-    x0 = np.zeros((n_ims, 6))
-    valid = np.zeros(n_ims, dtype=bool)
-    lim = min(n_ims, n_tracked)
+    x0 = np.zeros((n_knots, 6))
+    valid = np.zeros(n_knots, dtype=bool)
+    lim = min(n_knots, n_tracked)
     finite = np.isfinite(poses[:lim].reshape(lim, -1)).all(axis=1)
     valid[:lim] = (np.asarray(tinfo["n_used"][:lim])
                    >= min_track_detections) & finite
@@ -269,8 +321,9 @@ def calibrate_time_offsets(camset, detection, target, *,
     n_off = n_cams - 1
     n_e = n_off * (2 if estimate_skew else 1) \
         + (n_cams if estimate_rolling_shutter else 0)
-    n_pose = 6 * n_ims
-    jmid = (n_ims - 1) / 2.0
+    n_pose = 6 * n_knots
+    jmid = (n_knots - 1) / 2.0
+    ratios_h = ratios.astype(dtype)
     # per-detection row phase: a detection on row v is sampled
     # readout * rho later than mid-scan (rho from the OBSERVED row — the
     # standard linearisation; it is data, not a parameter)
@@ -324,7 +377,7 @@ def calibrate_time_offsets(camset, detection, target, *,
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
 
     def split_params(p):
-        x = p[:n_pose].reshape(n_ims, 6)
+        x = p[:n_pose].reshape(n_knots, 6)
         pos = n_pose
         d = jnp.concatenate([jnp.zeros(1, p.dtype), p[pos:pos + n_off]])
         pos += n_off
@@ -345,26 +398,29 @@ def calibrate_time_offsets(camset, detection, target, *,
         effective mask (+ the pieces the assembly reuses)."""
         x, d, s, rs = split_params(p)
         j_idx = jnp.arange(n_ims, dtype=p.dtype)
-        jrel = j_idx - jmid
-        t = j_idx[None, :] + d[:, None] + s[:, None] * jrel[None, :]
-        in_range = ((t >= 0.0) & (t <= n_ims - 1.0)).astype(p.dtype)
-        f = jnp.clip(jnp.floor(t), 0, n_ims - 2).astype(jnp.int32)
+        # camera c's own frame counter mapped onto the reference (cam 0)
+        # frame timeline; mixed-rate rigs scale by fps_ref / fps_c
+        t_nom = jnp.asarray(ratios_h)[:, None] * j_idx[None, :]  # (C, J)
+        trel = t_nom - jmid                  # skew lever, mid-capture 0
+        t = t_nom + d[:, None] + s[:, None] * trel
+        in_range = ((t >= 0.0) & (t <= n_knots - 1.0)).astype(p.dtype)
+        f = jnp.clip(jnp.floor(t), 0, n_knots - 2).astype(jnp.int32)
         w = jnp.clip(t - f.astype(p.dtype), 0.0, 1.0)        # (C, J)
         xf, xf1 = x[f], x[f + 1]                             # (C, J, 6)
         mask_eff = mask * in_range[..., None]
-        return x, rs, xf, xf1, mask_eff, f, w, jrel
+        return x, rs, xf, xf1, mask_eff, f, w, trel
 
     def run_cells(p, uv, mask, rho):
-        x, rs, xf, xf1, mask_eff, f, w, jrel = interp_cells(p, mask)
+        x, rs, xf, xf1, mask_eff, f, w, trel = interp_cells(p, mask)
         a, g, costs = cells(xf, xf1, w, rs, uv, mask_eff, rho,
                             jnp.asarray(intr_h), jnp.asarray(extr_h))
-        return x, a, g, costs, f, jrel
+        return x, a, g, costs, f, trel
 
     def neq(p, uv, mask, rho):
-        x, a, g, costs, f, jrel = run_cells(p, uv, mask, rho)
+        x, a, g, costs, f, trel = run_cells(p, uv, mask, rho)
         # knot memberships (one-hot contractions replace scatter-adds)
-        of = jax.nn.one_hot(f, n_ims, dtype=p.dtype)         # (C, J, I)
-        of1 = jax.nn.one_hot(f + 1, n_ims, dtype=p.dtype)
+        of = jax.nn.one_hot(f, n_knots, dtype=p.dtype)       # (C, J, I)
+        of1 = jax.nn.one_hot(f + 1, n_knots, dtype=p.dtype)
         # pose blocks: the per-detection interpolation weights already
         # live inside the per-cell grams, so assembly is membership-only
         dblk = (jnp.einsum("cji,cjab->iab", of, a[..., :6, :6])
@@ -378,10 +434,10 @@ def calibrate_time_offsets(camset, detection, target, *,
             jnp.max(jnp.abs(dblk)), jnp.asarray(1.0, p.dtype))
         eye6 = jnp.eye(6, dtype=p.dtype)
         ends = jnp.concatenate([jnp.ones(1, p.dtype),
-                                jnp.full((n_ims - 2,), 2.0, p.dtype),
+                                jnp.full((n_knots - 2,), 2.0, p.dtype),
                                 jnp.ones(1, p.dtype)])
         dblk = dblk + lam * ends[:, None, None] * eye6
-        not_last = (jnp.arange(n_ims) < n_ims - 1).astype(p.dtype)
+        not_last = (jnp.arange(n_knots) < n_knots - 1).astype(p.dtype)
         oblk = oblk - lam * not_last[:, None, None] * eye6
         diff = x[1:] - x[:-1]
         gp = lam * (jnp.pad(diff, ((1, 0), (0, 0)))
@@ -402,13 +458,13 @@ def calibrate_time_offsets(camset, detection, target, *,
         ge_parts = [jnp.sum(gtau, axis=1)[1:]]
         hee_rows = [[jnp.diag(jnp.sum(htt, axis=1)[1:])]]
         if estimate_skew:
-            ws = pose_clock(ctau * jrel[None, :, None])
+            ws = pose_clock(ctau * trel[:, :, None])
             w_cols.append(ws[:, 1:, :])
-            hds = jnp.diag(jnp.sum(htt * jrel[None, :], axis=1)[1:])
-            hss = jnp.diag(jnp.sum(htt * jrel[None, :] ** 2, axis=1)[1:])
+            hds = jnp.diag(jnp.sum(htt * trel, axis=1)[1:])
+            hss = jnp.diag(jnp.sum(htt * trel ** 2, axis=1)[1:])
             hee_rows[0].append(hds)
             hee_rows.append([hds, hss])
-            ge_parts.append(jnp.sum(gtau * jrel[None, :], axis=1)[1:])
+            ge_parts.append(jnp.sum(gtau * trel, axis=1)[1:])
         if estimate_rolling_shutter:
             crs = a[..., :12, 13]
             wr = pose_clock(crs)
@@ -417,8 +473,7 @@ def calibrate_time_offsets(camset, detection, target, *,
             hrr = jnp.diag(jnp.sum(a[..., 13, 13], axis=1))
             hee_rows[0].append(htr[1:, :])
             if estimate_skew:
-                hsr = jnp.diag(jnp.sum(a[..., 12, 13] * jrel[None, :],
-                                       axis=1))
+                hsr = jnp.diag(jnp.sum(a[..., 12, 13] * trel, axis=1))
                 hee_rows[1].append(hsr[1:, :])
                 hee_rows.append([htr[:, 1:], hsr[:, 1:], hrr])
             else:
@@ -428,8 +483,8 @@ def calibrate_time_offsets(camset, detection, target, *,
             [jnp.concatenate(row, axis=1) for row in hee_rows], axis=0)
 
         # dense assembly: block tridiagonal pose system + clock arrow
-        eye_i = jnp.eye(n_ims, dtype=p.dtype)
-        up_i = jnp.eye(n_ims, n_ims, 1, dtype=p.dtype)
+        eye_i = jnp.eye(n_knots, dtype=p.dtype)
+        up_i = jnp.eye(n_knots, n_knots, 1, dtype=p.dtype)
         mo = jnp.einsum("iab,ij->iajb", oblk, up_i).reshape(n_pose, n_pose)
         mp = (jnp.einsum("iab,ij->iajb", dblk, eye_i)
               .reshape(n_pose, n_pose) + mo + mo.T)
@@ -476,7 +531,7 @@ def calibrate_time_offsets(camset, detection, target, *,
         jnp.asarray(p0), jnp.asarray(uv_g), jnp.asarray(mask_g),
         jnp.asarray(rho_g))))
 
-    x = packed[:n_pose].reshape(n_ims, 6)
+    x = packed[:n_pose].reshape(n_knots, 6)
     e = packed[n_pose:n_pose + n_e]
     diag_cov = packed[n_pose + n_e:n_pose + 2 * n_e]
     cost = float(packed[-3])
@@ -495,10 +550,11 @@ def calibrate_time_offsets(camset, detection, target, *,
         readout = np.asarray(e[pos:pos + n_cams])
     # effective detections: within the valid time window at the solution
     j_idx = np.arange(n_ims, dtype=float)
-    t = j_idx[None, :] + offsets[:, None]
+    t_nom = ratios[:, None] * j_idx[None, :]
+    t = t_nom + offsets[:, None]
     if skew is not None:
-        t = t + skew[:, None] * (j_idx - jmid)[None, :]
-    in_range = (t >= 0.0) & (t <= n_ims - 1.0)
+        t = t + skew[:, None] * (t_nom - jmid)
+    in_range = (t >= 0.0) & (t <= n_knots - 1.0)
     n_det_eff = int((mask_g * in_range[..., None]).sum())
     dof = max(2 * n_det_eff - (n_pose + n_e), 1)
     sigma2 = cost / dof
@@ -533,7 +589,8 @@ def calibrate_time_offsets(camset, detection, target, *,
         "n_detections": n_det_eff, "integer_shifts": shifts,
         "trajectory": np.stack([make_4x4h_tform(r[:3], r[3:]) for r in x]),
         "tracker_rms": tinfo["rms"], "motion": motion,
-        "camera_names": list(names),
+        "camera_names": list(names), "frame_rate_ratios": ratios,
+        "n_knots": n_knots,
     }
     if fps is not None and fps > 0:
         info["offsets_s"] = offsets / fps

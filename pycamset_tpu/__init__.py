@@ -22,6 +22,7 @@ __all__ = [
     "recalibrate_extrinsics", "recalibrate_intrinsics",
     "write_calibration_report", "convert_camera_model",
     "convert_camera_set", "calibrate_time_offsets",
+    "calibrate_extrinsics_from_wand",
 ]
 
 _LAZY = {
@@ -54,6 +55,8 @@ _LAZY = {
                            "convert_camera_set"),
     "calibrate_time_offsets": ("pycamset_tpu.calibration.sync",
                                "calibrate_time_offsets"),
+    "calibrate_extrinsics_from_wand": ("pycamset_tpu.calibration.wand",
+                                       "calibrate_extrinsics_from_wand"),
 }
 
 

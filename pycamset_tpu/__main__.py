@@ -370,6 +370,78 @@ def cmd_sync(args) -> int:
     return 0
 
 
+def _add_wand(sub):
+    p = sub.add_parser(
+        "wand",
+        help="targetless extrinsic calibration from a waved marker wand "
+             "(intrinsics trusted from --camset)")
+    p.add_argument("detections",
+                   help="correspondence table: .npy or JSON rows "
+                        "[cam, frame, marker, u, v]")
+    p.add_argument("--camset", required=True,
+                   help="rig with trusted intrinsics (.camset); "
+                        "extrinsics may be arbitrary")
+    p.add_argument("--wand-template", default=None, metavar="FILE",
+                   help=".npy or JSON (M, 3) marker coordinates in the "
+                        "wand frame (anchors metric scale)")
+    p.add_argument("--spacing", type=float, default=None,
+                   help="collinear wand: distance between adjacent "
+                        "markers (m) — shorthand for --wand-template")
+    p.add_argument("--ransac-px", type=float, default=2.0)
+    p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
+                   default="linear")
+    p.add_argument("--f-scale", type=float, default=1.0)
+    p.add_argument("--save", default="wand_calibrated_cameras.camset",
+                   help="write the calibrated rig here")
+    p.add_argument("--out", default=None,
+                   help="write the report as JSON (default: print)")
+
+
+def cmd_wand(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.calibration.wand import calibrate_extrinsics_from_wand
+    from pycamset_tpu.utils.saving import load_CameraSet, save_camset
+
+    if str(args.detections).endswith(".npy"):
+        dd = np.load(args.detections)
+    else:
+        dd = np.asarray(json.loads(Path(args.detections).read_text()),
+                        dtype=float)
+    wand = None
+    if args.wand_template:
+        if str(args.wand_template).endswith(".npy"):
+            wand = np.load(args.wand_template)
+        else:
+            wand = np.asarray(
+                json.loads(Path(args.wand_template).read_text()),
+                dtype=float)
+    elif args.spacing:
+        n_markers = int(dd[:, 2].max()) + 1
+        wand = np.zeros((n_markers, 3))
+        wand[:, 0] = np.arange(n_markers) * args.spacing
+    cams = load_CameraSet(args.camset)
+    solved, rep = calibrate_extrinsics_from_wand(
+        cams, dd, wand_template=wand, ransac_px=args.ransac_px,
+        options={"loss": args.loss, "f_scale": args.f_scale})
+    save_camset(solved, Path(args.save))
+    record = {k: v for k, v in rep.items() if k != "wand_points"}
+    text = json.dumps(record, indent=1, default=float)
+    if args.out:
+        Path(args.out).write_text(text)
+        print(f"wand calibration report -> {args.out}")
+    else:
+        print(text)
+    print(f"calibrated rig -> {args.save} "
+          f"(rms {rep['rms_px']:.3f} px over {rep['n_points']} points"
+          f"{'' if rep['metric'] else '; scale NOT metric'})",
+          file=sys.stderr)
+    return 0
+
+
 def _add_monitor(sub):
     p = sub.add_parser(
         "monitor",
@@ -907,6 +979,7 @@ def main(argv=None) -> int:
     _add_reconstruct(sub)
     _add_handeye(sub)
     _add_sync(sub)
+    _add_wand(sub)
     _add_monitor(sub)
     _add_convert(sub)
     _add_report(sub)
@@ -925,6 +998,8 @@ def main(argv=None) -> int:
         return cmd_handeye(args)
     if args.cmd == "sync":
         return cmd_sync(args)
+    if args.cmd == "wand":
+        return cmd_wand(args)
     if args.cmd == "monitor":
         return cmd_monitor(args)
     if args.cmd == "convert":

@@ -376,8 +376,15 @@ def _add_wand(sub):
         help="targetless extrinsic calibration from a waved marker wand "
              "(intrinsics trusted from --camset)")
     p.add_argument("detections",
-                   help="correspondence table: .npy or JSON rows "
-                        "[cam, frame, marker, u, v]")
+                   help="correspondence table (.npy or JSON rows "
+                        "[cam, frame, marker, u, v]) OR a capture folder "
+                        "with one image subfolder / video file per camera "
+                        "(bright-blob wand detection; needs --markers)")
+    p.add_argument("--markers", type=int, default=3,
+                   help="wand marker count for folder input (use an "
+                        "ASYMMETRICALLY spaced wand so marker identity "
+                        "is view-independent)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N")
     p.add_argument("--camset", required=True,
                    help="rig with trusted intrinsics (.camset); "
                         "extrinsics may be arbitrary")
@@ -403,10 +410,17 @@ def cmd_wand(args) -> int:
 
     import numpy as np
 
-    from pycamset_tpu.calibration.wand import calibrate_extrinsics_from_wand
+    from pycamset_tpu.calibration.wand import (
+        calibrate_extrinsics_from_wand, detect_wand_in_imfolder)
     from pycamset_tpu.utils.saving import load_CameraSet, save_camset
 
-    if str(args.detections).endswith(".npy"):
+    cam_names = None
+    if Path(args.detections).is_dir():
+        from pycamset_tpu.utils.video import expand_videos
+        folder = expand_videos(Path(args.detections),
+                               stride=args.video_stride)
+        dd, cam_names = detect_wand_in_imfolder(folder, args.markers)
+    elif str(args.detections).endswith(".npy"):
         dd = np.load(args.detections)
     else:
         dd = np.asarray(json.loads(Path(args.detections).read_text()),
@@ -424,6 +438,17 @@ def cmd_wand(args) -> int:
         wand = np.zeros((n_markers, 3))
         wand[:, 0] = np.arange(n_markers) * args.spacing
     cams = load_CameraSet(args.camset)
+    if cam_names is not None:
+        # folder order -> the camset's camera order
+        order = {n: i for i, n in enumerate(cams.get_names())}
+        missing = [n for n in cam_names if n not in order]
+        if missing:
+            print(f"capture folders {missing} have no camera of that "
+                  "name in the camset")
+            return 2
+        remap = np.array([order[n] for n in cam_names])
+        dd = dd.copy()
+        dd[:, 0] = remap[dd[:, 0].astype(int)]
     solved, rep = calibrate_extrinsics_from_wand(
         cams, dd, wand_template=wand, ransac_px=args.ransac_px,
         options={"loss": args.loss, "f_scale": args.f_scale})

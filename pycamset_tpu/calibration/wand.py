@@ -41,6 +41,110 @@ import numpy as np
 from pycamset_tpu.utils.general_utils import make_4x4h_tform
 
 
+def detect_wand_markers(image, n_markers: int, min_area: int = 4,
+                        max_area: int = 5000):
+    """Bright-blob wand markers in one image -> ordered (M, 2) centroids.
+
+    Thresholded connected components, the ``n_markers`` largest by area,
+    intensity-weighted subpixel centroids, ordered along the wand's
+    image line. For >= 3 markers the orientation is disambiguated by the
+    ASYMMETRIC spacing rule (the shorter inter-marker gap comes first),
+    so identity is consistent across cameras viewing the wand from
+    opposite sides — use a wand with unequal spacings. Returns None when
+    the frame does not show exactly a clean wand.
+    """
+    import cv2
+    img = np.asarray(image)
+    gray = (cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            if img.ndim == 3 else img).astype(np.float64)
+    hi, med = float(gray.max()), float(np.median(gray))
+    if hi - med < 30:           # no bright markers over the background
+        return None
+    bw = (gray > (med + 0.6 * (hi - med))).astype(np.uint8)
+    n_lab, _lab, stats, cents = cv2.connectedComponentsWithStats(bw)
+    areas = stats[1:, cv2.CC_STAT_AREA]
+    keep = np.flatnonzero((areas >= min_area) & (areas <= max_area))
+    if len(keep) < n_markers:
+        return None
+    keep = keep[np.argsort(areas[keep])[::-1][:n_markers]]
+    pts = []
+    for k in keep:
+        x, y, w, h = (stats[k + 1, cv2.CC_STAT_LEFT],
+                      stats[k + 1, cv2.CC_STAT_TOP],
+                      stats[k + 1, cv2.CC_STAT_WIDTH],
+                      stats[k + 1, cv2.CC_STAT_HEIGHT])
+        # subpixel: intensity-weighted centroid over the blob's window
+        # (background-subtracted so the window edge does not bias it)
+        win = np.clip(gray[y:y + h, x:x + w] - med, 0.0, None)
+        ys, xs = np.mgrid[y:y + h, x:x + w]
+        s = win.sum()
+        if s <= 0:
+            pts.append(cents[k + 1])
+            continue
+        pts.append([float((xs * win).sum() / s),
+                    float((ys * win).sum() / s)])
+    pts = np.asarray(pts, dtype=float)
+    if n_markers == 1:
+        return pts
+    # order along the wand's image line (PCA axis)
+    ctr = pts.mean(axis=0)
+    _, _, vt = np.linalg.svd(pts - ctr, full_matrices=False)
+    proj = (pts - ctr) @ vt[0]
+    order = np.argsort(proj)
+    pts = pts[order]
+    if n_markers >= 3:
+        gaps = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        if gaps[0] > gaps[-1]:  # asymmetric rule: short gap first
+            pts = pts[::-1]
+    return pts
+
+
+def detect_wand_in_imfolder(f_loc, n_markers: int, min_area: int = 4,
+                            max_area: int = 5000, n_lim=None):
+    """Detect the wand in every camera subfolder of ``f_loc``.
+
+    Frame index = the image's position in the camera's (sorted) file
+    list — synchronized captures must write frame-aligned filenames,
+    exactly like the board pipeline (and utils/video.py extraction).
+
+    :returns: (rows [cam, frame, marker, u, v], camera names).
+    """
+    import cv2
+
+    from pycamset_tpu.utils.general_utils import (get_subfolder_names,
+                                                  glob_ims, thread_map)
+
+    folders = get_subfolder_names(f_loc, return_full_path=True)
+    if not folders:
+        raise ValueError(f"no camera subfolders found in {f_loc}")
+    names = get_subfolder_names(f_loc)
+
+    def one_cam(args):
+        ci, folder = args
+        rows = []
+        ims = glob_ims(folder)
+        if n_lim is not None:
+            ims = ims[:n_lim]
+        for j, im_path in enumerate(ims):
+            img = cv2.imread(str(im_path))
+            if img is None:
+                continue
+            pts = detect_wand_markers(img, n_markers, min_area=min_area,
+                                      max_area=max_area)
+            if pts is None:
+                continue
+            rows.append(np.column_stack([
+                np.full(len(pts), ci), np.full(len(pts), j),
+                np.arange(len(pts)), pts]))
+        return rows
+
+    per_cam = thread_map(one_cam, list(enumerate(folders)))
+    rows = [r for cam_rows in per_cam for r in cam_rows]
+    if not rows:
+        raise ValueError(f"no wand detections in {f_loc}")
+    return np.concatenate(rows), names
+
+
 def _normalized_obs(camset, dd):
     """Per-row undistorted normalized coordinates (K^-1, distortion
     inverted through each camera's own model)."""

@@ -168,6 +168,98 @@ def test_cli_wand_wiring(tmp_path, capsys):
     assert rot < 3e-4 and trans < 2e-3
 
 
+def _draw_wand_frame(uv, res=(320, 240), radius=2.5):
+    """Render bright anti-aliased discs at subpixel positions."""
+    import cv2
+    img = np.full((res[1], res[0]), 20, np.uint8)
+    shift = 4
+    for p in uv:
+        cv2.circle(img, (int(round(p[0] * 16)), int(round(p[1] * 16))),
+                   int(radius * 16), 255, -1, lineType=cv2.LINE_AA,
+                   shift=shift)
+    return img
+
+
+def test_detect_wand_markers_subpixel_and_ordering():
+    from pycamset_tpu.calibration.wand import detect_wand_markers
+    # asymmetric gaps: short (40 px) then long (80 px)
+    truth = np.array([[60.25, 100.5], [100.7, 110.25], [180.4, 130.75]])
+    img = _draw_wand_frame(truth)
+    pts = detect_wand_markers(img, 3)
+    assert pts is not None
+    assert np.abs(pts - truth).max() < 0.15
+    # mirrored view: identity must be preserved (short gap first)
+    pts_m = detect_wand_markers(img[:, ::-1].copy(), 3)
+    assert np.abs(pts_m - np.column_stack(
+        [319 - truth[:, 0], truth[:, 1]])).max() < 0.2
+    # a frame without markers declines
+    assert detect_wand_markers(np.full((240, 320), 20, np.uint8), 3) is None
+
+
+def test_cli_wand_from_rendered_images(tmp_path):
+    """Full image E2E: rendered wand frames per camera folder -> blob
+    detection -> registration -> device BA -> calibrated rig."""
+    import json
+
+    import cv2
+
+    import pycamset_tpu.__main__ as cli
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    res = (320, 240)
+    f = 280.0
+    names, exts, kmats = [], [], []
+    for i in range(3):
+        ang = 2 * np.pi * i / 3
+        pos = np.array([1.6 * np.cos(ang), 1.6 * np.sin(ang), 0.7])
+        exts.append(look_at_extrinsic(pos, np.zeros(3)))
+        kmats.append(np.array([[f, 0, res[0] / 2], [0, f, res[1] / 2],
+                               [0, 0, 1]]))
+        names.append(f"cam{i}")
+    truth = CameraSet(camera_dict=make_cam_dict(
+        names, exts, kmats, [np.zeros(5)] * 3, [list(res)] * 3))
+
+    rng = np.random.default_rng(6)
+    n_frames = 60
+    ph = 2 * np.pi * np.arange(n_frames) / n_frames
+    for c, name in enumerate(names):
+        (tmp_path / name).mkdir()
+    wand_img = np.array([[0.0, 0, 0], [0.18, 0, 0], [0.5, 0, 0]])
+    for j in range(n_frames):
+        pos = np.array([0.4 * np.sin(ph[j] * 2),
+                        0.4 * np.cos(ph[j] * 3 + 0.6),
+                        0.3 * np.sin(ph[j] + 1.1)])
+        rvec = np.array([1.8 * np.sin(ph[j] * 2 + 0.3),
+                         1.5 * np.cos(ph[j]), 1.1 * np.sin(ph[j] * 3)])
+        tf = make_4x4h_tform(rvec, pos)
+        world = wand_img @ tf[:3, :3].T + tf[:3, 3]
+        for c, name in enumerate(names):
+            cam = truth[name]
+            uv = np.asarray(cam.project_points(world))
+            img = _draw_wand_frame(
+                uv[(uv[:, 0] > 5) & (uv[:, 0] < res[0] - 5)
+                   & (uv[:, 1] > 5) & (uv[:, 1] < res[1] - 5)], res=res)
+            cv2.imwrite(str(tmp_path / name / f"{j:04d}.png"), img)
+
+    stale = CameraSet(camera_dict=make_cam_dict(
+        names, [np.eye(4)] * 3, kmats, [np.zeros(5)] * 3, [list(res)] * 3))
+    camset_path = tmp_path / "rig.camset"
+    stale.save(camset_path)
+    wand_path = tmp_path / "wand.json"
+    wand_path.write_text(json.dumps(wand_img.tolist()))
+    save = tmp_path / "solved.camset"
+    out = tmp_path / "report.json"
+    rc = cli.main(["wand", str(tmp_path), "--camset", str(camset_path),
+                   "--markers", "3", "--wand-template", str(wand_path),
+                   "--save", str(save), "--out", str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["rms_px"] < 0.5          # blob-centroid noise floor
+    solved = load_CameraSet(save)
+    rot, trans = _relative_errors(solved, truth)
+    assert rot < 3e-3 and trans < 8e-3
+
+
 def test_registration_seed_pair_override():
     truth = _ring_rig()
     dd = _wand_capture(truth, noise=0.1, seed=4)

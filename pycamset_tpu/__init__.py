@@ -22,7 +22,7 @@ __all__ = [
     "recalibrate_extrinsics", "recalibrate_intrinsics",
     "write_calibration_report", "convert_camera_model",
     "convert_camera_set", "calibrate_time_offsets",
-    "calibrate_extrinsics_from_wand",
+    "calibrate_extrinsics_from_wand", "MarkerTriangulator",
 ]
 
 _LAZY = {
@@ -57,6 +57,7 @@ _LAZY = {
                                "calibrate_time_offsets"),
     "calibrate_extrinsics_from_wand": ("pycamset_tpu.calibration.wand",
                                        "calibrate_extrinsics_from_wand"),
+    "MarkerTriangulator": ("pycamset_tpu.markers", "MarkerTriangulator"),
 }
 
 

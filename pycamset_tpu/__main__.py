@@ -467,6 +467,86 @@ def cmd_wand(args) -> int:
     return 0
 
 
+def _add_markers(sub):
+    p = sub.add_parser(
+        "markers",
+        help="per-frame 3D marker positions (non-rigid point sets) "
+             "against a calibrated rig, with sigmas")
+    p.add_argument("detections",
+                   help="table (.npy/JSON rows [cam, frame, marker, u, v])"
+                        " OR a capture folder (bright-blob detection)")
+    p.add_argument("--camset", required=True,
+                   help="calibrated rig (.camset file)")
+    p.add_argument("--markers", type=int, default=None,
+                   help="marker count (required for folder input; "
+                        "default for tables: max id + 1)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N")
+    p.add_argument("--no-refine", action="store_true",
+                   help="raw DLT only (skip the pixel-space polish)")
+    p.add_argument("--out", default=None,
+                   help="write per-frame points as JSON (default: print)")
+
+
+def cmd_markers(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.markers import MarkerTriangulator
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    if Path(args.detections).is_dir():
+        if not args.markers:
+            print("folder input needs --markers")
+            return 2
+        from pycamset_tpu.calibration.wand import detect_wand_in_imfolder
+        from pycamset_tpu.utils.video import expand_videos
+        folder = expand_videos(Path(args.detections),
+                               stride=args.video_stride)
+        dd, cam_names = detect_wand_in_imfolder(folder, args.markers)
+        order = {n: i for i, n in enumerate(cams.get_names())}
+        missing = [n for n in cam_names if n not in order]
+        if missing:
+            print(f"capture folders {missing} have no camera of that "
+                  "name in the camset")
+            return 2
+        remap = np.array([order[n] for n in cam_names])
+        dd[:, 0] = remap[dd[:, 0].astype(int)]
+    elif str(args.detections).endswith(".npy"):
+        dd = np.load(args.detections)
+    else:
+        dd = np.asarray(json.loads(Path(args.detections).read_text()),
+                        dtype=float)
+    n_markers = args.markers or int(dd[:, 2].max()) + 1
+    tri = MarkerTriangulator(cams, n_markers,
+                             refine_iters=0 if args.no_refine else 3)
+    pts, info = tri.reconstruct(dd)
+
+    def _row(v):
+        return [None if not np.isfinite(x) else float(x) for x in v]
+
+    records = [{"frame": j,
+                "points": [_row(pts[j, m]) for m in range(n_markers)],
+                "sigma": [_row(info["sigma"][j, m])
+                          for m in range(n_markers)],
+                "n_views": info["n_views"][j].tolist()}
+               for j in range(pts.shape[0])]
+    text = json.dumps(records)
+    if args.out:
+        Path(args.out).write_text(text)
+        print(f"{pts.shape[0]} frames x {n_markers} markers -> {args.out}")
+    else:
+        print(text)
+    seen = info["n_views"] >= 2
+    if seen.any():
+        print(f"mean reprojection rms {np.nanmean(info['rms'][seen]):.3f}"
+              f" px over {int(seen.sum())} reconstructed markers",
+              file=sys.stderr)
+    return 0
+
+
 def _add_monitor(sub):
     p = sub.add_parser(
         "monitor",
@@ -1005,6 +1085,7 @@ def main(argv=None) -> int:
     _add_handeye(sub)
     _add_sync(sub)
     _add_wand(sub)
+    _add_markers(sub)
     _add_monitor(sub)
     _add_convert(sub)
     _add_report(sub)
@@ -1025,6 +1106,8 @@ def main(argv=None) -> int:
         return cmd_sync(args)
     if args.cmd == "wand":
         return cmd_wand(args)
+    if args.cmd == "markers":
+        return cmd_markers(args)
     if args.cmd == "monitor":
         return cmd_monitor(args)
     if args.cmd == "convert":

@@ -160,8 +160,8 @@ class MarkerTriangulator:
             dd = detections.get_data()
         else:
             dd = np.asarray(detections, dtype=float)
-        if dd is None or dd.ndim != 2 or dd.shape[1] != 5:
-            raise ValueError("detections must be rows "
+        if dd is None or dd.ndim != 2 or dd.shape[1] != 5 or not len(dd):
+            raise ValueError("detections must be non-empty rows "
                              "[cam, frame, marker, u, v]")
         if dd[:, 2].max() >= self.n_markers:
             raise ValueError(

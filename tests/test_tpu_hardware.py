@@ -1109,3 +1109,42 @@ def test_rolling_shutter_tracking_on_chip():
     tr_gs = TargetTracker(cams, target)
     _, info_gs = tr_gs.track_batch(det)
     assert float(info_gs["rms"].mean()) > 1.2 * float(info["rms"].mean())
+
+
+def test_wand_calibration_on_chip():
+    """Targetless wand calibration end-to-end on real TPU: the pose-free
+    free-point BA (thousands of free points, pinned lenses, pinned
+    camera 0, one pinned coordinate for the scale mode) must hold its
+    accuracy in float32 on hardware."""
+    from test_wand import (WAND, _relative_errors, _ring_rig,
+                           _wand_capture)
+
+    from pycamset_tpu.calibration.wand import calibrate_extrinsics_from_wand
+
+    truth = _ring_rig()
+    dd = _wand_capture(truth, noise=0.2, seed=21)
+    solved, rep = calibrate_extrinsics_from_wand(
+        _ring_rig(scramble=True), dd, wand_template=WAND)
+    assert rep["rms_px"] < 0.35
+    rot, trans = _relative_errors(solved, truth)
+    assert rot < 5e-4 and trans < 3e-3
+    assert rep["wand_lengths"]["relative_spread_rms"] < 8e-3
+
+
+def test_marker_cloud_reconstruction_on_chip():
+    """MarkerTriangulator on real TPU float32: DLT + GN pixel polish
+    reaches sub-mm at 0.2 px noise; underdetermined markers stay NaN."""
+    from test_markers import N_MARKERS, _capture, _rig
+
+    from pycamset_tpu.markers import MarkerTriangulator
+
+    cams = _rig()
+    dd, truth = _capture(cams, n_frames=30, noise=0.2, seed=31,
+                         occlude={(4, 2)})
+    tri = MarkerTriangulator(cams, N_MARKERS)
+    pts, info = tri.reconstruct(dd)
+    seen = info["n_views"] >= 2
+    err = np.linalg.norm(pts - truth, axis=-1)
+    assert np.nanmedian(err[seen]) < 5e-4
+    assert np.isnan(pts[4, 2]).all()
+    assert abs(np.nanmean(info["rms"][seen]) - 0.2) < 0.12

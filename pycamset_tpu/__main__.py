@@ -141,13 +141,15 @@ def _add_reconstruct(sub):
     p = sub.add_parser(
         "reconstruct",
         help="dense reconstruction from a calibrated rig "
-             "(2 cameras: rectified stereo; 3+: multi-view plane sweep)")
+             "(2 cameras: rectified stereo; 3+: multi-view plane sweep; "
+             "fused: every listed view swept + consistency-fused)")
     p.add_argument("camset", help="calibrated rig (.camset file)")
     p.add_argument("--cams", nargs="+", required=True,
                    help="camera names; the FIRST is the reference view")
     p.add_argument("--images", nargs="+", required=True,
                    help="one image path per camera, same order")
-    p.add_argument("--mode", choices=["stereo", "sweep"], default=None,
+    p.add_argument("--mode", choices=["stereo", "sweep", "fused"],
+                   default=None,
                    help="default: stereo for 2 cameras, sweep for 3+")
     p.add_argument("--out", default="cloud.ply",
                    help="output ascii PLY point cloud")
@@ -173,6 +175,16 @@ def _add_reconstruct(sub):
                    help="sweep: ZNCC window size")
     p.add_argument("--regularize", action="store_true",
                    help="sweep: SGM-regularise the cost volume")
+    # fusion options
+    p.add_argument("--min-consistent", type=int, default=2,
+                   help="fused: source views that must corroborate a "
+                        "point (the emitting view is not counted)")
+    p.add_argument("--max-px", type=float, default=1.0,
+                   help="fused: mutual reprojection tolerance (px)")
+    p.add_argument("--max-rel", type=float, default=0.01,
+                   help="fused: relative depth agreement tolerance")
+    p.add_argument("--max-sources", type=int, default=4,
+                   help="fused: sweep sources per reference view")
 
 
 def _add_handeye(sub):
@@ -989,6 +1001,33 @@ def cmd_reconstruct(args) -> int:
             return 2
         ims.append(im)
     mode = args.mode or ("stereo" if len(args.cams) == 2 else "sweep")
+
+    if mode == "fused":
+        if len(args.cams) < 3:
+            print("fused mode needs at least 3 cameras")
+            return 2
+        if args.near is None or args.far is None:
+            print("fused mode needs --near and --far plane depths")
+            return 2
+        from pycamset_tpu.reconstruction.fusion import dense_reconstruct
+        sel = [cams[n] for n in args.cams]
+        und = [c.undistort(im) for c, im in zip(sel, ims)]
+        gray = [im if im.ndim == 2 else
+                cv2.cvtColor(im, cv2.COLOR_BGR2GRAY) for im in und]
+        out = dense_reconstruct(
+            sel, gray, near=args.near, far=args.far,
+            n_planes=args.n_planes, window=args.window,
+            top_k=args.top_k, regularize=args.regularize,
+            max_sources=args.max_sources,
+            min_consistent=args.min_consistent, max_px=args.max_px,
+            max_rel=args.max_rel, verbose=True)
+        pts = out["points"]
+        cols = np.repeat(np.clip(out["colors"], 0, 255)
+                         .astype(np.uint8)[:, None], 3, axis=1)
+        write_colour_ply(args.out, pts, cols)
+        print(f"fused: {len(pts)} points (>= {args.min_consistent} "
+              f"consistent sources) -> {args.out}")
+        return 0
 
     if mode == "stereo":
         if len(args.cams) != 2:

@@ -236,6 +236,22 @@ def test_cli_reconstruct_stereo_sgm(recon_rig, capsys):
     assert abs(np.median(np.linalg.norm(pts, axis=1)) - 5.0) < 0.5
 
 
+def test_cli_reconstruct_fused(recon_rig, capsys):
+    from pycamset_tpu.__main__ import main
+    dst, camset, names, paths = recon_rig
+    out = dst / "fused.ply"
+    rc = main(["reconstruct", camset, "--cams", *names,
+               "--images", *paths, "--mode", "fused",
+               "--near", "3", "--far", "8", "--n-planes", "48",
+               "--out", str(out)])
+    assert rc == 0
+    assert "fused:" in capsys.readouterr().out
+    pts = _read_ply(out)
+    # consumption dedup: one point per surface patch, not per view
+    assert 0.3 * 120 * 160 < len(pts) < 1.5 * 120 * 160
+    assert abs(np.median(pts[:, 2]) - 5.0) < 0.1
+
+
 def test_cli_reconstruct_arg_errors(recon_rig, capsys):
     from pycamset_tpu.__main__ import main
     dst, camset, names, paths = recon_rig

@@ -148,7 +148,7 @@ def _add_reconstruct(sub):
                    help="camera names; the FIRST is the reference view")
     p.add_argument("--images", nargs="+", required=True,
                    help="one image path per camera, same order")
-    p.add_argument("--mode", choices=["stereo", "sweep", "fused"],
+    p.add_argument("--mode", choices=["stereo", "sweep", "fused", "mesh"],
                    default=None,
                    help="default: stereo for 2 cameras, sweep for 3+")
     p.add_argument("--out", default="cloud.ply",
@@ -185,6 +185,9 @@ def _add_reconstruct(sub):
                    help="fused: relative depth agreement tolerance")
     p.add_argument("--max-sources", type=int, default=4,
                    help="fused: sweep sources per reference view")
+    p.add_argument("--voxel", type=float, default=None,
+                   help="mesh: TSDF voxel edge (default: auto from the "
+                        "fused cloud's bounding box)")
 
 
 def _add_handeye(sub):
@@ -1002,25 +1005,35 @@ def cmd_reconstruct(args) -> int:
         ims.append(im)
     mode = args.mode or ("stereo" if len(args.cams) == 2 else "sweep")
 
-    if mode == "fused":
+    if mode in ("fused", "mesh"):
         if len(args.cams) < 3:
-            print("fused mode needs at least 3 cameras")
+            print(f"{mode} mode needs at least 3 cameras")
             return 2
         if args.near is None or args.far is None:
-            print("fused mode needs --near and --far plane depths")
+            print(f"{mode} mode needs --near and --far plane depths")
             return 2
-        from pycamset_tpu.reconstruction.fusion import dense_reconstruct
         sel = [cams[n] for n in args.cams]
         und = [c.undistort(im) for c, im in zip(sel, ims)]
         gray = [im if im.ndim == 2 else
                 cv2.cvtColor(im, cv2.COLOR_BGR2GRAY) for im in und]
-        out = dense_reconstruct(
-            sel, gray, near=args.near, far=args.far,
-            n_planes=args.n_planes, window=args.window,
-            top_k=args.top_k, regularize=args.regularize,
-            max_sources=args.max_sources,
-            min_consistent=args.min_consistent, max_px=args.max_px,
-            max_rel=args.max_rel, verbose=True)
+        common = dict(near=args.near, far=args.far,
+                      n_planes=args.n_planes, window=args.window,
+                      top_k=args.top_k, regularize=args.regularize,
+                      max_sources=args.max_sources,
+                      min_consistent=args.min_consistent,
+                      max_px=args.max_px, max_rel=args.max_rel)
+        if mode == "mesh":
+            from pycamset_tpu.reconstruction.tsdf import dense_mesh
+            from pycamset_tpu.utils.general_utils import write_mesh_ply
+            out = dense_mesh(sel, gray, voxel=args.voxel, verbose=True,
+                             **common)
+            write_mesh_ply(args.out, out["verts"], out["faces"])
+            print(f"mesh: {len(out['verts'])} vertices, "
+                  f"{len(out['faces'])} triangles "
+                  f"(voxel {out['voxel']:.4g}) -> {args.out}")
+            return 0
+        from pycamset_tpu.reconstruction.fusion import dense_reconstruct
+        out = dense_reconstruct(sel, gray, verbose=True, **common)
         pts = out["points"]
         cols = np.repeat(np.clip(out["colors"], 0, 255)
                          .astype(np.uint8)[:, None], 3, axis=1)

@@ -415,3 +415,15 @@ def write_colour_ply(f_name, verts, cols):
         f"{v[0]:.8f} {v[1]:.8f} {v[2]:.8f} {c[0]} {c[1]} {c[2]} \n"
         for v, c in zip(verts, cols))
     Path(f_name).write_text(header + rows)
+
+
+def write_mesh_ply(f_name, verts, faces):
+    """Write an ascii triangle mesh."""
+    header = "\n".join([
+        "ply", "format ascii 1.0", f"element vertex {len(verts)}",
+        "property float x", "property float y", "property float z",
+        f"element face {len(faces)}",
+        "property list uchar int vertex_indices", "end_header", ""])
+    vrows = "".join(f"{v[0]:.8f} {v[1]:.8f} {v[2]:.8f}\n" for v in verts)
+    frows = "".join(f"3 {f[0]} {f[1]} {f[2]}\n" for f in faces)
+    Path(f_name).write_text(header + vrows + frows)

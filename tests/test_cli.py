@@ -252,6 +252,27 @@ def test_cli_reconstruct_fused(recon_rig, capsys):
     assert abs(np.median(pts[:, 2]) - 5.0) < 0.1
 
 
+def test_cli_reconstruct_mesh(recon_rig, capsys):
+    from pycamset_tpu.__main__ import main
+    dst, camset, names, paths = recon_rig
+    out = dst / "mesh.ply"
+    rc = main(["reconstruct", camset, "--cams", *names,
+               "--images", *paths, "--mode", "mesh",
+               "--near", "3", "--far", "8", "--n-planes", "48",
+               "--out", str(out)])
+    assert rc == 0
+    assert "mesh:" in capsys.readouterr().out
+    text = out.read_text().splitlines()
+    nv = int(next(l for l in text if l.startswith("element vertex"))
+             .split()[-1])
+    nf = int(next(l for l in text if l.startswith("element face"))
+             .split()[-1])
+    assert nv > 500 and nf > 500
+    body = text[text.index("end_header") + 1:]
+    verts = np.array([[float(x) for x in l.split()] for l in body[:nv]])
+    assert abs(np.median(verts[:, 2]) - 5.0) < 0.1
+
+
 def test_cli_reconstruct_arg_errors(recon_rig, capsys):
     from pycamset_tpu.__main__ import main
     dst, camset, names, paths = recon_rig

@@ -127,7 +127,11 @@ def fuse_depth_maps(cams: list[Camera], depths, min_consistent: int = 2,
     corroborated an earlier view's point are consumed and cannot
     re-emit. Views are processed in the given order.
     """
-    depths = [np.asarray(d, dtype=np.float64) for d in depths]
+    # keep the caller's float width (f32 feeds the TPU natively; the CPU
+    # tier passes f64), promoting any integer input
+    depths = [np.asarray(d) for d in depths]
+    depths = [d.astype(np.float64) if d.dtype.kind != "f" else d
+              for d in depths]
     if len(depths) != len(cams):
         raise ValueError("need exactly one depth map per camera")
     if len(cams) < 2:
@@ -140,18 +144,19 @@ def fuse_depth_maps(cams: list[Camera], depths, min_consistent: int = 2,
 
     proj, kinv, c2w = _pinhole_stack(cams)
     n = len(cams)
+    dt = np.result_type(*[d.dtype for d in depths])
     used = np.zeros((n,) + shape, dtype=bool)
     pts, counts, views, cols = [], [], [], []
     for i in range(n):
         others = [j for j in range(n) if j != i]
         d_ref = np.where(used[i], np.nan, depths[i])
         fused, count, ok, src_v, src_u = jax.device_get(_fuse_one(
-            jnp.asarray(d_ref), jnp.asarray(kinv[i]), jnp.asarray(c2w[i]),
-            jnp.asarray(proj[i]), jnp.asarray(np.stack([depths[j]
-                                                        for j in others])),
-            jnp.asarray(kinv[others]), jnp.asarray(c2w[others]),
-            jnp.asarray(proj[others]),
-            jnp.asarray(used[others]), float(max_px), float(max_rel)))
+            jnp.asarray(d_ref, dt), jnp.asarray(kinv[i], dt),
+            jnp.asarray(c2w[i], dt), jnp.asarray(proj[i], dt),
+            jnp.asarray(np.stack([depths[j] for j in others]), dt),
+            jnp.asarray(kinv[others], dt), jnp.asarray(c2w[others], dt),
+            jnp.asarray(proj[others], dt),
+            jnp.asarray(used[others]), dt.type(max_px), dt.type(max_rel)))
         accept = count >= min_consistent
         pts.append(fused[accept])
         counts.append(count[accept])

@@ -88,18 +88,21 @@ def tsdf_fuse(cams: list[Camera], depths, origin, voxel: float,
     :return: (tsdf (nx,ny,nz) in [-1,1], weight (nx,ny,nz) = number of
         views that observed each voxel).
     """
-    depths = [np.asarray(d, dtype=np.float64) for d in depths]
+    depths = [np.asarray(d) for d in depths]
+    depths = [d.astype(np.float64) if d.dtype.kind != "f" else d
+              for d in depths]
     if len(depths) != len(cams):
         raise ValueError("need exactly one depth map per camera")
     shape = depths[0].shape
     if any(d.shape != shape for d in depths):
         raise ValueError("all depth maps must share one resolution")
     trunc = 3.0 * voxel if trunc is None else float(trunc)
+    dt = np.result_type(*[d.dtype for d in depths])
     projs = np.stack([c.intrinsic @ c.extrinsic[:3, :4] for c in cams])
     tsdf, wsum = _tsdf_accumulate(
-        jnp.asarray(np.stack(depths)), jnp.asarray(projs),
-        jnp.asarray(np.asarray(origin, dtype=np.float64)),
-        float(voxel), trunc, tuple(int(d) for d in dims))
+        jnp.asarray(np.stack(depths), dt), jnp.asarray(projs, dt),
+        jnp.asarray(np.asarray(origin), dt),
+        dt.type(voxel), dt.type(trunc), tuple(int(d) for d in dims))
     return np.asarray(jax.device_get(tsdf)), np.asarray(
         jax.device_get(wsum))
 

@@ -139,6 +139,14 @@ class TestFuseDepthMaps:
         assert out["colors"].shape == (out["points"].shape[0],)
         assert np.all(np.isfinite(out["colors"]))
 
+    def test_float32_inputs_run_in_float32(self, rig):
+        """f32 depths must not up-promote (the chip tier feeds f32)."""
+        cams, _, gt = rig
+        out = fuse_depth_maps(cams, [d.astype(np.float32) for d in gt],
+                              min_consistent=2, max_px=0.75, max_rel=0.005)
+        assert out["points"].dtype == np.float32
+        assert np.median(_plane_err(out["points"])) < 1e-3
+
     def test_bad_args_raise(self, rig, swept):
         cams, _, _ = rig
         with pytest.raises(ValueError, match="one depth map per camera"):

@@ -1148,3 +1148,34 @@ def test_marker_cloud_reconstruction_on_chip():
     assert np.nanmedian(err[seen]) < 5e-4
     assert np.isnan(pts[4, 2]).all()
     assert abs(np.nanmean(info["rms"][seen]) - 0.2) < 0.12
+
+
+def test_depth_fusion_tsdf_mesh_on_chip():
+    """Depth fusion + TSDF accumulation compiled for TPU in float32
+    (the CPU tier runs them in f64): exact rendered depths of the
+    two-plane scene fuse to a deduplicated cloud on the planes, and the
+    TSDF zero-crossing meshes at z = 5 in a bump-free grid window."""
+    from test_fusion import _make_cam, _render
+
+    from pycamset_tpu.reconstruction.fusion import fuse_depth_maps
+    from pycamset_tpu.reconstruction.tsdf import (marching_tetrahedra,
+                                                  tsdf_fuse)
+
+    cams = [_make_cam(0, 0), _make_cam(0.4, 0), _make_cam(-0.4, 0),
+            _make_cam(0, 0.4)]
+    gt = [_render(c)[1].astype(np.float32) for c in cams]
+
+    out = fuse_depth_maps(cams, gt, min_consistent=2, max_px=0.75,
+                          max_rel=0.005)
+    pts = out["points"]
+    assert pts.shape[0] > 0.3 * gt[0].size
+    err = np.minimum(np.abs(pts[:, 2] - 5.0), np.abs(pts[:, 2] - 3.5))
+    assert np.median(err) < 1e-3                 # f32 floor, not f64's 1e-6
+
+    voxel, origin, dims = 0.02, (0.9, -0.4, 4.7), (40, 40, 30)
+    tsdf, wsum = tsdf_fuse(cams, gt, origin, voxel, dims)
+    assert tsdf.dtype == np.float32
+    verts, _faces = marching_tetrahedra(tsdf, origin=origin, voxel=voxel,
+                                        mask=wsum >= 2)
+    assert len(verts) > 200
+    assert np.abs(np.median(verts[:, 2]) - 5.0) < voxel

@@ -100,6 +100,12 @@ class TestTsdfFuse:
         assert np.abs(np.median(verts[:, 2]) - 5.0) < voxel
         assert np.abs(verts[:, 2] - 5.0).max() < 3 * voxel
 
+    def test_float32_inputs_run_in_float32(self, rig):
+        cams, _, gt = rig
+        tsdf, wsum = tsdf_fuse(cams, [d.astype(np.float32) for d in gt],
+                               (0.9, -0.4, 4.7), 0.05, (16, 16, 12))
+        assert tsdf.dtype == np.float32 and wsum.dtype == np.float32
+
     def test_weight_counts_views(self, rig):
         cams, _, gt = rig
         tsdf, wsum = tsdf_fuse(cams, gt, (0.9, -0.4, 4.7), 0.05,

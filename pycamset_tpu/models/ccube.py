@@ -323,6 +323,9 @@ class Ccube(AbstractTarget):
             cv2.imshow("detections", preview)
             cv2.waitKey(wait_len)
 
+        if found_px:
+            found_px = list(self._refine_photometric(
+                image, np.asarray(found_px)))
         if redistort is not None and found_px:
             found_px = list(redistort(np.asarray(found_px)))
         return ImageDetection(keys=found_keys, image_points=found_px)

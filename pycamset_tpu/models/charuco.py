@@ -121,6 +121,7 @@ class ChArUco(AbstractTarget):
         if corners is None:
             return ImageDetection()
 
+        corners = self._refine_photometric(image, corners)
         if redistort is not None:
             corners = redistort(corners)
 

@@ -1,0 +1,179 @@
+"""Synthetic image rendering of calibration captures.
+
+Renders a calibration target as seen by a `CameraSet` through its FULL
+camera models (any distortion family, including fisheye): for every output
+pixel the lens model is inverted on device (`ops/distortion.py::
+undistort_pixels`, one batched dispatch per camera over the whole pixel
+grid), the ideal ray is intersected with the target plane and the board
+texture is sampled with `cv2.remap`. The per-camera ray field is computed
+once and shared by every pose.
+
+This is the "inverse" of the calibration pipeline and the gold-standard
+validation harness for it: because the generating cameras are known
+exactly, every detected corner can be compared against its analytic
+ground-truth pixel position (`ground_truth_detections`), and a full
+pipeline run can be scored against the true intrinsics/extrinsics (see
+tests/test_synthetic_image_e2e.py). The reference ships no renderer; it
+validates against real datasets with px thresholds only
+(/root/reference/tests/test_full_calibrations.py).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from pycamset_tpu.models.detections import ImageDetection, TargetDetection
+
+__all__ = ["target_texture", "render_target_views",
+           "ground_truth_detections"]
+
+
+def target_texture(target, square_px: int = 60):
+    """Rasterise a planar target at a known physical scale.
+
+    :return: (image, px_per_m): board texture whose pixel (0, 0) is the
+        target-frame origin, and the metres-to-pixels scale.
+    """
+    board = getattr(target, "board", None)
+    if board is None or not hasattr(board, "generateImage"):
+        raise NotImplementedError(
+            f"target {type(target).__name__} has no rasterisable board; "
+            "rendering supports planar ChArUco targets")
+    try:
+        n_sq = board.getChessboardSize()[0]
+    except AttributeError as err:
+        raise NotImplementedError(
+            "rendering supports planar ChArUco targets (ArucoGrid boards "
+            "need a detection margin that would shift the target origin)"
+        ) from err
+    board_px = n_sq * square_px
+    image = board.generateImage((board_px, board_px))
+    sq_m = target.square_size / 1000.0
+    px_per_m = board_px / (n_sq * sq_m)
+    return image, px_per_m
+
+
+def _camera_plane_rays(cam):
+    """Ideal (undistorted) unit-depth rays for every pixel, camera frame."""
+    import jax.numpy as jnp
+
+    from pycamset_tpu.ops.distortion import undistort_pixels
+
+    w, h = cam.res
+    uu, vv = np.meshgrid(np.arange(w, dtype=float),
+                         np.arange(h, dtype=float))
+    pix = np.stack([uu.ravel(), vv.ravel()], axis=1)
+    ideal = np.array(undistort_pixels(
+        jnp.asarray(pix), jnp.asarray(cam.intrinsic),
+        jnp.asarray(np.ravel(cam.distortion_coefs)), iters=25))
+    fx, fy = cam.intrinsic[0, 0], cam.intrinsic[1, 1]
+    cx, cy = cam.intrinsic[0, 2], cam.intrinsic[1, 2]
+    return np.concatenate(
+        [(ideal - [cx, cy]) / [fx, fy], np.ones((ideal.shape[0], 1))],
+        axis=1)
+
+
+def render_target_views(cams, target, poses, out_dir=None, *,
+                        square_px: int = 60, background: float = 128.0,
+                        blur_sigma: float = 0.0, noise: float = 0.0,
+                        seed: int = 0):
+    """Render the target through every camera for every pose.
+
+    :param cams: a `CameraSet` (the generating ground truth).
+    :param target: a planar target with a rasterisable board (ChArUco).
+    :param poses: iterable of 6-vectors [rvec | tvec], the target-to-world
+        transforms (same convention as the calibration's estimated poses).
+    :param out_dir: when given, writes `<out_dir>/<cam>/im{i:03d}.png` in
+        the folder layout `calibrate_cameras` consumes.
+    :param blur_sigma: optional Gaussian defocus blur (px).
+    :param noise: optional additive Gaussian sensor noise (grey levels).
+    :return: {camera name: [image, ...]} of uint8 renders.
+    """
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    board_im, px_per_m = target_texture(target, square_px)
+    rng = np.random.default_rng(seed)
+    poses = [np.asarray(p, dtype=float).ravel() for p in poses]
+    t_poses = [make_4x4h_tform(p[:3], p[3:]) for p in poses]
+
+    out = {}
+    for name in cams.get_names():
+        cam = cams[name]
+        w, h = cam.res
+        rays_cam = _camera_plane_rays(cam)
+        cdir = None
+        if out_dir is not None:
+            cdir = Path(out_dir) / name
+            cdir.mkdir(parents=True, exist_ok=True)
+        ims = []
+        for i, t_pose in enumerate(t_poses):
+            cam_to_target = np.linalg.inv(t_pose) @ cam.cam_to_world
+            origin = cam_to_target[:3, 3]
+            dirs = rays_cam @ cam_to_target[:3, :3].T
+            # intersect the target plane z=0 (in the target frame); rays
+            # parallel to or leaving the plane sample out of the texture
+            dz = np.where(np.abs(dirs[:, 2]) < 1e-12, 1e-12, dirs[:, 2])
+            tt = -origin[2] / dz
+            plane = origin[None, :2] + tt[:, None] * dirs[:, :2]
+            plane[tt <= 0] = -1e6  # behind the camera: background
+            # physical 0 is the texture's pixel-grid EDGE; remap's pixel
+            # centres sit at integers, hence the half-pixel shift
+            map_x = (plane[:, 0] * px_per_m - 0.5).reshape(h, w) \
+                .astype(np.float32)
+            map_y = (plane[:, 1] * px_per_m - 0.5).reshape(h, w) \
+                .astype(np.float32)
+            im = cv2.remap(board_im, map_x, map_y, cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_CONSTANT,
+                           borderValue=background)
+            if blur_sigma > 0:
+                im = cv2.GaussianBlur(im.astype(np.float32), (0, 0),
+                                      blur_sigma)
+            if noise > 0:
+                im = im.astype(np.float32) + rng.normal(0, noise, im.shape)
+            im = np.clip(im, 0, 255).astype(np.uint8)
+            ims.append(im)
+            if cdir is not None:
+                cv2.imwrite(str(cdir / f"im{i:03d}.png"), im)
+        out[name] = ims
+    return out
+
+
+def ground_truth_detections(cams, target, poses,
+                            margin: float = 0.0) -> TargetDetection:
+    """The analytically-exact detection table for a rendered capture.
+
+    Projects every target feature through the generating cameras for every
+    pose; features behind a camera or outside its image (by `margin` px)
+    are dropped, exactly as a detector would miss them. The result is a
+    `TargetDetection` keyed identically to the live detector's output, so
+    detected corners can be scored against truth row-by-row.
+    """
+    from pycamset_tpu.utils.general_utils import h_tform, make_4x4h_tform
+
+    pts = np.asarray(target.point_data, dtype=float)
+    faces = pts.reshape(-1, pts.shape[-2], 3)
+    n_faces, n_per = faces.shape[:2]
+    flat = faces.reshape(-1, 3)
+    if n_faces > 1:
+        keys = np.stack(np.divmod(np.arange(n_faces * n_per), n_per), axis=1)
+    else:
+        keys = np.arange(n_per)[:, None]
+
+    table = TargetDetection(cam_names=list(cams.get_names()))
+    for p_idx, pose in enumerate(poses):
+        pose = np.asarray(pose, dtype=float).ravel()
+        world = h_tform(flat, make_4x4h_tform(pose[:3], pose[3:]))
+        for name in cams.get_names():
+            cam = cams[name]
+            in_front = h_tform(world, cam.extrinsic)[:, 2] > 0
+            uv = cam.project_points(world)
+            w, h = cam.res
+            ok = (in_front & np.isfinite(uv).all(axis=1)
+                  & (uv[:, 0] >= margin) & (uv[:, 0] <= w - 1 - margin)
+                  & (uv[:, 1] >= margin) & (uv[:, 1] <= h - 1 - margin))
+            found = ImageDetection(keys[ok] if n_faces > 1
+                                   else keys[ok, 0], uv[ok])
+            table.add_detection(name, p_idx, found)
+    return table

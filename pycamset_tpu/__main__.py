@@ -735,6 +735,62 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _add_render(sub):
+    p = sub.add_parser(
+        "render",
+        help="render a synthetic calibration capture for a rig: images "
+             "in the calibrate folder layout, plus the true target poses")
+    p.add_argument("camset", help="generating rig (.camset file)")
+    _add_target_args(p)
+    p.add_argument("-o", "--out", required=True, help="output folder")
+    p.add_argument("--n-ims", type=int, default=12,
+                   help="target presentations to sample (ignored with "
+                        "--poses)")
+    p.add_argument("--poses", default=None,
+                   help="JSON file of [rvec|tvec] 6-vectors to render "
+                        "instead of sampling poses around the workspace")
+    p.add_argument("--noise-grey", type=float, default=0.0,
+                   help="additive Gaussian sensor noise (grey levels)")
+    p.add_argument("--blur", type=float, default=0.0,
+                   help="Gaussian defocus blur sigma (px)")
+    p.add_argument("--square-px", type=int, default=60,
+                   help="texture resolution (px per target square)")
+    p.add_argument("--min-cams", type=int, default=2,
+                   help="cameras that must see each sampled presentation")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_render(args) -> int:
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from pycamset_tpu.utils.render import render_target_views
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    cams = load_CameraSet(args.camset)
+    target = _make_target(args)
+    if args.poses:
+        poses = np.asarray(json.loads(Path(args.poses).read_text()),
+                           dtype=float).reshape(-1, 6)
+    else:
+        from pycamset_tpu.calibration.plan import synthesize_detections
+        _, poses = synthesize_detections(
+            cams, target.point_data, args.n_ims, seed=args.seed,
+            min_cams=args.min_cams)
+    out = Path(args.out)
+    render_target_views(cams, target, poses, out_dir=out,
+                        square_px=args.square_px, blur_sigma=args.blur,
+                        noise=args.noise_grey, seed=args.seed)
+    (out / "true_poses.json").write_text(
+        json.dumps(np.asarray(poses).tolist(), indent=1))
+    print(f"rendered {len(poses)} views x {len(cams.get_names())} "
+          f"cameras -> {out}")
+    print(f"true poses -> {out / 'true_poses.json'}")
+    return 0
+
+
 def _add_plan(sub):
     p = sub.add_parser(
         "plan",
@@ -1155,6 +1211,7 @@ def main(argv=None) -> int:
     _add_convert(sub)
     _add_report(sub)
     _add_plan(sub)
+    _add_render(sub)
     _add_export(sub)
     _add_import(sub)
     _add_info(sub)
@@ -1181,6 +1238,8 @@ def main(argv=None) -> int:
         return cmd_report(args)
     if args.cmd == "plan":
         return cmd_plan(args)
+    if args.cmd == "render":
+        return cmd_render(args)
     if args.cmd == "export":
         return cmd_export(args)
     if args.cmd == "import":

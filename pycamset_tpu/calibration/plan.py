@@ -80,8 +80,11 @@ def synthesize_detections(cams, target_points: np.ndarray, n_ims: int,
     # a ring rig's view directions cancel: fall back to an arbitrary
     # facing (the rotation jitter covers orientations anyway)
     vbar = vbar / nv if nv > 0.2 else np.array([0.0, 0.0, 1.0])
-    # base orientation: target +z (plane normal) against the mean view
-    zt = -vbar
+    # base orientation: target +z ALONG the mean view, so the cameras sit
+    # on the board's -z side — the side from which a printed (one-sided)
+    # pattern reads correctly. Projection statistics are side-agnostic,
+    # but utils/render.py shares these poses and chirality matters there.
+    zt = vbar
     up = np.array([0.0, 0.0, 1.0])
     if abs(np.dot(up, zt)) > 0.95:
         up = np.array([0.0, 1.0, 0.0])

@@ -118,6 +118,10 @@ def render_target_views(cams, target, poses, out_dir=None, *,
             tt = -origin[2] / dz
             plane = origin[None, :2] + tt[:, None] * dirs[:, :2]
             plane[tt <= 0] = -1e6  # behind the camera: background
+            if origin[2] > 0:
+                # the camera is on the board's +z side: a one-sided print
+                # shows only its blank back from there
+                plane[:] = -1e6
             # physical 0 is the texture's pixel-grid EDGE; remap's pixel
             # centres sit at integers, hence the half-pixel shift
             map_x = (plane[:, 0] * px_per_m - 0.5).reshape(h, w) \
@@ -156,6 +160,9 @@ def ground_truth_detections(cams, target, poses,
     faces = pts.reshape(-1, pts.shape[-2], 3)
     n_faces, n_per = faces.shape[:2]
     flat = faces.reshape(-1, 3)
+    # a single planar face is one-sided print: cameras on its +z side see
+    # only the blank back (matching render_target_views)
+    planar = n_faces == 1 and np.allclose(flat[:, 2], flat[0, 2])
     if n_faces > 1:
         keys = np.stack(np.divmod(np.arange(n_faces * n_per), n_per), axis=1)
     else:
@@ -164,9 +171,14 @@ def ground_truth_detections(cams, target, poses,
     table = TargetDetection(cam_names=list(cams.get_names()))
     for p_idx, pose in enumerate(poses):
         pose = np.asarray(pose, dtype=float).ravel()
-        world = h_tform(flat, make_4x4h_tform(pose[:3], pose[3:]))
+        t_pose = make_4x4h_tform(pose[:3], pose[3:])
+        world = h_tform(flat, t_pose)
         for name in cams.get_names():
             cam = cams[name]
+            if planar:
+                cam_in_target = np.linalg.inv(t_pose) @ cam.cam_to_world
+                if cam_in_target[2, 3] > flat[0, 2]:
+                    continue
             in_front = h_tform(world, cam.extrinsic)[:, 2] > 0
             uv = cam.project_points(world)
             w, h = cam.res

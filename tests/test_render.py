@@ -95,6 +95,66 @@ class TestRendererSurface:
             target_texture(grid)
 
 
+def make_converging_rig():
+    """Cameras whose axes cross in front (pose sampling needs a real
+    shared workspace; `make_rig`'s divergent pair has none)."""
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.models.camera_set import CameraSet
+    from pycamset_tpu.utils.synthetic import look_at_extrinsic
+    cams = {}
+    for i, x in enumerate([-0.12, 0.12]):
+        k = np.array([[700.0, 0, RES[0] / 2], [0, 700.0, RES[1] / 2],
+                      [0, 0, 1.0]])
+        ext = look_at_extrinsic(np.array([x, 0.0, -0.45]), np.zeros(3))
+        cams[f"cam{i}"] = Camera(
+            extrinsic=ext, intrinsic=k, res=list(RES),
+            distortion_coefs=np.array([-0.1, 0.02, 0.0, 0.0, 0.0]),
+            name=f"cam{i}")
+    return CameraSet(camera_dict=cams)
+
+
+class TestCliRender:
+    def test_render_command_writes_dataset(self, tmp_path, capsys):
+        import json
+
+        import pycamset_tpu.__main__ as cli
+
+        cams = make_converging_rig()
+        src = tmp_path / "rig.camset"
+        cams.save(src)
+        out = tmp_path / "synth"
+        rc = cli.main(["render", str(src), "--target", "charuco",
+                       "--nx", "10", "--ny", "10", "--square", "25",
+                       "--n-ims", "2", "-o", str(out)])
+        assert rc == 0
+        assert "rendered 2 views" in capsys.readouterr().out
+        poses = json.loads((out / "true_poses.json").read_text())
+        assert np.asarray(poses).shape == (2, 6)
+        for name in cams.get_names():
+            files = sorted((out / name).glob("*.png"))
+            assert [f.name for f in files] == ["im000.png", "im001.png"]
+
+    def test_render_command_explicit_poses(self, rig_and_target, tmp_path):
+        import json
+
+        import pycamset_tpu.__main__ as cli
+
+        cams, _ = rig_and_target
+        src = tmp_path / "rig.camset"
+        cams.save(src)
+        pose_file = tmp_path / "poses.json"
+        pose_file.write_text(json.dumps([p.tolist() for p in make_poses(1)]))
+        out = tmp_path / "synth"
+        rc = cli.main(["render", str(src), "--target", "charuco",
+                       "--nx", "10", "--ny", "10", "--square", "25",
+                       "--poses", str(pose_file), "-o", str(out)])
+        assert rc == 0
+        got = json.loads((out / "true_poses.json").read_text())
+        assert np.allclose(got, make_poses(1))
+        im = cv2.imread(str(out / "cam0" / "im000.png"))
+        assert im is not None and im.shape[:2] == (RES[1], RES[0])
+
+
 class TestGroundTruth:
     def test_detector_agrees_with_analytic_corners(self, rig_and_target):
         cams, target = rig_and_target

@@ -75,6 +75,64 @@ def _camera_plane_rays(cam):
         axis=1)
 
 
+def _planar_maps(origin, dirs, px_per_m):
+    """Texture sample coordinates for a one-sided board in the z=0 plane."""
+    # rays parallel to or leaving the plane sample out of the texture
+    dz = np.where(np.abs(dirs[:, 2]) < 1e-12, 1e-12, dirs[:, 2])
+    tt = -origin[2] / dz
+    plane = origin[None, :2] + tt[:, None] * dirs[:, :2]
+    plane[tt <= 0] = -1e6  # behind the camera: background
+    if origin[2] > 0:
+        # the camera is on the board's +z side: a one-sided print shows
+        # only its blank back from there
+        plane[:] = -1e6
+    # physical 0 is the texture's pixel-grid EDGE; remap's pixel centres
+    # sit at integers, hence the half-pixel shift
+    return plane[:, 0] * px_per_m - 0.5, plane[:, 1] * px_per_m - 0.5
+
+
+def _solid_geometry(target):
+    """(R (F,3,3), t_m (F,3), edge_m) of a FaceToShape solid: face-local
+    metres -> target frame is q = R p + t_m (the scale trick resolved)."""
+    fd = target.faceData
+    tf = np.asarray(fd.face_transforms, dtype=float).reshape(-1, 4, 4)
+    return tf[:, :3, :3], tf[:, :3, 3] * float(fd.sf), float(fd.sf)
+
+
+def _solid_maps(origin, dirs, rmats, t_m, edge, tex_h):
+    """Atlas sample coordinates for a convex FaceToShape solid.
+
+    Each face is a one-sided print on the z=0 plane of its local frame
+    with the OUTWARD side at local -z (verified for the cube transforms:
+    +z-local points into the solid for every face). The nearest
+    printed-side in-bounds hit across faces wins; face f's texture
+    occupies atlas rows [f*tex_h, (f+1)*tex_h).
+    """
+    n = len(dirs)
+    px_per_m = tex_h / edge
+    best_t = np.full(n, np.inf)
+    best_x = np.full(n, -1e6, dtype=float)
+    best_y = np.full(n, -1e6, dtype=float)
+    for f, (rmat, tv) in enumerate(zip(rmats, t_m)):
+        o_f = rmat.T @ (origin - tv)
+        d_f = dirs @ rmat
+        if o_f[2] >= 0:
+            continue  # camera is behind this face's printed side
+        dz = np.where(np.abs(d_f[:, 2]) < 1e-12, 1e-12, d_f[:, 2])
+        tt = -o_f[2] / dz
+        hx = o_f[0] + tt * d_f[:, 0]
+        hy = o_f[1] + tt * d_f[:, 1]
+        ok = (tt > 1e-12) & (tt < best_t) \
+            & (hx >= 0) & (hx <= edge) & (hy >= 0) & (hy <= edge)
+        best_t[ok] = tt[ok]
+        # clamp half a pixel inside the face row band so INTER_LINEAR
+        # never blends across the atlas seam between faces
+        best_x[ok] = np.clip(hx[ok] * px_per_m - 0.5, 0.0, tex_h - 1.0)
+        best_y[ok] = np.clip(hy[ok] * px_per_m - 0.5, 0.0,
+                             tex_h - 1.0) + f * tex_h
+    return best_x, best_y
+
+
 def render_target_views(cams, target, poses, out_dir=None, *,
                         square_px: int = 60, background: float = 128.0,
                         blur_sigma: float = 0.0, noise: float = 0.0,
@@ -82,7 +140,8 @@ def render_target_views(cams, target, poses, out_dir=None, *,
     """Render the target through every camera for every pose.
 
     :param cams: a `CameraSet` (the generating ground truth).
-    :param target: a planar target with a rasterisable board (ChArUco).
+    :param target: a planar target with a rasterisable board (ChArUco), or
+        a textured `FaceToShape` solid (Ccube).
     :param poses: iterable of 6-vectors [rvec | tvec], the target-to-world
         transforms (same convention as the calibration's estimated poses).
     :param out_dir: when given, writes `<out_dir>/<cam>/im{i:03d}.png` in
@@ -93,7 +152,15 @@ def render_target_views(cams, target, poses, out_dir=None, *,
     """
     from pycamset_tpu.utils.general_utils import make_4x4h_tform
 
-    board_im, px_per_m = target_texture(target, square_px)
+    solid = getattr(target, "faceData", None) is not None \
+        and getattr(target, "textures", None) is not None
+    if solid:
+        rmats, t_m, edge = _solid_geometry(target)
+        texture = np.concatenate(
+            [np.asarray(t, dtype=np.uint8) for t in target.textures], axis=0)
+        tex_h = texture.shape[0] // len(rmats)
+    else:
+        texture, px_per_m = target_texture(target, square_px)
     rng = np.random.default_rng(seed)
     poses = [np.asarray(p, dtype=float).ravel() for p in poses]
     t_poses = [make_4x4h_tform(p[:3], p[3:]) for p in poses]
@@ -112,23 +179,13 @@ def render_target_views(cams, target, poses, out_dir=None, *,
             cam_to_target = np.linalg.inv(t_pose) @ cam.cam_to_world
             origin = cam_to_target[:3, 3]
             dirs = rays_cam @ cam_to_target[:3, :3].T
-            # intersect the target plane z=0 (in the target frame); rays
-            # parallel to or leaving the plane sample out of the texture
-            dz = np.where(np.abs(dirs[:, 2]) < 1e-12, 1e-12, dirs[:, 2])
-            tt = -origin[2] / dz
-            plane = origin[None, :2] + tt[:, None] * dirs[:, :2]
-            plane[tt <= 0] = -1e6  # behind the camera: background
-            if origin[2] > 0:
-                # the camera is on the board's +z side: a one-sided print
-                # shows only its blank back from there
-                plane[:] = -1e6
-            # physical 0 is the texture's pixel-grid EDGE; remap's pixel
-            # centres sit at integers, hence the half-pixel shift
-            map_x = (plane[:, 0] * px_per_m - 0.5).reshape(h, w) \
-                .astype(np.float32)
-            map_y = (plane[:, 1] * px_per_m - 0.5).reshape(h, w) \
-                .astype(np.float32)
-            im = cv2.remap(board_im, map_x, map_y, cv2.INTER_LINEAR,
+            if solid:
+                mx, my = _solid_maps(origin, dirs, rmats, t_m, edge, tex_h)
+            else:
+                mx, my = _planar_maps(origin, dirs, px_per_m)
+            map_x = mx.reshape(h, w).astype(np.float32)
+            map_y = my.reshape(h, w).astype(np.float32)
+            im = cv2.remap(texture, map_x, map_y, cv2.INTER_LINEAR,
                            borderMode=cv2.BORDER_CONSTANT,
                            borderValue=background)
             if blur_sigma > 0:
@@ -163,6 +220,12 @@ def ground_truth_detections(cams, target, poses,
     # a single planar face is one-sided print: cameras on its +z side see
     # only the blank back (matching render_target_views)
     planar = n_faces == 1 and np.allclose(flat[:, 2], flat[0, 2])
+    normals = None
+    if n_faces > 1 and getattr(target, "faceData", None) is not None:
+        # solid faces print outward (local -z): cull corners whose face
+        # looks away from the camera (matching render_target_views)
+        rmats, _, _ = _solid_geometry(target)
+        normals = -rmats[:, :, 2]          # (F, 3), target frame
     if n_faces > 1:
         keys = np.stack(np.divmod(np.arange(n_faces * n_per), n_per), axis=1)
     else:
@@ -179,10 +242,17 @@ def ground_truth_detections(cams, target, poses,
                 cam_in_target = np.linalg.inv(t_pose) @ cam.cam_to_world
                 if cam_in_target[2, 3] > flat[0, 2]:
                     continue
+            facing = True
+            if normals is not None:
+                cam_pos_t = (np.linalg.inv(t_pose) @ cam.cam_to_world)[:3, 3]
+                to_cam = cam_pos_t[None, :] - flat     # target frame
+                facing = np.einsum(
+                    "kd,kd->k", to_cam,
+                    np.repeat(normals, n_per, axis=0)) > 1e-9
             in_front = h_tform(world, cam.extrinsic)[:, 2] > 0
             uv = cam.project_points(world)
             w, h = cam.res
-            ok = (in_front & np.isfinite(uv).all(axis=1)
+            ok = (facing & in_front & np.isfinite(uv).all(axis=1)
                   & (uv[:, 0] >= margin) & (uv[:, 0] <= w - 1 - margin)
                   & (uv[:, 1] >= margin) & (uv[:, 1] <= h - 1 - margin))
             found = ImageDetection(keys[ok] if n_faces > 1

@@ -155,6 +155,77 @@ class TestCliRender:
         assert im is not None and im.shape[:2] == (RES[1], RES[0])
 
 
+class TestCubeRendering:
+    """The FaceToShape (Ccube) path: nearest-hit face occlusion, outward
+    chirality (markers must DECODE — a mirrored face detects nothing),
+    and analytic ground truth with back-face culling."""
+
+    @pytest.fixture(scope="class")
+    def cube_scene(self):
+        from pycamset_tpu.models.camera import Camera
+        from pycamset_tpu.models.camera_set import CameraSet
+        from pycamset_tpu.models.ccube import Ccube
+        from pycamset_tpu.utils.synthetic import look_at_extrinsic
+        cube = Ccube(n_points=6, length=60)
+        k = np.array([[900.0, 0, 400.0], [0, 900.0, 300.0], [0, 0, 1.0]])
+        cams = {}
+        for i, pos in enumerate([np.array([0.25, 0.2, 0.3]),
+                                 np.array([-0.22, 0.25, 0.28])]):
+            cams[f"cam{i}"] = Camera(
+                extrinsic=look_at_extrinsic(pos, np.zeros(3)), intrinsic=k,
+                res=[800, 600],
+                distortion_coefs=np.array([-0.08, 0.01, 1e-4, -1e-4, 0.0]),
+                name=f"cam{i}")
+        poses = [np.array([0.1, -0.2, 0.15, 0.0, 0.0, 0.0]),
+                 np.array([0.7, 0.5, -0.3, 0.01, -0.01, 0.0])]
+        return CameraSet(camera_dict=cams), cube, poses
+
+    def test_detector_decodes_rendered_faces(self, cube_scene):
+        cams, cube, poses = cube_scene
+        views = render_target_views(cams, cube, poses)
+        gt = ground_truth_detections(cams, cube, poses, margin=3)
+
+        from pycamset_tpu.models.detections import TargetDetection
+        table = TargetDetection(cam_names=list(cams.get_names()))
+        for name in cams.get_names():
+            for i, im in enumerate(views[name]):
+                table.add_detection(name, i, cube.find_in_image(im))
+
+        errs, n_pairs = [], 0
+        for name in cams.get_names():
+            for i in range(len(poses)):
+                d, g = _join_on_keys(table, gt, name, i)
+                n_pairs += len(d)
+                if len(d):
+                    errs.append(np.linalg.norm(d - g, axis=1))
+        err = np.concatenate(errs)
+        # oblique small faces carry more detector noise than a frontal
+        # planar board; chirality or occlusion bugs fail by miles (zero
+        # decodes / multi-px mismatches), not fractions of a pixel
+        assert n_pairs > 60
+        assert err.mean() < 0.7
+        assert err.max() < 2.5
+
+    def test_ground_truth_culls_back_faces(self, cube_scene):
+        cams, cube, poses = cube_scene
+        gt = ground_truth_detections(cams, cube, poses)
+        g = gt.get(cam="cam0").get(im_num=0).get_data()
+        faces_seen = {int(f) for f in g[:, 2]}
+        # a convex cube shows at most 3 faces from any outside viewpoint
+        assert 1 <= len(faces_seen) <= 3
+        n_per = np.asarray(cube.point_data).shape[-2]
+        assert len(g) <= 3 * n_per
+
+    def test_occluded_pixels_sample_the_near_face(self, cube_scene):
+        cams, cube, poses = cube_scene
+        views = render_target_views(cams, cube, poses, background=5.0)
+        im = views["cam0"][0]
+        # the 60 mm cube at ~0.44 m covers a few % of the frame: white
+        # squares must be present and the background stays at its constant
+        assert (im == 5).mean() > 0.5
+        assert (im > 100).mean() > 0.01
+
+
 class TestGroundTruth:
     def test_detector_agrees_with_analytic_corners(self, rig_and_target):
         cams, target = rig_and_target

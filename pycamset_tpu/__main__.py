@@ -769,6 +769,10 @@ def cmd_render(args) -> int:
     from pycamset_tpu.utils.render import render_target_views
     from pycamset_tpu.utils.saving import load_CameraSet
 
+    if args.target == "grid":
+        raise SystemExit(
+            "render supports charuco and ccube targets (ArucoGrid boards "
+            "need a detection margin that would shift the target origin)")
     cams = load_CameraSet(args.camset)
     target = _make_target(args)
     if args.poses:

@@ -42,16 +42,17 @@ def target_texture(target, square_px: int = 60):
             f"target {type(target).__name__} has no rasterisable board; "
             "rendering supports planar ChArUco targets")
     try:
-        n_sq = board.getChessboardSize()[0]
+        nx, ny = board.getChessboardSize()
     except AttributeError as err:
         raise NotImplementedError(
             "rendering supports planar ChArUco targets (ArucoGrid boards "
             "need a detection margin that would shift the target origin)"
         ) from err
-    board_px = n_sq * square_px
-    image = board.generateImage((board_px, board_px))
+    # request the board's own aspect ratio: generateImage letterboxes a
+    # mismatched canvas, which would silently break the px/m scale
+    image = board.generateImage((nx * square_px, ny * square_px))
     sq_m = target.square_size / 1000.0
-    px_per_m = board_px / (n_sq * sq_m)
+    px_per_m = square_px / sq_m
     return image, px_per_m
 
 

@@ -88,6 +88,30 @@ class TestRendererSurface:
             files = sorted((tmp_path / name).glob("*.png"))
             assert [f.name for f in files] == ["im000.png", "im001.png"]
 
+    def test_non_square_board_keeps_scale(self):
+        """generateImage letterboxes a mismatched canvas: a 6x10 board
+        must rasterise at its own aspect with the same px/m both axes."""
+        from pycamset_tpu.models.charuco import ChArUco
+        target = ChArUco(6, 10, 25)
+        im, px_per_m = target_texture(target, square_px=40)
+        assert im.shape == (10 * 40, 6 * 40)
+        assert px_per_m == pytest.approx(40 / 0.025)
+
+    def test_non_square_board_detector_matches_truth(self):
+        from pycamset_tpu.models.charuco import ChArUco
+        from pycamset_tpu.models.detections import TargetDetection
+        cams = make_rig()
+        target = ChArUco(6, 10, 25)
+        poses = [np.array([0.1, -0.15, 0.05, -0.07, -0.11, 0.0])]
+        views = render_target_views(cams, target, poses)
+        gt = ground_truth_detections(cams, target, poses, margin=5)
+        table = TargetDetection(cam_names=list(cams.get_names()))
+        for name in cams.get_names():
+            table.add_detection(name, 0, target.find_in_image(views[name][0]))
+        d, g = _join_on_keys(table, gt, "cam0", 0)
+        assert len(d) > 10
+        assert np.linalg.norm(d - g, axis=1).mean() < 0.25
+
     def test_unsupported_target_raises(self):
         from pycamset_tpu.models.grid import ArucoGrid
         grid = ArucoGrid(4, 4, 30, 8)
@@ -233,10 +257,8 @@ class TestGroundTruth:
         views = render_target_views(cams, target, poses)
         gt = ground_truth_detections(cams, target, poses, margin=5)
 
-        table = __import__(
-            "pycamset_tpu.models.detections",
-            fromlist=["TargetDetection"]).TargetDetection(
-                cam_names=list(cams.get_names()))
+        from pycamset_tpu.models.detections import TargetDetection
+        table = TargetDetection(cam_names=list(cams.get_names()))
         for c, name in enumerate(cams.get_names()):
             for i, im in enumerate(views[name]):
                 table.add_detection(name, i, target.find_in_image(im))

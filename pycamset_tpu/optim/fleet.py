@@ -65,7 +65,7 @@ class FleetProblem(NamedTuple):
 # solver-relevant options that must agree across the fleet (they are baked
 # into the ONE compiled program every rig shares)
 _SHARED_OPTS = ("loss", "f_scale", "loss_semantics", "max_nfev",
-                "reduced_solver", "im_bucket")
+                "reduced_solver", "im_bucket", "shared_intrinsics")
 _UNSET = object()  # distinguishes "option not set" from an explicit None
 
 
@@ -212,6 +212,11 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
         # from mixed_chain_widths inside
         return _build_mixed_fleet(handlers, x0s, dtype, k_pad_multiple,
                                   mesh)
+    if _opt(opts, "shared_intrinsics", None):
+        # tied-lens fleets have their own TiedPieces path — the template
+        # path would silently solve UNTIED (dropping the constraint)
+        return _build_tied_fleet(handlers, x0s, widths, grouped, opts,
+                                 dtype, k_pad_multiple, mesh)
     h0 = handlers[0]
     op_fun = h0.op_fun
     n_cams, n_keys = len(h0.cam_names), h0.n_keys()
@@ -373,6 +378,197 @@ def build_fleet_problem(handlers, dtype=None, k_pad_multiple: int = 128,
 
     def residuals_from_pieces(pieces_b) -> list:
         # whole-fleet residuals: ONE dispatch, ONE fetched array
+        rr = np.asarray(fleet_residual_impl(pieces_b, uv_s, mask_s, tpl_s))
+        out = []
+        for r in range(len(handlers)):
+            _, _, _, blk_i, key_i, _ = rig_host[r]
+            out.append(rr[r][blk_i, key_i])
+        return out
+
+    return FleetProblem(solve_fn, residual_fn, x0s, residuals_from_pieces,
+                        x0_s)
+
+
+def _build_tied_fleet(handlers, x0s, widths, grouped, opts, dtype,
+                      k_pad_multiple: int, mesh):
+    """Shared-intrinsics (tied-lens) fleet: TiedPieces state, fold_tied
+    normal equations, make_tied_ops injection — the fleet counterpart of
+    ``optim/shared_intr.py::build_shared_structured_problem``, plugged in
+    exactly like the mixed fleet path (ops= into structured_lm_solve)."""
+    from pycamset_tpu.optim.shared_intr import (
+        TiedPieces, fold_tied, make_tied_ops, resolve_lens_groups)
+
+    h0 = handlers[0]
+    op_fun = h0.op_fun
+    if widths.c != 0 or not op_fun.templated or widths.b != 6 or grouped:
+        raise UnsupportedChain(
+            "shared_intrinsics supports template chains only "
+            "(projection + extrinsic + template points)")
+    s = widths.a - 6
+    if s <= 0:
+        raise UnsupportedChain("chain has no intrinsic columns to tie")
+    n_cams, n_keys = len(h0.cam_names), h0.n_keys()
+
+    gid = resolve_lens_groups(opts["shared_intrinsics"], h0.cam_names)
+    for i, h in enumerate(handlers[1:], start=1):
+        gid_i = resolve_lens_groups(opts["shared_intrinsics"], h.cam_names)
+        if not np.array_equal(gid_i, gid):
+            raise FleetMismatch(
+                f"rig {i} lens-group layout differs from rig 0 "
+                "(the fleet shares one tied structure)")
+    n_groups = int(gid.max()) + 1
+    oh_np = np.zeros((gid.size, n_groups))
+    oh_np[np.arange(gid.size), gid] = 1.0
+    counts = oh_np.sum(axis=0)
+
+    v = opts["im_bucket"]
+    im_bucket = 8 if v is _UNSET else v
+    n_ims_fleet = max(int(h.bundlePrimitive.poses.shape[0])
+                      for h in handlers)
+    if im_bucket:
+        n_ims_grid = ((n_ims_fleet + im_bucket - 1) // im_bucket) * im_bucket
+    else:
+        n_ims_grid = n_ims_fleet
+
+    # ---- per-rig prep (same SHARED helpers as the template fleet) ----
+    uvs, masks, tpls, cmasks, tied0 = [], [], [], [], []
+    rig_host = []  # (struct, base_full, free_idx, blk idx, key idx, n_ims)
+    k_pad = None
+
+    def to_tied_np(full_np, struct, n_ims, kp):
+        p = split_full_params(full_np.astype(np.float64), op_fun, struct,
+                              n_cams, n_ims, n_keys, widths, xp=np)
+        p = pad_pieces_to_grid(p, widths, False, n_keys, kp, n_ims,
+                               n_ims_grid, xp=np)
+        shared = (oh_np.T @ p.cam[:, :s]) / counts[:, None]  # group means
+        return TiedPieces(shared, p.cam[:, s:], p.im)
+
+    for h, x0 in zip(handlers, x0s):
+        n_ims = int(h.bundlePrimitive.poses.shape[0])
+        dd = h.get_detection_data(flatten=True)
+        blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
+                                    k_pad_multiple=k_pad_multiple)
+        k_pad = blocks.uv.shape[1]
+        struct = op_fun.param_struct(n_cams, n_ims, n_keys)
+        base_full = h.bundlePrimitive.base_full()
+        unfixed = h.bundlePrimitive.unfixed_full()
+        base_full[unfixed] = x0
+        free_idx = np.where(unfixed)[0]
+
+        cmask = build_colmask_pieces(base_full, unfixed, op_fun, struct,
+                                     widths, False, np.float64, n_cams,
+                                     n_ims, n_keys, k_pad, n_ims_grid)
+        if not np.all(np.asarray(cmask.cam)[:, :s] == 1.0):
+            raise UnsupportedChain(
+                "shared_intrinsics cannot honour per-camera fixed "
+                "intrinsics (fix none; a fully-pinned shared lens needs "
+                "no tying — pin every camera's int/dst and solve untied)")
+
+        uvs.append(blocks.uv)
+        masks.append(blocks.mask)
+        tpls.append(pad_template_table(h.template_table(), True, n_keys,
+                                       k_pad))
+        cmasks.append(cmask)
+        tied0.append(to_tied_np(base_full, struct, n_ims, k_pad))
+        cam_i = dd[:, 0].astype(int)
+        im_i = dd[:, 1].astype(int)
+        key_i = dd[:, 2].astype(int)
+        rig_host.append((struct, base_full, free_idx,
+                         cam_i * n_ims_grid + im_i, key_i, n_ims))
+
+    def stack_tied(ps):
+        return TiedPieces(*(jnp.asarray(np.stack(a), dtype=dtype)
+                            for a in zip(*ps)))
+
+    def stack_pieces(ps):
+        return ParamPieces(*(jnp.asarray(np.stack(a), dtype=dtype)
+                             for a in zip(*ps)))
+
+    uv_s = jnp.asarray(np.stack(uvs), dtype=dtype)
+    mask_s = jnp.asarray(np.stack(masks), dtype=dtype)
+    tpl_s = jnp.asarray(np.stack(tpls), dtype=dtype)
+    cmask_s = stack_pieces(cmasks)
+    x0_s = stack_tied(tied0)
+
+    neq_raw = make_structured_neq(
+        op_fun, widths, n_cams, n_ims_grid,
+        loss=_opt(opts, "loss", "linear"),
+        f_scale=float(_opt(opts, "f_scale", 1.0)),
+        loss_semantics=_opt(opts, "loss_semantics", "component"))
+    max_nfev = int(_opt(opts, "max_nfev", 100))
+    ops = make_tied_ops(oh_np)
+
+    def expand(tp: TiedPieces) -> ParamPieces:
+        cam_full = jnp.concatenate([tp.shared[gid], tp.cam], axis=1)
+        return ParamPieces(cam_full, tp.im,
+                           jnp.zeros((k_pad, 0), dtype=tp.cam.dtype))
+
+    def one(xtp, uv, mask, tpl, cm):
+        def neq_fn(tp):
+            oh = jnp.asarray(oh_np, dtype=tp.cam.dtype)
+            return fold_tied(neq_raw(expand(tp), uv, mask, tpl, cm), s, oh)
+        return structured_lm_solve(neq_fn, xtp, max_nfev=max_nfev,
+                                   reduced_solver="dense", ops=ops)
+
+    solve_impl, uv_s, mask_s, tpl_s, cmask_s, x0_s = _fleet_solve_impl(
+        one, mesh, uv_s, mask_s, tpl_s, cmask_s, x0_s)
+
+    point_fn = op_fun.make_point_fn()
+    blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
+    blk_im = np.tile(np.arange(n_ims_grid), n_cams)
+
+    def _block_residual(x_tied, uv, mask, tpl):
+        p = expand(x_tied)
+        cam_b = p.cam[blk_cam]
+        im_b = p.im[blk_im]
+
+        def slot(cp, ip, t, u):
+            return point_fn(jnp.concatenate([cp, ip]), t) - u
+
+        per_key = jax.vmap(slot, in_axes=(None, None, 0, 0))
+        per_blk = jax.vmap(per_key, in_axes=(0, 0, None, 0))
+        return per_blk(cam_b, im_b, tpl, uv) * mask[..., None]
+
+    block_residual_impl = jax.jit(_block_residual)
+    fleet_residual_impl = jax.jit(jax.vmap(_block_residual))
+
+    def extract_free(r: int, x_tied: TiedPieces) -> np.ndarray:
+        struct, base_full, free_idx, _, _, n_ims = rig_host[r]
+        tp = jax.tree_util.tree_map(np.asarray, x_tied)
+        sh = jnp.asarray(tp.shared, dtype=jnp.float64)
+        cam_full = jnp.concatenate(
+            [sh[gid], jnp.asarray(tp.cam, dtype=jnp.float64)], axis=1)
+        full = np.asarray(merge_pieces_to_full(
+            ParamPieces(cam_full,
+                        jnp.asarray(tp.im[:n_ims], dtype=jnp.float64),
+                        jnp.zeros((n_keys, 0))),
+            op_fun, struct, n_cams, n_ims, n_keys))
+        return full[free_idx]
+
+    def apply_free(r: int, x_free: np.ndarray) -> TiedPieces:
+        struct, base_full, free_idx, _, _, n_ims = rig_host[r]
+        full = base_full.copy()
+        full[free_idx] = np.asarray(x_free, dtype=np.float64)
+        return to_tied_np(full, struct, n_ims, k_pad)
+
+    def solve_fn():
+        res: SLMResult = solve_impl(x0_s, uv_s, mask_s, tpl_s, cmask_s)
+        res_h = jax.tree_util.tree_map(np.asarray, res)
+        out = []
+        for r in range(len(handlers)):
+            res_r = jax.tree_util.tree_map(lambda a: a[r], res_h)
+            out.append((extract_free(r, res_r.x), res_r))
+        return out, res
+
+    def residual_fn(r: int, x_free: np.ndarray) -> np.ndarray:
+        tp = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=dtype), apply_free(r, x_free))
+        rr = np.asarray(block_residual_impl(tp, uv_s[r], mask_s[r],
+                                            tpl_s[r]))
+        _, _, _, blk_i, key_i, _ = rig_host[r]
+        return rr[blk_i, key_i]
+
+    def residuals_from_pieces(pieces_b) -> list:
         rr = np.asarray(fleet_residual_impl(pieces_b, uv_s, mask_s, tpl_s))
         out = []
         for r in range(len(handlers)):

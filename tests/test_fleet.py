@@ -7,7 +7,7 @@ import pytest
 
 
 def _template_handler(n_cams=2, n_ims=4, grid=4, seed=5, noise=0.2,
-                      fixed_params=None, options=None):
+                      fixed_params=None, options=None, shared_rig=False):
     from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
     from pycamset_tpu.models.detections import TargetDetection
     from pycamset_tpu.optim.handlers import (FreePointTarget,
@@ -16,7 +16,8 @@ def _template_handler(n_cams=2, n_ims=4, grid=4, seed=5, noise=0.2,
     from pycamset_tpu.utils.synthetic import make_synthetic_rig
 
     rig = make_synthetic_rig(n_cams=n_cams, n_ims=n_ims, grid=grid,
-                             visibility=1.0, noise_px=noise, seed=seed)
+                             visibility=1.0, noise_px=noise, seed=seed,
+                             shared_intrinsics=shared_rig)
     names = [f"cam{c}" for c in range(n_cams)]
     k_mats = [np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]], [0, 0, 1]])
               for i9 in rig["intr"]]
@@ -155,6 +156,14 @@ def _mixed_handler(seed=17, n_ims=6, grid=4):
         det0, det1, options={"outliers": "n"})
 
 
+def _tied_handler(seed=5, n_ims=6, n_cams=3, shared_opt=True):
+    """A template handler whose TRUE rig shares one lens across cameras,
+    solved with options={"shared_intrinsics": shared_opt}."""
+    return _template_handler(
+        n_cams=n_cams, n_ims=n_ims, grid=7, seed=seed, shared_rig=True,
+        options={"shared_intrinsics": shared_opt})
+
+
 def _single_solve(make_handler):
     from pycamset_tpu.optim.driver import run_bundle_adjustment
     handler, _ = make_handler()
@@ -261,6 +270,51 @@ class TestFleetParity:
             np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
             assert np.sqrt(np.mean(res.fun ** 2)) < 0.15
 
+    def test_tied_fleet_matches_singles(self):
+        """shared_intrinsics fleet: every rig's cameras must come back
+        with ONE lens (regression: the template fleet path used to solve
+        this silently UNTIED, dropping the constraint) and match the
+        single-rig tied backend."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        seeds = [5, 6]
+        handlers = [_tied_handler(seed=s)[0] for s in seeds]
+        results, camsets = run_fleet_bundle_adjustment(handlers)
+        for s, res, cams in zip(seeds, results, camsets):
+            intr = [cams[f"cam{i}"].intrinsic for i in range(3)]
+            dst = [np.ravel(cams[f"cam{i}"].distortion_coefs)
+                   for i in range(3)]
+            # from_tied broadcasts the group lens: bit-identical rows
+            assert np.array_equal(intr[0], intr[1]), "fleet solved untied"
+            assert np.array_equal(intr[1], intr[2])
+            assert np.array_equal(dst[0], dst[1])
+            assert np.array_equal(dst[1], dst[2])
+            ref, _ = _single_solve(lambda s=s: _tied_handler(seed=s))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
+            assert np.sqrt(np.mean(res.fun ** 2)) < 0.3
+
+    def test_tied_fleet_lens_groups_and_ragged_ims(self):
+        """Label-listed lens groups (cams 0+1 share, cam 2 its own) with
+        per-rig image counts padding to the fleet grid."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        groups = ["a", "a", "b"]
+        spec = [(4, 11), (6, 12)]
+        handlers = [_tied_handler(seed=s, n_ims=n, shared_opt=groups)[0]
+                    for n, s in spec]
+        results, camsets = run_fleet_bundle_adjustment(handlers)
+        for (n, s), res, cams in zip(spec, results, camsets):
+            assert np.array_equal(cams["cam0"].intrinsic,
+                                  cams["cam1"].intrinsic)
+            assert not np.array_equal(cams["cam1"].intrinsic,
+                                      cams["cam2"].intrinsic)
+            ref, _ = _single_solve(
+                lambda n=n, s=s: _tied_handler(seed=s, n_ims=n,
+                                               shared_opt=groups))
+            assert res.cost == pytest.approx(ref.cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, ref.x, rtol=1e-3, atol=1e-6)
+
     def test_mixed_fleet_matches_singles(self):
         """MIXED PER_KEY+PER_GROUP fleet (two-target self-calibration,
         arrow-structured backend) parity against solo solves."""
@@ -326,6 +380,30 @@ class TestFleetValidation:
         with pytest.raises(FleetMismatch, match="options"):
             build_fleet_problem([h1, h2])
 
+    def test_mismatched_tying_raises(self):
+        from pycamset_tpu.optim.fleet import (FleetMismatch,
+                                              run_fleet_bundle_adjustment)
+        h_tied = _tied_handler(seed=5)[0]
+        h_untied = _tied_handler(seed=6, shared_opt=None)[0]
+        with pytest.raises(FleetMismatch, match="options"):
+            run_fleet_bundle_adjustment([h_tied, h_untied])
+
+    def test_tied_per_camera_fixed_intrinsics_raise(self):
+        from pycamset_tpu.optim.structured import UnsupportedChain
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+        h0, rig = _template_handler(seed=5, grid=7, n_cams=3,
+                                    shared_rig=True,
+                                    options={"shared_intrinsics": True})
+        i9 = rig["intr"][0]
+        fixed = {"cam0": {"int": np.array([[i9[0], 0, i9[1]],
+                                           [0, i9[2], i9[3]], [0, 0, 1]]),
+                          "dst": i9[4:]}}
+        h1, _ = _template_handler(seed=6, grid=7, n_cams=3,
+                                  shared_rig=True, fixed_params=fixed,
+                                  options={"shared_intrinsics": True})
+        with pytest.raises(UnsupportedChain, match="per-camera fixed"):
+            run_fleet_bundle_adjustment([h0, h1])
+
     def test_empty_fleet_raises(self):
         from pycamset_tpu.optim.fleet import (FleetMismatch,
                                               build_fleet_problem)
@@ -381,6 +459,24 @@ class TestFleetMesh:
         for rm, ru in zip(res_m, res_u):
             assert rm.cost == pytest.approx(ru.cost, rel=1e-5)
             np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)
+
+    def test_sharded_tied_fleet_matches_unsharded(self):
+        """The tied (shared-intrinsics) family under shard_map: TiedPieces
+        shard the rig axis exactly like ParamPieces."""
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+        from pycamset_tpu.parallel.mesh import detection_mesh
+
+        seeds = [5, 6]
+        mesh = detection_mesh(2)
+        res_m, cams_m = run_fleet_bundle_adjustment(
+            [_tied_handler(seed=s)[0] for s in seeds], mesh=mesh)
+        res_u, _ = run_fleet_bundle_adjustment(
+            [_tied_handler(seed=s)[0] for s in seeds])
+        for rm, ru, cm in zip(res_m, res_u, cams_m):
+            assert rm.cost == pytest.approx(ru.cost, rel=1e-6)
+            np.testing.assert_allclose(rm.x, ru.x, rtol=1e-4, atol=1e-7)
+            assert np.array_equal(cm["cam0"].intrinsic,
+                                  cm["cam1"].intrinsic)
 
     def test_fleet_pads_to_device_multiple(self):
         """3 rigs over 2 devices: the fleet pads with a copy of rig 0 and

@@ -735,6 +735,57 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _add_fleet(sub):
+    p = sub.add_parser(
+        "fleet",
+        help="calibrate MANY same-structure rigs in one batched device "
+             "solve (one folder per rig, usual image layout inside)")
+    p.add_argument("folders", nargs="+",
+                   help="rig folders (one image subfolder per camera "
+                        "each; every rig images the same target)")
+    _add_target_args(p)
+    p.add_argument("--no-save", action="store_true")
+    p.add_argument("--outliers", choices=["ask", "y", "n"], default="n")
+    p.add_argument("--loss", choices=["linear", "huber", "soft_l1",
+                                      "cauchy"], default="linear")
+    p.add_argument("--camera-model",
+                   choices=["standard", "rational", "thin_prism",
+                            "tilted", "fisheye"],
+                   default="standard",
+                   help="one explicit model for the whole fleet ('auto' "
+                        "needs calibrate on a representative rig first)")
+    p.add_argument("--f-scale", type=float, default=1.0)
+    p.add_argument("--max-nfev", type=int, default=100)
+    p.add_argument("--shared-intrinsics", action="store_true",
+                   help="tie every camera of each rig to ONE lens model")
+    p.add_argument("--lens-groups", nargs="+", default=None, metavar="LABEL",
+                   help="per-camera lens labels (same layout every rig)")
+
+
+def cmd_fleet(args) -> int:
+    import numpy as np
+
+    from pycamset_tpu.calibration.camera_calibrator import calibrate_fleet
+
+    opts = {"outliers": args.outliers, "loss": args.loss,
+            "f_scale": args.f_scale, "max_nfev": args.max_nfev,
+            "camera_model": args.camera_model}
+    if args.lens_groups:
+        opts["shared_intrinsics"] = args.lens_groups
+    elif args.shared_intrinsics:
+        opts["shared_intrinsics"] = True
+
+    camsets = calibrate_fleet(
+        args.folders, _make_target(args), save=not args.no_save,
+        problem_options=opts)
+    for f_loc, cams in zip(args.folders, camsets):
+        err = np.mean(np.linalg.norm(
+            np.reshape(cams.calibration_result, (-1, 2)), axis=1))
+        print(f"{f_loc}: {cams.get_n_cams()} cameras, "
+              f"mean reprojection error {err:.3f} px")
+    return 0
+
+
 def _add_render(sub):
     p = sub.add_parser(
         "render",
@@ -1215,6 +1266,7 @@ def main(argv=None) -> int:
     _add_convert(sub)
     _add_report(sub)
     _add_plan(sub)
+    _add_fleet(sub)
     _add_render(sub)
     _add_export(sub)
     _add_import(sub)
@@ -1242,6 +1294,8 @@ def main(argv=None) -> int:
         return cmd_report(args)
     if args.cmd == "plan":
         return cmd_plan(args)
+    if args.cmd == "fleet":
+        return cmd_fleet(args)
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "export":

@@ -496,6 +496,65 @@ class TestFleetMesh:
             np.testing.assert_allclose(rm.x, ru.x, rtol=1e-3, atol=1e-6)
 
 
+class TestFleetCli:
+    def test_fleet_command_wiring(self, monkeypatch, capsys):
+        """CLI fleet -> calibrate_fleet option mapping (folders, target,
+        tied lenses); the heavy pipeline itself is covered by
+        TestCalibrateFleetPipeline."""
+        import pycamset_tpu.__main__ as cli
+        import pycamset_tpu.calibration.camera_calibrator as cc
+
+        seen = {}
+
+        class _FakeCams:
+            calibration_result = np.zeros((10, 2))
+
+            @staticmethod
+            def get_n_cams():
+                return 2
+
+        def fake_fleet(f_locs, target, save=True, n_lim=None,
+                       fixed_params=None, problem_options=None, mesh=None):
+            seen.update(f_locs=list(f_locs), target=target, save=save,
+                        opts=problem_options)
+            return [_FakeCams(), _FakeCams()]
+
+        monkeypatch.setattr(cc, "calibrate_fleet", fake_fleet)
+        rc = cli.main(["fleet", "rigA", "rigB", "--target", "charuco",
+                       "--nx", "10", "--ny", "10", "--square", "25",
+                       "--no-save", "--shared-intrinsics"])
+        assert rc == 0
+        assert seen["f_locs"] == ["rigA", "rigB"]
+        assert seen["save"] is False
+        assert seen["opts"]["shared_intrinsics"] is True
+        assert seen["opts"]["camera_model"] == "standard"
+        out = capsys.readouterr().out
+        assert "rigA" in out and "rigB" in out
+
+    def test_fleet_command_lens_groups(self, monkeypatch):
+        import pycamset_tpu.__main__ as cli
+        import pycamset_tpu.calibration.camera_calibrator as cc
+
+        seen = {}
+
+        class _FakeCams:
+            calibration_result = np.zeros((10, 2))
+
+            @staticmethod
+            def get_n_cams():
+                return 3
+
+        monkeypatch.setattr(
+            cc, "calibrate_fleet",
+            lambda f_locs, target, **kw: (
+                seen.update(opts=kw["problem_options"]),
+                [_FakeCams()] * len(f_locs))[1])
+        rc = cli.main(["fleet", "rigA", "--target", "charuco",
+                       "--lens-groups", "a", "a", "b"])
+        assert rc == 0
+        assert seen["opts"]["shared_intrinsics"] == ["a", "a", "b"]
+
+
 class TestCalibrateFleetPipeline:
     """Image-folders-in fleet pipeline (calibration/camera_calibrator.py::
     calibrate_fleet) on the reference ChArUco dataset, staged as two rig

@@ -1068,6 +1068,48 @@ def test_shared_intrinsics_tied_solve_on_chip():
     assert abs(solved["cam0"].intrinsic[0, 0] - rig["intr"][0][0]) < 5.0
 
 
+def test_tied_fleet_solve_on_chip():
+    """The shared-intrinsics FLEET path on real TPU: fold_tied + tied ops
+    under jax.vmap must compile and match the single-rig tied solve on
+    the Mosaic path (optim/fleet.py::_build_tied_fleet). n_ims=16 is
+    tile-aligned so the fused template kernel engages under vmap."""
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+    from pycamset_tpu.optim.handlers import (FreePointTarget,
+                                             TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    def handler(seed):
+        rig = make_synthetic_rig(n_cams=2, n_ims=16, grid=6,
+                                 visibility=1.0, noise_px=0.3, seed=seed,
+                                 shared_intrinsics=True)
+        names = ["a", "b"]
+        k_mats = [np.array([[i9[0], 0, i9[1]], [0, i9[2], i9[3]],
+                            [0, 0, 1]]) for i9 in rig["intr"]]
+        exts = [make_4x4h_tform(e[:3], e[3:]) for e in rig["extr"]]
+        cams = CameraSet(camera_dict=make_cam_dict(
+            names, exts, k_mats, [i9[4:] for i9 in rig["intr"]],
+            [[1600, 1200]] * 2))
+        return TemplateBundleHandler(
+            cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+            TargetDetection(cam_names=names, data=rig["dd"]),
+            options={"outliers": "n", "shared_intrinsics": True,
+                     "max_nfev": 40}), rig
+
+    seeds = (21, 22)
+    results, camsets = run_fleet_bundle_adjustment(
+        [handler(s)[0] for s in seeds])
+    for s, res, cs in zip(seeds, results, camsets):
+        assert np.isfinite(res.cost)
+        assert np.array_equal(cs["a"].intrinsic, cs["b"].intrinsic)
+        solo, _ = run_fleet_bundle_adjustment([handler(s)[0]])
+        assert res.cost == pytest.approx(solo[0].cost, rel=2e-4)
+        err = np.mean(np.linalg.norm(res.fun.reshape(-1, 2), axis=1))
+        assert err < 2 * 0.3
+
+
 def test_temporal_sync_calibration_on_chip():
     """Sync calibration end-to-end on real TPU: the (6I+E) dense arrow
     system, one-hot assembly and Schur clock covariance must survive

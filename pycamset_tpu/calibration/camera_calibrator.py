@@ -41,6 +41,26 @@ DETECTION_RATE_WARN_PCT = 90.0
 BOARD_COMPLETENESS_WARN_PCT = 50.0
 
 
+def _detector_fingerprint(calibration_target, n_lim) -> str:
+    """A stable key for everything that changes WHAT gets detected: the
+    target's constructor args, detector-affecting flags, and the image
+    limit. Objects without a stable repr reduce to their type name (an
+    address-bearing repr would bust the cache on every run)."""
+    def safe(v):
+        if isinstance(v, (int, float, str, bool, type(None))):
+            return v
+        if isinstance(v, (list, tuple)):
+            return [safe(x) for x in v]
+        return type(v).__name__
+
+    args = getattr(calibration_target, "input_args", None) or {}
+    return repr((type(calibration_target).__name__,
+                 sorted((k, safe(v)) for k, v in args.items()),
+                 bool(getattr(calibration_target, "photometric_refine",
+                              False)),
+                 n_lim))
+
+
 def _cache_tail(camera_model: str) -> str:
     """Per-camera-model .camset cache suffix.
 
@@ -294,10 +314,18 @@ def detect_datapoints_in_imfile(
         # undistorting detections get their own cache file
         cache_name = cache_name.split(".")[0] + "_with_calib.pickle"
     cache_path = f_loc / cache_name
+    fingerprint = _detector_fingerprint(calibration_target, n_lim)
 
     if caching and cache_path.exists():
-        logging.info(f"Reusing cached detections from {cache_path}")
-        return load_pickle(cache_path)
+        cached = load_pickle(cache_path)
+        if len(cached) == 3 and cached[2] == fingerprint:
+            logging.info(f"Reusing cached detections from {cache_path}")
+            return cached[0], cached[1]
+        # a stale cache would silently ignore a changed target geometry
+        # or detector option (e.g. photometric_refine)
+        logging.info(
+            f"Cached detections at {cache_path} were made with a "
+            "different target/detector configuration; re-detecting")
 
     logging.info("Scanning the camera folders for target detections")
     cam_folders = get_subfolder_names(f_loc, return_full_path=True)
@@ -319,7 +347,7 @@ def detect_datapoints_in_imfile(
     resolutions = [cv2.imread(str(glob_ims(f_loc / name)[0])).shape[:2]
                    for name in cam_names]
     if caching:
-        save_pickle((merged, resolutions), cache_path)
+        save_pickle((merged, resolutions, fingerprint), cache_path)
     return merged, resolutions
 
 

@@ -62,6 +62,66 @@ def test_caches_are_reused(tiny_charuco):
     assert cams.get_n_cams() == 3
 
 
+def test_stale_detection_cache_invalidated(tmp_path):
+    """The detection cache is fingerprinted: changing the target geometry
+    or a detector-affecting flag (photometric_refine) must re-detect
+    instead of silently reusing stale corners; legacy fingerprint-less
+    caches re-detect once."""
+    from pycamset_tpu.utils.general_utils import natsorted
+    from pycamset_tpu.utils.saving import save_pickle
+    import pycamset_tpu.calibration.camera_calibrator as cc
+    from pycamset_tpu.models.charuco import ChArUco
+
+    for sub in ["1", "2"]:
+        (tmp_path / sub).mkdir()
+        for f in natsorted((REF_DATA / sub).glob("*.jpg"))[:2]:
+            shutil.copy(f, tmp_path / sub / f.name)
+
+    def counted(target):
+        calls = []
+        orig = target.find_in_imfolder
+        target.find_in_imfolder = \
+            lambda *a, **k: calls.append(1) or orig(*a, **k)
+        return calls
+
+    t1 = ChArUco(20, 20, 4, legacy=True)
+    c1 = counted(t1)
+    det1, _ = cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t1, caching=True)
+    assert len(c1) == 2  # detected both cameras
+
+    # same configuration -> cache hit
+    t2 = ChArUco(20, 20, 4, legacy=True)
+    c2 = counted(t2)
+    det2, _ = cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t2, caching=True)
+    assert c2 == []
+    np.testing.assert_array_equal(det1.get_data(), det2.get_data())
+
+    # detector-affecting flag flipped -> MUST re-detect
+    t3 = ChArUco(20, 20, 4, legacy=True)
+    t3.photometric_refine = True
+    c3 = counted(t3)
+    det3, _ = cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t3, caching=True)
+    assert len(c3) == 2, "stale cache served for a changed detector"
+    assert not np.array_equal(det1.get_data(), det3.get_data())
+
+    # legacy 2-tuple cache (no fingerprint) -> re-detect once, re-key
+    save_pickle((det1, [(1080, 1920)] * 2),
+                tmp_path / "detected_datapoints.pickle")
+    t4 = ChArUco(20, 20, 4, legacy=True)
+    c4 = counted(t4)
+    cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t4, caching=True)
+    assert len(c4) == 2
+    t5 = ChArUco(20, 20, 4, legacy=True)
+    c5 = counted(t5)
+    cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t5, caching=True)
+    assert c5 == []  # re-keyed cache hits again
+
+
 def test_initial_cams_passthrough(tiny_charuco):
     from pycamset_tpu import calibrate_cameras
     from pycamset_tpu.models.charuco import ChArUco

@@ -41,11 +41,14 @@ DETECTION_RATE_WARN_PCT = 90.0
 BOARD_COMPLETENESS_WARN_PCT = 50.0
 
 
-def _detector_fingerprint(calibration_target, n_lim) -> str:
+def _detector_fingerprint(calibration_target, n_lim, f_loc=None,
+                          camset=None) -> str:
     """A stable key for everything that changes WHAT gets detected: the
-    target's constructor args, detector-affecting flags, and the image
-    limit. Objects without a stable repr reduce to their type name (an
-    address-bearing repr would bust the cache on every run)."""
+    target's constructor args, detector-affecting flags, the image limit,
+    the image files themselves (path/size/mtime — added or replaced
+    images must re-detect), and the seeding camset of undistorting
+    detection passes. Objects without a stable repr reduce to their type
+    name (an address-bearing repr would bust the cache on every run)."""
     def safe(v):
         if isinstance(v, (int, float, str, bool, type(None))):
             return v
@@ -54,11 +57,26 @@ def _detector_fingerprint(calibration_target, n_lim) -> str:
         return type(v).__name__
 
     args = getattr(calibration_target, "input_args", None) or {}
+    ims = ()
+    if f_loc is not None:
+        base = Path(f_loc).resolve()
+        ims = tuple(sorted(
+            (str(p.relative_to(base)), p.stat().st_size,
+             p.stat().st_mtime_ns) for p in glob_ims(base)))
+    cams_key = None
+    if camset is not None:
+        cams_key = [(n,
+                     np.round(np.asarray(camset[n].intrinsic, dtype=float),
+                              9).tolist(),
+                     np.round(np.ravel(np.asarray(
+                         camset[n].distortion_coefs, dtype=float)),
+                         9).tolist())
+                    for n in camset.get_names()]
     return repr((type(calibration_target).__name__,
                  sorted((k, safe(v)) for k, v in args.items()),
                  bool(getattr(calibration_target, "photometric_refine",
                               False)),
-                 n_lim))
+                 n_lim, ims, cams_key))
 
 
 def _cache_tail(camera_model: str) -> str:
@@ -314,7 +332,8 @@ def detect_datapoints_in_imfile(
         # undistorting detections get their own cache file
         cache_name = cache_name.split(".")[0] + "_with_calib.pickle"
     cache_path = f_loc / cache_name
-    fingerprint = _detector_fingerprint(calibration_target, n_lim)
+    fingerprint = _detector_fingerprint(calibration_target, n_lim,
+                                        f_loc=f_loc, camset=camset)
 
     if caching and cache_path.exists():
         cached = load_pickle(cache_path)

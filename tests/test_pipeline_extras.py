@@ -107,6 +107,21 @@ def test_stale_detection_cache_invalidated(tmp_path):
     assert len(c3) == 2, "stale cache served for a changed detector"
     assert not np.array_equal(det1.get_data(), det3.get_data())
 
+    # NEW images arrive -> the image-list key must re-detect
+    for sub in ["1", "2"]:
+        extra = natsorted((REF_DATA / sub).glob("*.jpg"))[2]
+        shutil.copy(extra, tmp_path / sub / f"zz_{extra.name}")
+    t3b = ChArUco(20, 20, 4, legacy=True)
+    t3b.photometric_refine = True
+    c3b = counted(t3b)
+    det3b, _ = cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t3b, caching=True)
+    assert len(c3b) == 2, "stale cache served after images changed"
+    assert det3b.get_data().shape[0] > det3.get_data().shape[0]
+    for sub in ["1", "2"]:
+        extra = natsorted((REF_DATA / sub).glob("*.jpg"))[2]
+        (tmp_path / sub / f"zz_{extra.name}").unlink()
+
     # legacy 2-tuple cache (no fingerprint) -> re-detect once, re-key
     save_pickle((det1, [(1080, 1920)] * 2),
                 tmp_path / "detected_datapoints.pickle")

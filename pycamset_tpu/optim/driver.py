@@ -203,6 +203,14 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
     """
     logging.info("Making optimisation problem")
     dtype = dtype or default_device_dtype()
+    if (param_handler.problem_opts.get("shared_intrinsics")
+            and backend in ("scipy", "generic")):
+        # no silent fallback: these backends have no tying fold and would
+        # solve every camera's lens independently
+        raise ValueError(
+            f"shared_intrinsics is not available on the {backend!r} "
+            "backend (it would silently solve untied); use "
+            "backend='auto' or 'structured'")
     if backend == "scipy":
         # reference-equivalent solver path: scipy TRF with the sparse
         # analytic Jacobian (device-evaluated) — kept for parity validation

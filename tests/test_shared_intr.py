@@ -298,3 +298,17 @@ def test_tied_rejects_selfcal_chain():
         options={"outliers": "n", "shared_intrinsics": True})
     with pytest.raises(UnsupportedChain, match="template chains"):
         run_bundle_adjustment(handler)
+
+
+def test_tied_rejects_untying_backends():
+    """scipy/generic backends have no tying fold: asking for them with
+    shared_intrinsics must raise, never silently solve untied."""
+    import pytest
+
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    cams, det, target, _ = _rig(n_cams=2, n_ims=4, grid=4)
+    h = _handler(cams, det, target)
+    for backend in ("scipy", "generic"):
+        with pytest.raises(ValueError, match="silently solve untied"):
+            run_bundle_adjustment(h, backend=backend)

@@ -741,9 +741,13 @@ def _add_fleet(sub):
         help="calibrate MANY same-structure rigs in one batched device "
              "solve (one folder per rig, usual image layout inside)")
     p.add_argument("folders", nargs="+",
-                   help="rig folders (one image subfolder per camera "
-                        "each; every rig images the same target)")
+                   help="rig folders (one image subfolder OR one video "
+                        "file per camera each; every rig images the same "
+                        "target)")
     _add_target_args(p)
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when a rig folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--outliers", choices=["ask", "y", "n"], default="n")
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1",
@@ -763,9 +767,12 @@ def _add_fleet(sub):
 
 
 def cmd_fleet(args) -> int:
+    from pathlib import Path
+
     import numpy as np
 
     from pycamset_tpu.calibration.camera_calibrator import calibrate_fleet
+    from pycamset_tpu.utils.video import expand_videos
 
     opts = {"outliers": args.outliers, "loss": args.loss,
             "f_scale": args.f_scale, "max_nfev": args.max_nfev,
@@ -775,8 +782,13 @@ def cmd_fleet(args) -> int:
     elif args.shared_intrinsics:
         opts["shared_intrinsics"] = True
 
+    # per-camera video files expand to the image-folder layout, like
+    # every other folder-scanning command
+    folders = [expand_videos(Path(f), stride=args.video_stride,
+                             caching=not args.no_save)
+               for f in args.folders]
     camsets = calibrate_fleet(
-        args.folders, _make_target(args), save=not args.no_save,
+        folders, _make_target(args), save=not args.no_save,
         problem_options=opts)
     for f_loc, cams in zip(args.folders, camsets):
         err = np.mean(np.linalg.norm(

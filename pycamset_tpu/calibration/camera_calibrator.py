@@ -49,6 +49,8 @@ def _detector_fingerprint(calibration_target, n_lim, f_loc=None,
     images must re-detect), and the seeding camset of undistorting
     detection passes. Objects without a stable repr reduce to their type
     name (an address-bearing repr would bust the cache on every run)."""
+    import os
+
     def safe(v):
         if isinstance(v, (int, float, str, bool, type(None))):
             return v
@@ -57,12 +59,28 @@ def _detector_fingerprint(calibration_target, n_lim, f_loc=None,
         return type(v).__name__
 
     args = getattr(calibration_target, "input_args", None) or {}
+    # every detector-affecting flag the target declares (AbstractTarget.
+    # DETECTOR_FLAGS) — enumerating by name here would silently miss new
+    # flags added on the target side
+    flags = tuple(
+        (f, bool(getattr(calibration_target, f, False)))
+        for f in getattr(calibration_target, "DETECTOR_FLAGS",
+                         ("photometric_refine",)))
     ims = ()
     if f_loc is not None:
-        base = Path(f_loc).resolve()
-        ims = tuple(sorted(
-            (str(p.relative_to(base)), p.stat().st_size,
-             p.stat().st_mtime_ns) for p in glob_ims(base)))
+        # enumerate per camera subfolder, mirroring the detection scan
+        # itself (a recursive glob misses symlinked camera folders), and
+        # relpath via os.path (resolved paths may escape f_loc when the
+        # images are symlinks — relative_to would raise)
+        base = Path(f_loc)
+        folders = get_subfolder_names(base, return_full_path=True) or [base]
+        entries = []
+        for folder in folders:
+            for p in glob_ims(folder):
+                st = p.stat()
+                entries.append((os.path.relpath(p, base), st.st_size,
+                                st.st_mtime_ns))
+        ims = tuple(sorted(entries))
     cams_key = None
     if camset is not None:
         cams_key = [(n,
@@ -74,9 +92,7 @@ def _detector_fingerprint(calibration_target, n_lim, f_loc=None,
                     for n in camset.get_names()]
     return repr((type(calibration_target).__name__,
                  sorted((k, safe(v)) for k, v in args.items()),
-                 bool(getattr(calibration_target, "photometric_refine",
-                              False)),
-                 n_lim, ims, cams_key))
+                 flags, n_lim, ims, cams_key))
 
 
 def _cache_tail(camera_model: str) -> str:
@@ -332,19 +348,22 @@ def detect_datapoints_in_imfile(
         # undistorting detections get their own cache file
         cache_name = cache_name.split(".")[0] + "_with_calib.pickle"
     cache_path = f_loc / cache_name
-    fingerprint = _detector_fingerprint(calibration_target, n_lim,
-                                        f_loc=f_loc, camset=camset)
-
-    if caching and cache_path.exists():
-        cached = load_pickle(cache_path)
-        if len(cached) == 3 and cached[2] == fingerprint:
-            logging.info(f"Reusing cached detections from {cache_path}")
-            return cached[0], cached[1]
-        # a stale cache would silently ignore a changed target geometry
-        # or detector option (e.g. photometric_refine)
-        logging.info(
-            f"Cached detections at {cache_path} were made with a "
-            "different target/detector configuration; re-detecting")
+    fingerprint = None
+    if caching:  # a non-caching call never pays the directory walk
+        fingerprint = _detector_fingerprint(calibration_target, n_lim,
+                                            f_loc=f_loc, camset=camset)
+        if cache_path.exists():
+            cached = load_pickle(cache_path)
+            if len(cached) == 3 and cached[2] == fingerprint:
+                logging.info(
+                    f"Reusing cached detections from {cache_path}")
+                return cached[0], cached[1]
+            # a stale cache would silently ignore a changed target
+            # geometry, new images, or a detector option
+            logging.info(
+                f"Cached detections at {cache_path} were made with a "
+                "different target/detector/image configuration; "
+                "re-detecting")
 
     logging.info("Scanning the camera folders for target detections")
     cam_folders = get_subfolder_names(f_loc, return_full_path=True)

@@ -217,6 +217,12 @@ class AbstractTarget(ABC):
     persistence) and ``self._process_data()`` after setting ``point_data``.
     """
 
+    # mutable flags that change WHAT the detector finds — the detection
+    # cache fingerprint (calibration/camera_calibrator.py::
+    # _detector_fingerprint) reads this list, so new detector-affecting
+    # flags must be added here or stale caches get served silently
+    DETECTOR_FLAGS = ("photometric_refine", "fast_detection")
+
     def __init__(self, inputs: dict):
         # record the constructor args (arrays as lists) so persistence can
         # re-instantiate the target reflectively

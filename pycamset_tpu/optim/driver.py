@@ -204,9 +204,10 @@ def run_bundle_adjustment(param_handler: TemplateBundleHandler,
     logging.info("Making optimisation problem")
     dtype = dtype or default_device_dtype()
     if (param_handler.problem_opts.get("shared_intrinsics")
-            and backend in ("scipy", "generic")):
-        # no silent fallback: these backends have no tying fold and would
-        # solve every camera's lens independently
+            and backend not in ("auto", "structured", "sharded")):
+        # no silent fallback: scipy/generic (and any unrecognized backend
+        # string, which dispatches to the generic branch) have no tying
+        # fold and would solve every camera's lens independently
         raise ValueError(
             f"shared_intrinsics is not available on the {backend!r} "
             "backend (it would silently solve untied); use "

@@ -524,7 +524,7 @@ class TestFleetCli:
                        "--nx", "10", "--ny", "10", "--square", "25",
                        "--no-save", "--shared-intrinsics"])
         assert rc == 0
-        assert seen["f_locs"] == ["rigA", "rigB"]
+        assert [str(f) for f in seen["f_locs"]] == ["rigA", "rigB"]
         assert seen["save"] is False
         assert seen["opts"]["shared_intrinsics"] is True
         assert seen["opts"]["camera_model"] == "standard"

@@ -107,6 +107,16 @@ def test_stale_detection_cache_invalidated(tmp_path):
     assert len(c3) == 2, "stale cache served for a changed detector"
     assert not np.array_equal(det1.get_data(), det3.get_data())
 
+    # ANY declared detector flag participates (DETECTOR_FLAGS), not just
+    # photometric_refine
+    t3a = ChArUco(20, 20, 4, legacy=True)
+    t3a.photometric_refine = True
+    t3a.fast_detection = not getattr(t3a, "fast_detection", False)
+    c3a = counted(t3a)
+    cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t3a, caching=True)
+    assert len(c3a) == 2, "stale cache served for a toggled detector flag"
+
     # NEW images arrive -> the image-list key must re-detect
     for sub in ["1", "2"]:
         extra = natsorted((REF_DATA / sub).glob("*.jpg"))[2]
@@ -135,6 +145,34 @@ def test_stale_detection_cache_invalidated(tmp_path):
     cc.detect_datapoints_in_imfile(
         f_loc=tmp_path, calibration_target=t5, caching=True)
     assert c5 == []  # re-keyed cache hits again
+
+
+def test_detection_cache_handles_symlinked_images(tmp_path):
+    """Symlinked captures (common for large datasets) must not crash the
+    fingerprint (resolved paths escape f_loc) and must still key the
+    cache by the per-camera-folder image lists."""
+    from pycamset_tpu.utils.general_utils import natsorted
+    import pycamset_tpu.calibration.camera_calibrator as cc
+    from pycamset_tpu.models.charuco import ChArUco
+
+    for sub in ["1", "2"]:
+        (tmp_path / sub).mkdir()
+        for f in natsorted((REF_DATA / sub).glob("*.jpg"))[:2]:
+            (tmp_path / sub / f.name).symlink_to(f)
+
+    t = ChArUco(20, 20, 4, legacy=True)
+    det, _ = cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t, caching=True)
+    assert det.get_data().shape[0] > 50
+
+    calls = []
+    t2 = ChArUco(20, 20, 4, legacy=True)
+    orig = t2.find_in_imfolder
+    t2.find_in_imfolder = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    det2, _ = cc.detect_datapoints_in_imfile(
+        f_loc=tmp_path, calibration_target=t2, caching=True)
+    assert calls == []  # cache hits through the symlinks
+    np.testing.assert_array_equal(det.get_data(), det2.get_data())
 
 
 def test_initial_cams_passthrough(tiny_charuco):

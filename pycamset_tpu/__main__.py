@@ -967,6 +967,23 @@ def _add_info(sub):
     p.add_argument("camset", help="path to a .camset file")
 
 
+def _add_doctor(sub):
+    p = sub.add_parser(
+        "doctor",
+        help="self-test the environment and device (versions, config, "
+             "blosc codec, aruco detection, a tiny device solve)")
+    p.add_argument("--no-device", action="store_true",
+                   help="skip the device smoke test (no compile, no "
+                        "first-fetch wait on tunnelled TPUs)")
+    p.add_argument("--json", dest="json_path", default=None, metavar="PATH",
+                   help="also write the report as JSON")
+
+
+def cmd_doctor(args) -> int:
+    from pycamset_tpu.utils.doctor import main as doctor_main
+    return doctor_main(device=not args.no_device, json_path=args.json_path)
+
+
 def cmd_calibrate(args) -> int:
     from pathlib import Path
 
@@ -1283,6 +1300,7 @@ def main(argv=None) -> int:
     _add_export(sub)
     _add_import(sub)
     _add_info(sub)
+    _add_doctor(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
@@ -1316,6 +1334,8 @@ def main(argv=None) -> int:
         return cmd_import(args)
     if args.cmd == "info":
         return cmd_info(args)
+    if args.cmd == "doctor":
+        return cmd_doctor(args)
     return 1
 
 

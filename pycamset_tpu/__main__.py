@@ -967,6 +967,33 @@ def _add_info(sub):
     p.add_argument("camset", help="path to a .camset file")
 
 
+def _add_undistort(sub):
+    p = sub.add_parser(
+        "undistort",
+        help="write undistorted copies of every image in a capture folder "
+             "through the rig's calibrated models (fisheye-aware)")
+    p.add_argument("camset", help="path to a calibrated .camset file")
+    p.add_argument("folder",
+                   help="capture folder: one image subfolder (or one video "
+                        "file) per camera, named after the cameras")
+    p.add_argument("--out", default=None,
+                   help="output folder (default: <folder>_undistorted)")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N",
+                   help="when the folder holds videos: keep every N-th "
+                        "frame (default 1 = all)")
+
+
+def cmd_undistort(args) -> int:
+    from pycamset_tpu.utils.saving import load_CameraSet
+    from pycamset_tpu.utils.undistort import undistort_folder
+
+    cams = load_CameraSet(args.camset)
+    out, n = undistort_folder(cams, args.folder, out_dir=args.out,
+                              video_stride=args.video_stride)
+    print(f"undistorted {n} images from {len(cams)} cameras -> {out}")
+    return 0
+
+
 def _add_doctor(sub):
     p = sub.add_parser(
         "doctor",
@@ -1300,6 +1327,7 @@ def main(argv=None) -> int:
     _add_export(sub)
     _add_import(sub)
     _add_info(sub)
+    _add_undistort(sub)
     _add_doctor(sub)
     args = parser.parse_args(argv)
     if args.cmd == "calibrate":
@@ -1334,6 +1362,8 @@ def main(argv=None) -> int:
         return cmd_import(args)
     if args.cmd == "info":
         return cmd_info(args)
+    if args.cmd == "undistort":
+        return cmd_undistort(args)
     if args.cmd == "doctor":
         return cmd_doctor(args)
     return 1

@@ -967,6 +967,89 @@ def _add_info(sub):
     p.add_argument("camset", help="path to a .camset file")
 
 
+def _add_rectify(sub):
+    p = sub.add_parser(
+        "rectify",
+        help="export row-aligned rectified stereo pairs + the Q "
+             "reprojection matrix for external stereo/MVS tools")
+    p.add_argument("camset", help="path to a calibrated .camset file")
+    p.add_argument("--cams", nargs=2, required=True, metavar=("A", "B"),
+                   help="the two camera names forming the stereo pair")
+    p.add_argument("--images", nargs=2, default=None, metavar=("IM_A", "IM_B"),
+                   help="one image per camera (single-pair mode)")
+    p.add_argument("--folder", default=None,
+                   help="capture folder (one image subfolder or video per "
+                        "camera); frames pair up in natural sort order")
+    p.add_argument("--video-stride", type=int, default=1, metavar="N")
+    p.add_argument("--out", default="rectified",
+                   help="output folder (default ./rectified)")
+
+
+def cmd_rectify(args) -> int:
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    from pycamset_tpu.reconstruction.reconstruction_utils import (
+        rectify_camera_images)
+    from pycamset_tpu.utils.general_utils import glob_ims, natsorted
+    from pycamset_tpu.utils.saving import load_CameraSet
+    from pycamset_tpu.utils.video import expand_videos
+
+    cams = load_CameraSet(args.camset)
+    missing = [n for n in args.cams if n not in cams.get_names()]
+    if missing:
+        print(f"unknown cameras {missing}; rig has {cams.get_names()}")
+        return 2
+    if (args.images is None) == (args.folder is None):
+        print("give exactly one of --images (a single pair) or --folder "
+              "(a capture folder)")
+        return 2
+    if args.images is not None:
+        pairs = [(Path(args.images[0]), Path(args.images[1]))]
+    else:
+        f_loc = expand_videos(Path(args.folder), stride=args.video_stride)
+        sides = []
+        for name in args.cams:
+            sub = f_loc / name
+            if not sub.is_dir():
+                print(f"no image folder for camera {name!r} under {f_loc}")
+                return 2
+            sides.append(natsorted(glob_ims(sub)))
+        if len(sides[0]) != len(sides[1]):
+            print(f"frame-count mismatch: {len(sides[0])} vs "
+                  f"{len(sides[1])} images")
+            return 2
+        pairs = list(zip(*sides))
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    cam_a, cam_b = cams[args.cams[0]], cams[args.cams[1]]
+    for i, (pa, pb) in enumerate(pairs):
+        ims = []
+        for path in (pa, pb):
+            im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+            if im is None:
+                print(f"could not read image {path}")
+                return 2
+            ims.append(im)
+        try:
+            rect_a, rect_b, q = rectify_camera_images(cam_a, cam_b, *ims)
+        except ValueError as err:
+            print(f"rectification failed: {err}")
+            return 2
+        cv2.imwrite(str(out / f"{args.cams[0]}_{i:06d}.png"), rect_a)
+        cv2.imwrite(str(out / f"{args.cams[1]}_{i:06d}.png"), rect_b)
+        if i == 0:
+            # Q maps (u, v, disparity, 1) -> homogeneous XYZ
+            # (cv2.reprojectImageTo3D); identical for every frame
+            np.savetxt(out / "Q.txt", q)
+    print(f"rectified {len(pairs)} pair(s) of "
+          f"{args.cams[0]}/{args.cams[1]} -> {out} (Q.txt included)")
+    return 0
+
+
 def _add_undistort(sub):
     p = sub.add_parser(
         "undistort",
@@ -1327,6 +1410,7 @@ def main(argv=None) -> int:
     _add_export(sub)
     _add_import(sub)
     _add_info(sub)
+    _add_rectify(sub)
     _add_undistort(sub)
     _add_doctor(sub)
     args = parser.parse_args(argv)
@@ -1362,6 +1446,8 @@ def main(argv=None) -> int:
         return cmd_import(args)
     if args.cmd == "info":
         return cmd_info(args)
+    if args.cmd == "rectify":
+        return cmd_rectify(args)
     if args.cmd == "undistort":
         return cmd_undistort(args)
     if args.cmd == "doctor":

@@ -71,6 +71,11 @@ def rectify_camera_pair(cam_0: Camera, cam_1: Camera, zero_flag: bool = False):
     cam0_to_cam1 = cam_1.extrinsic @ cam_0.cam_to_world
     rel_rot = np.ascontiguousarray(cam0_to_cam1[:3, :3])
     rel_t = np.ascontiguousarray(cam0_to_cam1[:3, 3]).reshape(3, 1)
+    if np.linalg.norm(rel_t) < 1e-12:
+        # cv2.stereoRectify asserts (nt > 0) with an opaque message here
+        raise ValueError(
+            "cameras are co-located (zero baseline) — stereo rectification "
+            "needs two distinct viewpoints")
 
     def dist_of(cam):
         dist = np.ravel(np.asarray(cam.distortion_coefs, dtype=float))

@@ -145,11 +145,15 @@ def check_device_smoke(n_points: int = 512, warm_calls: int = 20) -> dict:
         uv = project_world_points(intr9, extr6, pts)
         return jnp.sum(uv * uv)
 
+    # the device dtype: f32 on TPU (f64 programs abort the remote
+    # compiler — see CLAUDE.md serving notes), f64 elsewhere under x64
+    plat = jax.devices()[0].platform
+    dtype = np.float32 if plat == "tpu" else np.float64
     rng = np.random.default_rng(0)
     intr9 = np.array([1000.0, 320.0, 1000.0, 240.0, 0.01, -0.02, 0.0, 0.0,
-                      0.001])
-    extr6 = np.array([0.01, -0.02, 0.03, 0.0, 0.0, 1.2])
-    pts = rng.normal(scale=0.1, size=(n_points, 3))
+                      0.001], dtype=dtype)
+    extr6 = np.array([0.01, -0.02, 0.03, 0.0, 0.0, 1.2], dtype=dtype)
+    pts = rng.normal(scale=0.1, size=(n_points, 3)).astype(dtype)
 
     t0 = time.perf_counter()
     first = float(_smoke(intr9, extr6, pts))
@@ -160,13 +164,12 @@ def check_device_smoke(n_points: int = 512, warm_calls: int = 20) -> dict:
     t0 = time.perf_counter()
     out = None
     for i in range(warm_calls):
-        out = _smoke(intr9, extr6, pts + 1e-6 * i)
+        out = _smoke(intr9, extr6, pts + dtype(1e-6 * i))
     final = float(out)  # ONE forced fetch closes the timing window
     warm_ms = (time.perf_counter() - t0) / warm_calls * 1e3
     if not np.isfinite(final):
         return _entry("fail", "device smoke produced a non-finite result")
 
-    plat = jax.devices()[0].platform
     detail = (f"first call {first_s:.2f}s (compile + first fetch), warm "
               f"{warm_ms:.3f}ms/call on {plat}")
     if first_s > 120.0:

@@ -1221,3 +1221,17 @@ def test_depth_fusion_tsdf_mesh_on_chip():
                                         mask=wsum >= 2)
     assert len(verts) > 200
     assert np.abs(np.median(verts[:, 2]) - 5.0) < voxel
+
+
+def test_doctor_full_pass_on_chip():
+    """The environment self-test passes on the real chip, device smoke
+    included (its f32 inputs are the device dtype — f64 programs abort
+    the remote compiler). The first fetch may absorb the tunnel's one-off
+    d2h bring-up, which downgrades the check to warn, never fail."""
+    from pycamset_tpu.utils import doctor
+
+    report = doctor.run_doctor(device=True)
+    assert report["ok"], report["checks"]
+    assert report["checks"]["devices"]["status"] == "ok"   # real TPU listed
+    assert report["checks"]["device"]["status"] in ("ok", "warn")
+    assert "tpu" in report["checks"]["device"]["detail"]

@@ -1022,6 +1022,9 @@ def cmd_rectify(args) -> int:
                   f"{len(sides[1])} images")
             return 2
         pairs = list(zip(*sides))
+    if not pairs:
+        print(f"no images found for cameras {args.cams[0]}/{args.cams[1]}")
+        return 2
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -1071,8 +1074,12 @@ def cmd_undistort(args) -> int:
     from pycamset_tpu.utils.undistort import undistort_folder
 
     cams = load_CameraSet(args.camset)
-    out, n = undistort_folder(cams, args.folder, out_dir=args.out,
-                              video_stride=args.video_stride)
+    try:
+        out, n = undistort_folder(cams, args.folder, out_dir=args.out,
+                                  video_stride=args.video_stride)
+    except ValueError as err:
+        print(f"undistortion failed: {err}")
+        return 2
     print(f"undistorted {n} images from {len(cams)} cameras -> {out}")
     return 0
 

@@ -27,9 +27,12 @@ def undistort_folder(cams, f_loc, out_dir=None, video_stride: int = 1):
     sibling ``<f_loc>_undistorted``) mirroring the input layout, and
     returns ``(out_dir, n_images)``.
     """
-    f_loc = expand_videos(Path(f_loc), stride=video_stride)
+    src = Path(f_loc)
+    # Default output is a sibling of the ORIGINAL capture folder — video
+    # captures expand to <folder>/_frames, which must not nest the output.
     out = Path(out_dir) if out_dir is not None else \
-        f_loc.parent / (f_loc.name + "_undistorted")
+        src.parent / (src.name + "_undistorted")
+    f_loc = expand_videos(src, stride=video_stride)
     n_written = 0
     for name in cams.get_names():
         sub = f_loc / str(name)
@@ -40,13 +43,15 @@ def undistort_folder(cams, f_loc, out_dir=None, video_stride: int = 1):
         if not frames:
             raise ValueError(f"no images found in {sub}")
         cam = cams[name]
-        dst = out / str(name)
-        dst.mkdir(parents=True, exist_ok=True)
         for frame in frames:
             img = cv2.imread(str(frame), cv2.IMREAD_UNCHANGED)
             if img is None:
                 raise ValueError(f"could not read image {frame}")
-            if not cv2.imwrite(str(dst / frame.name), cam.undistort(img)):
-                raise ValueError(f"could not write {dst / frame.name}")
+            # Mirror the relative layout so same-named images in nested
+            # subfolders cannot overwrite each other.
+            target = out / str(name) / frame.relative_to(sub.resolve())
+            target.parent.mkdir(parents=True, exist_ok=True)
+            if not cv2.imwrite(str(target), cam.undistort(img)):
+                raise ValueError(f"could not write {target}")
             n_written += 1
     return out, n_written

@@ -29,7 +29,31 @@ from pycamset_tpu.utils.general_utils import (
     make_4x4h_tform)
 from pycamset_tpu.utils.saving import save_camset
 
-_triangulate_j = jax.jit(triangulate_observations)
+_triangulate_j = jax.jit(triangulate_observations,
+                         static_argnames=("method", "het"))
+
+
+def stack_cam_dists(dist_list):
+    """Stack per-camera distortion vectors into one (C, w) array.
+
+    Homogeneous rigs (one width, after zero-padding narrower Brown
+    vectors) stack plainly. HETEROGENEOUS rigs — 4-wide fisheye mixed
+    with Brown — return het rows ``[sel | coefs]`` and het=True, the
+    encoding ops/distortion.py's *_het kernels consume.
+
+    :return: (dists, het).
+    """
+    dl = [np.ravel(np.asarray(d, dtype=float)) for d in dist_list]
+    sizes = {d.size for d in dl}
+    if 4 not in sizes or sizes == {4}:
+        w = max(sizes) if sizes else 5
+        return np.array([np.pad(d, (0, w - d.size)) for d in dl]), False
+    w = max(5, max(s for s in sizes if s != 4))
+    out = np.zeros((len(dl), 1 + w))
+    for i, d in enumerate(dl):
+        out[i, 0] = 1.0 if d.size == 4 else 0.0
+        out[i, 1:1 + min(d.size, w)] = d[:w]
+    return out, True
 
 
 def make_cam_dict(camera_names, extrinsic_matrices, intrinsic_matrices,
@@ -253,9 +277,10 @@ class CameraSet:
 
         proj = np.stack([cam.proj for cam in self])
         intr = np.stack([cam.intrinsic for cam in self])
+        het = False
         if distort:
-            dists = np.stack([np.ravel(cam.distortion_coefs)
-                              for cam in self])
+            dists, het = stack_cam_dists(
+                [cam.distortion_coefs for cam in self])
         else:
             # a true identity: 5-wide Brown zeros (a zero 4-wide vector
             # would still dispatch to the equidistant fisheye mapping)
@@ -263,7 +288,8 @@ class CameraSet:
 
         reconstructed = np.array(_triangulate_j(
             jnp.asarray(proj), jnp.asarray(intr), jnp.asarray(dists),
-            jnp.asarray(cam_idx), jnp.asarray(uv), jnp.asarray(mask)))
+            jnp.asarray(cam_idx), jnp.asarray(uv), jnp.asarray(mask),
+            het=het))
 
         if return_used:
             where_mask = np.where(viable_mask[inv.squeeze()])[0]

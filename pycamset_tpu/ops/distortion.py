@@ -162,6 +162,28 @@ def undistort_normalized(xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -
     return jax.lax.fori_loop(0, iters, body, xy_d)
 
 
+def distort_normalized_het(xy: jnp.ndarray,
+                           hdist: jnp.ndarray) -> jnp.ndarray:
+    """Forward-distort through a HET row ``[sel | brown coefs...]``.
+
+    sel = 1 selects Kannala-Brandt (k1..k4 in the first four slots);
+    sel = 0 the Brown family of the slot width. Both branches stay finite
+    on the other family's coefficients, so jacfwd through the where() is
+    NaN-safe (heterogeneous rigs, see ops/projection.py
+    project_cam_points_het)."""
+    brown = distort_normalized(xy, hdist[1:])
+    fish = fisheye_distort_normalized(xy, hdist[1:5])
+    return jnp.where(hdist[0] > 0.5, fish, brown)
+
+
+def undistort_normalized_het(xy_d: jnp.ndarray, hdist: jnp.ndarray,
+                             iters: int = 8) -> jnp.ndarray:
+    """Invert the het-row distortion (see distort_normalized_het)."""
+    brown = undistort_normalized(xy_d, hdist[1:], iters=iters)
+    fish = fisheye_undistort_normalized(xy_d, hdist[1:5], iters=iters)
+    return jnp.where(hdist[0] > 0.5, fish, brown)
+
+
 def undistort_pixels(uv: jnp.ndarray, kmat: jnp.ndarray, dist: jnp.ndarray,
                      iters: int = 8) -> jnp.ndarray:
     """Invert distortion for pixel coords (...,2); returns ideal pixel coords."""
@@ -169,3 +191,12 @@ def undistort_pixels(uv: jnp.ndarray, kmat: jnp.ndarray, dist: jnp.ndarray,
     c = jnp.stack([kmat[0, 2], kmat[1, 2]])
     xy_d = (uv - c) / f
     return undistort_normalized(xy_d, dist, iters=iters) * f + c
+
+
+def undistort_pixels_het(uv: jnp.ndarray, kmat: jnp.ndarray,
+                         hdist: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """undistort_pixels through a het ``[sel | coefs]`` distortion row."""
+    f = jnp.stack([kmat[0, 0], kmat[1, 1]])
+    c = jnp.stack([kmat[0, 2], kmat[1, 2]])
+    xy_d = (uv - c) / f
+    return undistort_normalized_het(xy_d, hdist, iters=iters) * f + c

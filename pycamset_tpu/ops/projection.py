@@ -58,6 +58,37 @@ def project_cam_points(intr9: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([u, v], axis=-1)
 
 
+def project_cam_points_het(intr_het: jnp.ndarray, xc: jnp.ndarray,
+                           brown_n_dist: int = 5) -> jnp.ndarray:
+    """Heterogeneous-family projection: per-camera Brown OR fisheye.
+
+    ``intr_het`` packs ``[sel, fx, px, fy, py, dist...]`` where ``sel`` is
+    the family selector (0.0 = Brown-family with ``brown_n_dist``
+    coefficients, 1.0 = Kannala-Brandt fisheye whose k1..k4 sit in the
+    first four distortion slots). The selector is a PERMANENTLY FIXED
+    parameter — riding the intrinsic vector lets every layer (colmasks,
+    persistence, uncertainty) treat mixed rigs exactly like uniform ones.
+    Both branches are evaluated and selected per point: each is finite on
+    the other family's coefficients (polynomials / atan), so jacfwd
+    through the where() stays NaN-free. This lifts the reference's
+    single-family restriction (pyCamSet/optimisation/
+    function_block_implementations.py:21-140 hard-codes one projection).
+    """
+    from pycamset_tpu.ops.distortion import fisheye_distort_normalized
+
+    sel = intr_het[0]
+    fx, px, fy, py = intr_het[1], intr_het[2], intr_het[3], intr_het[4]
+    dist = intr_het[5:]
+    inv_z = 1.0 / xc[..., 2]
+    xy = xc[..., :2] * inv_z[..., None]
+    xy_brown = distort_normalized(xy, dist[:brown_n_dist])
+    xy_fish = fisheye_distort_normalized(xy, dist[:4])
+    xy_d = jnp.where(sel > 0.5, xy_fish, xy_brown)
+    u = xy_d[..., 0] * fx + px
+    v = xy_d[..., 1] * fy + py
+    return jnp.stack([u, v], axis=-1)
+
+
 def project_world_points(intr9: jnp.ndarray, extr6: jnp.ndarray,
                          pts_w: jnp.ndarray) -> jnp.ndarray:
     """World points (...,3) -> pixels: extrinsic then projection."""

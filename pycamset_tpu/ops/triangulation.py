@@ -85,12 +85,16 @@ def triangulate_nviews_inhomogeneous(proj: jnp.ndarray, uv: jnp.ndarray,
 def triangulate_observations(proj_all: jnp.ndarray, kmats: jnp.ndarray,
                              dists: jnp.ndarray, cam_idx: jnp.ndarray,
                              uv: jnp.ndarray, mask: jnp.ndarray,
-                             method: str = "homogeneous") -> jnp.ndarray:
+                             method: str = "homogeneous",
+                             het: bool = False) -> jnp.ndarray:
     """Triangulate a batch of points from padded per-point observation tables.
 
     :param proj_all: (C,3,4) per-camera projection matrices.
     :param kmats: (C,3,3) per-camera intrinsics (for undistortion).
-    :param dists: (C,5) per-camera distortion coefficients.
+    :param dists: (C,5) per-camera distortion coefficients — or, when
+        ``het=True``, (C, 1+w) het rows ``[sel | coefs]`` for rigs mixing
+        fisheye and Brown cameras (ops/distortion.py
+        undistort_normalized_het).
     :param cam_idx: (N,V) int camera index per observation slot.
     :param uv: (N,V,2) raw (distorted) pixel observations.
     :param mask: (N,V) validity mask.
@@ -99,13 +103,16 @@ def triangulate_observations(proj_all: jnp.ndarray, kmats: jnp.ndarray,
         throughput — see triangulate_nviews_inhomogeneous).
     :return: (N,3) triangulated points.
     """
+    from pycamset_tpu.ops.distortion import undistort_pixels_het
+
     tri = (triangulate_nviews if method == "homogeneous"
            else triangulate_nviews_inhomogeneous)
+    und = undistort_pixels_het if het else undistort_pixels
 
     def one(ci, uvi, mi):
         k = kmats[ci]
         d = dists[ci]
-        uvu = jax.vmap(undistort_pixels)(uvi, k, d)
+        uvu = jax.vmap(und)(uvi, k, d)
         return tri(proj_all[ci], uvu, mi)
 
     return jax.vmap(one)(cam_idx, uv, mask)

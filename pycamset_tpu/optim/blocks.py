@@ -150,6 +150,34 @@ class ProjectionFisheye(Projection):
     params = ParamSpec(key_type.PER_CAM, 8)
 
 
+class ProjectionHet(Projection):
+    """Per-camera projection-FAMILY selector: heterogeneous rigs mixing
+    Kannala-Brandt fisheye cameras with one Brown-family model in a single
+    bundle adjustment. PER_CAM params [sel, fx, px, fy, py, dist...] where
+    ``sel`` (0 = Brown, 1 = fisheye) is a permanently fixed parameter and
+    the distortion slots hold ``brown_n_dist`` Brown coefficients or KB
+    k1..k4 (+ fixed zero padding) depending on the camera's family. The
+    reference supports exactly one projection family per rig
+    (function_block_implementations.py:21-140); this block lifts that."""
+
+    def __init__(self, brown_model: str = "standard"):
+        widths = {"standard": 5, "rational": 8, "thin_prism": 12,
+                  "tilted": 14}
+        if brown_model not in widths:
+            raise ValueError(
+                f"brown_model {brown_model!r} not a Brown-family model "
+                f"(expected one of {sorted(widths)})")
+        self.brown_model = brown_model
+        self.brown_n_dist = widths[brown_model]
+        self.params = ParamSpec(key_type.PER_CAM,
+                                5 + max(self.brown_n_dist, 4))
+
+    def compute(self, params, inp):
+        from pycamset_tpu.ops.projection import project_cam_points_het
+        return project_cam_points_het(params, inp,
+                                      brown_n_dist=self.brown_n_dist)
+
+
 class RigidTform3d(FunctionBlock):
     """SE(3) transform of a 3-input point; 6 PER_IMG params [rvec, t]."""
     num_inp = 3

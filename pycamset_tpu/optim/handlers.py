@@ -57,6 +57,86 @@ DEFAULT_OPTIONS = {
 
 _CAMERA_MODELS = {"standard": 9, "rational": 12, "thin_prism": 16,
                   "tilted": 18, "fisheye": 8}
+# distortion widths of the Brown-family models (4 + n_dist = intr width)
+_BROWN_DIST = {"standard": 5, "rational": 8, "thin_prism": 12, "tilted": 14}
+
+
+def parse_camera_models(opt, cam_names):
+    """Resolve the ``camera_model`` option into per-camera models.
+
+    ``opt`` may be one model name for the whole rig, a ``{cam_name:
+    model}`` dict, or a per-camera list. Heterogeneous PROJECTION families
+    (fisheye + one Brown-family model) are first-class: they ride the
+    selector-extended ``ProjectionHet`` chain. Mixing several Brown
+    widths promotes every Brown camera to the widest requested family
+    (narrower models are exact sub-models with zero extra coefficients).
+
+    :return: (models, het, brown_model) — models is a per-camera list;
+        het is True when the rig mixes fisheye with a Brown family;
+        brown_model names the (single, possibly promoted) Brown family of
+        a het rig, else None.
+    """
+    if isinstance(opt, str):
+        models = [opt] * len(cam_names)
+    elif isinstance(opt, dict):
+        by_name = {str(k): v for k, v in opt.items()}
+        missing = [str(c) for c in cam_names if str(c) not in by_name]
+        if missing:
+            raise ValueError(
+                f"camera_model map is missing cameras {missing}; give one "
+                "model per camera (or a single model name for the rig)")
+        models = [by_name[str(c)] for c in cam_names]
+    else:
+        models = [str(m) for m in opt]
+        if len(models) != len(cam_names):
+            raise ValueError(
+                f"camera_model list has {len(models)} entries for "
+                f"{len(cam_names)} cameras")
+    for m in models:
+        if m not in _CAMERA_MODELS:
+            raise ValueError(
+                f"Unknown camera_model {m!r}; expected one of "
+                f"{sorted(_CAMERA_MODELS)} (per-camera 'auto' is resolved "
+                "by calibrate_cameras before the handler is built)")
+    brown = sorted({m for m in models if m != "fisheye"},
+                   key=lambda m: _CAMERA_MODELS[m])
+    if len(set(models)) == 1:
+        return models, False, None
+    if not brown:  # impossible today (fisheye is the only non-Brown family)
+        return models, False, None
+    widest = brown[-1]
+    if "fisheye" not in models:
+        # an all-Brown mix is a homogeneous rig at the widest width
+        return [widest] * len(models), False, None
+    models = [m if m == "fisheye" else widest for m in models]
+    return models, True, widest
+
+
+def _het_intr_width(brown_model: str) -> int:
+    """[sel | fx px fy py | dist slots] width of a heterogeneous rig."""
+    return 5 + max(_BROWN_DIST[brown_model], 4)
+
+
+def _het_intr_row(model: str, kvec4, dist, width: int) -> np.ndarray:
+    """One camera's packed het intrinsic row (selector in slot 0)."""
+    row = np.zeros(width)
+    row[0] = 1.0 if model == "fisheye" else 0.0
+    row[1:5] = np.asarray(kvec4, dtype=float)
+    n = 4 if model == "fisheye" else width - 5
+    row[5:5 + n] = _pack_dist(dist, n)
+    return row
+
+
+def _het_intr_colmask(models, width: int) -> np.ndarray:
+    """(C, width) bool mask of genuinely-free het intrinsic columns: the
+    family selector is never free, and a fisheye camera's slots beyond
+    KB k1..k4 are structural padding."""
+    cm = np.ones((len(models), width), dtype=bool)
+    cm[:, 0] = False
+    for i, m in enumerate(models):
+        if m == "fisheye":
+            cm[i, 9:] = False
+    return cm
 
 
 def _projection_block(camera_model: str) -> Projection:
@@ -112,11 +192,16 @@ class TemplateBundlePrimitive:
     template BA; provides the flat parameter vector <-> array mapping."""
 
     def __init__(self, poses, extr, intr, poses_unfixed=None,
-                 extr_unfixed=None, intr_unfixed=None):
+                 extr_unfixed=None, intr_unfixed=None, intr_colmask=None):
         self.poses = poses
         self.extr = extr
         self.intr = intr
         self.intr_width = intr.shape[1] if intr.ndim == 2 else 9
+        # per-COLUMN intrinsic mask (heterogeneous rigs: the family
+        # selector and a fisheye camera's pad slots are never free)
+        self.intr_colmask = (np.asarray(intr_colmask, dtype=bool)
+                             if intr_colmask is not None
+                             else np.ones(intr.shape, dtype=bool))
         self.poses_unfixed = (poses_unfixed if poses_unfixed is not None
                               else np.ones(poses.shape[0], dtype=bool))
         self.extr_unfixed = (extr_unfixed if extr_unfixed is not None
@@ -138,9 +223,13 @@ class TemplateBundlePrimitive:
         return np.concatenate(
             [self.intr.ravel(), self.extr.ravel(), self.poses.ravel()])
 
+    def _intr_unfixed_flat(self) -> np.ndarray:
+        return (np.repeat(self.intr_unfixed, self.intr_width)
+                & self.intr_colmask.ravel())
+
     def unfixed_full(self) -> np.ndarray:
         return np.concatenate([
-            np.repeat(self.intr_unfixed, self.intr_width),
+            self._intr_unfixed_flat(),
             np.repeat(self.extr_unfixed, 6),
             np.repeat(self.poses_unfixed, 6)])
 
@@ -167,13 +256,13 @@ class StandardBundlePrimitive(TemplateBundlePrimitive):
 
     def __init__(self, poses, bundle_points, extr, intr, poses_unfixed=None,
                  bundle_points_unfixed=None, extr_unfixed=None,
-                 intr_unfixed=None):
+                 intr_unfixed=None, intr_colmask=None):
         self.bundle_pts = bundle_points  # flat (3*n_points,)
         self.bdpt_unfixed = (bundle_points_unfixed
                              if bundle_points_unfixed is not None
                              else np.ones(bundle_points.shape[0], dtype=bool))
         super().__init__(poses, extr, intr, poses_unfixed, extr_unfixed,
-                         intr_unfixed)
+                         intr_unfixed, intr_colmask=intr_colmask)
 
     def calc_free_poses(self):
         super().calc_free_poses()
@@ -203,14 +292,15 @@ class FreePointPrimitive(TemplateBundlePrimitive):
     """Intr + extr + free 3D points (no poses): pose-free SfM variant."""
 
     def __init__(self, bundle_points, extr, intr, bundle_points_unfixed=None,
-                 extr_unfixed=None, intr_unfixed=None):
+                 extr_unfixed=None, intr_unfixed=None, intr_colmask=None):
         self.bundle_pts = bundle_points
         self.bdpt_unfixed = (bundle_points_unfixed
                              if bundle_points_unfixed is not None
                              else np.ones(bundle_points.shape[0], dtype=bool))
         super().__init__(np.zeros((0, 6)), extr, intr,
                          poses_unfixed=np.zeros(0, dtype=bool),
-                         extr_unfixed=extr_unfixed, intr_unfixed=intr_unfixed)
+                         extr_unfixed=extr_unfixed, intr_unfixed=intr_unfixed,
+                         intr_colmask=intr_colmask)
 
     def calc_free_poses(self):
         super().calc_free_poses()
@@ -223,7 +313,7 @@ class FreePointPrimitive(TemplateBundlePrimitive):
 
     def unfixed_full(self) -> np.ndarray:
         return np.concatenate([
-            np.repeat(self.intr_unfixed, self.intr_width),
+            self._intr_unfixed_flat(),
             np.repeat(self.extr_unfixed, 6),
             self.bdpt_unfixed])
 
@@ -272,14 +362,21 @@ class TemplateBundleHandler:
         n_poses = detection.max_ims
         n_cams = camset.get_n_cams()
 
-        self.camera_model = self.problem_opts.get("camera_model", "standard")
-        if self.camera_model not in _CAMERA_MODELS:
-            raise ValueError(
-                f"Unknown camera_model {self.camera_model!r}; expected one of "
-                f"{sorted(_CAMERA_MODELS)}")
-        self.intr_width = _CAMERA_MODELS[self.camera_model]
+        cm_opt = self.problem_opts.get("camera_model", "standard")
+        self.camera_models, self.is_het, self.het_brown_model = (
+            parse_camera_models(cm_opt, self.cam_names))
+        if self.is_het:
+            self.camera_model = "het"
+            self.intr_width = _het_intr_width(self.het_brown_model)
+        else:
+            self.camera_model = self.camera_models[0]
+            self.intr_width = _CAMERA_MODELS[self.camera_model]
 
         intr = np.zeros((n_cams, self.intr_width))
+        if self.is_het:
+            # family selectors live in (fixed) intrinsic slot 0
+            intr[:, 0] = [1.0 if m == "fisheye" else 0.0
+                          for m in self.camera_models]
         extr = np.zeros((n_cams, 6))
         poses = np.zeros((n_poses, 6))
 
@@ -295,9 +392,13 @@ class TemplateBundleHandler:
             pose_unfixed[fixed_pose] = False
             poses[fixed_pose, :] = 0.0
 
+        intr_colmask = (_het_intr_colmask(self.camera_models,
+                                          self.intr_width)
+                        if self.is_het else None)
         self.bundlePrimitive = TemplateBundlePrimitive(
             poses, extr, intr, extr_unfixed=extr_unfixed,
-            intr_unfixed=intr_unfixed, poses_unfixed=pose_unfixed)
+            intr_unfixed=intr_unfixed, poses_unfixed=pose_unfixed,
+            intr_colmask=intr_colmask)
 
         self.populate_self_from_fixed_params()
 
@@ -305,8 +406,14 @@ class TemplateBundleHandler:
         self.jac_mask = None
         self.missing_poses = missing_poses
         self.op_fun = OptimFunction(
-            [_projection_block(self.camera_model), Extrinsic3D(),
-             TemplatePoints()])
+            [self._proj_block(), Extrinsic3D(), TemplatePoints()])
+
+    def _proj_block(self):
+        """The rig's projection block (family selector for het rigs)."""
+        from pycamset_tpu.optim.blocks import ProjectionHet
+        if self.is_het:
+            return ProjectionHet(self.het_brown_model)
+        return _projection_block(self.camera_model)
 
     # ------------------------------------------------------------- plumbing
 
@@ -325,6 +432,17 @@ class TemplateBundleHandler:
                 self.bundlePrimitive.extr[idx] = ext
             if "int" in fixed:
                 intr = np.asarray(fixed["int"], dtype=float)
+                if self.is_het:
+                    if intr.shape != (3, 3):
+                        raise ValueError(
+                            "heterogeneous rigs take fixed intrinsics as a "
+                            "(3,3) matrix (+ optional 'dst'), not a packed "
+                            "vector — the packed layout is family-specific")
+                    self.bundlePrimitive.intr[idx] = _het_intr_row(
+                        self.camera_models[idx],
+                        intr[[0, 0, 1, 1], [0, 2, 1, 2]],
+                        fixed.get("dst", np.zeros(4)), self.intr_width)
+                    continue
                 n_dist = self.bundlePrimitive.intr_width - 4
                 if intr.shape == (3, 3):
                     # stored as the packed vector; distortion stays zero
@@ -335,6 +453,15 @@ class TemplateBundleHandler:
                     intr = np.concatenate(
                         [intr[[0, 0, 1, 1], [0, 2, 1, 2]], dst])
                 self.bundlePrimitive.intr[idx] = _pack_dist(intr, n_dist + 4)
+
+    def _intr_seed_row(self, idc: int, cam) -> np.ndarray:
+        """A camera's packed intrinsic seed row (family-aware for het)."""
+        kvec = cam.intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]]
+        if self.is_het:
+            return _het_intr_row(self.camera_models[idc], kvec,
+                                 cam.distortion_coefs, self.intr_width)
+        return np.concatenate([
+            kvec, _pack_dist(cam.distortion_coefs, self.intr_width - 4)])
 
     def n_keys(self) -> int:
         return int(np.prod(self.target_point_shape[:-1]))
@@ -404,10 +531,7 @@ class TemplateBundleHandler:
         prim = self.bundlePrimitive
         for idc in range(len(self.cam_names)):
             if prim.intr_unfixed[idc]:
-                prim.intr[idc] = np.concatenate([
-                    cams[idc].intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]],
-                    _pack_dist(cams[idc].distortion_coefs,
-                               prim.intr_width - 4)])
+                prim.intr[idc] = self._intr_seed_row(idc, cams[idc])
             if prim.extr_unfixed[idc]:
                 rvec, tvec = gu.ext_4x4_to_rod(cam_poses[idc])
                 prim.extr[idc] = np.concatenate([rvec, tvec])
@@ -465,7 +589,9 @@ class TemplateBundleHandler:
         """Free parameter vector -> calibrated CameraSet (+ target poses)."""
         new_cams = _clone_camset(self.camset)
         proj, extr, poses = self.bundlePrimitive.return_bundle_primitives(x)
-        _write_cams(new_cams, self.cam_names, proj, extr)
+        _write_cams(new_cams, self.cam_names, proj, extr,
+                    camera_models=self.camera_models if self.is_het
+                    else None)
         if not return_pose:
             return new_cams
         # flat-12 (R | t) per pose, matching the reference convention
@@ -513,17 +639,27 @@ def _clone_camset(camset: CameraSet) -> CameraSet:
         name: deepcopy(camset[name]) for name in camset.get_names()})
 
 
-def _write_cams(new_cams, cam_names, proj, extr):
+def _write_cams(new_cams, cam_names, proj, extr, camera_models=None):
+    """Write packed intrinsic rows back into Camera objects.
+
+    ``camera_models`` marks a HET rig: rows are [sel | fx px fy py | dist]
+    and each camera's distortion width follows its family (4-wide = the
+    fisheye marker, Brown keeps the full slot width)."""
     for idc, cam_name in enumerate(cam_names):
+        row = np.asarray(proj[idc], dtype=float)
+        if camera_models is not None:
+            kvec = row[1:5]
+            dist = row[5:9] if camera_models[idc] == "fisheye" else row[5:]
+        else:
+            kvec = row[:4]
+            dist = row[4:]
         intr = np.eye(3)
-        intr[0, 0] = proj[idc][0]
-        intr[0, 2] = proj[idc][1]
-        intr[1, 1] = proj[idc][2]
-        intr[1, 2] = proj[idc][3]
+        intr[0, 0], intr[0, 2] = kvec[0], kvec[1]
+        intr[1, 1], intr[1, 2] = kvec[2], kvec[3]
         cam = new_cams[cam_name]
         cam.extrinsic = gu.make_4x4h_tform(extr[idc][:3], extr[idc][3:])
         cam.intrinsic = intr
-        cam.distortion_coefs = np.array(proj[idc][4:])
+        cam.distortion_coefs = np.array(dist)
         cam._update_state()
 
 
@@ -573,7 +709,8 @@ def check_feasiblity_and_update_refpose(mat_ac: np.ndarray, ref_pose: int) -> in
 
 
 def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
-                       ints: np.ndarray, dists: np.ndarray) -> np.ndarray:
+                       ints: np.ndarray, dists: np.ndarray,
+                       fisheye_mask=None) -> np.ndarray:
     """Vectorised per-detection reprojection residuals (host numpy).
 
     Behaviour parity: compiled_helpers.py:517-549 (bundle_adjustment_costfn) —
@@ -584,6 +721,10 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
     :param proj: (C,3,4) projection matrices. :param ints: (C,3,3).
     :param dists: (C,5) or (C,8) distortion coefficients (8 = rational
         model; radial becomes the polynomial ratio).
+    :param fisheye_mask: optional (C,) bool — HETEROGENEOUS rigs: the
+        marked cameras project through Kannala-Brandt (their k1..k4 sit in
+        the first four dist slots), the rest through the Brown family of
+        the dists width.
     :return: (N,2) residuals.
     """
     cam = dd[:, 0].astype(int)
@@ -597,7 +738,10 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
     c = np.stack([ints[cam, 0, 2], ints[cam, 1, 2]], axis=1)
     xy = (uv - c) / f
     x, y = xy[:, 0], xy[:, 1]
-    if dists.shape[1] == 4:  # the fisheye marker width (Kannala-Brandt)
+    pred_fish = None
+    if dists.shape[1] == 4 or fisheye_mask is not None:
+        # Kannala-Brandt branch (whole rig at the 4-wide marker width, or
+        # the fisheye cameras of a heterogeneous rig)
         r = np.sqrt(x * x + y * y + 1e-18)
         theta = np.arctan(r)
         t2 = theta * theta
@@ -605,8 +749,9 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
         theta_d = theta * (1 + t2 * (kf[0] + t2 * (kf[1]
                                                    + t2 * (kf[2]
                                                            + t2 * kf[3]))))
-        pred = xy * (theta_d / r)[:, None] * f + c
-        return pred - dd[:, 3:5]
+        pred_fish = xy * (theta_d / r)[:, None] * f + c
+        if dists.shape[1] == 4:
+            return pred_fish - dd[:, 3:5]
     k1, k2, p1, p2, k3 = (dists[cam, i] for i in range(5))
     r2 = x * x + y * y
     radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
@@ -641,6 +786,8 @@ def reprojection_costs(dd: np.ndarray, imlocs: np.ndarray, proj: np.ndarray,
         yt = (m[:, 1, 0] * xd + m[:, 1, 1] * yd + m[:, 1, 2]) / w
         xd, yd = xt, yt
     pred = np.stack([xd, yd], axis=1) * f + c
+    if fisheye_mask is not None:
+        pred = np.where(fisheye_mask[cam][:, None], pred_fish, pred)
     return pred - dd[:, 3:5]
 
 
@@ -688,8 +835,17 @@ def estimate_camera_relative_poses(
     mat_rt_ac = mac_rt[:, None] @ mat_ac                        # (C,I,4,4)
 
     dlists = [np.reshape(c.distortion_coefs, -1) for c in cams]
-    n_dist = infer_shared_n_dist(dlists)
-    dists = np.array([_pack_dist(d, n_dist) for d in dlists])
+    sizes = {int(d.size) for d in dlists}
+    if 4 in sizes and sizes != {4}:
+        # heterogeneous rig: fisheye k1..k4 packed into the first Brown
+        # slots, selected per camera inside reprojection_costs
+        n_dist = max(5, max(s for s in sizes if s != 4))
+        fisheye_mask = np.array([d.size == 4 for d in dlists])
+        dists = np.array([_pack_dist(d, n_dist) for d in dlists])
+    else:
+        n_dist = infer_shared_n_dist(dlists)
+        fisheye_mask = None
+        dists = np.array([_pack_dist(d, n_dist) for d in dlists])
     ints = np.array([c.intrinsic for c in cams])
     proj = ints @ mrt_ac[:, :3, :]
 
@@ -715,7 +871,8 @@ def estimate_camera_relative_poses(
                 mat_rt_c[idn] = (mat_rt_c[idn - 1] if idn > first_valid
                                  else mat_rt_c[first_valid])
         imlocs = np.array([gu.h_tform(ps, m) for m in mat_rt_c])
-        costs = reprojection_costs(dd, imlocs, proj, ints, dists)
+        costs = reprojection_costs(dd, imlocs, proj, ints, dists,
+                                   fisheye_mask=fisheye_mask)
         costs = np.linalg.norm(costs, axis=1)
         errors[idc] = np.bincount(im_col, weights=costs, minlength=n_ims)
 
@@ -724,7 +881,8 @@ def estimate_camera_relative_poses(
 
     imlocs = np.array([gu.h_tform(ps, m) for m in mat_rt])
     costs = np.linalg.norm(
-        reprojection_costs(dd, imlocs, proj, ints, dists), axis=1)
+        reprojection_costs(dd, imlocs, proj, ints, dists,
+                           fisheye_mask=fisheye_mask), axis=1)
     per_im_error = np.bincount(im_col, weights=costs, minlength=n_ims)
 
     mat_rt[ref_pose] = np.eye(4)
@@ -824,12 +982,13 @@ class SelfBundleHandler(TemplateBundleHandler):
             sup.poses, self.flat_point_data, sup.extr, sup.intr,
             extr_unfixed=sup.extr_unfixed, intr_unfixed=sup.intr_unfixed,
             poses_unfixed=sup.poses_unfixed,
-            bundle_points_unfixed=self.feat_unfixed)
+            bundle_points_unfixed=self.feat_unfixed,
+            intr_colmask=sup.intr_colmask)
 
         self.missing_poses = missing_poses
         self.op_fun = OptimFunction(
-            [_projection_block(self.camera_model), Extrinsic3D(),
-             RigidTform3d(), FreePoint()])
+            [self._proj_block(), Extrinsic3D(), RigidTform3d(),
+             FreePoint()])
 
     def template_table(self):
         return None  # geometry is optimised, not a constant table
@@ -880,7 +1039,9 @@ class SelfBundleHandler(TemplateBundleHandler):
             proj, extr, poses, ps = self.apply_gauge_transform(*model)
         else:
             proj, extr, poses, ps = model
-        _write_cams(new_cams, self.cam_names, proj, extr)
+        _write_cams(new_cams, self.cam_names, proj, extr,
+                    camera_models=self.camera_models if self.is_het
+                    else None)
         if not return_pose:
             return new_cams
         flat = np.array([gu.make_4x4h_tform(p[:3], p[3:])[:3, :4].reshape(-1)
@@ -1050,10 +1211,11 @@ class FreePointBundleHandler(TemplateBundleHandler):
             self.super_primitive.intr,
             extr_unfixed=self.super_primitive.extr_unfixed,
             intr_unfixed=self.super_primitive.intr_unfixed,
-            bundle_points_unfixed=self.feat_unfixed)
+            bundle_points_unfixed=self.feat_unfixed,
+            intr_colmask=self.super_primitive.intr_colmask)
         self.missing_poses = missing_poses
         self.op_fun = OptimFunction(
-            [_projection_block(self.camera_model), Extrinsic3D(), FreePoint()])
+            [self._proj_block(), Extrinsic3D(), FreePoint()])
 
     def template_table(self):
         return None
@@ -1072,10 +1234,7 @@ class FreePointBundleHandler(TemplateBundleHandler):
         prim = self.bundlePrimitive
         for idc in range(len(self.cam_names)):
             if prim.intr_unfixed[idc]:
-                prim.intr[idc] = np.concatenate([
-                    self.camset[idc].intrinsic[[0, 0, 1, 1], [0, 2, 1, 2]],
-                    _pack_dist(self.camset[idc].distortion_coefs,
-                               prim.intr_width - 4)])
+                prim.intr[idc] = self._intr_seed_row(idc, self.camset[idc])
             if prim.extr_unfixed[idc]:
                 rvec, tvec = gu.ext_4x4_to_rod(self.camset[idc].extrinsic)
                 prim.extr[idc] = np.concatenate([rvec, tvec])
@@ -1095,7 +1254,9 @@ class FreePointBundleHandler(TemplateBundleHandler):
     def get_camset(self, x, return_pose: bool = False):
         new_cams = _clone_camset(self.camset)
         proj, extr, ps = self.bundlePrimitive.return_bundle_primitives(x)
-        _write_cams(new_cams, self.cam_names, proj, extr)
+        _write_cams(new_cams, self.cam_names, proj, extr,
+                    camera_models=self.camera_models if self.is_het
+                    else None)
         if return_pose:
             return new_cams, ps
         return new_cams

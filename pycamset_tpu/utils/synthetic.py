@@ -50,12 +50,17 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         template (K,3), dd (N,5) observation table, and metadata.
     """
     rng = np.random.default_rng(seed)
-    fisheye = camera_model == "fisheye"
-    rational = camera_model in ("rational", "thin_prism", "tilted")
-    prism = camera_model in ("thin_prism", "tilted")
-    tilted = camera_model == "tilted"
-    intr_w = {"standard": 9, "rational": 12, "thin_prism": 16,
-              "tilted": 18, "fisheye": 8}[camera_model]
+    widths = {"standard": 9, "rational": 12, "thin_prism": 16,
+              "tilted": 18, "fisheye": 8}
+    # per-camera model list = a HETEROGENEOUS rig (fisheye + Brown mix);
+    # intr rows pad to the widest family's width
+    models = ([camera_model] * n_cams if isinstance(camera_model, str)
+              else [str(m) for m in camera_model])
+    if len(models) != n_cams:
+        raise ValueError(f"camera_model list needs {n_cams} entries")
+    het = len(set(models)) > 1
+    camera_model = models[0] if not het else "het"
+    intr_w = max(widths[m] for m in models)
     k = grid * grid
     tpl = np.stack(np.meshgrid(np.arange(grid), np.arange(grid)), -1).reshape(-1, 2)
     tpl = np.concatenate([(tpl - grid / 2) * 0.02, np.zeros((k, 1))], 1)
@@ -72,7 +77,7 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     extr = np.zeros((n_cams, 6))
     for c in range(n_cams):
         f = rng.uniform(1400, 1600)
-        if fisheye:
+        if models[c] == "fisheye":
             # wide lens: shorter focal, Kannala-Brandt angle polynomial
             f = rng.uniform(550, 650)
             intr[c, :8] = [f, res[0] / 2 + rng.normal() * 5,
@@ -92,13 +97,13 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        rng.uniform(-0.25, -0.05), rng.uniform(0.0, 0.08),
                        rng.normal() * 5e-4, rng.normal() * 5e-4,
                        rng.uniform(-0.01, 0.01)]
-        if rational:
+        if models[c] in ("rational", "thin_prism", "tilted"):
             intr[c, 9:12] = [rng.uniform(-0.10, 0.10),
                              rng.uniform(-0.02, 0.02),
                              rng.uniform(-0.005, 0.005)]
-        if prism:
+        if models[c] in ("thin_prism", "tilted"):
             intr[c, 12:16] = rng.uniform(-2e-3, 2e-3, size=4)
-        if tilted:
+        if models[c] == "tilted":
             intr[c, 16:18] = rng.uniform(-0.01, 0.01, size=2)
         ang = 2 * np.pi * c / n_cams
         pos = np.array([np.cos(ang), np.sin(ang),
@@ -125,7 +130,7 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
     # project everything (host numpy; mirrors the device projection model)
     def project(c, pts):
         fx, px, fy, py = intr[c, :4]
-        if fisheye:
+        if models[c] == "fisheye":
             t = make_4x4h_tform(extr[c, :3], extr[c, 3:])
             xc = pts @ t[:3, :3].T + t[:3, 3]
             xy = xc[:, :2] / xc[:, 2:3]
@@ -145,17 +150,17 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         y = xc[:, 1] / xc[:, 2]
         r2 = x * x + y * y
         radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
-        if rational:
+        if models[c] in ("rational", "thin_prism", "tilted"):
             k4, k5, k6 = intr[c, 9:12]
             radial = radial / (1 + r2 * (k4 + r2 * (k5 + r2 * k6)))
         px_add = py_add = 0.0
-        if prism:
+        if models[c] in ("thin_prism", "tilted"):
             s1, s2, s3, s4 = intr[c, 12:16]
             px_add = r2 * (s1 + r2 * s2)
             py_add = r2 * (s3 + r2 * s4)
         xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + px_add
         yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + py_add
-        if tilted:
+        if models[c] == "tilted":
             taux, tauy = intr[c, 16:18]
             cx_, sx_ = np.cos(taux), np.sin(taux)
             cy_, sy_ = np.cos(tauy), np.sin(tauy)
@@ -186,4 +191,5 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         "intr": intr, "extr": extr, "poses": poses, "template": tpl,
         "dd": dd, "n_cams": n_cams, "n_ims": n_ims, "n_keys": k,
         "noise_px": noise_px, "camera_model": camera_model,
+        "camera_models": models,
     }

@@ -1,0 +1,212 @@
+"""Heterogeneous-model rigs: fisheye + Brown cameras in ONE bundle
+adjustment (the capability the reference's single-family block system
+cannot express — pyCamSet/optimisation/function_block_implementations.py
+hard-codes one projection per rig).
+
+Design under test: the selector-extended ProjectionHet chain — per-camera
+intr rows [sel | fx px fy py | dist slots] with the family selector and a
+fisheye camera's pad slots permanently fixed through the intr_colmask."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _make_het_handler(models=("fisheye", "standard", "fisheye", "standard"),
+                      noise=0.1, seed=11, n_ims=12, grid=7,
+                      handler_cls=None, options=None):
+    from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import (
+        FreePointTarget, TemplateBundleHandler)
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.synthetic import make_synthetic_rig
+
+    models = list(models)
+    rig = make_synthetic_rig(n_cams=len(models), n_ims=n_ims, grid=grid,
+                             visibility=0.95, noise_px=noise, seed=seed,
+                             camera_model=models)
+    names = [f"cam{c}" for c in range(len(models))]
+    k_mats, exts, dists = [], [], []
+    for c, m in enumerate(models):
+        row = rig["intr"][c]
+        k_mats.append(np.array([[row[0], 0, row[1]], [0, row[2], row[3]],
+                                [0, 0, 1]]))
+        # 4-wide = the fisheye marker; Brown keeps its family width
+        dists.append(row[4:8] if m == "fisheye" else row[4:9])
+        exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
+    cams = CameraSet(camera_dict=make_cam_dict(
+        names, exts, k_mats, dists, [[1600, 1200]] * len(models)))
+    cls = handler_cls or TemplateBundleHandler
+    opts = {"outliers": "n", "camera_model": dict(zip(names, models))}
+    opts.update(options or {})
+    handler = cls(
+        cams, FreePointTarget(rig["template"].reshape(1, -1, 3)),
+        TargetDetection(cam_names=names, data=rig["dd"]), options=opts)
+    return handler, rig, names
+
+
+def test_het_block_matches_both_families():
+    """ProjectionHet(sel=0) == Projection; ProjectionHet(sel=1) ==
+    ProjectionFisheye, on the same underlying coefficients."""
+    import jax.numpy as jnp
+    from pycamset_tpu.optim.blocks import (Projection, ProjectionFisheye,
+                                           ProjectionHet)
+
+    rng = np.random.default_rng(0)
+    blk = ProjectionHet("standard")
+    assert blk.params.n == 10
+    pts = rng.normal(size=(20, 3)) * [0.3, 0.3, 0.1] + [0, 0, 1.0]
+    intr9 = np.array([800.0, 640, 810, 480, -0.2, 0.05, 1e-3, -2e-3, 0.01])
+    intr8 = np.array([600.0, 640, 610, 480, -0.05, 0.01, -2e-3, 4e-4])
+    for pt in pts:
+        got_b = np.array(blk.compute(
+            jnp.asarray(np.concatenate([[0.0], intr9])), jnp.asarray(pt)))
+        want_b = np.array(Projection().compute(jnp.asarray(intr9),
+                                               jnp.asarray(pt)))
+        np.testing.assert_allclose(got_b, want_b, atol=1e-12)
+        het8 = np.concatenate([[1.0], intr8, [0.0]])  # pad slot
+        got_f = np.array(blk.compute(jnp.asarray(het8), jnp.asarray(pt)))
+        want_f = np.array(ProjectionFisheye().compute(jnp.asarray(intr8),
+                                                      jnp.asarray(pt)))
+        np.testing.assert_allclose(got_f, want_f, atol=1e-12)
+
+
+def test_het_block_self_jacobian():
+    from pycamset_tpu.optim.blocks import ProjectionHet
+    assert ProjectionHet("standard").test_self()
+    assert ProjectionHet("rational").test_self()
+
+
+def test_het_handler_layout():
+    from pycamset_tpu.optim.blocks import ProjectionHet
+    handler, rig, names = _make_het_handler()
+    prim = handler.bundlePrimitive
+    assert handler.is_het and handler.camera_model == "het"
+    assert prim.intr.shape == (4, 10)
+    assert isinstance(handler.op_fun.blocks[0], ProjectionHet)
+    # selectors: fixed, correct values
+    np.testing.assert_array_equal(prim.intr[:, 0], [1.0, 0.0, 1.0, 0.0])
+    assert not prim.intr_colmask[:, 0].any()
+    # fisheye pad slot (col 9) fixed; brown full row free
+    assert not prim.intr_colmask[0, 9] and prim.intr_colmask[1, 9]
+    # free parameter count: fisheye 8 live intr cols, brown 9
+    x0 = handler.get_initial_params()
+    n_free_intr = 2 * 8 + 2 * 9
+    assert x0.size == n_free_intr + 4 * 6 + (rig["n_ims"] - 1) * 6
+
+
+def test_het_seed_residual_at_truth():
+    """The packed het seed (ground-truth cameras) reprojects at the noise
+    floor — validates packing, selector wiring and the residual chain."""
+    from pycamset_tpu.optim.structured_driver import (
+        build_structured_problem)
+    from pycamset_tpu.config import default_device_dtype
+
+    handler, rig, _ = _make_het_handler(noise=0.05, seed=4)
+    _solve_fn, residual_fn, x0 = build_structured_problem(
+        handler, default_device_dtype())
+    r = residual_fn(x0)
+    rms = np.sqrt(np.mean(r ** 2))
+    assert rms < 3 * 0.05, rms
+
+
+def test_het_bundle_adjustment_recovers_models():
+    import jax.numpy as jnp
+    from pycamset_tpu.ops.distortion import distort_normalized
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    handler, rig, names = _make_het_handler(noise=0.1, seed=11)
+    res, cams = run_bundle_adjustment(handler, backend="structured")
+    rms = np.sqrt(np.mean(res["fun"] ** 2))
+    assert rms < 2.0 * rig["noise_px"], rms
+
+    dd = rig["dd"]
+    for c, name in enumerate(names):
+        true_i = rig["intr"][c]
+        got_d = np.reshape(cams[name].distortion_coefs, -1)
+        # family-correct widths survive extraction (4 = fisheye marker)
+        want_w = 4 if rig["camera_models"][c] == "fisheye" else 5
+        assert got_d.size == want_w, (name, got_d.size)
+        true_d = true_i[4:4 + want_w]
+        # distortion FUNCTION parity over each camera's observed field
+        grid = np.stack([(dd[dd[:, 0] == c, 3] - true_i[1]) / true_i[0],
+                         (dd[dd[:, 0] == c, 4] - true_i[3]) / true_i[2]],
+                        axis=-1)
+        err_n = np.array(distort_normalized(jnp.asarray(grid),
+                                            jnp.asarray(got_d))) \
+            - np.array(distort_normalized(jnp.asarray(grid),
+                                          jnp.asarray(true_d)))
+        assert np.max(np.abs(err_n) * true_i[0]) < 0.5, name
+
+
+def test_het_backend_parity_structured_vs_generic():
+    """The structured Schur backend and the generic backend agree on the
+    het chain (same cost at convergence)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    h1, rig, _ = _make_het_handler(noise=0.1, seed=21, n_ims=8, grid=6)
+    res1, _ = run_bundle_adjustment(h1, backend="structured")
+    h2, _, _ = _make_het_handler(noise=0.1, seed=21, n_ims=8, grid=6)
+    res2, _ = run_bundle_adjustment(h2, backend="generic")
+    c1 = float(np.sum(np.asarray(res1["fun"]) ** 2))
+    c2 = float(np.sum(np.asarray(res2["fun"]) ** 2))
+    assert abs(c1 - c2) <= 1e-4 * max(c1, 1.0), (c1, c2)
+
+
+def test_het_selfcal_runs():
+    """The het chain composes with self-calibration (free geometry)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.handlers import SelfBundleHandler
+
+    handler, rig, _ = _make_het_handler(
+        noise=0.05, seed=31, n_ims=14, grid=6,
+        handler_cls=SelfBundleHandler)
+    res, cams = run_bundle_adjustment(handler, backend="structured")
+    rms = np.sqrt(np.mean(res["fun"] ** 2))
+    assert rms < 2.0 * rig["noise_px"], rms
+
+
+def test_het_camset_persistence_roundtrip(tmp_path):
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.utils.saving import load_CameraSet
+
+    handler, rig, names = _make_het_handler(noise=0.1, seed=11)
+    _res, cams = run_bundle_adjustment(handler, backend="structured")
+    path = tmp_path / "het.camset"
+    cams.save(path)
+    back = load_CameraSet(path)
+    for c, name in enumerate(names):
+        want = np.reshape(cams[name].distortion_coefs, -1)
+        got = np.reshape(back[name].distortion_coefs, -1)
+        assert got.size == want.size
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_het_triangulation_round_trip():
+    """multi_cam_triangulate on a MIXED camset recovers world points
+    (exercises the het [sel|coefs] undistortion encoding)."""
+    handler, rig, names = _make_het_handler(noise=0.0, seed=5)
+    cams = handler.camset
+    dd = rig["dd"]
+    # observations of image 0 only: world pts = template (pose 0 = id)
+    d0 = dd[dd[:, 1] == 0]
+    pts = cams.multi_cam_triangulate(d0)
+    # keys seen by >=2 cameras, in sorted key order
+    keys, counts = np.unique(d0[:, 2].astype(int), return_counts=True)
+    keys = keys[counts >= 2]
+    want = rig["template"][keys]
+    assert pts.shape == want.shape
+    np.testing.assert_allclose(pts, want, atol=1e-6)
+
+
+def test_het_model_map_validation():
+    from pycamset_tpu.optim.handlers import parse_camera_models
+    with pytest.raises(ValueError, match="missing cameras"):
+        parse_camera_models({"a": "fisheye"}, ["a", "b"])
+    with pytest.raises(ValueError, match="Unknown camera_model"):
+        parse_camera_models({"a": "fish", "b": "standard"}, ["a", "b"])
+    models, het, brown = parse_camera_models(
+        ["fisheye", "rational", "standard"], ["a", "b", "c"])
+    assert het and brown == "rational"
+    assert models == ["fisheye", "rational", "rational"]

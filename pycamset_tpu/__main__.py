@@ -61,15 +61,25 @@ def _add_calibrate(sub):
     p.add_argument("--outliers", choices=["ask", "y", "n"], default="ask")
     p.add_argument("--loss", choices=["linear", "huber", "soft_l1", "cauchy"],
                    default="linear")
-    p.add_argument("--camera-model",
-                   choices=["auto", "standard", "rational", "thin_prism",
-                            "tilted", "fisheye"],
-                   default="standard",
+    p.add_argument("--camera-model", default="standard", metavar="MODEL",
                    help="distortion model: 5-coef Brown-Conrady (standard), "
-                        "8-coef rational, 12-coef thin-prism, or 14-coef "
-                        "tilted (Scheimpflug); 'auto' cross-validates the "
-                        "Brown-family models on held-out images and picks "
-                        "the simplest one within 2%% of the best")
+                        "8-coef rational, 12-coef thin-prism, 14-coef "
+                        "tilted (Scheimpflug), or fisheye (Kannala-Brandt); "
+                        "'auto' cross-validates the Brown-family models on "
+                        "held-out images and picks the simplest one within "
+                        "2%% of the best. A per-camera map "
+                        "'cam0=fisheye,cam1=standard' calibrates a "
+                        "HETEROGENEOUS rig (mixed projection families in "
+                        "one bundle adjustment)")
+    p.add_argument("--auto-per-camera", action="store_true",
+                   help="with --camera-model auto: pick a model PER CAMERA "
+                        "from the per-camera holdout scores (mixed picks "
+                        "calibrate heterogeneously)")
+    p.add_argument("--auto-candidates", nargs="+", default=None,
+                   metavar="MODEL",
+                   help="with --camera-model auto: the candidate models to "
+                        "cross-validate (default: the Brown family; add "
+                        "'fisheye' explicitly for wide lenses)")
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--max-nfev", type=int, default=100)
     p.add_argument("--backend",
@@ -1101,6 +1111,16 @@ def cmd_doctor(args) -> int:
     return doctor_main(device=not args.no_device, json_path=args.json_path)
 
 
+def _parse_camera_model_arg(spec: str):
+    """'standard' -> str; 'cam0=fisheye,cam1=standard' -> per-camera map;
+    'fisheye,standard' -> per-camera list (camera folder order)."""
+    if "=" in spec:
+        return dict(kv.split("=", 1) for kv in spec.split(","))
+    if "," in spec:
+        return spec.split(",")
+    return spec
+
+
 def cmd_calibrate(args) -> int:
     from pathlib import Path
 
@@ -1109,7 +1129,19 @@ def cmd_calibrate(args) -> int:
     from pycamset_tpu import calibrate_cameras
     opts = {"outliers": args.outliers, "loss": args.loss,
             "f_scale": args.f_scale, "max_nfev": args.max_nfev,
-            "camera_model": args.camera_model, "backend": args.backend}
+            "camera_model": _parse_camera_model_arg(args.camera_model),
+            "backend": args.backend}
+    if args.auto_per_camera or args.auto_candidates:
+        if opts["camera_model"] != "auto":
+            print("--auto-per-camera / --auto-candidates need "
+                  "--camera-model auto")
+            return 2
+        ms = {}
+        if args.auto_per_camera:
+            ms["per_camera"] = True
+        if args.auto_candidates:
+            ms["candidates"] = args.auto_candidates
+        opts["model_select"] = ms
     if args.lens_groups:
         opts["shared_intrinsics"] = args.lens_groups
     elif args.shared_intrinsics:

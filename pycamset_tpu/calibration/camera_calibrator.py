@@ -95,13 +95,23 @@ def _detector_fingerprint(calibration_target, n_lim, f_loc=None,
                  flags, n_lim, ims, cams_key))
 
 
-def _cache_tail(camera_model: str) -> str:
+def _cache_tail(camera_model) -> str:
     """Per-camera-model .camset cache suffix.
 
     A cached 5-coefficient seed is also a valid (zero k4..k6) rational seed,
     so without a model-specific name it would silently shadow the real one.
+    Per-camera model maps/lists hash their sorted contents.
     """
-    return ".camset" if camera_model == "standard" else f"_{camera_model}.camset"
+    if not isinstance(camera_model, str):
+        import hashlib
+        if isinstance(camera_model, dict):
+            key = sorted((str(k), str(v)) for k, v in camera_model.items())
+        else:
+            key = [str(m) for m in camera_model]
+        h = hashlib.sha1(repr(key).encode()).hexdigest()[:8]
+        return f"_mixed_{h}.camset"
+    return (".camset" if camera_model == "standard"
+            else f"_{camera_model}.camset")
 
 
 def calibrate_cameras(
@@ -277,12 +287,24 @@ def run_initial_calibration(detection: TargetDetection,
                             save_loc: Path = Path("initial_estimate.camset"),
                             ref_cam=0,
                             fixed_params: dict | None = None,
-                            camera_model: str = "standard") -> CameraSet:
+                            camera_model="standard") -> CameraSet:
     """Per-camera initial calibration via the target's calibration method
-    (cv2.calibrateCamera by default), with .camset caching."""
+    (cv2.calibrateCamera by default), with .camset caching.
+
+    ``camera_model`` may be one model name, or a per-camera ``{name:
+    model}`` map / list (heterogeneous rigs): each camera is then seeded
+    with its OWN family (cv2.fisheye.calibrate vs cv2.calibrateCamera)."""
     if save and save_loc.exists():
         logging.info(f"Reusing the cached initial calibration at {save_loc}")
         return load_CameraSet(save_loc)
+
+    if isinstance(camera_model, str):
+        model_of = {str(n): camera_model for n in detection.cam_names}
+    elif isinstance(camera_model, dict):
+        model_of = {str(k): v for k, v in camera_model.items()}
+    else:
+        model_of = {str(n): m
+                    for n, m in zip(detection.cam_names, camera_model)}
 
     pose_im = _pick_shared_pose_image(detection)
     logging.info("Seeding each camera with the target's own "
@@ -291,18 +313,18 @@ def run_initial_calibration(detection: TargetDetection,
     # custom targets may override initial_calibration without the
     # camera_model kwarg; only forward it when the override accepts it
     seed_fn = calibration_target.initial_calibration
-    extra_kw = {}
-    if "camera_model" in inspect.signature(seed_fn).parameters:
-        extra_kw["camera_model"] = camera_model
-    elif camera_model != "standard":
+    takes_model = "camera_model" in inspect.signature(seed_fn).parameters
+    if not takes_model and any(m != "standard" for m in model_of.values()):
         logging.warning(
             f"Target {type(calibration_target).__name__}.initial_calibration "
-            f"does not accept camera_model={camera_model!r}; seeding with its "
+            f"does not accept camera_model; seeding with its "
             "default model (extra coefficients start at zero).")
 
     seeded = {
         name: seed_fn(cam_name=name, detection=per_cam, res=res,
-                      pose_im=pose_im, fixed_params=fixed_params, **extra_kw)
+                      pose_im=pose_im, fixed_params=fixed_params,
+                      **({"camera_model": model_of[str(name)]}
+                         if takes_model else {}))
         for name, per_cam, res in zip(
             detection.cam_names, detection.get_cam_list(), cam_res)
     }

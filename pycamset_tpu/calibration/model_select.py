@@ -104,21 +104,26 @@ def _rms_px(fun: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.square(fun))))
 
 
-def _family_seed(initial_cams, model: str):
+def _family_seed(initial_cams, model):
     """A seed CameraSet whose distortion width matches ``model``'s family.
 
     The 4-wide distortion vector is the fisheye marker throughout the
     package (a Brown handler rejects it and vice versa), so scoring a
     fisheye candidate from a Brown seed — or the reverse — swaps in a
     zero-distortion vector of the right family width. Within a family
-    the handler pads the tail itself.
+    the handler pads the tail itself. ``model`` may be a per-camera
+    {name: model} map (per-camera auto selection picked a mixed rig).
     """
     from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
 
-    want_fisheye = model == "fisheye"
     names = initial_cams.get_names()
+    if isinstance(model, dict):
+        fisheye_of = {str(k): v == "fisheye" for k, v in model.items()}
+    else:
+        fisheye_of = {str(n): model == "fisheye" for n in names}
     dists, changed = [], False
     for n in names:
+        want_fisheye = fisheye_of[str(n)]
         d = np.reshape(np.asarray(initial_cams[n].distortion_coefs,
                                   dtype=float), -1)
         if (d.size == 4) != want_fisheye:
@@ -183,13 +188,113 @@ def pick_model(scores: Sequence[ModelScore],
     return min(viable, key=lambda s: (s.n_intr, s.holdout_rms))
 
 
+def _single_cam_detection(det: TargetDetection, c: int) -> TargetDetection:
+    """One camera's rows as a standalone 1-camera detection table."""
+    rows = det.get_data()
+    sel = rows[:, 0].astype(int) == c
+    out = rows[sel].copy()
+    out[:, 0] = 0
+    return TargetDetection(cam_names=[det.cam_names[c]], data=out,
+                           max_ims=det.max_ims)
+
+
+def score_models_per_camera(candidates, train_det, holdout_det, target,
+                            initial_cams, fisheye_seed=None,
+                            fixed_params: dict | None = None,
+                            problem_options: dict | None = None):
+    """Per-camera holdout scores from per-camera INDEPENDENT solves.
+
+    Each camera trains alone (1-camera template BA with its extrinsic
+    pinned to identity — the per-image poses absorb the gauge) and is
+    scored by pose-only solves on its own holdout rows, so one camera's
+    family mismatch cannot contaminate another's score through shared
+    target poses.
+
+    :return: ({model: {cam_name: holdout_rms}}, scorecards) — a failed
+        (cam, model) cell scores NaN.
+    """
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+    from pycamset_tpu.optim.find_target import (
+        estimate_poses_with_fixed_cameras)
+    from pycamset_tpu.optim.handlers import TemplateBundleHandler
+
+    per_cam_scores: dict = {m: {} for m in candidates}
+    scores: list[ModelScore] = []
+    for model in candidates:
+        seed_all = (fisheye_seed if model == "fisheye"
+                    and fisheye_seed is not None else initial_cams)
+        train_rms2, hold_rms2 = [], []
+        n_train = n_hold = 0
+        for c, name in enumerate(train_det.cam_names):
+            name = str(name)
+            try:
+                cam_train = _single_cam_detection(train_det, c)
+                cam_hold = _single_cam_detection(holdout_det, c)
+                seed1 = _family_seed(seed_all.make_subset([c]), model)
+                opts = dict(problem_options or {})
+                opts.update({"camera_model": model, "outliers": "n",
+                             "verbosity": 0})
+                handler = TemplateBundleHandler(
+                    camset=seed1, detection=cam_train, target=target,
+                    fixed_params={name: {"ext": np.eye(4)}}, options=opts)
+                result, trained = run_bundle_adjustment(
+                    handler, backend=opts.get("backend", "auto"))
+                _p, hres = estimate_poses_with_fixed_cameras(
+                    trained, target, cam_hold)
+                per_cam_scores[model][name] = _rms_px(hres["fun"])
+                train_rms2.append(np.sum(np.square(result["fun"])))
+                hold_rms2.append(np.sum(np.square(hres["fun"])))
+                n_train += result["fun"].size // 2
+                n_hold += hres["fun"].size // 2
+            except Exception as e:
+                logging.warning(f"camera model {model!r} failed for camera "
+                                f"{name!r}: {e!r}")
+                per_cam_scores[model][name] = np.nan
+        if n_train and n_hold:
+            scores.append(ModelScore(
+                model=model, n_intr=_MODEL_WIDTHS[model],
+                train_rms=float(np.sqrt(np.sum(train_rms2) / (2 * n_train))),
+                holdout_rms=float(np.sqrt(np.sum(hold_rms2) / (2 * n_hold))),
+                n_train_dets=n_train, n_holdout_dets=n_hold))
+        for name, rms in per_cam_scores[model].items():
+            logging.info(f"model {model:>10} / {name}: "
+                         f"holdout {rms:.4f} px")
+    return per_cam_scores, scores
+
+
+def pick_model_per_camera(per_cam_scores: dict, cam_names,
+                          parsimony_tol: float = 0.02):
+    """Per-camera winners from {model: {cam: holdout_rms}} scorecards.
+
+    Same parsimony rule as pick_model, applied per camera. Returns a
+    single model name when every camera agrees, else the {cam: model}
+    map a heterogeneous handler consumes.
+    """
+    winners = {}
+    for name in (str(n) for n in cam_names):
+        rows = [(m, rms[name]) for m, rms in per_cam_scores.items()
+                if np.isfinite(rms.get(name, np.nan))]
+        if not rows:
+            raise ValueError(
+                f"no candidate model produced a finite holdout score for "
+                f"camera {name!r}")
+        best = min(r for _, r in rows)
+        viable = [(m, r) for m, r in rows
+                  if r <= best * (1 + parsimony_tol)]
+        winners[name] = min(
+            viable, key=lambda mr: (_MODEL_WIDTHS[mr[0]], mr[1]))[0]
+    picks = set(winners.values())
+    return winners[str(cam_names[0])] if len(picks) == 1 else winners
+
+
 def select_camera_model(detection: TargetDetection, target,
                         initial_cams=None, cam_res: list | None = None,
                         candidates: Sequence[str] = DEFAULT_CANDIDATES,
                         holdout_fraction: float = 0.25, seed: int = 0,
                         parsimony_tol: float = 0.02,
                         fixed_params: dict | None = None,
-                        problem_options: dict | None = None
+                        problem_options: dict | None = None,
+                        per_camera: bool = False
                         ) -> tuple[str, list[ModelScore]]:
     """Cross-validated camera-model selection.
 
@@ -203,9 +308,13 @@ def select_camera_model(detection: TargetDetection, target,
     :param seed: train/holdout split seed.
     :param parsimony_tol: relative holdout-rms band within which a model
         with fewer parameters beats a lower-error one.
-    :return: (winning model name, per-candidate scorecards). A candidate
-        whose train or scoring solve raises is logged and skipped; at
-        least one candidate must survive.
+    :param per_camera: pick a model PER CAMERA from the per-camera
+        holdout scores (parsimony applied camera-wise). Mixed picks
+        return a {cam: model} map — including fisheye + Brown, which
+        calibrates heterogeneously (optim.handlers.parse_camera_models).
+    :return: (winning model name OR per-camera map, per-candidate
+        scorecards). A candidate whose train or scoring solve raises is
+        logged and skipped; at least one candidate must survive.
     """
     bad = sorted(set(candidates) - set(_MODEL_WIDTHS))
     if bad:
@@ -237,15 +346,30 @@ def select_camera_model(detection: TargetDetection, target,
                              "the fisheye candidate starts from zero "
                              "equidistant distortion")
 
+    if per_camera:
+        # per-camera selection must come from per-camera INDEPENDENT
+        # solves: in a joint rig-wide candidate solve a wrong family on
+        # one camera drags the shared target poses and contaminates every
+        # other camera's holdout score
+        per_cam_scores, scores = score_models_per_camera(
+            candidates, train_det, holdout_det, target, initial_cams,
+            fisheye_seed=fisheye_seed, fixed_params=fixed_params,
+            problem_options=problem_options)
+        picked = pick_model_per_camera(per_cam_scores, detection.cam_names,
+                                       parsimony_tol=parsimony_tol)
+        logging.info(f"selected per-camera model(s): {picked!r}")
+        return picked, scores
+
     scores: list[ModelScore] = []
     errors: list[str] = []
     for model in candidates:
         seed_cams = (fisheye_seed if model == "fisheye"
                      and fisheye_seed is not None else initial_cams)
         try:
-            s = score_camera_model(model, train_det, holdout_det, target,
-                                   seed_cams, fixed_params=fixed_params,
-                                   problem_options=problem_options)
+            s = score_camera_model(
+                model, train_det, holdout_det, target, seed_cams,
+                fixed_params=fixed_params,
+                problem_options=problem_options)
         except Exception as e:  # a model that cannot fit is a result,
             logging.warning(     # not a crash of the selection
                 f"camera model {model!r} failed during selection: {e!r}")

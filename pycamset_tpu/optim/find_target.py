@@ -45,16 +45,29 @@ class FixedCameraPoseHandler(TemplateBundleHandler):
         # truncating to 5
         if "camera_model" not in options:
             from pycamset_tpu.optim.handlers import infer_shared_n_dist
-            n_dist = infer_shared_n_dist(
-                [camset[n].distortion_coefs for n in camset.get_names()])
-            if n_dist > 12:
-                options["camera_model"] = "tilted"
-            elif n_dist > 8:
-                options["camera_model"] = "thin_prism"
-            elif n_dist > 5:
-                options["camera_model"] = "rational"
-            elif n_dist == 4:  # the fisheye marker width
-                options["camera_model"] = "fisheye"
+
+            def model_of_width(n):
+                if n == 4:  # the fisheye marker width
+                    return "fisheye"
+                if n > 12:
+                    return "tilted"
+                if n > 8:
+                    return "thin_prism"
+                if n > 5:
+                    return "rational"
+                return "standard"
+
+            dl = [np.reshape(np.asarray(camset[n].distortion_coefs), -1)
+                  for n in camset.get_names()]
+            sizes = {d.size for d in dl}
+            if 4 in sizes and sizes != {4}:
+                # heterogeneous rig: follow each camera's own family
+                options["camera_model"] = [model_of_width(d.size)
+                                           for d in dl]
+            else:
+                model = model_of_width(infer_shared_n_dist(dl))
+                if model != "standard":
+                    options["camera_model"] = model
         super().__init__(camset, target, detection,
                          fixed_params=make_fixed_camera_params(camset),
                          options=options, missing_poses=missing_poses)
@@ -88,10 +101,14 @@ class FixedCameraPoseHandler(TemplateBundleHandler):
 
 def estimate_poses_with_fixed_cameras(
         camset: CameraSet, target: AbstractTarget, detection: TargetDetection,
-        options: dict | None = None):
+        options: dict | None = None, return_detection: bool = False):
     """Jointly-optimal target pose per image given a calibrated rig.
 
-    :return: (poses (I,4,4) target->world transforms, OptimizeResult).
+    :param return_detection: also return the flattened detection table the
+        solve used — its rows align with ``result['fun']``, so callers can
+        bucket residuals (e.g. per camera for per-camera model selection).
+    :return: (poses (I,4,4) target->world transforms, OptimizeResult
+        [, detection table (N,5)]).
     """
     opts = {"outliers": "n", "fixed_pose": None, "verbosity": 0}
     if options:
@@ -104,4 +121,6 @@ def estimate_poses_with_fixed_cameras(
     result, _ = run_bundle_adjustment(handler)
     _, _, pose6 = handler.bundlePrimitive.return_bundle_primitives(result["x"])
     poses = np.array([make_4x4h_tform(p[:3], p[3:]) for p in pose6])
+    if return_detection:
+        return poses, result, handler.get_detection_data(flatten=True)
     return poses, result

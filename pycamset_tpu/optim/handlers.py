@@ -67,14 +67,15 @@ def parse_camera_models(opt, cam_names):
     ``opt`` may be one model name for the whole rig, a ``{cam_name:
     model}`` dict, or a per-camera list. Heterogeneous PROJECTION families
     (fisheye + one Brown-family model) are first-class: they ride the
-    selector-extended ``ProjectionHet`` chain. Mixing several Brown
-    widths promotes every Brown camera to the widest requested family
-    (narrower models are exact sub-models with zero extra coefficients).
+    selector-extended ``ProjectionHet`` chain. Mixed Brown WIDTHS keep
+    each camera's own model — the chain runs at the widest family and the
+    narrower cameras' extra coefficient columns are pinned to zero
+    through the per-column intrinsic mask (exact sub-models).
 
-    :return: (models, het, brown_model) — models is a per-camera list;
+    :return: (models, het, base_model) — models is the per-camera list;
         het is True when the rig mixes fisheye with a Brown family;
-        brown_model names the (single, possibly promoted) Brown family of
-        a het rig, else None.
+        base_model is the widest Brown family of a mixed rig (the chain
+        width), or None for uniform rigs.
     """
     if isinstance(opt, str):
         models = [opt] * len(cam_names)
@@ -105,11 +106,7 @@ def parse_camera_models(opt, cam_names):
     if not brown:  # impossible today (fisheye is the only non-Brown family)
         return models, False, None
     widest = brown[-1]
-    if "fisheye" not in models:
-        # an all-Brown mix is a homogeneous rig at the widest width
-        return [widest] * len(models), False, None
-    models = [m if m == "fisheye" else widest for m in models]
-    return models, True, widest
+    return models, "fisheye" in models, widest
 
 
 def _het_intr_width(brown_model: str) -> int:
@@ -129,13 +126,27 @@ def _het_intr_row(model: str, kvec4, dist, width: int) -> np.ndarray:
 
 def _het_intr_colmask(models, width: int) -> np.ndarray:
     """(C, width) bool mask of genuinely-free het intrinsic columns: the
-    family selector is never free, and a fisheye camera's slots beyond
-    KB k1..k4 are structural padding."""
+    family selector is never free, a fisheye camera's slots beyond KB
+    k1..k4 are structural padding, and a Brown camera narrower than the
+    rig's widest family pins its extra coefficients to zero."""
     cm = np.ones((len(models), width), dtype=bool)
     cm[:, 0] = False
     for i, m in enumerate(models):
         if m == "fisheye":
             cm[i, 9:] = False
+        else:
+            cm[i, 5 + _BROWN_DIST[m]:] = False
+    return cm
+
+
+def _brown_mix_colmask(models, width: int) -> np.ndarray:
+    """(C, width) bool mask for an all-Brown rig of MIXED widths: each
+    camera keeps exactly its own family's coefficients free (the extra
+    columns of the widest-family layout are pinned to zero — exact
+    sub-models, preserving per-camera parsimony)."""
+    cm = np.ones((len(models), width), dtype=bool)
+    for i, m in enumerate(models):
+        cm[i, 4 + _BROWN_DIST[m]:] = False
     return cm
 
 
@@ -363,13 +374,17 @@ class TemplateBundleHandler:
         n_cams = camset.get_n_cams()
 
         cm_opt = self.problem_opts.get("camera_model", "standard")
-        self.camera_models, self.is_het, self.het_brown_model = (
+        self.camera_models, self.is_het, base = (
             parse_camera_models(cm_opt, self.cam_names))
+        self.het_brown_model = base if self.is_het else None
+        self.mixed_models = len(set(self.camera_models)) > 1
         if self.is_het:
             self.camera_model = "het"
-            self.intr_width = _het_intr_width(self.het_brown_model)
+            self.intr_width = _het_intr_width(base)
         else:
-            self.camera_model = self.camera_models[0]
+            # a mixed all-Brown rig runs the widest family's chain; the
+            # narrower cameras' extra columns are pinned by the colmask
+            self.camera_model = base or self.camera_models[0]
             self.intr_width = _CAMERA_MODELS[self.camera_model]
 
         intr = np.zeros((n_cams, self.intr_width))
@@ -392,9 +407,13 @@ class TemplateBundleHandler:
             pose_unfixed[fixed_pose] = False
             poses[fixed_pose, :] = 0.0
 
-        intr_colmask = (_het_intr_colmask(self.camera_models,
-                                          self.intr_width)
-                        if self.is_het else None)
+        intr_colmask = None
+        if self.is_het:
+            intr_colmask = _het_intr_colmask(self.camera_models,
+                                             self.intr_width)
+        elif self.mixed_models:
+            intr_colmask = _brown_mix_colmask(self.camera_models,
+                                              self.intr_width)
         self.bundlePrimitive = TemplateBundlePrimitive(
             poses, extr, intr, extr_unfixed=extr_unfixed,
             intr_unfixed=intr_unfixed, poses_unfixed=pose_unfixed,
@@ -590,8 +609,7 @@ class TemplateBundleHandler:
         new_cams = _clone_camset(self.camset)
         proj, extr, poses = self.bundlePrimitive.return_bundle_primitives(x)
         _write_cams(new_cams, self.cam_names, proj, extr,
-                    camera_models=self.camera_models if self.is_het
-                    else None)
+                    camera_models=self.camera_models, het=self.is_het)
         if not return_pose:
             return new_cams
         # flat-12 (R | t) per pose, matching the reference convention
@@ -639,20 +657,22 @@ def _clone_camset(camset: CameraSet) -> CameraSet:
         name: deepcopy(camset[name]) for name in camset.get_names()})
 
 
-def _write_cams(new_cams, cam_names, proj, extr, camera_models=None):
+def _write_cams(new_cams, cam_names, proj, extr, camera_models=None,
+                het=False):
     """Write packed intrinsic rows back into Camera objects.
 
-    ``camera_models`` marks a HET rig: rows are [sel | fx px fy py | dist]
-    and each camera's distortion width follows its family (4-wide = the
-    fisheye marker, Brown keeps the full slot width)."""
+    ``het`` marks the selector layout [sel | fx px fy py | dist slots];
+    ``camera_models`` (with or without het) slices each camera's
+    distortion to its OWN family width — 4-wide is the fisheye marker,
+    mixed-width Brown rigs keep per-camera parsimony."""
     for idc, cam_name in enumerate(cam_names):
         row = np.asarray(proj[idc], dtype=float)
+        off = 1 if het else 0
+        kvec = row[off:off + 4]
+        dist = row[off + 4:]
         if camera_models is not None:
-            kvec = row[1:5]
-            dist = row[5:9] if camera_models[idc] == "fisheye" else row[5:]
-        else:
-            kvec = row[:4]
-            dist = row[4:]
+            m = camera_models[idc]
+            dist = dist[:4] if m == "fisheye" else dist[:_BROWN_DIST[m]]
         intr = np.eye(3)
         intr[0, 0], intr[0, 2] = kvec[0], kvec[1]
         intr[1, 1], intr[1, 2] = kvec[2], kvec[3]
@@ -1040,8 +1060,7 @@ class SelfBundleHandler(TemplateBundleHandler):
         else:
             proj, extr, poses, ps = model
         _write_cams(new_cams, self.cam_names, proj, extr,
-                    camera_models=self.camera_models if self.is_het
-                    else None)
+                    camera_models=self.camera_models, het=self.is_het)
         if not return_pose:
             return new_cams
         flat = np.array([gu.make_4x4h_tform(p[:3], p[3:])[:3, :4].reshape(-1)
@@ -1255,8 +1274,7 @@ class FreePointBundleHandler(TemplateBundleHandler):
         new_cams = _clone_camset(self.camset)
         proj, extr, ps = self.bundlePrimitive.return_bundle_primitives(x)
         _write_cams(new_cams, self.cam_names, proj, extr,
-                    camera_models=self.camera_models if self.is_het
-                    else None)
+                    camera_models=self.camera_models, het=self.is_het)
         if return_pose:
             return new_cams, ps
         return new_cams

@@ -33,6 +33,7 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
                        seed: int = 0, res=(1600, 1200),
                        camera_model: str = "standard",
                        pose_scale: tuple = (0.4, 0.15),
+                       tangential_px: float = 5e-4,
                        template_depth: float = 0.0,
                        shared_intrinsics: bool = False):
     """Generate a rig + observations.
@@ -95,7 +96,8 @@ def make_synthetic_rig(n_cams: int = 16, n_ims: int = 100, grid: int = 19,
         intr[c, :9] = [f, res[0] / 2 + rng.normal() * 5,
                        f * rng.uniform(0.99, 1.01), res[1] / 2 + rng.normal() * 5,
                        rng.uniform(-0.25, -0.05), rng.uniform(0.0, 0.08),
-                       rng.normal() * 5e-4, rng.normal() * 5e-4,
+                       rng.normal() * tangential_px,
+                       rng.normal() * tangential_px,
                        rng.uniform(-0.01, 0.01)]
         if models[c] in ("rational", "thin_prism", "tilted"):
             intr[c, 9:12] = [rng.uniform(-0.10, 0.10),

@@ -289,3 +289,27 @@ def test_cli_reconstruct_arg_errors(recon_rig, capsys):
                "--images", paths[0]])
     assert rc == 2
     capsys.readouterr()
+
+
+def test_cli_camera_model_arg_parsing():
+    from pycamset_tpu.__main__ import _parse_camera_model_arg
+    assert _parse_camera_model_arg("standard") == "standard"
+    assert _parse_camera_model_arg("fisheye,standard") == [
+        "fisheye", "standard"]
+    assert _parse_camera_model_arg("a=fisheye,b=standard") == {
+        "a": "fisheye", "b": "standard"}
+
+
+def test_cli_calibrate_per_camera_model_map(cli_data, capsys):
+    """A per-camera model map calibrates a mixed-width rig end to end
+    (cameras 1/2 standard, camera 3 rational: the rational chain with the
+    narrow cameras' extra coefficients pinned by the column mask)."""
+    from pycamset_tpu.__main__ import main
+    rc = main(["calibrate", str(cli_data), "--target", "charuco",
+               "--nx", "20", "--ny", "20", "--square", "4", "--legacy",
+               "--outliers", "n", "--max-nfev", "25",
+               "--camera-model", "1=standard,2=standard,3=rational",
+               "--no-save"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "calibrated 3 cameras" in out

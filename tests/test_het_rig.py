@@ -14,7 +14,8 @@ import pytest
 
 def _make_het_handler(models=("fisheye", "standard", "fisheye", "standard"),
                       noise=0.1, seed=11, n_ims=12, grid=7,
-                      handler_cls=None, options=None):
+                      handler_cls=None, options=None,
+                      pose_scale=(0.4, 0.15), tangential_px=5e-4):
     from pycamset_tpu.models.camera_set import CameraSet, make_cam_dict
     from pycamset_tpu.models.detections import TargetDetection
     from pycamset_tpu.optim.handlers import (
@@ -25,7 +26,8 @@ def _make_het_handler(models=("fisheye", "standard", "fisheye", "standard"),
     models = list(models)
     rig = make_synthetic_rig(n_cams=len(models), n_ims=n_ims, grid=grid,
                              visibility=0.95, noise_px=noise, seed=seed,
-                             camera_model=models)
+                             camera_model=models, pose_scale=pose_scale,
+                             tangential_px=tangential_px)
     names = [f"cam{c}" for c in range(len(models))]
     k_mats, exts, dists = [], [], []
     for c, m in enumerate(models):
@@ -33,7 +35,9 @@ def _make_het_handler(models=("fisheye", "standard", "fisheye", "standard"),
         k_mats.append(np.array([[row[0], 0, row[1]], [0, row[2], row[3]],
                                 [0, 0, 1]]))
         # 4-wide = the fisheye marker; Brown keeps its family width
-        dists.append(row[4:8] if m == "fisheye" else row[4:9])
+        w = {"fisheye": 4, "standard": 5, "rational": 8,
+             "thin_prism": 12, "tilted": 14}[m]
+        dists.append(row[4:4 + w])
         exts.append(make_4x4h_tform(rig["extr"][c][:3], rig["extr"][c][3:]))
     cams = CameraSet(camera_dict=make_cam_dict(
         names, exts, k_mats, dists, [[1600, 1200]] * len(models)))
@@ -200,6 +204,33 @@ def test_het_triangulation_round_trip():
     np.testing.assert_allclose(pts, want, atol=1e-6)
 
 
+def test_auto_per_camera_picks_mixed_families():
+    """Per-camera auto selection on a genuinely mixed rig (wide fisheye +
+    narrow Brown) picks each camera's true family, and the resulting map
+    calibrates heterogeneously."""
+    from pycamset_tpu.calibration.model_select import select_camera_model
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+
+    # wide pose spread: field angles on the fisheye cameras must reach
+    # ~50+ deg, where Brown can no longer track the equidistant mapping
+    # (narrow-angle fisheye data IS Brown-absorbable — test_model_select)
+    # strong tangential distortion on the Brown camera: purely-radial
+    # Kannala-Brandt cannot absorb it, so the Brown pick is decisive too
+    handler, rig, names = _make_het_handler(
+        models=("fisheye", "standard", "fisheye"), noise=0.05, seed=7,
+        n_ims=14, grid=7, pose_scale=(0.6, 0.45), tangential_px=4e-3)
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+    target = FreePointTarget(rig["template"].reshape(1, -1, 3))
+    picked, scores = select_camera_model(
+        det, target, initial_cams=handler.camset,
+        candidates=("standard", "fisheye"), per_camera=True,
+        problem_options={"outliers": "n"}, seed=2)
+    assert isinstance(picked, dict), picked
+    assert picked == {"cam0": "fisheye", "cam1": "standard",
+                      "cam2": "fisheye"}
+
+
 def test_het_model_map_validation():
     from pycamset_tpu.optim.handlers import parse_camera_models
     with pytest.raises(ValueError, match="missing cameras"):
@@ -209,4 +240,31 @@ def test_het_model_map_validation():
     models, het, brown = parse_camera_models(
         ["fisheye", "rational", "standard"], ["a", "b", "c"])
     assert het and brown == "rational"
-    assert models == ["fisheye", "rational", "rational"]
+    # per-camera models survive: the narrower Brown camera keeps its own
+    # family (extra columns are pinned by the colmask, not freed)
+    assert models == ["fisheye", "rational", "standard"]
+    models, het, brown = parse_camera_models(
+        ["rational", "standard"], ["a", "b"])
+    assert not het and brown == "rational"
+    assert models == ["rational", "standard"]
+
+
+def test_brown_width_mix_keeps_per_camera_parsimony():
+    """standard + rational in one rig: the chain runs rational-wide but
+    the standard camera's k4..k6 stay pinned at zero, and extraction
+    returns family-correct widths (5 and 8)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    handler, rig, names = _make_het_handler(
+        models=("rational", "standard", "rational"), noise=0.1, seed=41)
+    prim = handler.bundlePrimitive
+    assert handler.camera_model == "rational" and not handler.is_het
+    assert prim.intr.shape == (3, 12)
+    # the standard camera's rational tail is pinned
+    assert not prim.intr_colmask[1, 9:].any()
+    assert prim.intr_colmask[0, 9:].all()
+    res, cams = run_bundle_adjustment(handler, backend="structured")
+    rms = np.sqrt(np.mean(res["fun"] ** 2))
+    assert rms < 2.0 * rig["noise_px"], rms
+    assert np.reshape(cams[names[0]].distortion_coefs, -1).size == 8
+    assert np.reshape(cams[names[1]].distortion_coefs, -1).size == 5

@@ -268,3 +268,71 @@ def test_brown_width_mix_keeps_per_camera_parsimony():
     assert rms < 2.0 * rig["noise_px"], rms
     assert np.reshape(cams[names[0]].distortion_coefs, -1).size == 8
     assert np.reshape(cams[names[1]].distortion_coefs, -1).size == 5
+
+
+def test_het_dress_rehearsal_image_e2e(tmp_path):
+    """Full-pipeline dress rehearsal on RENDERED IMAGES: a mixed rig (one
+    Kannala-Brandt fisheye + two Brown cameras) renders a ChArUco capture
+    through its true lens models, then calibrate_cameras with a
+    per-camera model map recovers the generating rig."""
+    from pycamset_tpu.calibration.camera_calibrator import calibrate_cameras
+    from pycamset_tpu.models.camera import Camera
+    from pycamset_tpu.models.camera_set import CameraSet
+    from pycamset_tpu.models.charuco import ChArUco
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+    from pycamset_tpu.utils.render import render_target_views
+
+    res = (800, 600)
+    target = ChArUco(10, 10, 25)
+    cams = {}
+    specs = [
+        # (model, f, dist, yaw, x-offset)
+        ("fisheye", 420.0, np.array([-0.03, 0.01, -2e-3, 4e-4]), 0.0, 0.0),
+        ("standard", 700.0, np.array([-0.12, 0.02, 4e-4, -3e-4, 0.0]),
+         -0.25, -0.12),
+        ("standard", 730.0, np.array([-0.10, 0.015, -3e-4, 2e-4, 0.0]),
+         0.25, 0.12),
+    ]
+    for i, (model, f, dist, yaw, xoff) in enumerate(specs):
+        k = np.array([[f, 0, res[0] / 2 + 2.0],
+                      [0, f * 0.995, res[1] / 2 - 3.0], [0, 0, 1.0]])
+        ext = make_4x4h_tform(np.array([0.0, yaw, 0.0]),
+                              np.array([xoff, 0.0, 0.40]))
+        cams[f"cam{i}"] = Camera(extrinsic=ext, intrinsic=k, res=list(res),
+                                 distortion_coefs=dist, name=f"cam{i}")
+    truth = CameraSet(camera_dict=cams)
+
+    rng = np.random.default_rng(3)
+    poses = []
+    for _ in range(10):
+        rvec = rng.normal(size=3) * 0.25
+        tvec = (np.array([-0.115, -0.09, 0.0])
+                + rng.normal(size=3) * [0.04, 0.04, 0.05])
+        poses.append(np.concatenate([rvec, tvec]))
+    render_target_views(truth, target, poses, out_dir=tmp_path)
+
+    model_map = {"cam0": "fisheye", "cam1": "standard", "cam2": "standard"}
+    solved = calibrate_cameras(
+        f_loc=tmp_path, calibration_target=target, save=False,
+        problem_options={"outliers": "n", "camera_model": model_map})
+    res_fun = np.asarray(solved.calibration_result).reshape(-1, 2)
+    rms = np.sqrt(np.mean(res_fun ** 2))
+    assert rms < 0.5, rms  # rendered corners are calibration-grade
+
+    for name, model in model_map.items():
+        got, want = solved[name], truth[name]
+        # family-correct width survives the pipeline
+        assert (np.reshape(got.distortion_coefs, -1).size
+                == (4 if model == "fisheye" else 5)), name
+        # focal lengths within 0.5%; principal point within 2 px
+        np.testing.assert_allclose(
+            np.diag(got.intrinsic)[:2], np.diag(want.intrinsic)[:2],
+            rtol=5e-3)
+        np.testing.assert_allclose(got.intrinsic[:2, 2],
+                                   want.intrinsic[:2, 2], atol=2.0)
+    # relative pose of cam1 w.r.t. cam0 (the world gauge may differ)
+    rel_got = (solved["cam1"].extrinsic
+               @ np.linalg.inv(solved["cam0"].extrinsic))
+    rel_want = (truth["cam1"].extrinsic
+                @ np.linalg.inv(truth["cam0"].extrinsic))
+    np.testing.assert_allclose(rel_got[:3, 3], rel_want[:3, 3], atol=2e-3)

@@ -1235,3 +1235,25 @@ def test_doctor_full_pass_on_chip():
     assert report["checks"]["devices"]["status"] == "ok"   # real TPU listed
     assert report["checks"]["device"]["status"] in ("ok", "warn")
     assert "tpu" in report["checks"]["device"]["detail"]
+
+
+def test_het_rig_solve_on_chip():
+    """A HETEROGENEOUS rig (fisheye + Brown in one bundle adjustment,
+    the selector-extended ProjectionHet chain) compiles and converges in
+    f32 on the real chip, and extraction keeps family-correct widths."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_het_rig import _make_het_handler
+
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    handler, rig, names = _make_het_handler(
+        models=("fisheye", "standard", "fisheye"), noise=0.2, seed=13,
+        n_ims=8, grid=6)
+    res, cams = run_bundle_adjustment(handler, backend="structured")
+    rms = float(np.sqrt(np.mean(res["fun"] ** 2)))
+    assert rms < 2.0 * rig["noise_px"], rms
+    assert np.reshape(cams[names[0]].distortion_coefs, -1).size == 4
+    assert np.reshape(cams[names[1]].distortion_coefs, -1).size == 5

@@ -889,8 +889,38 @@ def _psd_solve(amat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _normalized_inv(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Batched inverse of small SPD blocks with Jacobi normalization."""
+    """Batched inverse of small SPD blocks with Jacobi normalization.
+
+    2x2/3x3 blocks (the free-point / mixed key widths) invert by the
+    closed adjugate form on the VPU — the batched LU that jnp.linalg.inv
+    lowers to cost ~0.3 ms per mixed LM iteration at the bench shape
+    (benchmarks/mixed_solve_probe.py)."""
     d = jnp.sqrt(jnp.clip(jnp.diagonal(blocks, axis1=-2, axis2=-1), 1e-30, None))
     b_n = blocks / d[..., :, None] / d[..., None, :]
-    inv_n = jnp.linalg.inv(b_n)
+    n = blocks.shape[-1]
+    if n == 1:
+        inv_n = 1.0 / b_n
+    elif n == 2:
+        a00, a01 = b_n[..., 0, 0], b_n[..., 0, 1]
+        a10, a11 = b_n[..., 1, 0], b_n[..., 1, 1]
+        det = a00 * a11 - a01 * a10
+        inv_n = jnp.stack([
+            jnp.stack([a11, -a01], -1),
+            jnp.stack([-a10, a00], -1)], -2) / det[..., None, None]
+    elif n == 3:
+        a00, a01, a02 = b_n[..., 0, 0], b_n[..., 0, 1], b_n[..., 0, 2]
+        a11, a12, a22 = b_n[..., 1, 1], b_n[..., 1, 2], b_n[..., 2, 2]
+        c00 = a11 * a22 - a12 * a12
+        c01 = a02 * a12 - a01 * a22
+        c02 = a01 * a12 - a02 * a11
+        c11 = a00 * a22 - a02 * a02
+        c12 = a01 * a02 - a00 * a12
+        c22 = a00 * a11 - a01 * a01
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv_n = jnp.stack([
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1)], -2) / det[..., None, None]
+    else:
+        inv_n = jnp.linalg.inv(b_n)
     return inv_n / d[..., :, None] / d[..., None, :]

@@ -280,6 +280,19 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b = widths.a, widths.b
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
+
+    def _contig(cols):
+        return (len(cols) > 0
+                and tuple(cols) == tuple(range(cols[0],
+                                               cols[0] + len(cols))))
+
+    # contiguous c-axis layouts (every shipped chain) pack/split with
+    # static slices and ONE concatenate — advanced array indexing lowers
+    # to gather/scatter, which costs real time on the TPU hot path
+    contig = (_contig(widths.key_cols) and _contig(widths.grp_cols)
+              and sorted(widths.key_cols + widths.grp_cols)
+              == list(range(widths.c)))
+    grp_first = contig and widths.grp_cols[0] == 0
     fused = resolve_mixed_grams_fused(op_fun, widths, n_cams, n_ims,
                                       loss=loss, f_scale=f_scale,
                                       loss_semantics=loss_semantics)
@@ -290,9 +303,21 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
     onehot_np = np.zeros((gok.size, n_groups), dtype=np.float32)
     onehot_np[np.arange(gok.size), gok] = 1.0
 
+    if contig:
+        sl_k = slice(widths.key_cols[0], widths.key_cols[0] + widths.ck)
+        sl_g = slice(widths.grp_cols[0], widths.grp_cols[0] + widths.cg)
+
     def scatter_c_axis(pieces, colmask, oh, dtype):
-        # c-axis = [chain-ordered grp | key columns]: scatter the two
-        # pieces into their chain positions
+        # c-axis = [chain-ordered grp | key columns]: pack the two pieces
+        # into their chain positions
+        if contig:
+            def pack(key_part, grp_part):
+                parts = ([grp_part, key_part] if grp_first
+                         else [key_part, grp_part])
+                return jnp.concatenate(
+                    [jnp.asarray(p, dtype) for p in parts], axis=1)
+            return (pack(pieces.key, oh @ jnp.asarray(pieces.grp, dtype)),
+                    pack(colmask.key, oh @ jnp.asarray(colmask.grp, dtype)))
         k_pad = pieces.key.shape[0]
         keyp = jnp.zeros((k_pad, widths.c), dtype)
         keyp = keyp.at[:, kk].set(pieces.key)
@@ -304,16 +329,29 @@ def make_mixed_structured_neq(op_fun: OptimFunction, widths: MixedWidths,
 
     def split_c_axis(oh, hcc, hii, hkk_f, wci, wck_f, wik_f, gc, gi, gk_f,
                      cost):
-        # split the c-axis into per-key and (one-hot-reduced) per-group
-        hkk = hkk_f[:, kk][:, :, kk]
-        wkg = hkk_f[:, kk][:, :, gg_]
-        hgg = jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, gg_][:, :, gg_])
-        wck = wck_f[:, :, :, kk]
-        wcg = jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, gg_])
-        wik = wik_f[:, :, :, kk]
-        wig = jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_])
-        gk = gk_f[:, kk]
-        gg = jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_])
+        # split the c-axis into per-key and (one-hot-reduced) per-group;
+        # contiguous layouts slice statically (gathers cost real time on
+        # the TPU hot path)
+        if contig:
+            hkk = hkk_f[:, sl_k, sl_k]
+            wkg = hkk_f[:, sl_k, sl_g]
+            hgg = jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, sl_g, sl_g])
+            wck = wck_f[:, :, :, sl_k]
+            wcg = jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, sl_g])
+            wik = wik_f[:, :, :, sl_k]
+            wig = jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, sl_g])
+            gk = gk_f[:, sl_k]
+            gg = jnp.einsum("kg,kp->gp", oh, gk_f[:, sl_g])
+        else:
+            hkk = hkk_f[:, kk][:, :, kk]
+            wkg = hkk_f[:, kk][:, :, gg_]
+            hgg = jnp.einsum("kg,kpq->gpq", oh, hkk_f[:, gg_][:, :, gg_])
+            wck = wck_f[:, :, :, kk]
+            wcg = jnp.einsum("kg,ckap->cgap", oh, wck_f[:, :, :, gg_])
+            wik = wik_f[:, :, :, kk]
+            wig = jnp.einsum("kg,ikbp->igbp", oh, wik_f[:, :, :, gg_])
+            gk = gk_f[:, kk]
+            gg = jnp.einsum("kg,kp->gp", oh, gk_f[:, gg_])
         return MixedNormalEq(hcc, hii, hkk, hgg, wci, wck, wik, wcg, wig,
                              wkg, gc, gi, gk, gg, cost)
 

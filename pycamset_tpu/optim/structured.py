@@ -888,13 +888,33 @@ def _psd_solve(amat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return sol / d
 
 
+def _sym3_inv(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed adjugate inverse of batched SYMMETRIC 3x3 blocks (VPU)."""
+    a00, a01, a02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    a11, a12, a22 = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    return jnp.stack([
+        jnp.stack([c00, c01, c02], -1),
+        jnp.stack([c01, c11, c12], -1),
+        jnp.stack([c02, c12, c22], -1)], -2) / det[..., None, None]
+
+
 def _normalized_inv(blocks: jnp.ndarray) -> jnp.ndarray:
     """Batched inverse of small SPD blocks with Jacobi normalization.
 
-    2x2/3x3 blocks (the free-point / mixed key widths) invert by the
-    closed adjugate form on the VPU — the batched LU that jnp.linalg.inv
+    1x1/2x2/3x3 blocks (the free-point / mixed key widths) invert by the
+    closed adjugate form, and 6x6 blocks (pose/extrinsic widths — the
+    batched pose elimination, fleet rigs, grouped chains) by 2x2-of-3x3
+    block inversion built on it: the batched LU that jnp.linalg.inv
     lowers to cost ~0.3 ms per mixed LM iteration at the bench shape
-    (benchmarks/mixed_solve_probe.py)."""
+    (benchmarks/mixed_solve_probe.py), and dominated the fleet's
+    per-iteration reduced solve."""
     d = jnp.sqrt(jnp.clip(jnp.diagonal(blocks, axis1=-2, axis2=-1), 1e-30, None))
     b_n = blocks / d[..., :, None] / d[..., None, :]
     n = blocks.shape[-1]
@@ -908,19 +928,29 @@ def _normalized_inv(blocks: jnp.ndarray) -> jnp.ndarray:
             jnp.stack([a11, -a01], -1),
             jnp.stack([-a10, a00], -1)], -2) / det[..., None, None]
     elif n == 3:
-        a00, a01, a02 = b_n[..., 0, 0], b_n[..., 0, 1], b_n[..., 0, 2]
-        a11, a12, a22 = b_n[..., 1, 1], b_n[..., 1, 2], b_n[..., 2, 2]
-        c00 = a11 * a22 - a12 * a12
-        c01 = a02 * a12 - a01 * a22
-        c02 = a01 * a12 - a02 * a11
-        c11 = a00 * a22 - a02 * a02
-        c12 = a01 * a02 - a00 * a12
-        c22 = a00 * a11 - a01 * a01
-        det = a00 * c00 + a01 * c01 + a02 * c02
-        inv_n = jnp.stack([
-            jnp.stack([c00, c01, c02], -1),
-            jnp.stack([c01, c11, c12], -1),
-            jnp.stack([c02, c12, c22], -1)], -2) / det[..., None, None]
+        inv_n = _sym3_inv(b_n)
+    elif n == 6:
+        # SPD block inversion: M = [[A B],[B^T D]], S = D - B^T A^-1 B,
+        # M^-1 = [[A^-1 + E S^-1 E^T, -E S^-1], [-S^-1 E^T, S^-1]] with
+        # E = A^-1 B — two closed 3x3 inverses + four 3x3 matmuls, all
+        # batched elementwise on the VPU
+        a_ = b_n[..., :3, :3]
+        b_ = b_n[..., :3, 3:]
+        d_ = b_n[..., 3:, 3:]
+        ainv = _sym3_inv(a_)
+        e = ainv @ b_
+        s = d_ - jnp.swapaxes(b_, -1, -2) @ e
+        sinv = _sym3_inv(s)
+        es = e @ sinv
+        tl = ainv + es @ jnp.swapaxes(e, -1, -2)
+        inv_n = jnp.concatenate([
+            jnp.concatenate([tl, -es], axis=-1),
+            jnp.concatenate([-jnp.swapaxes(es, -1, -2), sinv], axis=-1),
+        ], axis=-2)
+        # one Newton-Schulz step squares the residual of the nested form
+        # (two batched 6x6 matmuls — still far cheaper than batched LU)
+        eye6 = jnp.eye(6, dtype=b_n.dtype)
+        inv_n = inv_n @ (2.0 * eye6 - b_n @ inv_n)
     else:
         inv_n = jnp.linalg.inv(b_n)
     return inv_n / d[..., :, None] / d[..., None, :]

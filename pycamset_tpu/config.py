@@ -35,7 +35,12 @@ if not os.environ.get("PYCAMSET_NO_COMPILE_CACHE"):
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: on a remote-compiler backend (axon tunnel)
+        # even a convert_element_type costs ~0.5 s to compile, and a
+        # problem build dispatches ~15 such eager ops — 8 s of re-compiles
+        # per process under the default 1 s threshold (r5 cold-start
+        # profile); the tiny cache entries are cheap
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimisation, never a requirement
         pass
 

@@ -80,6 +80,15 @@ def _add_calibrate(sub):
                    help="with --camera-model auto: the candidate models to "
                         "cross-validate (default: the Brown family; add "
                         "'fisheye' explicitly for wide lenses)")
+    p.add_argument("--rolling-shutter", nargs="?", type=float,
+                   const=1.0, default=None, metavar="REF_READOUT",
+                   help="rolling-shutter-aware calibration: per-image "
+                        "[pose|velocity] motion + per-camera readout "
+                        "estimation; the value pins the REFERENCE "
+                        "camera's readout (frame units; other readouts "
+                        "are relative to it — pass the true value, e.g. "
+                        "from 'sync', for absolute units; default 1.0). "
+                        "Needs a MOVING target capture")
     p.add_argument("--f-scale", type=float, default=1.0)
     p.add_argument("--max-nfev", type=int, default=100)
     p.add_argument("--backend",
@@ -1146,6 +1155,8 @@ def cmd_calibrate(args) -> int:
         opts["shared_intrinsics"] = args.lens_groups
     elif args.shared_intrinsics:
         opts["shared_intrinsics"] = True
+    if args.rolling_shutter is not None:
+        opts["rolling_shutter"] = args.rolling_shutter
 
     target = _make_target(args)
 
@@ -1172,6 +1183,12 @@ def cmd_calibrate(args) -> int:
         np.reshape(cams.calibration_result, (-1, 2)), axis=1))
     print(f"calibrated {cams.get_n_cams()} cameras; "
           f"mean reprojection error {err:.3f} px")
+    handler = cams.calibration_handler
+    if hasattr(handler, "get_readouts") and cams.calibration_params is not None:
+        ro = handler.get_readouts(cams.calibration_params)
+        print("rolling-shutter readouts (frame units, relative to the "
+              "reference camera's pin): "
+              + ", ".join(f"{k}={v:.3f}" for k, v in ro.items()))
     return 0
 
 

@@ -342,7 +342,11 @@ def run_stereo_calibration(
     """The full multiview calibration: a target-pose bundle adjustment."""
     logging.info("Starting the joint multiview bundle adjustment")
     if param_handler is None:
-        param_handler = TemplateBundleHandler(camset=cams,
+        handler_cls = TemplateBundleHandler
+        if (problem_options or {}).get("rolling_shutter"):
+            from pycamset_tpu.optim.handlers import RSTemplateBundleHandler
+            handler_cls = RSTemplateBundleHandler
+        param_handler = handler_cls(camset=cams,
             detection=detections, target=target,
             fixed_params=fixed_params, options=problem_options)
 

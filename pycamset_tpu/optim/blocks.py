@@ -62,6 +62,10 @@ class FunctionBlock:
     num_out: int = 0
     params: ParamSpec
     template: bool = False  # reads its input from the target template table
+    # per-detection auxiliary channels consumed (e.g. the normalized image
+    # row of a rolling-shutter chain); compute() then takes (params, inp,
+    # aux)
+    aux_inputs: int = 0
 
     def compute(self, params: jnp.ndarray, inp: jnp.ndarray | None) -> jnp.ndarray:
         """Pure JAX evaluation of the block (per detection)."""
@@ -210,6 +214,42 @@ class FreePoint(FunctionBlock):
 
     def compute(self, params, inp):
         return params
+
+
+class RSTemplateTime(FunctionBlock):
+    """Rolling-shutter template source: emits the template point PLUS the
+    detection's sample-time offset ``tau = readout * (v/H - 1/2)``.
+
+    1 PER_CAM parameter (the readout duration, in frame units relative to
+    the reference camera's — see handlers.py RS notes on the exact
+    readout*velocity scale gauge); the normalized-row aux channel
+    ``v/H - 1/2`` is precomputed per detection on the host and rides an
+    extra observation-table column. The time flows to RSPoseVel through
+    the point pipe (output width 4 = [pt, tau])."""
+    num_inp = 0
+    num_out = 4
+    template = True
+    aux_inputs = 1
+    params = ParamSpec(key_type.PER_CAM, 1)
+
+    def compute(self, params, inp, aux=None):
+        tau = params[0] * (aux[0] if aux is not None
+                           else jnp.zeros((), params.dtype))
+        return jnp.concatenate([inp, tau[None]])
+
+
+class RSPoseVel(FunctionBlock):
+    """Rolling-shutter target motion: 12 PER_IMG params [pose6 | vel6];
+    consumes [pt (3), tau (1)] and applies the pose sampled at tau
+    (``pose + vel * tau`` — the constant-velocity within-frame model the
+    tracker and temporal sync use; tracking.py rolling_shutter=)."""
+    num_inp = 4
+    num_out = 3
+    params = ParamSpec(key_type.PER_IMG, 12)
+
+    def compute(self, params, inp):
+        pose = params[:6] + params[6:] * inp[3]
+        return pose_apply(pose, inp[:3])
 
 
 class GroupRigidTform3d(RigidTform3d):

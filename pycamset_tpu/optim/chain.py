@@ -84,6 +84,11 @@ class OptimFunction:
                              for a, b in zip(offs[:-1], offs[1:])]
         self.local_len = int(offs[-1])
         self.templated = any(b.template for b in self.blocks)
+        # per-detection auxiliary input channels (e.g. the normalized
+        # image row of a rolling-shutter chain); they ride extra columns
+        # of the observation table
+        self.aux_width = max(
+            (getattr(b, "aux_inputs", 0) for b in self.blocks), default=0)
 
     def __add__(self, other):
         if isinstance(other, FunctionBlock):
@@ -100,25 +105,65 @@ class OptimFunction:
     def make_point_fn(self):
         """The fused per-detection prediction function.
 
-        :return: fn(local_params (L,), template_pt (3,)) -> (num_out,) —
-            typically the predicted pixel (2,).
+        :return: fn(local_params (L,), template_pt (3,)[, aux (A,)]) ->
+            (num_out,) — typically the predicted pixel (2,). The ``aux``
+            argument exists only when the chain has aux-consuming blocks
+            (``aux_width > 0``; e.g. the rolling-shutter row channel).
         """
         blocks = self.blocks
         slices = [self.local_slices[gi] for gi in self.block_group]
 
-        def point_fn(local_params, template_pt):
+        def eval_chain(local_params, template_pt, aux):
             inp = None
             for b, sl in zip(reversed(blocks), reversed(slices)):
                 p = local_params[sl]
-                if b.template:
-                    inp = b.compute(p, template_pt)
-                elif b.num_inp == 0:
-                    inp = b.compute(p, None)
+                src = (template_pt if b.template
+                       else (None if b.num_inp == 0 else inp))
+                if getattr(b, "aux_inputs", 0):
+                    inp = b.compute(p, src, aux)
                 else:
-                    inp = b.compute(p, inp)
+                    inp = b.compute(p, src)
             return inp
 
+        if self.aux_width:
+            def point_fn_aux(local_params, template_pt, aux):
+                return eval_chain(local_params, template_pt, aux)
+            return point_fn_aux
+
+        def point_fn(local_params, template_pt):
+            return eval_chain(local_params, template_pt, None)
+
         return point_fn
+
+    def make_local_assembler(self):
+        """fn(cam_p, im_p, key_p) -> chain-group-ordered local vector.
+
+        The structured backend carries parameters as per-link pieces
+        ([cam cols | im cols | key cols], each link's groups in chain
+        order); ``make_point_fn`` wants them in CHAIN-GROUP order. For
+        chains whose groups are already cam*, im*, key*-ordered this is
+        a plain concatenation; out-of-order chains (e.g. rolling shutter,
+        whose per-camera readout group follows the per-image pose group)
+        get the permuting assembly.
+        """
+        import jax.numpy as jnp
+
+        plan = []
+        cursor = {}
+        for g in self.groups:
+            link = (key_type.PER_KEY if g.link == key_type.PER_GROUP
+                    else g.link)
+            s = cursor.get(link, 0)
+            plan.append((link, s, g.n))
+            cursor[link] = s + g.n
+
+        def assemble(cam_p, im_p, key_p):
+            src = {key_type.PER_CAM: cam_p, key_type.PER_IMG: im_p,
+                   key_type.PER_KEY: key_p}
+            return jnp.concatenate(
+                [src[link][s:s + n] for link, s, n in plan])
+
+        return assemble
 
     def param_struct(self, n_cams: int, n_ims: int, n_keys: int,
                      n_groups: int = 0) -> ParamStruct:

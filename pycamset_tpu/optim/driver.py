@@ -49,6 +49,10 @@ def build_solver(param_handler: TemplateBundleHandler, dtype=None,
     """
     dtype = dtype or default_device_dtype()
     op_fun = param_handler.op_fun
+    if getattr(op_fun, "aux_width", 0):
+        raise ValueError(
+            "chains with per-detection aux inputs (rolling shutter) run on "
+            "the structured backend; use backend='structured' or 'auto'")
 
     x0 = np.asarray(param_handler.get_initial_params(), dtype=np.float64)
     # build_problem must run after get_initial_params: missing poses are only
@@ -130,6 +134,11 @@ def make_optimisation_function(param_handler: TemplateBundleHandler,
     scipy.optimize.least_squares.
     """
     from scipy.sparse import csr_array
+
+    if getattr(param_handler.op_fun, "aux_width", 0):
+        raise ValueError(
+            "chains with per-detection aux inputs (rolling shutter) run on "
+            "the structured backend; use backend='structured' or 'auto'")
 
     from pycamset_tpu.optim.residuals import make_local_jac_fn
 

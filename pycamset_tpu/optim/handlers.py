@@ -560,7 +560,9 @@ class TemplateBundleHandler:
                 if np.any(np.isnan(pose)):
                     pose = np.eye(4)
                 rvec, tvec = gu.ext_4x4_to_rod(pose)
-                prim.poses[idp] = np.concatenate([rvec, tvec])
+                # slice-assign: RS primitives carry 12-wide [pose | vel]
+                # rows whose velocity half keeps its seed
+                prim.poses[idp, :6] = np.concatenate([rvec, tvec])
 
         params = prim.base_full()[prim.unfixed_full()]
         return self.add_extra_params(params)
@@ -648,6 +650,162 @@ class TemplateBundleHandler:
     def special_plots(self, params):
         """Hook for target-specific diagnostic plots."""
         return
+
+
+class RSBundlePrimitive(TemplateBundlePrimitive):
+    """Template primitive for ROLLING-SHUTTER rigs: 12-wide per-image
+    rows [pose6 | velocity6] plus a per-camera readout parameter.
+
+    Full-vector layout follows the RS chain's group order
+    (Projection, Extrinsic3D, RSPoseVel, RSTemplateTime):
+    [intr | extr | posevel 12/im | readout 1/cam]."""
+
+    def __init__(self, poses, extr, intr, readout, poses_unfixed=None,
+                 extr_unfixed=None, intr_unfixed=None,
+                 readout_unfixed=None, intr_colmask=None,
+                 pose_colmask=None):
+        self.readout = readout                      # (C, 1)
+        self.readout_unfixed = (
+            readout_unfixed if readout_unfixed is not None
+            else np.ones(readout.shape[0], dtype=bool))
+        # per-COLUMN pose mask: the gauge image pins only its 6 POSE
+        # columns — its within-frame velocity is a physical quantity
+        self.pose_colmask = (np.asarray(pose_colmask, dtype=bool)
+                             if pose_colmask is not None
+                             else np.ones(poses.shape, dtype=bool))
+        super().__init__(poses, extr, intr, poses_unfixed, extr_unfixed,
+                         intr_unfixed, intr_colmask=intr_colmask)
+
+    def base_full(self) -> np.ndarray:
+        return np.concatenate(
+            [self.intr.ravel(), self.extr.ravel(), self.poses.ravel(),
+             self.readout.ravel()])
+
+    def unfixed_full(self) -> np.ndarray:
+        return np.concatenate([
+            self._intr_unfixed_flat(),
+            np.repeat(self.extr_unfixed, 6),
+            np.repeat(self.poses_unfixed, 12) & self.pose_colmask.ravel(),
+            self.readout_unfixed])
+
+    def return_bundle_primitives(self, params):
+        full = self.base_full()
+        full[self.unfixed_full()] = params
+        n_c = self.intr.shape[0]
+        n_p = self.poses.shape[0]
+        ie, ee = self._ends()
+        pe = ee + 12 * n_p
+        self.intr[:] = full[:ie].reshape(n_c, self.intr_width)
+        self.extr[:] = full[ie:ee].reshape(n_c, 6)
+        self.poses[:] = full[ee:pe].reshape(n_p, 12)
+        self.readout[:] = full[pe:].reshape(n_c, 1)
+        return self.intr, self.extr, self.poses, self.readout
+
+
+class RSTemplateBundleHandler(TemplateBundleHandler):
+    """Rolling-shutter-aware template calibration: the standard target-pose
+    BA with a constant-velocity within-frame motion model. Each image gets
+    12 parameters [pose | velocity]; each camera gets a readout-duration
+    parameter; a detection on row v reprojects through the pose sampled
+    at ``tau = readout * (v/H - 1/2)`` (the convention the tracker and
+    temporal sync share — tracking.py rolling_shutter=,
+    calibration/sync.py).
+
+    SCALE GAUGE: within one capture, only the products
+    ``readout_c * velocity_i`` are observable (nothing anchors the
+    within-frame clock), so the REFERENCE CAMERA's readout is pinned to
+    the value of ``options={"rolling_shutter": <ref readout>}`` (True
+    pins 1.0 — other readouts then come out RELATIVE to camera
+    ``ref_cam``'s; pass the true readout, e.g. from
+    ``calibrate_time_offsets(estimate_rolling_shutter=True)``, for
+    absolute units). Needs a moving target: static captures leave the
+    velocity/readout block unobservable (damping holds them at the seed).
+
+    Runs on the structured backend (the generic/scipy backends reject
+    aux-input chains). The reference has no rolling-shutter support of
+    any kind."""
+
+    def __init__(self, camset, target, detection, fixed_params=None,
+                 options=None, missing_poses=None):
+        from pycamset_tpu.optim.blocks import RSPoseVel, RSTemplateTime
+        super().__init__(camset, target, detection, fixed_params, options,
+                         missing_poses)
+        rs_opt = self.problem_opts.get("rolling_shutter", True)
+        self.ref_readout = 1.0 if rs_opt is True else float(rs_opt)
+        sup = self.bundlePrimitive
+        n_cams = sup.intr.shape[0]
+        n_poses = sup.poses.shape[0]
+        poses12 = np.zeros((n_poses, 12))
+        poses12[:, :6] = sup.poses
+        readout = np.full((n_cams, 1), self.ref_readout)
+        readout_unfixed = np.ones(n_cams, dtype=bool)
+        readout_unfixed[int(self.problem_opts.get("ref_cam", 0))] = False
+        # the gauge image pins only its POSE columns; its velocity is free
+        poses_unfixed = sup.poses_unfixed.copy()
+        pose_colmask = np.ones((n_poses, 12), dtype=bool)
+        if self.problem_opts.get("fixed_pose") is not None:
+            fp = int(self.problem_opts["fixed_pose"])
+            poses_unfixed[fp] = True
+            pose_colmask[fp, :6] = False
+        self.bundlePrimitive = RSBundlePrimitive(
+            poses12, sup.extr, sup.intr, readout,
+            poses_unfixed=poses_unfixed, extr_unfixed=sup.extr_unfixed,
+            intr_unfixed=sup.intr_unfixed,
+            readout_unfixed=readout_unfixed,
+            intr_colmask=sup.intr_colmask, pose_colmask=pose_colmask)
+        # per-camera image heights for the normalized-row aux channel
+        self._heights = np.array(
+            [float(np.asarray(camset[n].res).reshape(-1)[1])
+             for n in self.cam_names])
+        self.op_fun = OptimFunction(
+            [self._proj_block(), Extrinsic3D(), RSPoseVel(),
+             RSTemplateTime()])
+
+    def aux_table(self, dd: np.ndarray) -> np.ndarray:
+        """(N, 1) normalized-row channel v/H - 1/2 for the RS chain."""
+        cam = dd[:, 0].astype(int)
+        v = dd[:, -1]
+        return (v / self._heights[cam] - 0.5)[:, None]
+
+    def get_bundle_adjustment_inputs(self, x, make_points: bool = False):
+        proj, extr, poses12, _readout = (
+            self.bundlePrimitive.return_bundle_primitives(x))
+        if make_points:
+            im_points = np.empty((len(poses12), *self.point_data.shape))
+            for idx, pose in enumerate(poses12):
+                t = gu.make_4x4h_tform(pose[:3], pose[3:6])
+                im_points[idx] = gu.h_tform(
+                    self.point_data.reshape(-1, 3),
+                    t).reshape(self.point_data.shape)
+            return np.reshape(im_points, (len(poses12), -1, 3))
+        return proj, extr, poses12
+
+    def get_camset(self, x, return_pose: bool = False):
+        new_cams = _clone_camset(self.camset)
+        proj, extr, poses12, _ro = (
+            self.bundlePrimitive.return_bundle_primitives(x))
+        _write_cams(new_cams, self.cam_names, proj, extr,
+                    camera_models=self.camera_models, het=self.is_het)
+        if not return_pose:
+            return new_cams
+        ps = np.array([gu.make_4x4h_tform(p[:3], p[3:6])[:3, :4].reshape(-1)
+                       for p in poses12])
+        return new_cams, ps
+
+    def get_readouts(self, x) -> dict:
+        """Per-camera readout estimates (frame units RELATIVE to the
+        pinned reference readout — see the class docstring)."""
+        _p, _e, _ps, readout = (
+            self.bundlePrimitive.return_bundle_primitives(x))
+        return {str(n): float(r) for n, r in
+                zip(self.cam_names, readout.ravel())}
+
+    def get_velocities(self, x) -> np.ndarray:
+        """(I, 6) within-frame target velocities (per reference-readout
+        frame units)."""
+        _p, _e, poses12, _r = (
+            self.bundlePrimitive.return_bundle_primitives(x))
+        return poses12[:, 6:].copy()
 
 
 def _clone_camset(camset: CameraSet) -> CameraSet:

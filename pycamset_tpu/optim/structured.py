@@ -99,14 +99,11 @@ def chain_widths(op_fun: OptimFunction) -> GroupWidths:
             and any(g.link == key_type.PER_KEY for g in op_fun.groups)):
         raise UnsupportedChain(
             "chains mixing PER_KEY and PER_GROUP use the generic path")
-    # the structured path assumes cam groups come first, then img, then
-    # key/group — true for all shipped chains (the local slice must split
-    # contiguously)
-    order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY,
-             key_type.PER_GROUP]
-    if seen != sorted(seen, key=order.index):
-        raise UnsupportedChain(
-            "chain group order not cam*,im*,key* — use generic path")
+    # group order may be arbitrary (e.g. the rolling-shutter chain's
+    # per-camera readout group follows the per-image pose group): the
+    # gram builders assemble the chain-ordered local vector from the
+    # per-link pieces through op_fun.make_local_assembler()
+    del seen
     return GroupWidths(a, b, c, key_link)
 
 
@@ -125,17 +122,26 @@ class BlockArrays:
 
 
 def build_block_arrays(dd: np.ndarray, n_cams: int, n_ims: int,
-                       n_keys: int, k_pad_multiple: int = 128) -> BlockArrays:
-    """Pack a flat detection table [cam, im, key, u, v] onto the block grid."""
+                       n_keys: int, k_pad_multiple: int = 128,
+                       aux: np.ndarray | None = None) -> BlockArrays:
+    """Pack a flat detection table [cam, im, key, u, v] onto the block grid.
+
+    :param aux: optional (N, A) per-detection auxiliary channels (e.g. the
+        rolling-shutter normalized row) — stored as extra trailing columns
+        of the uv tensor ((B, K, 2+A)); the gram builders split them off.
+    """
     k_pad = _round_up(max(n_keys, 1), k_pad_multiple)
     b = n_cams * n_ims
-    uv = np.zeros((b, k_pad, 2))
+    width = 2 + (aux.shape[1] if aux is not None else 0)
+    uv = np.zeros((b, k_pad, width))
     mask = np.zeros((b, k_pad))
     cam = dd[:, 0].astype(int)
     im = dd[:, 1].astype(int)
     key = dd[:, 2].astype(int)
     blk = cam * n_ims + im
-    uv[blk, key] = dd[:, 3:5]
+    uv[blk, key, :2] = dd[:, 3:5]
+    if aux is not None:
+        uv[blk, key, 2:] = aux
     mask[blk, key] = 1.0
     return BlockArrays(uv=uv, mask=mask, n_cams=n_cams, n_ims=n_ims,
                        n_keys=n_keys, n_real=dd.shape[0])
@@ -299,6 +305,8 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
         gk (K,c), cost.
     """
     point_fn = op_fun.make_point_fn()
+    assemble = op_fun.make_local_assembler()
+    aux_w = op_fun.aux_width
     from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
     from pycamset_tpu.optim.losses import check_loss_semantics, make_loss
     check_loss_semantics(loss_semantics)
@@ -315,7 +323,11 @@ def make_block_grams(op_fun: OptimFunction, widths: GroupWidths,
             r, jc, ji, jk = per_block(cam_b, im_b, keyp, tpl, uv)
         else:
             def slot_fn(cam_p, im_p, key_p, t, u):
-                local = jnp.concatenate([cam_p, im_p, key_p])
+                # u carries [measurement (2) | aux channels] for chains
+                # with per-detection aux inputs (rolling shutter)
+                local = assemble(cam_p, im_p, key_p)
+                if aux_w:
+                    return point_fn(local, t, u[2:]) - u[:2]
                 return point_fn(local, t) - u
 
             def slot_rj(cam_p, im_p, key_p, t, u):

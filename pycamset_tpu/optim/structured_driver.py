@@ -98,8 +98,10 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
             param_handler, mesh, n_cams, n_ims_grid)
 
     dd = param_handler.get_detection_data(flatten=True)
+    # per-detection aux channels (rolling shutter: the normalized row)
+    aux = getattr(param_handler, "aux_table", lambda rows: None)(dd)
     blocks = build_block_arrays(dd, n_cams, n_ims_grid, n_keys,
-                                k_pad_multiple=k_pad_multiple)
+                                k_pad_multiple=k_pad_multiple, aux=aux)
     k_pad = blocks.uv.shape[1]
 
     # PER_GROUP-keyed chains (multi-target): the key axis carries one
@@ -194,6 +196,8 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
                                        reduced_solver=reduced_solver)
 
     point_fn = op_fun.make_point_fn()
+    assemble = op_fun.make_local_assembler()
+    aux_w = op_fun.aux_width
     # captured constants stay host-side (see colmask note above)
     blk_cam = np.repeat(np.arange(n_cams), n_ims_grid)
     blk_im = np.tile(np.arange(n_ims_grid), n_cams)
@@ -207,7 +211,10 @@ def build_structured_problem(param_handler, dtype, k_pad_multiple: int = 128,
         keyp = x_pieces.key[gok_d] if grouped else x_pieces.key
 
         def slot(cp, ip, kp, t, u):
-            return point_fn(jnp.concatenate([cp, ip, kp]), t) - u
+            local = assemble(cp, ip, kp)
+            if aux_w:
+                return point_fn(local, t, u[2:]) - u[:2]
+            return point_fn(local, t) - u
 
         per_key = jax.vmap(slot, in_axes=(None, None, 0, 0, 0))
         per_blk = jax.vmap(per_key, in_axes=(0, 0, None, None, 0))

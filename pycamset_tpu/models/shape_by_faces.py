@@ -104,25 +104,46 @@ class FaceToShape:
             point_data[i] = h_tform(points / scale_factor, tform) * scale_factor
         self.point_data = point_data.reshape(face_local_coords.shape)
 
-    def draw_meshes(self, face_corners, face_images, return_scene=False):
-        """Textured 3D visualisation of the solid (requires pyvista)."""
-        from pycamset_tpu.utils.optional import import_pyvista
-        pv = import_pyvista()
+    def face_mesh_geometry(self, face_corners):
+        """World-space textured-face geometry, computed in pure numpy.
+
+        The single geometry source for BOTH the pyvista scene
+        (draw_meshes) and headless consumers/tests: per face, the
+        transformed corner points, the flat pyvista-format face array,
+        and the texture-plane anchors (origin / point_u / point_v = the
+        corners texture_map_to_plane keys the UVs on).
+
+        :return: list of dicts {points (n,3), faces (n+1,), origin,
+            point_u, point_v}.
+        """
         face_corners = np.asarray(face_corners, dtype=float)
         flat_tform = self.face_transforms.reshape((-1, 4, 4))
         if face_corners.ndim == 2:
             face_corners = np.tile(face_corners[None, ...],
                                    [flat_tform.shape[0], 1, 1])
-        meshes = []
+        out = []
         for face_corner, face_transform in zip(face_corners, flat_tform):
             n = len(face_corner)
-            mesh = pv.PolyData(face_corner, faces=[n] + list(range(n)))
-            mesh.scale(1 / self.sf, inplace=True)
-            mesh.transform(face_transform, inplace=True)
-            mesh.scale(self.sf, inplace=True)
+            # identical to the __init__ point placement: scale down,
+            # rigid-transform, scale back (the scale trick)
+            pts = h_tform(face_corner / self.sf, face_transform) * self.sf
+            out.append({
+                "points": pts,
+                "faces": np.array([n, *range(n)]),
+                "origin": pts[0], "point_u": pts[1], "point_v": pts[3],
+            })
+        return out
+
+    def draw_meshes(self, face_corners, face_images, return_scene=False):
+        """Textured 3D visualisation of the solid (requires pyvista)."""
+        from pycamset_tpu.utils.optional import import_pyvista
+        pv = import_pyvista()
+        meshes = []
+        for g in self.face_mesh_geometry(face_corners):
+            mesh = pv.PolyData(g["points"], faces=g["faces"].tolist())
             mesh.texture_map_to_plane(
-                origin=mesh.points[0], point_u=mesh.points[1],
-                point_v=mesh.points[3], inplace=True)
+                origin=g["origin"], point_u=g["point_u"],
+                point_v=g["point_v"], inplace=True)
             meshes.append(mesh)
         scene = pv.Plotter()
         for mesh, texture in zip(meshes, face_images):

@@ -263,10 +263,8 @@ def calibrate_hand_eye(camset, detection, base_T_gripper: np.ndarray,
     import jax.numpy as jnp
 
     from pycamset_tpu.config import default_device_dtype
-    from pycamset_tpu.ops.projection import intr9_from_k_dist, \
-        project_cam_points
+    from pycamset_tpu.ops.projection import pack_rig_intrinsics
     from pycamset_tpu.ops.transforms import pose_apply, pose_inv
-    from pycamset_tpu.optim.handlers import infer_shared_n_dist
     from pycamset_tpu.optim.lm import lm_solve
     from pycamset_tpu.optim.losses import make_loss
     from pycamset_tpu.tracking import TargetTracker
@@ -304,12 +302,13 @@ def calibrate_hand_eye(camset, detection, base_T_gripper: np.ndarray,
     dtype = default_device_dtype()
     names = camset.get_names()
     dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
-    n_dist = infer_shared_n_dist(dists)
     # jit-captured constants stay HOST numpy (CLAUDE.md invariant: captured
-    # device arrays force the tunnel's multi-minute first d2h at lowering)
-    intr_h = np.stack([
-        np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
-        for n, d in zip(names, dists)]).astype(dtype)
+    # device arrays force the tunnel's multi-minute first d2h at lowering);
+    # het rigs pack the selector layout (mixed fisheye+Brown refine like
+    # uniform rigs)
+    intr_rows, project_fn = pack_rig_intrinsics(
+        [camset[n].intrinsic for n in names], dists)
+    intr_h = intr_rows.astype(dtype)
     extr_h = np.stack([
         np.concatenate(ext_4x4_to_rod(camset[n].extrinsic))
         for n in names]).astype(dtype)
@@ -337,7 +336,7 @@ def calibrate_hand_eye(camset, detection, base_T_gripper: np.ndarray,
         pt_g = jnp.einsum("nij,nj->ni", m_n[:, :, :3], pt_m) + m_n[:, :, 3]
         pt_w = pose_apply(pose_inv(x6), pt_g)                    # inv(X)
         xc = jax.vmap(pose_apply)(extr_j[cam_idx], pt_w)
-        pred = jax.vmap(project_cam_points)(intr_j[cam_idx], xc)
+        pred = jax.vmap(project_fn)(intr_j[cam_idx], xc)
         return (pred - uv) * mask[:, None]
 
     def neq(xz, *args):

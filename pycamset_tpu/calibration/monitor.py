@@ -168,14 +168,26 @@ def rig_health(camset, detection, target, robust_fit: bool = True,
     return report
 
 
-def _model_of(camset) -> str:
-    """Infer the problem camera_model from the rig's distortion widths."""
+def _model_of(camset):
+    """Infer the problem camera_model from the rig's distortion widths.
+
+    Heterogeneous rigs (4-wide fisheye mixed with Brown) return a
+    per-camera model LIST — the handlers calibrate them on the het
+    chain, so mixed rigs monitor/recalibrate like uniform ones."""
     from pycamset_tpu.optim.handlers import infer_shared_n_dist
-    n_dist = infer_shared_n_dist(
-        [np.reshape(camset[n].distortion_coefs, -1)
-         for n in camset.get_names()])
-    return {4: "fisheye", 5: "standard", 8: "rational", 12: "thin_prism",
-            14: "tilted"}[n_dist]
+    of_width = {4: "fisheye", 5: "standard", 8: "rational",
+                12: "thin_prism", 14: "tilted"}
+    def brown_of(n):
+        return ("tilted" if n > 12 else "thin_prism" if n > 8
+                else "rational" if n > 5 else "standard")
+
+    dl = [np.reshape(camset[n].distortion_coefs, -1)
+          for n in camset.get_names()]
+    sizes = {d.size for d in dl}
+    if 4 in sizes and sizes != {4}:
+        return ["fisheye" if d.size == 4 else brown_of(d.size)
+                for d in dl]
+    return of_width[infer_shared_n_dist(dl)]
 
 
 def _recalibrate(camset, detection, target, refresh, free: str,

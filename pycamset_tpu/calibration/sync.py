@@ -224,10 +224,8 @@ def calibrate_time_offsets(camset, detection, target, *,
 
     from pycamset_tpu.config import default_device_dtype
     from pycamset_tpu.models.detections import TargetDetection
-    from pycamset_tpu.ops.projection import (intr9_from_k_dist,
-                                             project_cam_points)
+    from pycamset_tpu.ops.projection import pack_rig_intrinsics
     from pycamset_tpu.ops.transforms import pose_apply
-    from pycamset_tpu.optim.handlers import infer_shared_n_dist
     from pycamset_tpu.optim.lm import lm_solve
     from pycamset_tpu.optim.losses import make_loss
     from pycamset_tpu.smoothing import unwrap_rvecs
@@ -305,12 +303,13 @@ def calibrate_time_offsets(camset, detection, target, *,
 
     # -- step 3: joint device LM
     dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
-    n_dist = infer_shared_n_dist(dists)
     # jit-captured constants stay HOST numpy (CLAUDE.md invariant:
-    # captured device arrays force the tunnel's first d2h at lowering)
-    intr_h = np.stack([
-        np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
-        for n, d in zip(names, dists)]).astype(dtype)
+    # captured device arrays force the tunnel's first d2h at lowering);
+    # het rigs pack the selector layout (mixed fisheye+Brown sync like
+    # uniform rigs)
+    intr_rows, project_fn = pack_rig_intrinsics(
+        [camset[n].intrinsic for n in names], dists)
+    intr_h = intr_rows.astype(dtype)
     extr_h = np.stack([
         np.concatenate(ext_4x4_to_rod(camset[n].extrinsic))
         for n in names]).astype(dtype)
@@ -352,7 +351,7 @@ def calibrate_time_offsets(camset, detection, target, *,
             z_safe = jnp.where(jnp.abs(z) > 1e-6, z,
                                jnp.asarray(1e-6, z.dtype))
             xc = jnp.concatenate([xc[..., :2], z_safe[..., None]], -1)
-            return project_cam_points(intr_c, xc) - uv_k     # (K, 2)
+            return project_fn(intr_c, xc) - uv_k              # (K, 2)
 
         q0 = jnp.concatenate([xf, xf1, jnp.zeros(1, xf.dtype),
                               rs_c[None]])

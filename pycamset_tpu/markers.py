@@ -48,11 +48,9 @@ class MarkerTriangulator:
         import jax
         import jax.numpy as jnp
 
-        from pycamset_tpu.ops.projection import (intr9_from_k_dist,
-                                                 project_cam_points)
+        from pycamset_tpu.ops.projection import pack_rig_intrinsics
         from pycamset_tpu.ops.transforms import pose_apply
         from pycamset_tpu.ops.triangulation import triangulate_nviews
-        from pycamset_tpu.optim.handlers import infer_shared_n_dist
 
         self.camset = camset
         self.n_markers = int(n_markers)
@@ -60,12 +58,12 @@ class MarkerTriangulator:
         self.n_cams = len(names)
         self._dtype = default_device_dtype()
         dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
-        n_dist = infer_shared_n_dist(dists)
-        # jit-captured constants stay HOST numpy (CLAUDE.md invariant)
-        intr_h = np.stack([
-            np.asarray(intr9_from_k_dist(camset[n].intrinsic, d,
-                                         n_dist=n_dist))
-            for n, d in zip(names, dists)]).astype(self._dtype)
+        # jit-captured constants stay HOST numpy (CLAUDE.md invariant);
+        # het rigs pack the selector layout (mixed fisheye+Brown serve
+        # like uniform rigs)
+        intr_rows, project_fn = pack_rig_intrinsics(
+            [camset[n].intrinsic for n in names], dists)
+        intr_h = intr_rows.astype(self._dtype)
         extr_h = np.stack([
             np.concatenate(ext_4x4_to_rod(camset[n].extrinsic))
             for n in names]).astype(self._dtype)
@@ -92,7 +90,7 @@ class MarkerTriangulator:
                 z_safe = jnp.where(jnp.abs(z) > 1e-6, z,
                                    jnp.asarray(1e-6, z.dtype))
                 xc = jnp.concatenate([xc[..., :2], z_safe[..., None]], -1)
-                pred = jax.vmap(project_cam_points)(intr_j, xc)
+                pred = jax.vmap(project_fn)(intr_j, xc)
                 return (pred - uv) * mask[:, None]          # (C, 2)
 
             def gn_step(x, _):

@@ -89,6 +89,49 @@ def project_cam_points_het(intr_het: jnp.ndarray, xc: jnp.ndarray,
     return jnp.stack([u, v], axis=-1)
 
 
+def pack_rig_intrinsics(kmats, dist_list):
+    """Packed per-camera intrinsic rows + the matching projection fn.
+
+    The shared contract of every serving-side solver (tracker, marker
+    cloud, hand-eye refinement, temporal sync): one (C, w) host-numpy
+    intrinsic table indexed per detection, projected by one static
+    function. Homogeneous rigs keep the [fx,px,fy,py,dist...] layout and
+    ``project_cam_points``; HETEROGENEOUS rigs (4-wide fisheye mixed
+    with Brown) pack the selector layout ``[sel | fx px fy py | dist]``
+    and project through ``project_cam_points_het`` — mixed rigs serve
+    exactly like uniform ones.
+
+    :param kmats: per-camera (3,3) intrinsic matrices.
+    :param dist_list: per-camera distortion vectors (native widths).
+    :return: (intr_rows (C, w) float64 numpy, project_fn(intr_row, xc)).
+    """
+    import numpy as np
+
+    dl = [np.reshape(np.asarray(d, dtype=float), -1) for d in dist_list]
+    sizes = {d.size for d in dl}
+    het = 4 in sizes and sizes != {4}
+    if not het:
+        n_dist = 4 if sizes == {4} else max(5, max(sizes, default=5))
+        rows = np.stack([
+            np.asarray(intr9_from_k_dist(k, d, n_dist=n_dist))
+            for k, d in zip(kmats, dl)])
+        return rows, project_cam_points
+    n_brown = max(5, max(s for s in sizes if s != 4))
+    w = 5 + max(n_brown, 4)
+    rows = np.zeros((len(dl), w))
+    for i, (k, d) in enumerate(zip(kmats, dl)):
+        k = np.asarray(k, dtype=float)
+        rows[i, 0] = 1.0 if d.size == 4 else 0.0
+        rows[i, 1:5] = [k[0, 0], k[0, 2], k[1, 1], k[1, 2]]
+        n = 4 if d.size == 4 else w - 5
+        rows[i, 5:5 + min(d.size, n)] = d[:n]
+
+    def project_het(intr_row, xc):
+        return project_cam_points_het(intr_row, xc, brown_n_dist=n_brown)
+
+    return rows, project_het
+
+
 def project_world_points(intr9: jnp.ndarray, extr6: jnp.ndarray,
                          pts_w: jnp.ndarray) -> jnp.ndarray:
     """World points (...,3) -> pixels: extrinsic then projection."""

@@ -25,7 +25,6 @@ from jax import lax
 from pycamset_tpu.config import default_device_dtype
 from pycamset_tpu.models.camera_set import CameraSet
 from pycamset_tpu.models.detections import TargetDetection
-from pycamset_tpu.ops.projection import intr9_from_k_dist, project_cam_points
 from pycamset_tpu.ops.rotations import matrix_to_rodrigues
 from pycamset_tpu.ops.transforms import pose_apply, rigid_fit
 from pycamset_tpu.ops.triangulation import triangulate_observations
@@ -67,16 +66,18 @@ class TargetTracker:
         names = camset.get_names()
         # CPU = f64, TPU = f32 (+highest matmul precision), like the solver
         self._dtype = default_device_dtype()
-        from pycamset_tpu.optim.handlers import infer_shared_n_dist
+        from pycamset_tpu.ops.projection import pack_rig_intrinsics
         dists = [np.reshape(camset[n].distortion_coefs, -1) for n in names]
-        n_dist = infer_shared_n_dist(dists)
         # jit-captured constants stay HOST numpy (lowering embeds them as
         # MLIR constants from the host; captured DEVICE arrays would force
         # the tunnel's multi-minute first d2h during lowering — the round-3
-        # cold-start regression)
-        self._intr = np.stack([
-            np.asarray(intr9_from_k_dist(camset[n].intrinsic, d, n_dist=n_dist))
-            for n, d in zip(names, dists)]).astype(self._dtype)
+        # cold-start regression). Heterogeneous rigs pack the selector
+        # layout and project through the het kernel — mixed fisheye+Brown
+        # rigs track like uniform ones.
+        intr_rows, project_fn = pack_rig_intrinsics(
+            [camset[n].intrinsic for n in names], dists)
+        self._intr = intr_rows.astype(self._dtype)
+        self._project_fn = project_fn
         self._extr = np.stack([
             np.concatenate(ext_4x4_to_rod(camset[n].extrinsic))
             for n in names]).astype(self._dtype)
@@ -124,7 +125,7 @@ class TargetTracker:
             else:
                 world = pose_apply(state, tpl_j[key_i])       # (N,3)
             xc = jax.vmap(pose_apply)(extr_j[cam_i], world)   # (N,3)
-            pred = jax.vmap(project_cam_points)(intr_j[cam_i], xc)
+            pred = jax.vmap(project_fn)(intr_j[cam_i], xc)
             return (pred - uv) * mask[:, None]
 
         def neq(state, cam_i, key_i, uv, mask):
@@ -206,11 +207,12 @@ class TargetTracker:
         # forward-fill frames with too little data. Host PnP becomes a
         # rescue path instead of a per-frame cost (it was O(frames x
         # table) host time that dominated track_batch at 1k frames).
+        from pycamset_tpu.models.camera_set import stack_cam_dists
         kmats_h = np.stack([np.asarray(camset[n].intrinsic, dtype=float)
                             for n in names]).astype(self._dtype)
-        dists_h = np.stack([
-            np.concatenate([d, np.zeros(n_dist - d.size)])
-            for d in dists]).astype(self._dtype)
+        # het rigs: [sel | coefs] rows through the *_het undistortion
+        dists_h, dists_het = stack_cam_dists(dists)
+        dists_h = dists_h.astype(self._dtype)
         exts_h = np.stack([np.asarray(camset[n].extrinsic, dtype=float)
                            for n in names])
         proj_h = np.einsum("cij,cjk->cik",
@@ -229,7 +231,8 @@ class TargetTracker:
                 jnp.asarray(dists_h), cam_rows,
                 uv_grid.reshape(n_i * n_k, n_c, 2),
                 mask_grid.reshape(n_i * n_k, n_c),
-                method="inhomogeneous").reshape(n_i, n_k, 3)
+                method="inhomogeneous",
+                het=dists_het).reshape(n_i, n_k, 3)
             seen = jnp.sum(mask_grid, axis=-1) >= 2.0          # (I,K)
             # unseen keys triangulate to garbage (possibly inf from a
             # zero homogeneous w); zero them before the weighted fit

@@ -336,3 +336,45 @@ def test_het_dress_rehearsal_image_e2e(tmp_path):
     rel_want = (truth["cam1"].extrinsic
                 @ np.linalg.inv(truth["cam0"].extrinsic))
     np.testing.assert_allclose(rel_got[:3, 3], rel_want[:3, 3], atol=2e-3)
+
+
+def test_het_rig_target_tracking():
+    """TargetTracker serves MIXED rigs: per-camera family dispatch via
+    the het [sel | fx px fy py | dist] intrinsic packing
+    (ops/projection.py::pack_rig_intrinsics)."""
+    from pycamset_tpu.models.detections import TargetDetection
+    from pycamset_tpu.optim.handlers import FreePointTarget
+    from pycamset_tpu.tracking import TargetTracker
+    from pycamset_tpu.utils.general_utils import make_4x4h_tform
+
+    handler, rig, names = _make_het_handler(
+        models=("fisheye", "standard", "fisheye"), noise=0.2, seed=17,
+        n_ims=6, grid=6)
+    cams = handler.camset  # ground-truth mixed rig
+    det = TargetDetection(cam_names=names, data=rig["dd"])
+    tracker = TargetTracker(cams, FreePointTarget(
+        rig["template"].reshape(1, -1, 3)))
+    poses, info = tracker.track_batch(det)
+    assert float(np.max(info["rms"])) < 0.5
+    for i in range(6):
+        want = make_4x4h_tform(rig["poses"][i][:3], rig["poses"][i][3:])
+        np.testing.assert_allclose(poses[i], want, atol=6e-3)
+
+
+def test_het_rig_marker_cloud():
+    """The marker-cloud server reconstructs through a MIXED rig."""
+    from pycamset_tpu.markers import MarkerTriangulator
+
+    handler, rig, names = _make_het_handler(
+        models=("fisheye", "standard", "standard"), noise=0.0, seed=19,
+        n_ims=2, grid=5)
+    cams = handler.camset
+    # markers = the first 8 template points (frame = image; pose 0 = id)
+    dd = rig["dd"]
+    d0 = dd[(dd[:, 1] == 0) & (dd[:, 2] < 8)]
+    mt = MarkerTriangulator(cams, n_markers=8)
+    pts, info = mt.reconstruct(d0)
+    want = rig["template"][:8]
+    seen = np.asarray(info["n_views"][0]) >= 2
+    assert seen.sum() >= 4
+    np.testing.assert_allclose(pts[0][seen], want[seen], atol=1e-5)

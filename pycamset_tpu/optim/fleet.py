@@ -86,6 +86,17 @@ def _validate_fleet(handlers):
     h0 = handlers[0]
     names = _chain_names(h0)
     widths = chain_widths(h0.op_fun)
+    if getattr(h0.op_fun, "aux_width", 0):
+        raise UnsupportedChain(
+            "chains with per-detection aux inputs (rolling shutter) have "
+            "no fleet path — solve the rigs individually")
+    links = [g.link for g in h0.op_fun.groups]
+    order = [key_type.PER_CAM, key_type.PER_IMG, key_type.PER_KEY,
+             key_type.PER_GROUP]
+    if links != sorted(links, key=order.index):
+        raise UnsupportedChain(
+            "fleet residuals assume cam*,im*,key*-ordered parameter "
+            "groups; this chain's are interleaved")
     n_cams, n_keys = len(h0.cam_names), h0.n_keys()
     opts = {k: h0.problem_opts.get(k, _UNSET) for k in _SHARED_OPTS}
     grouped = widths.key_link == key_type.PER_GROUP

@@ -1189,6 +1189,14 @@ def cmd_calibrate(args) -> int:
         print("rolling-shutter readouts (frame units, relative to the "
               "reference camera's pin): "
               + ", ".join(f"{k}={v:.3f}" for k, v in ro.items()))
+        if not args.no_save:
+            # directly consumable by `track --sync` (readout_frames key)
+            import json
+            out = Path(_resolve_folder(args)) / "rolling_shutter.json"
+            out.write_text(json.dumps({
+                "cam_names": list(ro.keys()),
+                "readout_frames": [ro[k] for k in ro]}, indent=1))
+            print(f"readouts -> {out} (use with: track --sync {out.name})")
     return 0
 
 

@@ -234,7 +234,7 @@ def test_cli_rolling_shutter_flag(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(CameraSet, "set_resolutions_from_file",
                         lambda self, floc: None)
     rc = cli.main(["calibrate", str(tmp_path), "--target", "charuco",
-                   "--outliers", "n", "--no-save",
+                   "--outliers", "n",
                    "--rolling-shutter", str(TRUE_READOUTS[0]),
                    "--backend", "structured"])
     assert rc == 0
@@ -245,3 +245,8 @@ def test_cli_rolling_shutter_flag(tmp_path, monkeypatch, capsys):
     got = dict(re.findall(r"(cam\d)=([\d.]+)", out))
     assert abs(float(got["cam1"]) - TRUE_READOUTS[1]) < 0.05
     assert abs(float(got["cam2"]) - TRUE_READOUTS[2]) < 0.05
+    # the readouts land in a track --sync-consumable JSON
+    import json
+    rec = json.loads((tmp_path / "rolling_shutter.json").read_text())
+    assert rec["cam_names"] == ["cam0", "cam1", "cam2"]
+    assert abs(rec["readout_frames"][1] - TRUE_READOUTS[1]) < 0.05

@@ -1257,3 +1257,30 @@ def test_het_rig_solve_on_chip():
     assert rms < 2.0 * rig["noise_px"], rms
     assert np.reshape(cams[names[0]].distortion_coefs, -1).size == 4
     assert np.reshape(cams[names[1]].distortion_coefs, -1).size == 5
+
+
+def test_rolling_shutter_calibration_on_chip():
+    """The RS chain (aux row channel + out-of-order group assembly +
+    12-wide pose blocks) compiles and converges in f32 on the real chip,
+    recovering the injected readouts."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_rolling_shutter import (TRUE_READOUTS, _grid_template,
+                                      _ring_rig, _rs_capture, _rs_handler)
+
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    cams = _ring_rig()
+    tpl = _grid_template()
+    noise = 0.2
+    dd, _p, _v = _rs_capture(cams, tpl, 10, TRUE_READOUTS, noise=noise,
+                             seed=9)
+    handler = _rs_handler(cams, tpl, dd, TRUE_READOUTS[0])
+    res, _cams = run_bundle_adjustment(handler, backend="structured")
+    rms = float(np.sqrt(np.mean(res["fun"] ** 2)))
+    assert rms < 2.0 * noise, rms
+    got = handler.get_readouts(res["x"])
+    assert abs(got["cam1"] - TRUE_READOUTS[1]) < 0.1, got
+    assert abs(got["cam2"] - TRUE_READOUTS[2]) < 0.1, got

@@ -378,3 +378,16 @@ def test_het_rig_marker_cloud():
     seen = np.asarray(info["n_views"][0]) >= 2
     assert seen.sum() >= 4
     np.testing.assert_allclose(pts[0][seen], want[seen], atol=1e-5)
+
+
+def test_het_scipy_backend():
+    """The reference-parity scipy backend handles the het chain too
+    (jacfwd CSR assembly over the selector chain)."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    handler, rig, _ = _make_het_handler(
+        models=("fisheye", "standard"), noise=0.1, seed=3, n_ims=6,
+        grid=5)
+    res, _cams = run_bundle_adjustment(handler, backend="scipy")
+    rms = np.sqrt(np.mean(res["fun"] ** 2))
+    assert rms < 2.0 * rig["noise_px"], rms

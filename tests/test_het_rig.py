@@ -391,3 +391,64 @@ def test_het_scipy_backend():
     res, _cams = run_bundle_adjustment(handler, backend="scipy")
     rms = np.sqrt(np.mean(res["fun"] ** 2))
     assert rms < 2.0 * rig["noise_px"], rms
+
+
+def test_het_analytic_matches_jacfwd():
+    """The het closed-form grams (analytic.make_block_rj_het) match
+    jacfwd of the selector chain to 1e-9 for both families, for the
+    template AND self-cal chains."""
+    import jax
+    import jax.numpy as jnp
+    from pycamset_tpu.optim.analytic import analytic_block_rj_for_chain
+    from pycamset_tpu.optim.blocks import (Extrinsic3D, FreePoint,
+                                           ProjectionHet, RigidTform3d,
+                                           TemplatePoints)
+    from pycamset_tpu.optim.chain import OptimFunction
+
+    rng = np.random.default_rng(2)
+    tpl = jnp.asarray(rng.normal(size=(7, 3)) * 0.2)
+    uv = jnp.asarray(rng.normal(size=(7, 2)) * 100 + 500)
+    pose6 = jnp.asarray(rng.normal(size=6) * 0.2)
+    rows = {
+        1.0: np.concatenate([[1.0, 620, 800, 615, 600],
+                             [-0.04, 0.01, -2e-3, 4e-4, 0.0],
+                             rng.normal(size=6) * 0.1]),
+        0.0: np.concatenate([[0.0, 1500, 800, 1490, 600],
+                             [-0.2, 0.05, 1e-3, -2e-3, 0.01],
+                             rng.normal(size=6) * 0.1]),
+    }
+    for blocks, takes_key in (
+            ([ProjectionHet("standard"), Extrinsic3D(), TemplatePoints()],
+             False),
+            ([ProjectionHet("standard"), Extrinsic3D(), RigidTform3d(),
+              FreePoint()], True)):
+        op_fun = OptimFunction(blocks)
+        rj = analytic_block_rj_for_chain(op_fun)
+        assert rj is not None
+        point_fn = op_fun.make_point_fn()
+        asm = op_fun.make_local_assembler()
+        for sel, row in rows.items():
+            cam = jnp.asarray(row)
+            keyp = tpl if takes_key else jnp.zeros((7, 0))
+            r, jc, ji, jk = rj(cam, pose6, tpl, tpl, uv)
+
+            def slot(cp, ip, kp, t, u):
+                return point_fn(asm(cp, ip, kp), t) - u
+
+            kvec = tpl if takes_key else jnp.zeros((7, 0))
+            f = jax.vmap(lambda kp, t, u: slot(cam, pose6, kp, t, u),
+                         in_axes=(0, 0, 0))
+            r_ref = f(kvec, tpl, uv)
+            np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                       atol=1e-9)
+            jc_ref, ji_ref, jk_ref = jax.vmap(
+                lambda kp, t, u: jax.jacfwd(
+                    lambda cp, ip, kpp: slot(cp, ip, kpp, t, u),
+                    argnums=(0, 1, 2))(cam, pose6, kp),
+                in_axes=(0, 0, 0))(kvec, tpl, uv)
+            np.testing.assert_allclose(np.asarray(jc), np.asarray(jc_ref),
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(ji), np.asarray(ji_ref),
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(jk), np.asarray(jk_ref),
+                                       atol=1e-8)

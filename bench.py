@@ -392,9 +392,21 @@ def fleet_problem(n_rigs: int = 64, n_cams: int = 4, n_ims: int = 16,
         return structured_lm_solve(
             lambda q: neq_raw(q, u, m, t, colmask), pp, max_nfev=100)
 
-    @jax.jit
-    def solve(p, uv_, mask_, tpl_):
-        return jax.vmap(one)(p, uv_, mask_, tpl_)
+    # convergence-cohort cascade (optim/fleet.py): full batch to ~median
+    # iterations, then compacting cohorts of stragglers — identical
+    # per-rig results, no lockstep tax
+    from pycamset_tpu.optim.fleet import make_cascade_solve
+    from pycamset_tpu.optim.structured_lm import slm_init, slm_run
+
+    def one_init(pp, u, m, t):
+        return slm_init(lambda q: neq_raw(q, u, m, t, colmask), pp,
+                        max_nfev=100)
+
+    def one_run(st, cap, u, m, t):
+        return slm_run(lambda q: neq_raw(q, u, m, t, colmask), st,
+                       max_nfev=100, nfev_cap=cap)
+
+    solve = make_cascade_solve(one_init, one_run, n_rigs)
 
     # the single-rig program over the same data (benchmarks/fleet_bench.py
     # times it as the strongest sequential baseline)

@@ -59,6 +59,47 @@ def _nwhere(ok, n1, n2):
     return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), n1, n2)
 
 
+def _resolve_ops(ops):
+    if ops is None:
+        diag_fn, matvec_fn, grad_fn = neq_diag, neq_matvec, None
+        solve_fn = schur_solve
+    else:
+        diag_fn, matvec_fn, solve_fn, grad_fn = ops
+    if grad_fn is None:
+        def grad_fn(neq):
+            return ParamPieces(neq.gc, neq.gi, neq.gk)
+    return diag_fn, matvec_fn, solve_fn, grad_fn
+
+
+def slm_init(neq_fn: Callable[[ParamPieces], NormalEq], x0: ParamPieces,
+             *, max_nfev: int = 100, lam0: float = 1e-4,
+             scale_floor: float = 1e-8, ops=None) -> SLMState:
+    """The LM state at x0 (first eval counted); run it with slm_run.
+
+    Splitting init/run from structured_lm_solve enables STAGED solving:
+    run a batch of problems a few iterations, compact the unconverged
+    ones, continue — the fleet's convergence-cohort cascade."""
+    diag_fn, _mv, _sv, _gd = _resolve_ops(ops)
+    dtype = x0.cam.dtype
+    hist_len = max_nfev + 2
+    neq0 = neq_fn(x0)
+    floor = jnp.asarray(scale_floor, dtype)
+    sc0 = jax.tree_util.tree_map(lambda d: jnp.maximum(d, floor),
+                                 diag_fn(neq0))
+    history0 = jnp.full((hist_len,), -1.0, dtype=dtype).at[0].set(neq0.cost)
+    return SLMState(
+        x=x0, neq=neq0, scale2=sc0,
+        lam=jnp.asarray(lam0, dtype), nu=jnp.asarray(2.0, dtype),
+        nfev=jnp.asarray(1, jnp.int32), it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(0, jnp.int32), history=history0)
+
+
+def slm_result(state: SLMState) -> SLMResult:
+    return SLMResult(x=state.x, cost=state.neq.cost, nfev=state.nfev,
+                     nit=state.it, status=state.status,
+                     history=state.history)
+
+
 def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
                         x0: ParamPieces, *, max_nfev: int = 100,
                         ftol: float = 1e-8, xtol: float = 1e-8,
@@ -78,37 +119,39 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
         PER_KEY+PER_GROUP system in optim/structured_mixed.py). solve_fn
         receives (neq, damp, method, cg_tol, cg_maxiter).
     """
-    if ops is None:
-        diag_fn, matvec_fn, grad_fn = neq_diag, neq_matvec, None
-        solve_fn = schur_solve
-    else:
-        diag_fn, matvec_fn, solve_fn, grad_fn = ops
-    if grad_fn is None:
-        def grad_fn(neq):
-            return ParamPieces(neq.gc, neq.gi, neq.gk)
+    init = slm_init(neq_fn, x0, max_nfev=max_nfev, lam0=lam0,
+                    scale_floor=scale_floor, ops=ops)
+    final = slm_run(neq_fn, init, max_nfev=max_nfev, ftol=ftol, xtol=xtol,
+                    gtol=gtol, reduced_solver=reduced_solver,
+                    cg_tol=cg_tol, cg_maxiter=cg_maxiter, ops=ops)
+    return slm_result(final)
 
-    dtype = x0.cam.dtype
-    hist_len = max_nfev + 2
+
+def slm_run(neq_fn: Callable[[ParamPieces], NormalEq], state: SLMState, *,
+            max_nfev: int = 100, nfev_cap: int | None = None,
+            ftol: float = 1e-8, xtol: float = 1e-8, gtol: float = 1e-8,
+            reduced_solver: str = "dense", cg_tol: float = 1e-6,
+            cg_maxiter: int = 250, ops=None) -> SLMState:
+    """Advance an LM state until convergence — or PAUSE at ``nfev_cap``
+    evaluations (status stays 0; resuming with a later slm_run continues
+    the exact same iteration sequence). ``max_nfev`` is the true budget:
+    reaching it sets status 4 as in structured_lm_solve."""
+    diag_fn, matvec_fn, solve_fn, grad_fn = _resolve_ops(ops)
+    dtype = state.x.cam.dtype if hasattr(state.x, "cam") else \
+        jax.tree_util.tree_leaves(state.x)[0].dtype
+    hist_len = state.history.shape[-1]
     # scipy's 1e-8 defaults assume float64; clamp to the dtype's resolution
     eps = float(jnp.finfo(dtype).eps)
     ftol = max(ftol, 50 * eps)
     xtol = max(xtol, 50 * eps)
     gtol = max(gtol, 50 * eps)
 
-    neq0 = neq_fn(x0)
-    floor = jnp.asarray(scale_floor, dtype)
-    sc0 = jax.tree_util.tree_map(lambda d: jnp.maximum(d, floor),
-                                 diag_fn(neq0))
-    history0 = jnp.full((hist_len,), -1.0, dtype=dtype).at[0].set(neq0.cost)
-
-    init = SLMState(
-        x=x0, neq=neq0, scale2=sc0,
-        lam=jnp.asarray(lam0, dtype), nu=jnp.asarray(2.0, dtype),
-        nfev=jnp.asarray(1, jnp.int32), it=jnp.asarray(0, jnp.int32),
-        status=jnp.asarray(0, jnp.int32), history=history0)
-
-    def cond(s: SLMState):
-        return s.status == 0
+    if nfev_cap is None:
+        def cond(s: SLMState):
+            return s.status == 0
+    else:
+        def cond(s: SLMState):
+            return (s.status == 0) & (s.nfev < nfev_cap)
 
     def body(s: SLMState):
         damp = jax.tree_util.tree_map(lambda sc: s.lam * sc, s.scale2)
@@ -169,6 +212,4 @@ def structured_lm_solve(neq_fn: Callable[[ParamPieces], NormalEq],
         return SLMState(x, neq, scale2, lam, nu, nfev, it,
                         status.astype(jnp.int32), history)
 
-    final = jax.lax.while_loop(cond, body, init)
-    return SLMResult(x=final.x, cost=final.neq.cost, nfev=final.nfev,
-                     nit=final.it, status=final.status, history=final.history)
+    return jax.lax.while_loop(cond, body, state)

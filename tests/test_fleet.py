@@ -606,3 +606,27 @@ class TestCalibrateFleetPipeline:
             np.testing.assert_allclose(c0.extrinsic, c1.extrinsic,
                                        rtol=1e-10, atol=1e-14)
 
+
+
+class TestCascade:
+    def test_cascade_matches_lockstep_per_rig(self):
+        """Fleets of >= 16 rigs route through the convergence-cohort
+        cascade (make_cascade_solve); every rig's result must match its
+        solo (lockstep R=1) solve — the cascade pauses and resumes the
+        exact iteration sequence, so agreement is at solver tolerance."""
+        import pytest
+        from pycamset_tpu.optim.fleet import run_fleet_bundle_adjustment
+
+        seeds = list(range(60, 78))  # 18 rigs -> cascade path
+        handlers = [_template_handler(n_cams=2, n_ims=4, grid=5,
+                                      seed=s)[0] for s in seeds]
+        results, _ = run_fleet_bundle_adjustment(handlers)
+        assert len(results) == 18
+        for s, res in zip(seeds[:4], results[:4]):
+            solo, _ = run_fleet_bundle_adjustment(
+                [_template_handler(n_cams=2, n_ims=4, grid=5, seed=s)[0]])
+            assert res.cost == pytest.approx(solo[0].cost, rel=1e-5)
+            np.testing.assert_allclose(res.x, solo[0].x, rtol=1e-3,
+                                       atol=1e-6)
+        assert all(np.isfinite(r.cost) for r in results)
+        assert all(r.status > 0 for r in results)  # polish net finished

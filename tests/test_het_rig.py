@@ -452,3 +452,27 @@ def test_het_analytic_matches_jacfwd():
                                        atol=1e-8)
             np.testing.assert_allclose(np.asarray(jk), np.asarray(jk_ref),
                                        atol=1e-8)
+
+
+def test_het_calibration_uncertainty():
+    """First-order uncertainty works on het calibrations: per-camera
+    intrinsic sigmas in the het layout (fixed selector/pad columns at
+    zero), finite pose sigmas."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    handler, rig, names = _make_het_handler(
+        models=("fisheye", "standard", "standard"), noise=0.1, seed=23,
+        n_ims=8, grid=6)
+    _res, cams = run_bundle_adjustment(handler, backend="structured")
+    unc = cams.calibration_uncertainty()
+    assert np.isfinite(unc["sigma2"])
+    for c, name in enumerate(names):
+        sig = np.asarray(unc["cameras"][name]["int_sigma"])
+        assert sig.shape == (10,)  # het layout [sel | k4 | dist 5]
+        assert sig[0] == 0.0       # the family selector is fixed
+        if rig["camera_models"][c] == "fisheye":
+            assert sig[9] == 0.0   # structural pad slot is fixed
+            assert np.all(sig[1:9] > 0)
+        else:
+            assert np.all(sig[1:] > 0)
+    assert np.isfinite(unc["pose_sigma"]).all()

@@ -34,6 +34,11 @@ def _weighted_r_jac(param_handler, x):
     from pycamset_tpu.optim.driver import make_optimisation_function
     from pycamset_tpu.optim.losses import make_loss
 
+    if getattr(param_handler.op_fun, "aux_width", 0):
+        raise NotImplementedError(
+            "calibration_uncertainty does not yet support rolling-shutter "
+            "(per-detection aux input) chains — the CSR jacobian assembly "
+            "covers the global-shutter chains only")
     loss_fn, jac_fn, x0 = make_optimisation_function(param_handler)
     x = np.asarray(x0 if x is None else x, dtype=float)
     r = np.asarray(loss_fn(x), dtype=float).reshape(-1)

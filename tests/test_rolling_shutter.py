@@ -250,3 +250,18 @@ def test_cli_rolling_shutter_flag(tmp_path, monkeypatch, capsys):
     rec = json.loads((tmp_path / "rolling_shutter.json").read_text())
     assert rec["cam_names"] == ["cam0", "cam1", "cam2"]
     assert abs(rec["readout_frames"][1] - TRUE_READOUTS[1]) < 0.05
+
+
+def test_rs_uncertainty_raises_clearly():
+    """calibration_uncertainty on an RS solve names the actual gap
+    instead of surfacing the backend guard's confusing message."""
+    from pycamset_tpu.optim.driver import run_bundle_adjustment
+
+    cams = _ring_rig()
+    tpl = _grid_template()
+    dd, _p, _v = _rs_capture(cams, tpl, 6, TRUE_READOUTS, noise=0.1,
+                             seed=2)
+    handler = _rs_handler(cams, tpl, dd, TRUE_READOUTS[0])
+    _res, solved = run_bundle_adjustment(handler, backend="structured")
+    with pytest.raises(NotImplementedError, match="rolling-shutter"):
+        solved.calibration_uncertainty()

@@ -38,14 +38,39 @@ def _group_onehot(group_of_key, n_groups: int) -> np.ndarray:
     return onehot
 
 
+def _c_axis_contig(widths: MixedWidths) -> bool:
+    """True when key/grp columns are contiguous partitions of the c-axis
+    (every shipped chain) — pack/split with static slices and one
+    concatenate; advanced indexing would lower to gather/scatter on the
+    TPU hot path (same rule as optim/structured_mixed.py)."""
+    def contig(cols):
+        return (len(cols) > 0
+                and tuple(cols) == tuple(range(cols[0],
+                                               cols[0] + len(cols))))
+    return (contig(widths.key_cols) and contig(widths.grp_cols)
+            and sorted(widths.key_cols + widths.grp_cols)
+            == list(range(widths.c)))
+
+
 def _chain_key_rows(widths: MixedWidths, key, grp, key_mask, grp_mask, oh):
     """Assemble the chain-ordered c-axis rows for the gram kernel:
     [group pose expanded per key | per-key points], for both the
     parameter values and the column mask. `oh` may be the full one-hot or
     this device's key slice — the layout is per-row either way."""
+    dtype = key.dtype
+    if _c_axis_contig(widths):
+        grp_first = widths.grp_cols[0] == 0
+
+        def pack(key_part, grp_part):
+            parts = ([grp_part, key_part] if grp_first
+                     else [key_part, grp_part])
+            return jnp.concatenate(
+                [jnp.asarray(p, dtype) for p in parts], axis=1)
+
+        return (pack(key, oh @ jnp.asarray(grp, dtype)),
+                pack(key_mask, oh @ jnp.asarray(grp_mask, dtype)))
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
-    dtype = key.dtype
     keyp = jnp.zeros((key.shape[0], widths.c), dtype)
     keyp = keyp.at[:, kk].set(key)
     keyp = keyp.at[:, gg_].set(oh @ grp)
@@ -70,6 +95,9 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b, cw = widths.a, widths.b, widths.c
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
+    if _c_axis_contig(widths):
+        kk = slice(widths.key_cols[0], widths.key_cols[0] + widths.ck)
+        gg_ = slice(widths.grp_cols[0], widths.grp_cols[0] + widths.cg)
     onehot_np = _group_onehot(group_of_key, n_groups)
 
     n_dev = mesh.devices.size
@@ -173,12 +201,12 @@ def make_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
 
         hcc = place_cam(hcc_loc, (n_cams, a, a))
         gc = place_cam(gc_loc, (n_cams, a))
-        wck = place_cam(wck_loc, (n_cams, k_pad, a, len(kk)))
-        wcg = place_cam(wcg_loc, (n_cams, n_groups, a, len(gg_)))
+        wck = place_cam(wck_loc, (n_cams, k_pad, a, widths.ck))
+        wcg = place_cam(wcg_loc, (n_cams, n_groups, a, widths.cg))
         hii = place_im(hii_loc, (n_ims, b, b))
         gi = place_im(gi_loc, (n_ims, b))
-        wik = place_im(wik_loc, (n_ims, k_pad, b, len(kk)))
-        wig = place_im(wig_loc, (n_ims, n_groups, b, len(gg_)))
+        wik = place_im(wik_loc, (n_ims, k_pad, b, widths.ck))
+        wig = place_im(wig_loc, (n_ims, n_groups, b, widths.cg))
         wci = jax.lax.dynamic_update_slice(
             jnp.zeros((n_cams, n_ims, a, b), dtype), wci_loc,
             (cam_off, im_off, 0 * d, 0 * d))
@@ -214,6 +242,9 @@ def make_key_sharded_mixed_neq(op_fun: OptimFunction, widths: MixedWidths,
     a, b, cw = widths.a, widths.b, widths.c
     kk = np.asarray(widths.key_cols)
     gg_ = np.asarray(widths.grp_cols)
+    if _c_axis_contig(widths):
+        kk = slice(widths.key_cols[0], widths.key_cols[0] + widths.ck)
+        gg_ = slice(widths.grp_cols[0], widths.grp_cols[0] + widths.cg)
     # fused kernel: every block is local under key sharding, so the
     # in-kernel accumulations are complete for the local key slice; the
     # per-key pieces stay sharded and the small partial sums psum
